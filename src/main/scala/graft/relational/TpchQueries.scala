@@ -1,0 +1,152 @@
+package graft.relational
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped relational core: the bench headliners that exercise the
+  * engine's scan/filter/join/agg paths on the driver's star schema.
+  *
+  * Scale notes (100 TB): every query below is a declarative plan —
+  * Catalyst pushes the filters into the parquet scan, prunes columns,
+  * and picks broadcast joins for the dimension tables (region/nation/
+  * supplier/customer are tiny relative to lineitem/orders at any SF).
+  * Aggregations are partial (map-side combine) before the single
+  * hash-partition shuffle on the group keys.
+  */
+object TpchQueries {
+
+  /** Pricing summary report (TPC-H Q1 shape). One shuffle on the 2 flag
+    * columns; everything else is map-side. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Shipping priority (Q3 shape): join customer⋈orders⋈lineitem, agg,
+    * top-10. customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("date"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Regional revenue (Q5 shape): 5-way join; all dims broadcast, the
+    * only shuffle is lineitem⋈orders on orderkey + final tiny agg. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-01-01").cast("date"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        sup("s_nationkey") === cust("c_nationkey"))
+      .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** Forecasting revenue change (Q6 shape): pure scan-filter-agg; the
+    * filters land in PushedFilters, zero shuffle beyond the final agg. */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
+        col("l_shipdate") < lit("1995-01-01").cast("date") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+  }
+
+  /** Large-volume customer (Q18 shape): agg + having + semi-join back. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("total_qty"), 2).as("total_qty"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |round(avg(l_quantity),6) AS avg_qty,
+        |round(avg(l_discount),6) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_orderdate,
+        |o_orderpriority,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_rev" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1994-01-01'
+        |AND o_orderdate < DATE '1996-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+        |AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q18_large_cust" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |strftime(o_orderdate,'%Y-%m-%d') AS o_orderdate,
+        |round(o_totalprice,2) AS o_totalprice, round(total_qty,2) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin
+  )
+}
