@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.cube.SkopeQueries
 import graft.relational.TpchQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -18,10 +19,10 @@ object SparkEntry {
     "q5_region_rev" -> (TpchQueries.q5 _),
     "q6_forecast" -> (TpchQueries.q6 _),
     "q18_large_cust" -> (TpchQueries.q18 _)
-  )
+  ) ++ SkopeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles
+    TpchQueries.oracles ++ SkopeQueries.oracles
 }

@@ -1,0 +1,119 @@
+package graft.cube
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's datacube, re-expressed as a long-format DataFrame.
+  *
+  * In openskope/skope-api a dataset is a multi-band GeoTIFF: band = one
+  * time step (year/month resolution), cell = (row, col) pixel
+  * (reference: timeseries/app/schemas/dataset.py:49-88 for time↔band,
+  * timeseries/app/schemas/geometry.py for cell selection). Here the
+  * driver's `events` table plays the cube role:
+  *
+  *   dataset  = event_type            (5 "datasets", variable = value)
+  *   band     = day index of ts, 1-based from 2024-01-01 (resolution=day)
+  *   cell     = user_id, laid out on a grid x = user_id % 10,
+  *              y = user_id / 10
+  *   cell value = avg(value) of the cell's events in that band
+  *
+  * Scale design (100 TB): the cube build is the ingestion step — one
+  * shuffle on (dataset, band, cell). In production the cube is
+  * materialized once as parquet partitioned by dataset and sorted by
+  * band, so every query below becomes a partition-pruned scan +
+  * min/max-pruned band range; the per-query plans here only ever
+  * aggregate *after* filtering dataset + geometry + band range, all of
+  * which push down to the scan.
+  */
+object EventCube {
+
+  /** Grid width for the synthetic cell layout. */
+  val GridWidth = 10
+
+  /** Band 1 corresponds to this date (the cube's time origin). */
+  val Origin = "2024-01-01"
+
+  /** Rectangular cell selection — the analogue of the reference's
+    * polygon mask (geometry.py:174-209, all_touched raster mask).
+    */
+  final case class BBox(x0: Int, x1: Int, y0: Int, y1: Int) {
+    def contains(x: Column, y: Column): Column =
+      x.between(x0, x1) && y.between(y0, y1)
+  }
+
+  /** The default selections used by the §2 query inventory. */
+  val DefaultBBox: BBox = BBox(2, 7, 0, 7)
+  val DefaultDataset = "click"
+  val PointCell = 12L
+
+  /** Long-format cube for one dataset: (band, user_id, x, y, v).
+    * Cell value = avg of the cell's raw events in the band, mirroring
+    * one pixel holding one value per band in the reference raster.
+    */
+  def cube(spark: SparkSession, dir: String, dataset: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === dataset)
+      .groupBy(
+        (datediff(to_date(col("ts")), lit(Origin).cast("date")) + 1)
+          .cast("long").as("band"),
+        col("user_id"))
+      .agg(avg(col("value")).as("v"))
+      .withColumn("x", col("user_id") % GridWidth)
+      .withColumn("y", floor(col("user_id") / lit(GridWidth.toDouble)).cast("long"))
+
+  /** Zonal series over a bbox selection: one row per band with the
+    * zonal statistic ("mean" | "median") over cell values — the Spark
+    * equivalent of geometry.py:174-209's per-band masked reduction.
+    * Map-side partial agg → single shuffle on `band`.
+    */
+  def zonalSeries(spark: SparkSession, dir: String, dataset: String,
+      bbox: BBox, stat: String): DataFrame = {
+    val c = cube(spark, dir, dataset).filter(bbox.contains(col("x"), col("y")))
+    val agg = stat match {
+      case "mean" => avg(col("v"))
+      case "median" => percentile(col("v"), lit(0.5))
+      case other => throw new IllegalArgumentException(
+        s"unsupported zonal statistic: $other (mean|median)")
+    }
+    c.groupBy(col("band")).agg(agg.as("zv"))
+  }
+
+  /** Point-cell series (geometry.py:81-103): one cell, one value per
+    * band present. Bands with no events are absent, like nodata pixels.
+    */
+  def pointSeries(spark: SparkSession, dir: String, dataset: String,
+      cell: Long): DataFrame =
+    cube(spark, dir, dataset)
+      .filter(col("user_id") === cell)
+      .select(col("band"), col("v").as("zv"))
+
+  // ---- shared oracle SQL fragments (DuckDB dialect) ----
+
+  /** CTE mirroring `cube` for one dataset. */
+  def cubeSql(dataset: String): String =
+    s"""cube AS (
+       |  SELECT CAST(date_diff('day', DATE '$Origin', CAST(ts AS DATE)) + 1 AS BIGINT) AS band,
+       |         user_id,
+       |         user_id % $GridWidth AS x,
+       |         CAST(floor(user_id / $GridWidth.0) AS BIGINT) AS y,
+       |         avg(value) AS v
+       |  FROM events
+       |  WHERE event_type = '$dataset'
+       |  GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
+  /** CTE mirroring `zonalSeries` on top of `cube`. */
+  def zonalSql(bbox: BBox, stat: String): String = {
+    val aggExpr = stat match {
+      case "mean" => "avg(v)"
+      case "median" => "median(v)"
+    }
+    s"""zonal AS (
+       |  SELECT band, $aggExpr AS zv FROM cube
+       |  WHERE x BETWEEN ${bbox.x0} AND ${bbox.x1}
+       |    AND y BETWEEN ${bbox.y0} AND ${bbox.y1}
+       |  GROUP BY band
+       |)""".stripMargin
+  }
+}

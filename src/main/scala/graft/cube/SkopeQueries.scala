@@ -1,0 +1,226 @@
+package graft.cube
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The §2 skope-core query inventory: each reference capability as a
+  * declarative Spark plan over the event cube, with a DuckDB oracle
+  * mirroring the same semantics.
+  *
+  * Conventions shared with the oracles (SURVEY.md §4): doubles rounded
+  * to 6 dp at the *final* projection only; bands as BIGINT; dates as
+  * formatted strings.
+  */
+object SkopeQueries {
+  import EventCube._
+
+  /** The requested band (time) range used by the windowed queries —
+    * chosen so smoothers/transforms exercise the reference's
+    * widen-then-clip band arithmetic (timeseries.py:402-431). */
+  val ReqLo = 5
+  val ReqHi = 25
+
+  private def clip(df: DataFrame): DataFrame =
+    df.filter(col("band").between(ReqLo, ReqHi))
+
+  private def r6(df: DataFrame): DataFrame =
+    df.select(col("band"), Num.roundEps(col("zv"), 6).as("value"))
+
+  /** /metadata (reference: routers/v2/api.py:15-17, metadata.yml): one
+    * row per dataset with its time range, band count, grid size. */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("dataset_id"))
+      .agg(
+        lit("value").as("variable_id"),
+        lit("day").as("resolution"),
+        date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("time_gte"),
+        date_format(max(to_date(col("ts"))), "yyyy-MM-dd").as("time_lte"),
+        countDistinct(to_date(col("ts"))).as("n_bands"),
+        countDistinct(col("user_id")).as("n_cells"))
+
+  /** time↔band translation, 1-based (dataset.py:49-88). */
+  def bandIndex(spark: SparkSession, dir: String): DataFrame =
+    cube(spark, dir, DefaultDataset)
+      .select(col("band"),
+        date_format(
+          date_add(lit(Origin).cast("date"), (col("band") - 1).cast("int")),
+          "yyyy-MM-dd").as("band_date"))
+      .distinct()
+
+  def selectPoint(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(pointSeries(spark, dir, DefaultDataset, PointCell)))
+
+  def zonalMean(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean")))
+
+  def zonalMedian(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "median")))
+
+  /** n_cells + area of the selection (geometry.py:141-156, 184-185).
+    * Unit cell area on the synthetic grid (SURVEY.md §6). */
+  def ncellsArea(spark: SparkSession, dir: String): DataFrame =
+    cube(spark, dir, DefaultDataset)
+      .filter(DefaultBBox.contains(col("x"), col("y")))
+      .agg(countDistinct(col("user_id")).as("n_cells"))
+      .withColumn("area", col("n_cells").cast("double"))
+
+  def maCentered(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(Smoothers.maCentered(
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 5)))
+
+  def maTrailing(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(Smoothers.maTrailing(
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 3)))
+
+  def zscoreMoving(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(Transforms.zscoreMoving(
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 6)))
+
+  /** z-score vs a fixed reference interval (bands 1..12). */
+  def zscoreFixed(spark: SparkSession, dir: String): DataFrame = {
+    val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean")
+    r6(clip(Transforms.zscoreFixed(zonal, zonal.filter(col("band").between(1, 12)))))
+  }
+
+  /** z-score within the selected interval itself (scipy.stats.zscore
+    * with nan_policy=omit, ddof=0 — timeseries.py:163-167). */
+  def zscoreSelected(spark: SparkSession, dir: String): DataFrame = {
+    val sel = clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"))
+    r6(Transforms.zscoreFixed(sel, sel))
+  }
+
+  private def threeSeries(spark: SparkSession, dir: String): DataFrame = {
+    val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean")
+    clip(zonal).select(lit("original").as("series"), col("band"), col("zv"))
+      .unionAll(clip(Smoothers.maCentered(zonal, 5))
+        .select(lit("centered5").as("series"), col("band"), col("zv")))
+      .unionAll(clip(Smoothers.maTrailing(zonal, 3))
+        .select(lit("trailing3").as("series"), col("band"), col("zv")))
+  }
+
+  /** Several requested_series_options over one extraction
+    * (timeseries.py:433-458). */
+  def multiSeries(spark: SparkSession, dir: String): DataFrame =
+    threeSeries(spark, dir)
+      .select(col("series"), col("band"), Num.roundEps(col("zv"), 6).as("value"))
+
+  /** Per-series summary stats: nanmean/nanmedian/nanstd_pop
+    * (timeseries.py:197-261, 460-469). */
+  def summaryStats(spark: SparkSession, dir: String): DataFrame =
+    threeSeries(spark, dir)
+      .groupBy(col("series"))
+      .agg(
+        Num.roundEps(avg(col("zv")), 6).as("mean"),
+        Num.roundEps(percentile(col("zv"), lit(0.5)), 6).as("median"),
+        Num.roundEps(stddev_pop(col("zv")), 6).as("stdev"))
+
+  /** v1 endpoint defaults (routers/v1/api.py, TimeseriesV1Request):
+    * point geometry, zonal mean, no transform/smoother, full range,
+    * dates as strings. */
+  def v1Timeseries(spark: SparkSession, dir: String): DataFrame =
+    pointSeries(spark, dir, DefaultDataset, PointCell)
+      .select(
+        date_format(
+          date_add(lit(Origin).cast("date"), (col("band") - 1).cast("int")),
+          "yyyy-MM-dd").as("band_date"),
+        Num.roundEps(col("zv"), 6).as("value"))
+
+  // ------------------------------------------------------------------
+  // Oracles (DuckDB dialect), sharing the cube/zonal CTE fragments.
+  // ------------------------------------------------------------------
+
+  private def withCube(body: String): String =
+    s"WITH ${EventCube.cubeSql(DefaultDataset)}\n$body"
+
+  private def withZonal(stat: String, body: String): String =
+    s"WITH ${EventCube.cubeSql(DefaultDataset)},\n${EventCube.zonalSql(DefaultBBox, stat)}\n$body"
+
+  private val clipSql = s"band BETWEEN $ReqLo AND $ReqHi"
+
+  private def threeSeriesSql: String =
+    s"""orig AS (SELECT band, zv FROM zonal WHERE $clipSql),
+       |cent AS (SELECT * FROM (${Smoothers.maCenteredSql(5)}) c WHERE $clipSql),
+       |trail AS (SELECT * FROM (${Smoothers.maTrailingSql(3)}) t2 WHERE $clipSql),
+       |all_series AS (
+       |  SELECT 'original' AS series, band, zv FROM orig
+       |  UNION ALL SELECT 'centered5', band, zv FROM cent
+       |  UNION ALL SELECT 'trailing3', band, zv FROM trail)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "skope_metadata" ->
+      """SELECT event_type AS dataset_id, 'value' AS variable_id,
+        |  'day' AS resolution,
+        |  strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS time_gte,
+        |  strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS time_lte,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_bands,
+        |  count(DISTINCT user_id) AS n_cells
+        |FROM events GROUP BY event_type""".stripMargin,
+    "skope_band_index" -> withCube(
+      s"""SELECT DISTINCT band,
+         |  strftime(DATE '$Origin' + (band - 1) * INTERVAL 1 DAY, '%Y-%m-%d') AS band_date
+         |FROM cube""".stripMargin),
+    "skope_select_point" -> withCube(
+      s"""SELECT band, round((v) + 1e-9, 6) AS value FROM cube
+         |WHERE user_id = $PointCell AND $clipSql""".stripMargin),
+    "skope_zonal_mean" -> withZonal("mean",
+      s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
+    "skope_zonal_median" -> withZonal("median",
+      s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
+    "skope_ncells_area" -> withCube(
+      s"""SELECT count(DISTINCT user_id) AS n_cells,
+         |  CAST(count(DISTINCT user_id) AS DOUBLE) AS area
+         |FROM cube WHERE x BETWEEN ${DefaultBBox.x0} AND ${DefaultBBox.x1}
+         |  AND y BETWEEN ${DefaultBBox.y0} AND ${DefaultBBox.y1}""".stripMargin),
+    "skope_ma_centered" -> withZonal("mean",
+      s"""SELECT band, round((zv) + 1e-9, 6) AS value
+         |FROM (${Smoothers.maCenteredSql(5)}) s WHERE $clipSql""".stripMargin),
+    "skope_ma_trailing" -> withZonal("mean",
+      s"""SELECT band, round((zv) + 1e-9, 6) AS value
+         |FROM (${Smoothers.maTrailingSql(3)}) s WHERE $clipSql""".stripMargin),
+    "skope_zscore_moving" -> withZonal("mean",
+      s"""SELECT band, round((zv) + 1e-9, 6) AS value
+         |FROM (${Transforms.zscoreMovingSql(6)}) s WHERE $clipSql""".stripMargin),
+    "skope_zscore_fixed" -> withZonal("mean",
+      s"""SELECT band, round((zv) + 1e-9, 6) AS value
+         |FROM (${Transforms.zscoreFixedSql("band BETWEEN 1 AND 12")}) s
+         |WHERE $clipSql""".stripMargin),
+    "skope_zscore_selected" -> withZonal("mean",
+      s""", sel AS (SELECT band, zv FROM zonal WHERE $clipSql)
+         |SELECT band, round(((zv - m_ref) / nullif(sd_ref, 0)) + 1e-9, 6) AS value
+         |FROM sel CROSS JOIN
+         |  (SELECT avg(zv) AS m_ref, stddev_pop(zv) AS sd_ref FROM sel) r"""
+        .stripMargin),
+    "skope_multi_series" -> withZonal("mean",
+      s""", $threeSeriesSql
+         |SELECT series, band, round((zv) + 1e-9, 6) AS value FROM all_series""".stripMargin),
+    "skope_summary_stats" -> withZonal("mean",
+      s""", $threeSeriesSql
+         |SELECT series, round((avg(zv)) + 1e-9, 6) AS mean,
+         |  round((median(zv)) + 1e-9, 6) AS median,
+         |  round((stddev_pop(zv)) + 1e-9, 6) AS stdev
+         |FROM all_series GROUP BY series""".stripMargin),
+    "skope_v1_timeseries" -> withCube(
+      s"""SELECT strftime(DATE '$Origin' + (band - 1) * INTERVAL 1 DAY, '%Y-%m-%d') AS band_date,
+         |  round((v) + 1e-9, 6) AS value
+         |FROM cube WHERE user_id = $PointCell""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skope_metadata" -> (metadata _),
+    "skope_band_index" -> (bandIndex _),
+    "skope_select_point" -> (selectPoint _),
+    "skope_zonal_mean" -> (zonalMean _),
+    "skope_zonal_median" -> (zonalMedian _),
+    "skope_ncells_area" -> (ncellsArea _),
+    "skope_ma_centered" -> (maCentered _),
+    "skope_ma_trailing" -> (maTrailing _),
+    "skope_zscore_moving" -> (zscoreMoving _),
+    "skope_zscore_fixed" -> (zscoreFixed _),
+    "skope_zscore_selected" -> (zscoreSelected _),
+    "skope_multi_series" -> (multiSeries _),
+    "skope_summary_stats" -> (summaryStats _),
+    "skope_v1_timeseries" -> (v1Timeseries _)
+  )
+}

@@ -1,6 +1,6 @@
 package graft.relational
 
-import graft.Tables
+import graft.{Num, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,12 +23,12 @@ object TpchQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        Num.roundEps(sum(col("l_quantity")), 2).as("sum_qty"),
+        Num.roundEps(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Num.roundEps(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        Num.roundEps(avg(col("l_quantity")), 6).as("avg_qty"),
+        Num.roundEps(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -46,7 +46,7 @@ object TpchQueries {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(Num.roundEps(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -70,7 +70,7 @@ object TpchQueries {
       .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(Num.roundEps(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
   }
 
@@ -82,7 +82,7 @@ object TpchQueries {
         col("l_shipdate") < lit("1995-01-01").cast("date") &&
         col("l_discount").between(0.02, 0.06) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+      .agg(Num.roundEps(sum(col("l_extendedprice") * col("l_discount")), 2)
         .as("revenue"))
   }
 
@@ -98,25 +98,25 @@ object TpchQueries {
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        round(col("o_totalprice"), 2).as("o_totalprice"),
-        round(col("total_qty"), 2).as("total_qty"))
+        Num.roundEps(col("o_totalprice"), 2).as("o_totalprice"),
+        Num.roundEps(col("total_qty"), 2).as("total_qty"))
   }
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |round(sum(l_quantity),2) AS sum_qty,
-        |round(sum(l_extendedprice),2) AS sum_base_price,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |round(avg(l_quantity),6) AS avg_qty,
-        |round(avg(l_discount),6) AS avg_disc,
+        |round((sum(l_quantity)) + 1e-5, 2) AS sum_qty,
+        |round((sum(l_extendedprice)) + 1e-5, 2) AS sum_base_price,
+        |round((sum(l_extendedprice*(1-l_discount))) + 1e-5, 2) AS sum_disc_price,
+        |round((avg(l_quantity)) + 1e-9, 6) AS avg_qty,
+        |round((avg(l_discount)) + 1e-9, 6) AS avg_disc,
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_orderdate,
         |o_orderpriority,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |round((sum(l_extendedprice*(1-l_discount))) + 1e-5, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -125,7 +125,7 @@ object TpchQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_rev" ->
       """SELECT n_name,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |round((sum(l_extendedprice*(1-l_discount))) + 1e-5, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
@@ -135,14 +135,14 @@ object TpchQueries {
         |AND o_orderdate < DATE '1996-01-01'
         |GROUP BY n_name""".stripMargin,
     "q6_forecast" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      """SELECT round((sum(l_extendedprice*l_discount)) + 1e-5, 2) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
         |AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "q18_large_cust" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |strftime(o_orderdate,'%Y-%m-%d') AS o_orderdate,
-        |round(o_totalprice,2) AS o_totalprice, round(total_qty,2) AS total_qty
+        |round((o_totalprice) + 1e-5, 2) AS o_totalprice, round((total_qty) + 1e-5, 2) AS total_qty
         |FROM orders
         |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
         |      GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
