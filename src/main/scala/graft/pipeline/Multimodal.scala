@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, decoded batch-wise inside executors.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * deterministic STUB (header parse of the bytes); everything around it
+  * — binary column schema, partition-parallel `mapPartitions` batch
+  * shape, typed Encoders — is the real plumbing a decode/resize/
+  * feature-extract stage would use. In PySpark this stage would be
+  * `mapInPandas`; the Scala-native equivalent is a typed mapPartitions
+  * over the Dataset, which keeps the whole stage in one map-only task
+  * per input partition (no shuffle, no driver collect).
+  */
+object Multimodal {
+
+  /** One "asset" row: fake payload bytes derived from the document. */
+  final case class Asset(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded metadata — what a real image decoder would emit. */
+  final case class AssetMeta(doc_id: Long, n_bytes: Int,
+      magic: Long, width: Long, height: Long)
+
+  /** The stubbed decoder: big-endian header parse of the payload.
+    * A real decoder (JPEG dims, audio sample rate) slots in here with
+    * the same signature — bytes in, typed metadata out.
+    */
+  def decodeStub(a: Asset): AssetMeta = {
+    val b = a.payload
+    def be(off: Int, n: Int): Long =
+      (0 until n).foldLeft(0L)((acc, i) => (acc << 8) | (b(off + i) & 0xffL))
+    AssetMeta(a.doc_id, b.length, be(0, 4), be(4, 2), be(6, 2))
+  }
+
+  /** Binary-column pipeline: synthesize payloads (md5 bytes of the
+    * text — deterministic), then batch-decode via mapPartitions. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets: Dataset[Asset] = Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[Asset]
+    assets.mapPartitions(_.map(decodeStub)).toDF()
+  }
+
+  /** The oracle re-derives the same header fields arithmetically from
+    * the md5 hex — validating that the JVM byte-level decode path and
+    * schema survived intact. */
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      s"""SELECT doc_id, 16 AS n_bytes,
+         |  ${Portable.hexToLongSql("md5(text)", 1, 8)} AS magic,
+         |  ${Portable.hexToLongSql("md5(text)", 9, 4)} AS width,
+         |  ${Portable.hexToLongSql("md5(text)", 13, 4)} AS height
+         |FROM documents""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (binaryMeta _)
+  )
+}

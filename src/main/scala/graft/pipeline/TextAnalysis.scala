@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import graft.{Num, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, rolling-hash fingerprinting.
+  *
+  * All per-document scalar work — embarrassingly parallel map-only
+  * plans (no shuffle at any scale); every expression is a codegen'd
+  * built-in, never a Scala UDF.
+  */
+object TextAnalysis {
+
+  private val StopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+  private val StopEs = Seq("el", "la", "los", "y", "es", "un", "una", "por")
+  private val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "pour")
+
+  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Whitespace + regex token counts. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_alnum"))
+
+  /** Quality signals: length, punctuation ratio, stopword ratio, and a
+    * blended score — the usual pretraining-corpus heuristics. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n", length(col("text")))
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("npunct",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+      .withColumn("nstop",
+        size(expr(s"filter(split(text, ' '), x -> x IN ${inList(StopEn)})")))
+      .withColumn("punct_ratio", col("npunct").cast("double") / col("n"))
+      .withColumn("stop_ratio", col("nstop").cast("double") / col("nt"))
+    d.select(
+      col("doc_id"), col("n").as("n_chars"),
+      Num.roundEps(col("punct_ratio"), 6).as("punct_ratio"),
+      Num.roundEps(col("stop_ratio"), 6).as("stop_ratio"),
+      Num.roundEps(
+        col("stop_ratio") * 0.5 + (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(col("n"), lit(500)).cast("double") / 500.0 * 0.2,
+        6).as("quality_score"))
+  }
+
+  /** Stopword-count language heuristic (scores per language, argmax with
+    * a deterministic tie order). */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    def score(xs: Seq[String]) =
+      expr(s"size(filter(split(text, ' '), x -> x IN ${inList(xs)}))")
+    Tables.documents(spark, dir)
+      .withColumn("s_en", score(StopEn)).withColumn("s_de", score(StopDe))
+      .withColumn("s_es", score(StopEs)).withColumn("s_fr", score(StopFr))
+      .select(col("doc_id"), col("lang").as("stored_lang"),
+        expr(
+          """CASE
+            | WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            | WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+            | WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+            | WHEN s_fr > 0 THEN 'fr'
+            | ELSE 'unknown' END""".stripMargin).as("pred_lang"))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the first 64 chars
+    * (Σ ascii(c_i)·31^(i-1) mod 1e9+7) — document identity that is
+    * stable across engines, unlike engine-local hash functions. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val pows = Portable.Pow31.mkString("array(", "L, ", "L)")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr(
+        s"""aggregate(sequence(1, least(length(text), 64)), 0L,
+           | (acc, i) -> (acc + ascii(substr(text, i, 1)) * element_at($pows, i)) % ${Portable.FpMod}L)
+           |""".stripMargin).as("fp"))
+  }
+
+  val oracles: Map[String, String] = {
+    val pows = Portable.Pow31.mkString("[", ", ", "]")
+    Map(
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  len(string_split(text, ' ')) AS n_tokens,
+          |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+          |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_alnum
+          |FROM documents""".stripMargin,
+      "text_quality" ->
+        s"""WITH q AS (
+           |  SELECT doc_id, length(text) AS n,
+           |    len(string_split(text, ' ')) AS nt,
+           |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS npunct,
+           |    len(list_filter(string_split(text, ' '), x -> x IN ${inList(StopEn)})) AS nstop
+           |  FROM documents)
+           |SELECT doc_id, n AS n_chars,
+           |  round((CAST(npunct AS DOUBLE) / n) + 1e-9, 6) AS punct_ratio,
+           |  round((CAST(nstop AS DOUBLE) / nt) + 1e-9, 6) AS stop_ratio,
+           |  round((CAST(nstop AS DOUBLE) / nt * 0.5
+           |    + (1.0 - CAST(npunct AS DOUBLE) / n) * 0.3
+           |    + CAST(least(n, 500) AS DOUBLE) / 500.0 * 0.2) + 1e-9, 6) AS quality_score
+           |FROM q""".stripMargin,
+      "text_langid" ->
+        s"""WITH s AS (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(string_split(text, ' '), x -> x IN ${inList(StopEn)})) AS s_en,
+           |    len(list_filter(string_split(text, ' '), x -> x IN ${inList(StopDe)})) AS s_de,
+           |    len(list_filter(string_split(text, ' '), x -> x IN ${inList(StopEs)})) AS s_es,
+           |    len(list_filter(string_split(text, ' '), x -> x IN ${inList(StopFr)})) AS s_fr
+           |  FROM documents)
+           |SELECT doc_id, lang AS stored_lang,
+           |  CASE
+           |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+           |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+           |    WHEN s_fr > 0 THEN 'fr'
+           |    ELSE 'unknown' END AS pred_lang
+           |FROM s""".stripMargin,
+      "text_fingerprint" ->
+        s"""SELECT doc_id,
+           |  CAST(list_sum(list_transform(generate_series(1, least(length(text), 64)),
+           |    i -> (CAST(ascii(text[i]) AS BIGINT) * ($pows[i])) % ${Portable.FpMod})) % ${Portable.FpMod} AS BIGINT) AS fp
+           |FROM documents""".stripMargin
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (tokens _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _),
+    "text_fingerprint" -> (fingerprint _)
+  )
+}
