@@ -9,9 +9,20 @@ import graft.relational.TpchQueries
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    TpchQueries.q1(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full reference pipeline through the typed API —
+    * bbox selection → zonal mean → moving z-score → trailing smoother →
+    * clip (driver smoke-checks rows>0 on /root/testdata/sf0.001). */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.api.Api._
+    extractTimeseries(spark, "/root/testdata/sf0.001", TimeseriesRequest(
+      datasetId = "click",
+      selectedArea = BBoxArea(0, 9, 0, 9),
+      transform = ZScoreMovingInterval(6),
+      requestedSeriesOptions = Seq(
+        SeriesOptions("original", NoSmoother),
+        SeriesOptions("smoothed", MovingAverageSmoother(centered = false, 3))),
+      bandRange = (10, 28))).series
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -32,6 +32,9 @@ object Tables {
     * ns→µs conversion exact (no double rounding).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // runtime-settable legacy conf; set defensively so events reads work
+    // even in sessions the caller built without it (e.g. the driver's)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>

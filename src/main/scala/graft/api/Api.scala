@@ -1,0 +1,138 @@
+package graft.api
+
+import graft.Num
+import graft.cube.{EventCube, Smoothers, Transforms}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed mirror of the reference's request/response contract
+  * (timeseries/app/schemas/timeseries.py — TimeseriesRequest /
+  * TimeseriesResponse), decoupled from HTTP: the FastAPI transport is
+  * deliberately not ported (SURVEY.md §6); this is the library surface
+  * an API server would call.
+  */
+object Api {
+
+  // --- selected_area (schemas/geometry.py) ---
+  sealed trait SelectedArea
+  /** One cell (SkopePointModel). */
+  final case class PointArea(cell: Long) extends SelectedArea
+  /** Rectangular mask of cells (SkopePolygonModel on the synthetic grid). */
+  final case class BBoxArea(x0: Int, x1: Int, y0: Int, y1: Int) extends SelectedArea
+
+  // --- zonal_statistic (schemas/common.py:13) ---
+  sealed abstract class ZonalStatistic(val name: String)
+  case object ZonalMean extends ZonalStatistic("mean")
+  case object ZonalMedian extends ZonalStatistic("median")
+
+  // --- transform (schemas/timeseries.py:127-194) ---
+  sealed trait Transform
+  case object NoTransform extends Transform
+  final case class ZScoreMovingInterval(width: Int) extends Transform
+  /** timeRange None = z-score over the selected interval. */
+  final case class ZScoreFixedInterval(bandRange: Option[(Int, Int)]) extends Transform
+
+  // --- smoother (schemas/timeseries.py:64-124) ---
+  sealed trait Smoother
+  case object NoSmoother extends Smoother
+  final case class MovingAverageSmoother(centered: Boolean, width: Int) extends Smoother
+
+  final case class SeriesOptions(name: String, smoother: Smoother)
+
+  final case class TimeseriesRequest(
+      datasetId: String,
+      variableId: String = "value",
+      selectedArea: SelectedArea,
+      zonalStatistic: ZonalStatistic = ZonalMean,
+      transform: Transform = NoTransform,
+      requestedSeriesOptions: Seq[SeriesOptions] =
+        Seq(SeriesOptions("original", NoSmoother)),
+      bandRange: (Int, Int))
+
+  /** Response mirror: everything stays a DataFrame (lazy, distributed)
+    * until the caller materializes — the analogue of the reference's
+    * series/summary_stats/n_cells/area fields
+    * (schemas/timeseries.py:264-274). */
+  final case class TimeseriesResult(
+      series: DataFrame,       // (series, band, value)
+      summaryStats: DataFrame, // (series, mean, median, stdev)
+      selection: DataFrame)    // (n_cells, area)
+
+  final case class DatasetNotFoundError(id: String)
+    extends RuntimeException(s"Dataset $id not found")
+  final case class SelectedAreaOutOfBoundsError(msg: String)
+    extends RuntimeException(msg)
+  final case class TimeRangeContainmentError(msg: String)
+    extends RuntimeException(msg)
+
+  val KnownDatasets = Set("click", "view", "purchase", "signup", "error")
+  val AvailableBands: (Int, Int) = (1, 31)
+
+  /** The reference's end-to-end pipeline (core/services.py:149-184):
+    * validate → select area → zonal statistic → transform → smoothers →
+    * clip → summary stats.
+    */
+  def extractTimeseries(spark: SparkSession, dir: String,
+      req: TimeseriesRequest): TimeseriesResult = {
+    if (!KnownDatasets(req.datasetId)) throw DatasetNotFoundError(req.datasetId)
+    if (req.bandRange._1 > req.bandRange._2 ||
+        req.bandRange._2 < AvailableBands._1 ||
+        req.bandRange._1 > AvailableBands._2)
+      throw TimeRangeContainmentError(
+        s"band range ${req.bandRange} outside available $AvailableBands")
+    req.selectedArea match {
+      case BBoxArea(x0, x1, y0, y1) if x1 < 0 || y1 < 0 || x0 >= EventCube.GridWidth =>
+        throw SelectedAreaOutOfBoundsError(
+          "no interior point of the selected area intersects the dataset region")
+      case _ => ()
+    }
+
+    val zonal = req.selectedArea match {
+      case PointArea(cell) =>
+        EventCube.pointSeries(spark, dir, req.datasetId, cell)
+      case BBoxArea(x0, x1, y0, y1) =>
+        EventCube.zonalSeries(spark, dir, req.datasetId,
+          EventCube.BBox(x0, x1, y0, y1), req.zonalStatistic.name)
+    }
+
+    val transformed = req.transform match {
+      case NoTransform => zonal
+      case ZScoreMovingInterval(w) => Transforms.zscoreMoving(zonal, w)
+      case ZScoreFixedInterval(None) =>
+        val sel = zonal.filter(col("band").between(req.bandRange._1, req.bandRange._2))
+        Transforms.zscoreFixed(sel, sel)
+      case ZScoreFixedInterval(Some((lo, hi))) =>
+        Transforms.zscoreFixed(zonal, zonal.filter(col("band").between(lo, hi)))
+    }
+
+    def clip(df: DataFrame) =
+      df.filter(col("band").between(req.bandRange._1, req.bandRange._2))
+
+    val series = req.requestedSeriesOptions.map { so =>
+      val smoothed = so.smoother match {
+        case NoSmoother => transformed
+        case MovingAverageSmoother(true, w) => Smoothers.maCentered(transformed, w)
+        case MovingAverageSmoother(false, w) => Smoothers.maTrailing(transformed, w)
+      }
+      clip(smoothed).select(lit(so.name).as("series"), col("band"),
+        Num.roundEps(col("zv"), 6).as("value"))
+    }.reduce(_ unionAll _)
+
+    val stats = series.groupBy(col("series")).agg(
+      Num.roundEps(avg(col("value")), 6).as("mean"),
+      Num.roundEps(percentile(col("value"), lit(0.5)), 6).as("median"),
+      Num.roundEps(stddev_pop(col("value")), 6).as("stdev"))
+
+    val selection = req.selectedArea match {
+      case PointArea(_) =>
+        spark.range(1).select(lit(1L).as("n_cells"), lit(1.0).as("area"))
+      case BBoxArea(x0, x1, y0, y1) =>
+        EventCube.cube(spark, dir, req.datasetId)
+          .filter(EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y")))
+          .agg(countDistinct(col("user_id")).as("n_cells"))
+          .withColumn("area", col("n_cells").cast("double"))
+    }
+
+    TimeseriesResult(series, stats, selection)
+  }
+}

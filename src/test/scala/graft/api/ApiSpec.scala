@@ -1,0 +1,73 @@
+package graft.api
+
+import graft.SparkSpec
+import Api._
+
+/** End-to-end API behavior mirroring the reference's
+  * tests/routers/test_datasets.py (clipping of smoothed series, error
+  * surface).
+  */
+class ApiSpec extends SparkSpec {
+
+  private val baseReq = TimeseriesRequest(
+    datasetId = "click",
+    selectedArea = BBoxArea(0, 9, 0, 9),
+    bandRange = (5, 25))
+
+  test("multi-smoother request clips each series like the reference") {
+    val res = extractTimeseries(spark, sfDir, baseReq.copy(
+      requestedSeriesOptions = Seq(
+        SeriesOptions("original", NoSmoother),
+        SeriesOptions("centered", MovingAverageSmoother(centered = true, 5)),
+        SeriesOptions("trailing", MovingAverageSmoother(centered = false, 3)))))
+    val byName = res.series.collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)).sorted }
+    // full data available on both sides of [5, 25]: all series cover it
+    assert(byName("original").toSeq == (5L to 25L))
+    assert(byName("centered").toSeq == (5L to 25L))
+    assert(byName("trailing").toSeq == (5L to 25L))
+    // but at the data edge the window guard clips, reference-style:
+    val edge = extractTimeseries(spark, sfDir, baseReq.copy(
+      bandRange = (1, 10),
+      requestedSeriesOptions =
+        Seq(SeriesOptions("trailing", MovingAverageSmoother(centered = false, 3)))))
+    val bands = edge.series.collect().map(_.getLong(1)).sorted
+    // trailing width 3 needs bands t-3..t-1, so band 4 is the first valid
+    assert(bands.toSeq == (4L to 10L))
+  }
+
+  test("summary stats cover every requested series") {
+    val res = extractTimeseries(spark, sfDir, baseReq.copy(
+      transform = ZScoreFixedInterval(None)))
+    val stats = res.summaryStats.collect()
+    assert(stats.map(_.getString(0)).toSet == Set("original"))
+    // z-scored over its own interval: mean ~ 0
+    assert(math.abs(stats.head.getDouble(1)) < 1e-6)
+  }
+
+  test("unknown dataset raises DatasetNotFoundError") {
+    intercept[DatasetNotFoundError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(datasetId = "nope"))
+    }
+  }
+
+  test("out-of-bounds selection raises SelectedAreaOutOfBoundsError") {
+    intercept[SelectedAreaOutOfBoundsError] {
+      extractTimeseries(spark, sfDir,
+        baseReq.copy(selectedArea = BBoxArea(50, 60, 0, 5)))
+    }
+  }
+
+  test("inverted band range raises TimeRangeContainmentError") {
+    intercept[TimeRangeContainmentError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(bandRange = (20, 10)))
+    }
+  }
+
+  test("point selection returns single-cell selection metadata") {
+    val res = extractTimeseries(spark, sfDir,
+      baseReq.copy(selectedArea = PointArea(12L)))
+    val sel = res.selection.collect().head
+    assert(sel.getLong(0) == 1L && sel.getDouble(1) == 1.0)
+  }
+}

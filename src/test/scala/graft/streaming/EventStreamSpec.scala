@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+
+  test("daily zonal mean emits closed windows once the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = EventStream.dailyZonalMean(events).writeStream
+      .format("memory").queryName("zonal_stream").outputMode("append").start()
+    try {
+      def ns(day: Int) = (1704067200L + day * 86400L) * 1000000000L // 2024-01-01 + d
+      // two events on day 0, one on day 1
+      input.addData((1L, ns(0), 1L, "click", 10.0, "{}"),
+        (2L, ns(0), 2L, "click", 20.0, "{}"),
+        (3L, ns(1), 1L, "click", 30.0, "{}"))
+      q.processAllAvailable()
+      // advance watermark far past day 0 so its window closes
+      input.addData((4L, ns(5), 3L, "click", 40.0, "{}"))
+      q.processAllAvailable()
+      val out = s.sql(
+        "SELECT day, zonal_mean FROM zonal_stream ORDER BY day").collect()
+      assert(out.nonEmpty, "no closed windows emitted")
+      assert(out.head.getDouble(1) == 15.0) // mean(10, 20) for day 0
+    } finally q.stop()
+  }
+
+  test("running stats maintain per-dataset counts in update mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = EventStream.runningStats(events).writeStream
+      .format("memory").queryName("running_stream").outputMode("complete").start()
+    try {
+      input.addData((1L, 1704067200000000000L, 1L, "click", 10.0, "{}"),
+        (2L, 1704067200000000000L, 2L, "view", 30.0, "{}"),
+        (3L, 1704067200000000000L, 3L, "click", 20.0, "{}"))
+      q.processAllAvailable()
+      val out = s.sql(
+        "SELECT dataset_id, n_events, mean_value FROM running_stream ORDER BY dataset_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq == Seq(("click", 2L, 15.0), ("view", 1L, 30.0)))
+    } finally q.stop()
+  }
+}
