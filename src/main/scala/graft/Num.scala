@@ -23,4 +23,9 @@ object Num {
   /** The DuckDB-side mirror of roundEps. */
   def roundEpsSql(expr: String, n: Int): String =
     s"round(($expr) + 1e-${n + 3}, $n)"
+
+  /** JVM-side mirror of roundEps (Spark's round = BigDecimal HALF_UP) —
+    * for kernels that compute values in Scala code (mapPartitions). */
+  def roundEpsJvm(x: Double, n: Int): Double =
+    BigDecimal(x + eps(n)).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
