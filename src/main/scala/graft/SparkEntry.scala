@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cube.SkopeQueries
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 import graft.relational.TpchQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -32,11 +32,12 @@ object SparkEntry {
     "q6_forecast" -> (TpchQueries.q6 _),
     "q18_large_cust" -> (TpchQueries.q18 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-    Similarity.queries ++ Multimodal.queries
+    Similarity.queries ++ Multimodal.queries ++ EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ SkopeQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      EventOps.oracles
 }

@@ -127,6 +127,48 @@ object SkopeQueries {
           "yyyy-MM-dd").as("band_date"),
         Num.roundEps(col("zv"), 6).as("value"))
 
+  /** Per-dataset distribution of cell values: interpolated quantiles
+    * over the whole cube (the reference's summary-stat machinery
+    * generalized to arbitrary quantiles). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        col("event_type").as("dataset_id"),
+        (datediff(to_date(col("ts")), lit(Origin).cast("date")) + 1)
+          .cast("long").as("band"),
+        col("user_id"))
+      .agg(avg(col("value")).as("v"))
+      .groupBy(col("dataset_id"))
+      .agg(
+        Num.roundEps(percentile(col("v"), lit(0.25)), 6).as("q25"),
+        Num.roundEps(percentile(col("v"), lit(0.5)), 6).as("q50"),
+        Num.roundEps(percentile(col("v"), lit(0.75)), 6).as("q75"))
+
+  /** Second variable extracted from the props JSON payload — the
+    * analogue of a dataset's additional variables (e.g. the
+    * *_uncertainty rasters in the reference's data/). Regex extraction
+    * keeps it engine-portable. */
+  def variableProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === DefaultDataset)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .groupBy((datediff(to_date(col("ts")), lit(Origin).cast("date")) + 1)
+        .cast("long").as("band"))
+      .agg(Num.roundEps(avg(col("k")), 6).as("mean_k"))
+
+  /** FeatureCollection analogue: zonal mean over the union of two
+    * disjoint bbox masks (geometry.py:222-225 — multiple shapes, one
+    * combined mask). */
+  val AreaA: BBox = BBox(0, 2, 0, 3)
+  val AreaB: BBox = BBox(5, 8, 0, 2)
+  def multiArea(spark: SparkSession, dir: String): DataFrame = {
+    val c = cube(spark, dir, DefaultDataset)
+      .filter(AreaA.contains(col("x"), col("y")) ||
+        AreaB.contains(col("x"), col("y")))
+    r6(clip(c.groupBy(col("band")).agg(avg(col("v")).as("zv"))))
+  }
+
   // ------------------------------------------------------------------
   // Oracles (DuckDB dialect), sharing the cube/zonal CTE fragments.
   // ------------------------------------------------------------------
@@ -149,6 +191,28 @@ object SkopeQueries {
        |  UNION ALL SELECT 'trailing3', band, zv FROM trail)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "skope_quantiles" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS dataset_id,
+         |    CAST(date_diff('day', DATE '$Origin', CAST(ts AS DATE)) + 1 AS BIGINT) AS band,
+         |    user_id, avg(value) AS v
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT dataset_id,
+         |  round((quantile_cont(v, 0.25)) + 1e-9, 6) AS q25,
+         |  round((quantile_cont(v, 0.5)) + 1e-9, 6) AS q50,
+         |  round((quantile_cont(v, 0.75)) + 1e-9, 6) AS q75
+         |FROM c GROUP BY dataset_id""".stripMargin,
+    "skope_variable_props" ->
+      s"""SELECT CAST(date_diff('day', DATE '$Origin', CAST(ts AS DATE)) + 1 AS BIGINT) AS band,
+         |  round((avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))) + 1e-9, 6) AS mean_k
+         |FROM events WHERE event_type = '$DefaultDataset'
+         |GROUP BY 1""".stripMargin,
+    "skope_multi_area" -> withCube(
+      s"""SELECT band, round((zv) + 1e-9, 6) AS value FROM (
+         |  SELECT band, avg(v) AS zv FROM cube
+         |  WHERE (x BETWEEN ${AreaA.x0} AND ${AreaA.x1} AND y BETWEEN ${AreaA.y0} AND ${AreaA.y1})
+         |     OR (x BETWEEN ${AreaB.x0} AND ${AreaB.x1} AND y BETWEEN ${AreaB.y0} AND ${AreaB.y1})
+         |  GROUP BY band) z WHERE $clipSql""".stripMargin),
     "skope_metadata" ->
       """SELECT event_type AS dataset_id, 'value' AS variable_id,
         |  'day' AS resolution,
@@ -221,6 +285,9 @@ object SkopeQueries {
     "skope_zscore_selected" -> (zscoreSelected _),
     "skope_multi_series" -> (multiSeries _),
     "skope_summary_stats" -> (summaryStats _),
-    "skope_v1_timeseries" -> (v1Timeseries _)
+    "skope_v1_timeseries" -> (v1Timeseries _),
+    "skope_quantiles" -> (quantiles _),
+    "skope_variable_props" -> (variableProps _),
+    "skope_multi_area" -> (multiArea _)
   )
 }

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-pipeline operators beyond the reference's surface: the
+  * session/as-of/rollup shapes every large event store needs.
+  *
+  * Scale: all three are single-shuffle plans — sessionize and as-of
+  * partition by user (window functions over per-user event order),
+  * rollup is one hash aggregation with grouping sets (partial agg
+  * map-side). Per-user state never leaves one task.
+  */
+object EventOps {
+
+  /** Session gap threshold in microseconds (30 min). */
+  val SessionGapUs = 1800000000L
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * past the gap. One window shuffle on user_id; the cumulative-sum
+    * session index is the standard two-window formulation. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        Num.roundEps(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** As-of (backward) join: each purchase picks up the value of the
+    * same user's most recent strictly-prior click. Expressed as a
+    * single pass over the per-user event order (union + IGNORE NULLS
+    * last_value over an unbounded-to--1 frame) — no join at all, so
+    * at scale it is one shuffle on user_id instead of a range join. */
+  def asofClick(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        Num.roundEps(col("value"), 2).as("value"),
+        Num.roundEps(col("last_click_value"), 2).as("last_click_value"))
+  }
+
+  /** Multi-granularity rollup (day, hour) with grouping sets. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.roundEps(sum(col("value")), 2).as("total_value"))
+
+  val oracles: Map[String, String] = Map(
+    "events_sessionize" ->
+      s"""WITH t AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    epoch_ns(ts) // 1000 AS us,
+         |    lag(epoch_ns(ts) // 1000) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+         |        THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM t)
+         |SELECT user_id, session_idx,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  count(*) AS n_events,
+         |  round((sum(value)) + 1e-5, 2) AS total_value
+         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "events_asof_click" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_value
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id, round((value) + 1e-5, 2) AS value,
+        |  round((last_click_value) + 1e-5, 2) AS last_click_value
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
+    "events_hourly_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+        |  count(*) AS n_events,
+        |  round((sum(value)) + 1e-5, 2) AS total_value
+        |FROM events GROUP BY ROLLUP (day, hour)""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessionize" -> (sessionize _),
+    "events_asof_click" -> (asofClick _),
+    "events_hourly_rollup" -> (hourlyRollup _)
+  )
+}

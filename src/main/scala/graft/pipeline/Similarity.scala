@@ -36,16 +36,14 @@ object Similarity {
     Tables.embeddings(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  /** Unrolled i-ordered dot product: plain GetArrayItem/Add expressions
-    * that whole-stage codegen compiles to straight-line JVM code —
-    * ~30× the throughput of the interpreted higher-order
-    * aggregate(zip_with(...)) form on the all-pairs path, with the
-    * same left-to-right summation order as the oracle's list_sum. */
+  /** Native codegen vector algebra (graft.functions.DotProduct/L2Norm):
+    * a primitive double loop inside whole-stage codegen, i-ascending
+    * summation matching the oracle's list_sum order. */
   private def dot(a: String, b: String) =
-    expr((0 until Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + "))
+    graft.functions.VectorFunctions.dot_product(col(a), col(b))
 
   private def norm(a: String) =
-    expr("sqrt(" + (0 until Dim).map(i => s"$a[$i] * $a[$i]").mkString(" + ") + ")")
+    graft.functions.VectorFunctions.l2_norm(col(a))
 
   /** Brute-force cosine top-k for the first NumProbes vectors. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -134,6 +132,15 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Per-label centroid vectors (elementwise mean) — the K-means-style
+    * reduction a real IVF index builds at write time. posexplode +
+    * groupBy(label, pos): one shuffle, map-side partial agg. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(Num.roundEps(avg(col("x").cast("double")), 6).as("mean_val"))
+
   // ------------------------------------------------------------------
 
   private val vecSql =
@@ -157,6 +164,11 @@ object Similarity {
          |  round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) AS cos
          |FROM v a JOIN v b ON a.vec_id < $NumProbes AND b.vec_id <> a.vec_id
          |QUALIFY rank <= $TopK""".stripMargin,
+    "emb_centroids" ->
+      """SELECT label, i AS pos,
+        |  round((avg(CAST(embedding[i] AS DOUBLE))) + 1e-9, 6) AS mean_val
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY label, i""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vecSql
          |SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -169,6 +181,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "dedup_embedding" -> (embeddingPairs _),
-    "ann_ivf" -> (annIvf _)
+    "ann_ivf" -> (annIvf _),
+    "emb_centroids" -> (centroids _)
   )
 }

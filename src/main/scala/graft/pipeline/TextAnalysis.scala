@@ -82,9 +82,22 @@ object TextAnalysis {
            |""".stripMargin).as("fp"))
   }
 
+  /** Corpus vocabulary: top-50 tokens by global frequency (tie-broken
+    * lexically) — explode + count, one shuffle. */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(50)
+
   val oracles: Map[String, String] = {
     val pows = Portable.Pow31.mkString("[", ", ", "]")
     Map(
+      "text_vocab" ->
+        """SELECT token, count(*) AS cnt
+          |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  len(string_split(text, ' ')) AS n_tokens,
@@ -130,6 +143,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> (vocab _),
     "text_tokens" -> (tokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
