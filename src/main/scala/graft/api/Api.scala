@@ -68,6 +68,31 @@ object Api {
   val KnownDatasets = Set("click", "view", "purchase", "signup", "error")
   val AvailableBands: (Int, Int) = (1, 31)
 
+  /** v1 start/end string parsing (TimeseriesV1Request.to_time_range,
+    * timeseries.py:289-325): "2024" → 2024-01-01, "2024-02" →
+    * 2024-02-01, "2024-02-03" → itself; None → the dataset edge.
+    * Returns the 1-based band index on the cube's day resolution. */
+  def bandForDate(s: Option[String], default: Int): Int = s match {
+    case None => default
+    case Some(str) =>
+      val parts = str.split("-")
+      val d = java.time.LocalDate.of(parts(0).toInt,
+        if (parts.length > 1) parts(1).toInt else 1,
+        if (parts.length > 2) parts(2).toInt else 1)
+      java.time.temporal.ChronoUnit.DAYS
+        .between(java.time.LocalDate.parse(EventCube.Origin), d).toInt + 1
+  }
+
+  /** v1 endpoint equivalent (routers/v1/api.py): dataset + point +
+    * optional start/end strings, all other options defaulted. */
+  def v1Request(datasetId: String, cell: Long,
+      start: Option[String] = None, end: Option[String] = None): TimeseriesRequest =
+    TimeseriesRequest(
+      datasetId = datasetId,
+      selectedArea = PointArea(cell),
+      bandRange = (bandForDate(start, AvailableBands._1),
+        bandForDate(end, AvailableBands._2)))
+
   /** The reference's end-to-end pipeline (core/services.py:149-184):
     * validate → select area → zonal statistic → transform → smoothers →
     * clip → summary stats.

@@ -64,6 +64,18 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("v1 start/end string parsing mirrors the reference") {
+    assert(bandForDate(Some("2024"), 99) == 1)
+    assert(bandForDate(Some("2024-01"), 99) == 1)
+    assert(bandForDate(Some("2024-01-15"), 99) == 15)
+    assert(bandForDate(Some("2024-02-01"), 99) == 32)
+    assert(bandForDate(None, 7) == 7)
+    val req = v1Request("click", 12L, Some("2024-01-05"), Some("2024-01-25"))
+    assert(req.bandRange == (5, 25))
+    val res = extractTimeseries(spark, sfDir, req)
+    assert(res.series.count() > 0)
+  }
+
   test("point selection returns single-cell selection metadata") {
     val res = extractTimeseries(spark, sfDir,
       baseReq.copy(selectedArea = PointArea(12L)))
