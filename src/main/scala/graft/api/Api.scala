@@ -64,9 +64,17 @@ object Api {
     extends RuntimeException(msg)
   final case class TimeRangeContainmentError(msg: String)
     extends RuntimeException(msg)
+  final case class SelectedAreaTooLargeError(nCells: Long, maxCells: Long)
+    extends RuntimeException(
+      s"selected area has $nCells cells, exceeding the $maxCells-cell limit")
 
   val KnownDatasets = Set("click", "view", "purchase", "signup", "error")
   val AvailableBands: (Int, Int) = (1, 31)
+
+  /** Mirror of the reference's default_max_cells guard
+    * (geometry.py:111-139, SelectedAreaPolygonIsTooLarge): bound the
+    * per-request cell budget before any work is scheduled. */
+  val MaxCells: Long = 100000L
 
   /** v1 start/end string parsing (TimeseriesV1Request.to_time_range,
     * timeseries.py:289-325): "2024" → 2024-01-01, "2024-02" →
@@ -109,6 +117,10 @@ object Api {
       case BBoxArea(x0, x1, y0, y1) if x1 < 0 || y1 < 0 || x0 >= EventCube.GridWidth =>
         throw SelectedAreaOutOfBoundsError(
           "no interior point of the selected area intersects the dataset region")
+      case BBoxArea(x0, x1, y0, y1)
+          if (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong > MaxCells =>
+        throw SelectedAreaTooLargeError(
+          (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong, MaxCells)
       case _ => ()
     }
 

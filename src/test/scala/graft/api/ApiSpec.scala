@@ -58,6 +58,13 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("oversized selection raises SelectedAreaTooLargeError") {
+    intercept[SelectedAreaTooLargeError] {
+      extractTimeseries(spark, sfDir,
+        baseReq.copy(selectedArea = BBoxArea(0, 9, 0, 100000)))
+    }
+  }
+
   test("inverted band range raises TimeRangeContainmentError") {
     intercept[TimeRangeContainmentError] {
       extractTimeseries(spark, sfDir, baseReq.copy(bandRange = (20, 10)))

@@ -35,6 +35,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer closes a session when the gap elapses") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = EventStream.streamingSessionize(events).writeStream
+      .format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      val base = 1704067200L * 1000000000L
+      // three events inside one session, then one 2h later -> closes it
+      input.addData(
+        (1L, base, 7L, "click", 1.0, "{}"),
+        (2L, base + 60L * 1000000000L, 7L, "click", 2.0, "{}"),
+        (3L, base + 120L * 1000000000L, 7L, "click", 3.0, "{}"))
+      q.processAllAvailable()
+      input.addData((4L, base + 7200L * 1000000000L, 7L, "click", 9.0, "{}"))
+      q.processAllAvailable()
+      val out = s.sql(
+        "SELECT user_id, n_events, total_value FROM sess_stream").collect()
+      assert(out.length == 1)
+      assert(out.head.getLong(0) == 7L && out.head.getLong(1) == 3L &&
+        out.head.getDouble(2) == 6.0)
+    } finally q.stop()
+  }
+
   test("running stats maintain per-dataset counts in update mode") {
     val s = spark
     import s.implicits._
