@@ -30,6 +30,7 @@ object SparkEntry {
     "q3_shipping" -> (TpchQueries.q3 _),
     "q5_region_rev" -> (TpchQueries.q5 _),
     "q6_forecast" -> (TpchQueries.q6 _),
+    "q10_returns" -> (TpchQueries.q10 _),
     "q18_large_cust" -> (TpchQueries.q18 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries

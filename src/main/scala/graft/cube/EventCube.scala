@@ -34,6 +34,30 @@ object EventCube {
   /** Band 1 corresponds to this date (the cube's time origin). */
   val Origin = "2024-01-01"
 
+  /** Time resolution of the band axis — the reference's Resolution enum
+    * (common.py:21-23, month|year) generalized to this corpus's span:
+    * band index is 1-based from Origin at the given granularity
+    * (dataset.py:64-72's relativedelta arithmetic, re-expressed as a
+    * codegen'd column). */
+  sealed abstract class Resolution(val name: String) {
+    /** 1-based band index of a timestamp column. */
+    def band(ts: Column): Column
+  }
+  case object Daily extends Resolution("day") {
+    def band(ts: Column): Column =
+      (datediff(to_date(ts), lit(Origin).cast("date")) + 1).cast("long")
+  }
+  case object Hourly extends Resolution("hour") {
+    def band(ts: Column): Column =
+      (floor((unix_seconds(ts) - unix_seconds(lit(Origin).cast("timestamp"))) / 3600L) + 1)
+        .cast("long")
+  }
+  case object Monthly extends Resolution("month") {
+    def band(ts: Column): Column =
+      ((year(ts) - year(lit(Origin).cast("date"))) * 12 +
+        (month(ts) - month(lit(Origin).cast("date"))) + 1).cast("long")
+  }
+
   /** Rectangular cell selection — the analogue of the reference's
     * polygon mask (geometry.py:174-209, all_touched raster mask).
     */
@@ -51,13 +75,11 @@ object EventCube {
     * Cell value = avg of the cell's raw events in the band, mirroring
     * one pixel holding one value per band in the reference raster.
     */
-  def cube(spark: SparkSession, dir: String, dataset: String): DataFrame =
+  def cube(spark: SparkSession, dir: String, dataset: String,
+      resolution: Resolution = Daily): DataFrame =
     Tables.events(spark, dir)
       .filter(col("event_type") === dataset)
-      .groupBy(
-        (datediff(to_date(col("ts")), lit(Origin).cast("date")) + 1)
-          .cast("long").as("band"),
-        col("user_id"))
+      .groupBy(resolution.band(col("ts")).as("band"), col("user_id"))
       .agg(avg(col("value")).as("v"))
       .withColumn("x", col("user_id") % GridWidth)
       .withColumn("y", floor(col("user_id") / lit(GridWidth.toDouble)).cast("long"))

@@ -169,6 +169,38 @@ object SkopeQueries {
     r6(clip(c.groupBy(col("band")).agg(avg(col("v")).as("zv"))))
   }
 
+  /** Hour-resolution zonal mean (the Resolution generalization of
+    * dataset.py:64-72 exercised on a second granularity): bands
+    * 100..200 of the 720-hour span. */
+  def hourlyZonal(spark: SparkSession, dir: String): DataFrame = {
+    val c = cube(spark, dir, DefaultDataset, EventCube.Hourly)
+      .filter(DefaultBBox.contains(col("x"), col("y")))
+    c.groupBy(col("band")).agg(avg(col("v")).as("zv"))
+      .filter(col("band").between(100, 200))
+      .select(col("band"), Num.roundEps(col("zv"), 6).as("value"))
+  }
+
+  /** Per-band distribution profile over the selection: the summary-
+    * stat family beyond mean/median (count/min/max/std_pop). */
+  def zonalProfile(spark: SparkSession, dir: String): DataFrame =
+    clip(cube(spark, dir, DefaultDataset)
+      .filter(DefaultBBox.contains(col("x"), col("y"))))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundEps(min(col("v")), 6).as("vmin"),
+        Num.roundEps(max(col("v")), 6).as("vmax"),
+        Num.roundEps(stddev_pop(col("v")), 6).as("vstd"))
+
+  /** Approximate zonal median — the 100 TB path for the median zonal
+    * statistic (t-digest style sketch, no exact global sort). Rows-only
+    * check: approximation is engine-specific by design. */
+  def zonalMedianApprox(spark: SparkSession, dir: String): DataFrame =
+    clip(cube(spark, dir, DefaultDataset)
+      .filter(DefaultBBox.contains(col("x"), col("y"))))
+      .groupBy(col("band"))
+      .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("value"))
+
   // ------------------------------------------------------------------
   // Oracles (DuckDB dialect), sharing the cube/zonal CTE fragments.
   // ------------------------------------------------------------------
@@ -213,6 +245,26 @@ object SkopeQueries {
          |  WHERE (x BETWEEN ${AreaA.x0} AND ${AreaA.x1} AND y BETWEEN ${AreaA.y0} AND ${AreaA.y1})
          |     OR (x BETWEEN ${AreaB.x0} AND ${AreaB.x1} AND y BETWEEN ${AreaB.y0} AND ${AreaB.y1})
          |  GROUP BY band) z WHERE $clipSql""".stripMargin),
+    "skope_hourly_zonal" ->
+      s"""WITH c AS (
+         |  SELECT CAST(floor(date_diff('second', TIMESTAMP '$Origin 00:00:00', ts) / 3600) + 1 AS BIGINT) AS band,
+         |    user_id, avg(value) AS v
+         |  FROM events WHERE event_type = '$DefaultDataset'
+         |  GROUP BY 1, 2)
+         |SELECT band, round((avg(v)) + 1e-9, 6) AS value FROM c
+         |WHERE (user_id % ${EventCube.GridWidth}) BETWEEN ${DefaultBBox.x0} AND ${DefaultBBox.x1}
+         |  AND CAST(floor(user_id / ${EventCube.GridWidth}.0) AS BIGINT) BETWEEN ${DefaultBBox.y0} AND ${DefaultBBox.y1}
+         |GROUP BY band HAVING band BETWEEN 100 AND 200""".stripMargin,
+    "skope_zonal_profile" -> withCube(
+      s"""SELECT band, count(*) AS n,
+         |  round((min(v)) + 1e-9, 6) AS vmin,
+         |  round((max(v)) + 1e-9, 6) AS vmax,
+         |  round((stddev_pop(v)) + 1e-9, 6) AS vstd
+         |FROM cube
+         |WHERE x BETWEEN ${DefaultBBox.x0} AND ${DefaultBBox.x1}
+         |  AND y BETWEEN ${DefaultBBox.y0} AND ${DefaultBBox.y1}
+         |  AND $clipSql
+         |GROUP BY band""".stripMargin),
     "skope_metadata" ->
       """SELECT event_type AS dataset_id, 'value' AS variable_id,
         |  'day' AS resolution,
@@ -288,6 +340,9 @@ object SkopeQueries {
     "skope_v1_timeseries" -> (v1Timeseries _),
     "skope_quantiles" -> (quantiles _),
     "skope_variable_props" -> (variableProps _),
-    "skope_multi_area" -> (multiArea _)
+    "skope_multi_area" -> (multiArea _),
+    "skope_hourly_zonal" -> (hourlyZonal _),
+    "skope_zonal_profile" -> (zonalProfile _),
+    "skope_zonal_median_approx" -> (zonalMedianApprox _)
   )
 }

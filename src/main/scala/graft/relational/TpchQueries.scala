@@ -102,7 +102,38 @@ object TpchQueries {
         Num.roundEps(col("total_qty"), 2).as("total_qty"))
   }
 
+  /** Returned-item reporting (Q10 shape): agg over a 3-way join,
+    * top-20 revenue customers. lineitem⋈orders shuffles on orderkey;
+    * customer/nation broadcast. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("date") &&
+        col("o_orderdate") < lit("1996-10-01").cast("date"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val cust = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_mktsegment"))
+      .agg(Num.roundEps(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, c_mktsegment,
+        |round((sum(l_extendedprice*(1-l_discount))) + 1e-5, 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderdate >= DATE '1995-10-01'
+        |AND o_orderdate < DATE '1996-10-01'
+        |GROUP BY c_custkey, c_name, n_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |round((sum(l_quantity)) + 1e-5, 2) AS sum_qty,
