@@ -45,7 +45,12 @@ object Similarity {
   private def norm(a: String) =
     graft.functions.VectorFunctions.l2_norm(col(a))
 
-  /** Brute-force cosine top-k for the first NumProbes vectors. */
+  /** Brute-force cosine top-k for the first NumProbes vectors.
+    *
+    * Scoring is a map-only pass (probes broadcast, native DotProduct
+    * codegen); per-probe top-k uses the bounded-heap TopKAgg instead of
+    * a row_number window — O(k) state per probe with map-side partial
+    * merge, versus a full sort of every scored row per probe. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir).withColumn("nrm", norm("v"))
     val probes = all.filter(col("vec_id") < NumProbes)
@@ -53,11 +58,11 @@ object Similarity {
     val scored = all.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
         Num.roundEps(dot("pv", "v") / (col("pn") * col("nrm")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+    scored.groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.top_k(col("cos"), col("vec_id"), TopK).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.id").as("vec_id"), col("e.score").as("cos"))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — exhaustive
