@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+// throwaway profiling harness — not part of the library surface
+object Scratch {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"TIMING $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "200")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.get - si.submissionTime.get) / 1e3
+        if (wall > 0.5) {
+          val m = si.taskMetrics
+          println(f"STAGE ${si.stageId}%4d wall=$wall%6.2f run=${m.executorRunTime / 1e3}%7.2f " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.2f gc=${m.jvmGCTime / 1e3}%6.2f " +
+            f"deser=${m.executorDeserializeTime / 1e3}%6.2f tasks=${si.numTasks} ${si.name}")
+        }
+      }
+    })
+    time("warmup q1")(SparkEntry.queries("q1_pricing")(spark, dir).count())
+    for (q <- args) {
+      time(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
+      time(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())
+    }
+    spark.stop()
+  }
+}

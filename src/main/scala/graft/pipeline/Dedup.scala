@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.{Num, Tables}
 import graft.functions.Portable
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB):
   *  - exact: one hash-shuffle on md5(text) — never on the text itself.
-  *  - n-gram Jaccard: inverted-index join on shingles (never O(n²));
-  *    candidate pairs then verified with exact set arithmetic.
-  *  - MinHash+LSH: 126-perm signatures, 32 bands × 3 rows — one shuffle
+  *  - n-gram Jaccard: inverted-index join on shingle hashes (never
+  *    O(n²)); candidate pairs then verified with exact set arithmetic.
+  *  - MinHash+LSH: 96-perm signatures, 32 bands × 3 rows — one shuffle
   *    on short (band, value) keys; recall at the J ≥ 0.5 threshold is
   *    1-(1-J³)³² ≥ 0.986 (≈1 for the J ≥ 0.8 pairs the corpus actually
   *    contains), so the exact-verified output equals the exhaustive
@@ -22,9 +22,17 @@ import org.apache.spark.sql.functions._
   *    is *complete* for hamming ≤ 7 (any such pair shares a chunk), so
   *    the bucket join finds exactly the brute-force result.
   *
-  * Cross-engine rules (SURVEY.md §4): the final predicates use only
-  * portable arithmetic (md5-derived hashes, integer set sizes); Spark-
-  * only xxhash64 appears solely on the MinHash candidate path.
+  * All per-document signature math (shingle sets, MinHash bands,
+  * SimHash) runs as single-pass native kernels
+  * (graft.functions.HashKernels) over per-document arrays — the wide
+  * declarative formulations (a 96-column min() agg, 60 bit-sum aggs)
+  * were measured an order of magnitude more expensive in aggregation-
+  * buffer traffic alone.
+  *
+  * Cross-engine rules (SURVEY.md §4): only set SIZES and intersection
+  * COUNTS (and md5-derived SimHash bits) ever cross to the DuckDB
+  * oracle — engine-local 64-bit shingle hashes stay inside candidate
+  * generation + verification, where a collision is ~1e-14.
   */
 object Dedup {
 
@@ -34,6 +42,15 @@ object Dedup {
   /** SimHash near-dup hamming radius (must stay ≤ 7 so the 8-chunk
     * pigeonhole candidate join is lossless). */
   val HammingRadius = 7
+
+  /** MinHash permutations / LSH layout. r=3 keeps recall ≈ 0.986 at
+    * the J = 0.5 threshold (≈ 1 at the J ≥ 0.8 the corpus contains)
+    * while colliding ~1e-4 of the random pair space — r=2 was 30×
+    * noisier and its verify cost dominated at scale. */
+  val NumPerm = 96
+  val BandRows = 3
+  val NumBands: Int = NumPerm / BandRows
+  val MersennePrime = 2147483647L
 
   /** Exact dedup: canonical id per md5(text) group. */
   def exact(spark: SparkSession, dir: String): DataFrame = {
@@ -47,121 +64,81 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Exploded distinct word 3-grams: (doc_id, s).
+  /** Per-document shingle sets: (doc_id, hs) with hs = ascending-sorted
+    * distinct 64-bit hashes of the word 3-grams
+    * (HashKernels.shingle3SortedHashes — one kernel call per document).
     *
-    * Built with posexplode + window leads instead of a transform()
-    * lambda — higher-order functions are interpreted per element, while
-    * this whole pipeline (split, explode, lead, concat_ws, the distinct)
-    * stays inside whole-stage codegen. Materialized once per corpus and
-    * shared by the jaccard/minhash paths — the in-memory analogue of
-    * writing the shingle table as a parquet artifact at ingestion time.
+    * Entirely shuffle-free: no explode, no corpus-wide distinct, no
+    * window sort (the posexplode + window-lead + distinct formulation
+    * this replaced spent ~10 s at sf0.1 before emitting a row).
+    * Downstream, set sizes are `size(hs)`, exact intersections are a
+    * linear merge (SortedIntersectCount), and the exploded inverted
+    * index is derived on the fly when a query wants one — all from a
+    * single cached build, the in-memory analogue of the parquet
+    * artifact an ingestion job would write next to the corpus.
     */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      import graft.functions.HashFunctions.shingle3_sorted_hashes
       Tables.documents(spark, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("w1", lead(col("w"), 1).over(w))
-        .withColumn("w2", lead(col("w"), 2).over(w))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
-        .distinct()
+        .select(col("doc_id"), shingle3_sorted_hashes(split(col("text"), " ")).as("hs"))
+        .filter(size(col("hs")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
-    shingleIndex(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-
-  /** jac + threshold from pair intersection counts and per-doc sizes. */
-  private def jaccardFromCounts(common: DataFrame, sizes: DataFrame): DataFrame =
-    common
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), "d2")
+  /** jac + threshold for candidate pairs, via per-pair sorted-merge
+    * intersection over the (small) array table — two hash joins on
+    * doc_id, no pair-level aggregation at all. */
+  private def verifiedJaccard(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.sorted_intersect_count
+    val arr = shingleArrays(spark, dir)
+    cand
+      .join(arr.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
+      .join(arr.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .withColumn("common", sorted_intersect_count(col("hs1"), col("hs2")).cast("long"))
       .withColumn("jac", col("common").cast("double") /
-        (col("sz1") + col("sz2") - col("common")))
+        (size(col("hs1")) + size(col("hs2")) - col("common")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"), Num.roundEps(col("jac"), 6).as("jac"))
-
-  /** Exhaustive n-gram Jaccard via inverted-index join. Shingles are
-    * distinct per doc, so the shingle-equality join emits each shared
-    * shingle exactly once — the pair count IS the intersection size,
-    * and no per-pair array arithmetic is ever needed (one shuffle on
-    * the shingle, one on the pair). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleIndex(spark, dir)
-    val common = ex.alias("a").join(ex.alias("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    jaccardFromCounts(common, shingleSizes(spark, dir))
   }
 
-  /** MinHash permutations / LSH layout. r=3 keeps recall ≈ 0.986 at
-    * the J = 0.5 threshold (≈ 1 at the J ≥ 0.8 the corpus contains)
-    * while colliding ~1e-4 of the random pair space — r=2 was 30×
-    * noisier and its verify cost dominated at scale. */
-  val NumPerm = 96
-  val BandRows = 3
-  val NumBands: Int = NumPerm / BandRows
-  private val MersennePrime = 2147483647L
+  /** Exhaustive n-gram Jaccard: candidate pairs from the inverted-index
+    * self-join (any pair sharing ≥ 1 shingle — a superset of every pair
+    * above any positive threshold), then per-pair exact verification.
+    * The only large shuffle is on the 8-byte shingle hash. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val cand = ex.alias("a").join(ex.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    verifiedJaccard(spark, dir, cand)
+  }
 
   /** MinHash+LSH: same verified output as ngramJaccard, but candidates
     * come from banded signature collisions instead of the full inverted
-    * index — the path that survives 100 TB. */
+    * index — the path that survives 100 TB. The signature + band fold
+    * is one kernel call per document (HashKernels.minhashBands); the
+    * band self-join shuffles NumBands 8-byte keys per doc. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleIndex(spark, dir)
-    val hashed = ex
-      .withColumn("h", pmod(xxhash64(col("s")), lit(MersennePrime)))
-    // NumPerm permutations (a_i·h + b_i mod p) reduced with min() in one agg
-    val minAggs = (0 until NumPerm).map { i =>
-      val a = (i * 2654435761L + 12345L) % MersennePrime
-      val b = (i * 40503L + 7L) % MersennePrime
-      min(pmod(col("h") * lit(if (a == 0) 1L else a) + lit(b),
-        lit(MersennePrime))).as(s"m$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    // band value: the r per-band mins mixed into one long key
-    val bandCols = (0 until NumBands).map { j =>
-      // keep the accumulator under 2^31 so the *1000003 step never
-      // overflows a long; bucket collisions are harmless (verified)
-      val mix = (0 until BandRows)
-        .map(r => s"m${BandRows * j + r}")
-        .reduce((a, b) => s"(($a) * 1000003 + $b) % 2147483647")
-      struct(lit(j).as("band"), expr(mix).as("v"))
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bv"))
-      .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    import graft.functions.HashFunctions.minhash_bands
+    val bands = shingleArrays(spark, dir)
+      .select(col("doc_id"), posexplode(minhash_bands(col("hs"))).as(Seq("band", "v")))
     val cand = bands.alias("a").join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    // exact verify: intersection counts computed only for the (few)
-    // candidates — broadcast the candidate set through the index
-    val common = cand.alias("c")
-      .join(ex.alias("x"), col("c.d1") === col("x.doc_id"))
-      .join(ex.alias("y"),
-        col("c.d2") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("c.d1").as("d1"), col("c.d2").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    jaccardFromCounts(common, shingleSizes(spark, dir))
+    verifiedJaccard(spark, dir, cand)
   }
 
   /** 60-bit SimHash over word tokens (md5-derived bit hashes — portable
-    * across engines), pairs within hamming ≤ 7 via lossless chunk join.
-    */
+    * across engines, computed in one kernel pass per document), pairs
+    * within hamming ≤ 7 via the lossless chunk join. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", expr(Portable.tokenHashSpark("w")))
-    val bitSums = (0 until 60).map { k =>
-      sum(expr(s"CAST((shiftright(h, $k) & 1) AS INT) * 2 - 1")).as(s"b$k")
-    }
-    val simExpr = (0 until 60).map { k =>
-      s"(CASE WHEN b$k >= 0 THEN 1 ELSE 0 END) * ${1L << k}L"
-    }.mkString(" + ")
-    val sigs = toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(simExpr).as("sim"))
+    import graft.functions.HashFunctions.simhash60
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
     val chunkCols = (0 until 8).map { c =>
       struct(lit(c).as("c"), expr(s"shiftright(sim, ${8 * c}) & 255").as("v"))
     }

@@ -27,6 +27,47 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter("hamming > 7").count() == 0)
   }
 
+  test("simhash60 kernel is bit-identical to the portable SQL formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HashFunctions, Portable}
+    // independent declarative implementation: explode + md5-hex hash +
+    // 60 wide bit sums (the formulation the DuckDB oracle uses)
+    val toks = graft.Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", expr(Portable.tokenHashSpark("w")))
+    val bitSums = (0 until 60).map { k =>
+      sum(expr(s"CAST((shiftright(h, $k) & 1) AS INT) * 2 - 1")).as(s"b$k")
+    }
+    val simExpr = (0 until 60).map { k =>
+      s"(CASE WHEN b$k >= 0 THEN 1 ELSE 0 END) * ${1L << k}L"
+    }.mkString(" + ")
+    val declarative = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(simExpr).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = graft.Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"), HashFunctions.simhash60(split(col("text"), " ")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == declarative)
+  }
+
+  test("shingle kernel set sizes match string-based distinct 3-grams") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashFunctions
+    val viaStrings = graft.Tables.documents(spark, sfDir).limit(500)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), size(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaKernel = graft.Tables.documents(spark, sfDir).limit(500)
+      .select(col("doc_id"),
+        size(HashFunctions.shingle3_sorted_hashes(split(col("text"), " "))).as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel == viaStrings)
+  }
+
   test("decode stub parses big-endian header fields") {
     val bytes = Array[Byte](0, 0, 1, 2, 0, 3, 0, 4) ++ Array.fill(8)(0.toByte)
     val m = Multimodal.decodeStub(Multimodal.Asset(7L, bytes))
