@@ -28,10 +28,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (TpchQueries.q1 _),
     "q3_shipping" -> (TpchQueries.q3 _),
+    "q4_priority" -> (TpchQueries.q4 _),
     "q5_region_rev" -> (TpchQueries.q5 _),
     "q6_forecast" -> (TpchQueries.q6 _),
+    "q7_volume" -> (TpchQueries.q7 _),
     "q10_returns" -> (TpchQueries.q10 _),
-    "q18_large_cust" -> (TpchQueries.q18 _)
+    "q14_promo" -> (TpchQueries.q14 _),
+    "q16_parts_suppliers" -> (TpchQueries.q16 _),
+    "q18_large_cust" -> (TpchQueries.q18 _),
+    "q19_brand_disc" -> (TpchQueries.q19 _),
+    "q22_idle_cust" -> (TpchQueries.q22 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries
 

@@ -123,7 +123,155 @@ object TpchQueries {
       .limit(20)
   }
 
+  /** Order-priority checking (Q4 shape): EXISTS rewritten as a left-semi
+    * join — at scale the semi-join shuffles only the (distinct) order
+    * keys of the matching lineitems, never the payload. */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Volume shipping (Q7 shape): supplier-nation × customer-nation
+    * revenue by ship year for two nations. Both nation sides resolve
+    * through broadcast dims; the one big shuffle is lineitem⋈orders. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val nation = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") <= lit("1996-12-31").cast("date"))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Num.roundEps(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** Promotion effect (Q14 shape): conditional aggregation over a
+    * broadcast part join — promo revenue share of one ship month. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+    val part = Tables.part(spark, dir)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(Num.roundEps(
+        lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0)) /
+          sum(rev), 6).as("promo_revenue"))
+  }
+
+  /** Parts/supplier relationship (Q16 shape): count distinct suppliers
+    * per brand/size from the fact table — the distinct shuffles
+    * (brand, size, suppkey) triples only. */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 7, 14, 21, 28, 35))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Discounted revenue (Q19 shape): disjunction of brand/size/quantity
+    * conjunctions — all pushable scan predicates after the broadcast
+    * part join. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#9" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 25)) ||
+        (col("p_brand") === "Brand#15" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 35)))
+      .agg(Num.roundEps(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** Global sales opportunity (Q22 shape): above-average-balance
+    * customers with no orders — scalar-subquery agg (broadcast) + a
+    * left-anti join on the order keys. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val rich = cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    rich.join(ord, rich("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        Num.roundEps(sum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |CAST(year(l_shipdate) AS INT) AS l_year,
+        |round((sum(l_extendedprice*(1-l_discount))) + 1e-5, 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3','NATION_7')
+        |AND cn.n_name IN ('NATION_3','NATION_7')
+        |AND sn.n_name <> cn.n_name
+        |AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q14_promo" ->
+      """SELECT round((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |  THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice*(1-l_discount))) + 1e-9, 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'"""
+        .stripMargin,
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 7, 14, 21, 28, 35)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q19_brand_disc" ->
+      """SELECT round((sum(l_extendedprice*(1-l_discount))) + 1e-5, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#9' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 25)
+        |   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 35)"""
+        .stripMargin,
+    "q22_idle_cust" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |round((sum(c_acctbal)) + 1e-5, 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name, c_mktsegment,
         |round((sum(l_extendedprice*(1-l_discount))) + 1e-5, 2) AS revenue
