@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cube.SkopeQueries
-import graft.pipeline.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 import graft.relational.TpchQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -39,12 +39,13 @@ object SparkEntry {
     "q19_brand_disc" -> (TpchQueries.q19 _),
     "q22_idle_cust" -> (TpchQueries.q22 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-    Similarity.queries ++ Multimodal.queries ++ EventOps.queries
+    Similarity.queries ++ Multimodal.queries ++ EventOps.queries ++
+    Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ SkopeQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      EventOps.oracles
+      EventOps.oracles ++ Curation.oracles
 }

@@ -201,6 +201,42 @@ object SkopeQueries {
       .groupBy(col("band"))
       .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("value"))
 
+  /** Gap-filled zonal series: the reference returns null for nodata
+    * bands (geometry.py masked reduction); this extension rebuilds the
+    * full requested band axis and linearly interpolates interior gaps
+    * (nearest value at the edges) — the standard "make the series
+    * regular before training on it" pass.
+    *
+    * Scale note: the interpolation windows run over the *zonal series*
+    * (#bands rows per selection), not the cube — same cardinality
+    * argument as the smoothers; with many selections the window is
+    * partitioned by selection key and parallelizes across them. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the single-cell point series is sparse (bands with no events are
+    // absent), so interior gaps genuinely exercise the interpolation
+    val z = clip(pointSeries(spark, dir, DefaultDataset, PointCell))
+    val axis = spark.range(ReqLo, ReqHi + 1).select(col("id").as("band"))
+    val joined = axis.join(z, Seq("band"), "left")
+    val wPrev = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("band"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBand = when(col("zv").isNotNull, col("band"))
+    val filled = joined
+      .withColumn("pv", last(col("zv"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(obsBand, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("zv"), ignoreNulls = true).over(wNext))
+      .withColumn("nb", first(obsBand, ignoreNulls = true).over(wNext))
+      .withColumn("v", when(col("zv").isNotNull, col("zv"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv") + (col("nv") - col("pv")) *
+            (col("band") - col("pb")).cast("double") / (col("nb") - col("pb")))
+        .otherwise(coalesce(col("pv"), col("nv"))))
+    filled.select(col("band"), Num.roundEps(col("v"), 6).as("value"),
+      col("zv").isNull.as("filled"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles (DuckDB dialect), sharing the cube/zonal CTE fragments.
   // ------------------------------------------------------------------
@@ -223,6 +259,30 @@ object SkopeQueries {
        |  UNION ALL SELECT 'trailing3', band, zv FROM trail)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "skope_gap_fill" -> withCube(
+      s""", pt AS (SELECT band, v AS zv FROM cube WHERE user_id = $PointCell),
+         |axis AS (SELECT unnest(generate_series($ReqLo, $ReqHi)) AS band),
+         |j AS (SELECT a.band, z.zv FROM axis a
+         |      LEFT JOIN (SELECT * FROM pt WHERE $clipSql) z ON a.band = z.band),
+         |f AS (SELECT band, zv,
+         |  last_value(zv IGNORE NULLS) OVER (ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |  last_value(CASE WHEN zv IS NOT NULL THEN band END IGNORE NULLS)
+         |    OVER (ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         |  first_value(zv IGNORE NULLS) OVER (ORDER BY band
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |  first_value(CASE WHEN zv IS NOT NULL THEN band END IGNORE NULLS)
+         |    OVER (ORDER BY band
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM j)
+         |SELECT band,
+         |  round((CASE WHEN zv IS NOT NULL THEN zv
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |      pv + (nv - pv) * CAST(band - pb AS DOUBLE) / (nb - pb)
+         |    ELSE coalesce(pv, nv) END) + 1e-9, 6) AS value,
+         |  zv IS NULL AS filled
+         |FROM f""".stripMargin),
     "skope_quantiles" ->
       s"""WITH c AS (
          |  SELECT event_type AS dataset_id,
@@ -343,6 +403,7 @@ object SkopeQueries {
     "skope_multi_area" -> (multiArea _),
     "skope_hourly_zonal" -> (hourlyZonal _),
     "skope_zonal_profile" -> (zonalProfile _),
-    "skope_zonal_median_approx" -> (zonalMedianApprox _)
+    "skope_zonal_median_approx" -> (zonalMedianApprox _),
+    "skope_gap_fill" -> (gapFill _)
   )
 }

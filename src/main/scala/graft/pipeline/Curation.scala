@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the selection/sub-setting passes a
+  * pretraining pipeline runs between dedup and training.
+  *
+  * Scale design (100 TB):
+  *  - hash sampling is a pure scan predicate — no shuffle, no RNG state,
+  *    reproducible across reruns and engines (md5-derived), and
+  *    stratum rates are just a CASE over the partition column.
+  *  - source caps are one window per source partition — at scale the
+  *    corpus is already laid out partitioned by source, so the window
+  *    sort happens within partitions that are co-located anyway.
+  *  - PII scrubbing is map-only regex work, codegen'd, no UDF.
+  */
+object Curation {
+
+  /** Per-language sampling rates (percent) — stratified: boost the
+    * low-resource strata, downsample the dominant one. */
+  val SampleRates: Map[String, Int] = Map(
+    "en" -> 10, "de" -> 30, "es" -> 30, "fr" -> 30, "zh" -> 30)
+  val DefaultRate = 20
+
+  /** Deterministic stratified sample: keep a document iff the md5-derived
+    * hash of its id falls under its language's rate. Engine-portable
+    * (no rand(), no xxhash) so the exact sampled set is the oracle's.
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame = {
+    val rateCase = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr(Portable.hexToLongSpark("md5(CAST(doc_id AS STRING))", 1, 15)) % 100)
+      .filter(col("bucket") < expr(rateCase))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+  }
+
+  /** Per-source quota: keep the `SourceCap` longest documents of each
+    * source (quality-ranked selection with a deterministic tie-break) —
+    * the "cap any one domain's share" pass. */
+  val SourceCap = 10
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SourceCap)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+  }
+
+  /** Email/phone/entity-shaped spans scrubbed (map-only, codegen
+    * regex). Same RE2-safe patterns on both engines; the entity
+    * pattern exists so the replace path is exercised on a corpus with
+    * no digits (email/phone hit rates are corpus-dependent). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+  val EntityRe = "\\bcustomer\\b"
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      // Column-API regexes (no SQL-literal backslash parsing)
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(EntityRe), lit(0))).as("n_entities"),
+      length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), EntityRe, "<ENTITY>"))
+        .as("clean_len"))
+
+  val oracles: Map[String, String] = {
+    val rateCase = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
+    Map(
+      "docs_sample_hash" ->
+        s"""SELECT doc_id, lang,
+           |  ${Portable.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)} % 100 AS bucket
+           |FROM documents
+           |WHERE ${Portable.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)} % 100
+           |      < ($rateCase)""".stripMargin,
+      "docs_source_cap" ->
+        s"""SELECT source,
+           |  row_number() OVER (PARTITION BY source
+           |                     ORDER BY n_chars DESC, doc_id) AS rank,
+           |  doc_id, n_chars
+           |FROM documents
+           |QUALIFY rank <= $SourceCap""".stripMargin,
+      "text_pii_scrub" ->
+        s"""SELECT doc_id,
+           |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+           |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+           |  len(regexp_extract_all(text, '$EntityRe')) AS n_entities,
+           |  length(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+           |    '$EntityRe', '<ENTITY>', 'g')) AS clean_len
+           |FROM documents""".stripMargin
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_sample_hash" -> (sampleHash _),
+    "docs_source_cap" -> (sourceCap _),
+    "text_pii_scrub" -> (piiScrub _)
+  )
+}

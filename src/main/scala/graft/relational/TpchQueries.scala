@@ -208,15 +208,17 @@ object TpchQueries {
   }
 
   /** Global sales opportunity (Q22 shape): above-average-balance
-    * customers with no orders — scalar-subquery agg (broadcast) + a
-    * left-anti join on the order keys. */
+    * customers with no urgent orders — scalar-subquery agg (broadcast)
+    * + a left-anti join on the order keys. ("no orders at all" is
+    * vacuous on this synthetic corpus — every customer orders.) */
   def q22(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val avgBal = cust.filter(col("c_acctbal") > 0.0)
       .agg(avg(col("c_acctbal")).as("avg_bal"))
     val rich = cust.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
-    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
     rich.join(ord, rich("c_custkey") === ord("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),
@@ -270,7 +272,8 @@ object TpchQueries {
         |round((sum(c_acctbal)) + 1e-5, 2) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name, c_mktsegment,
