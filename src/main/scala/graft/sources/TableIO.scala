@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink abstraction: the same logical table behind parquet, CSV
+  * or JSON-lines, read with an EXPLICIT schema.
+  *
+  * Scale rules encoded here:
+  *  - Never infer schema: inference is a full extra pass over the data
+  *    (CSV/JSON) and nondeterministic under schema drift. Readers take
+  *    the schema as an argument; `spark.read.parquet` gets it from the
+  *    footer.
+  *  - Writers support `partitionBy` so the lake layout carries the
+  *    partition-pruning keys (the cube writes dataset/band this way —
+  *    see cube.CubeWriter).
+  *  - CSV carries timestamps as microsecond-precision ISO strings
+  *    (lossless for the corpus's µs timestamps); JSON-lines is the
+  *    interchange format for nested columns (arrays survive, CSV
+  *    rejects them by design rather than silently stringifying).
+  */
+object TableIO {
+
+  sealed abstract class Format(val name: String)
+  case object Parquet extends Format("parquet")
+  case object Csv extends Format("csv")
+  case object Json extends Format("json")
+
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def write(df: DataFrame, path: String, format: Format,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val hasComplex = df.schema.exists(f =>
+      f.dataType.typeName match {
+        case "array" | "map" | "struct" => true
+        case _ => false
+      })
+    require(format != Csv || !hasComplex,
+      "CSV cannot carry nested columns; use Json or Parquet")
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    format match {
+      case Parquet => w1.parquet(path)
+      case Csv => w1.option("header", "true").option("timestampFormat", TsFmt)
+        .csv(path)
+      case Json => w1.option("timestampFormat", TsFmt).json(path)
+    }
+  }
+
+  def read(spark: SparkSession, path: String, format: Format,
+      schema: StructType): DataFrame = format match {
+    case Parquet => spark.read.schema(schema).parquet(path)
+    case Csv => spark.read.schema(schema).option("header", "true")
+      .option("timestampFormat", TsFmt).csv(path)
+    case Json => spark.read.schema(schema).option("timestampFormat", TsFmt)
+      .json(path)
+  }
+}

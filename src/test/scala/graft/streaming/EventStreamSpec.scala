@@ -35,6 +35,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses replayed ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.dedupStream(events).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      def ns(h: Int) = (1704067200L + h * 3600L) * 1000000000L
+      input.addData((1L, ns(0), 1L, "click", 1.0, "{}"),
+        (2L, ns(0), 2L, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      // replay id 1 (same hour) plus a fresh id — the replay must drop
+      input.addData((1L, ns(1), 1L, "click", 1.0, "{}"),
+        (3L, ns(1), 3L, "click", 3.0, "{}"))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT event_id FROM dedup_stream").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes a session when the gap elapses") {
     val s = spark
     import s.implicits._
