@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm}
+import graft.functions.{DotProduct, L2Norm, MinHashBands, Shingle3SortedHashes, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
       (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+    e.injectFunction((FunctionIdentifier("shingle3_sorted_hashes"),
+      new ExpressionInfo(classOf[Shingle3SortedHashes].getName, "shingle3_sorted_hashes"),
+      (exprs: Seq[Expression]) => Shingle3SortedHashes(exprs.head)))
+    e.injectFunction((FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (exprs: Seq[Expression]) => MinHashBands(exprs.head)))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
   }
 }
 
@@ -33,5 +45,14 @@ object GraftExtensions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_norm", exprs => L2Norm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle3_sorted_hashes", exprs => Shingle3SortedHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs.head), "built-in")
   }
 }

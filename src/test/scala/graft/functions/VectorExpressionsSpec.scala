@@ -4,6 +4,22 @@ import graft.{GraftExtensions, SparkSpec}
 
 class VectorExpressionsSpec extends SparkSpec {
 
+  test("hash kernels register in SQL and agree with their Column API") {
+    GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c,
+        |  size(minhash_bands(shingle3_sorted_hashes(split('a b c d', ' ')))) AS nb,
+        |  simhash60(split('a b c', ' ')) AS sh""".stripMargin).collect().head
+    assert(row.getInt(0) == 2)
+    assert(row.getInt(1) == graft.pipeline.Dedup.NumBands)
+    // same tokens through the kernel directly
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(
+      Array("a", "b", "c").map(UTF8String.fromString(_)))
+    assert(row.getLong(2) == HashKernels.simhash60(arr))
+  }
+
   test("dot_product and l2_norm evaluate correctly and register in SQL") {
     GraftExtensions.registerAll(spark)
     val row = spark.sql(
