@@ -18,23 +18,18 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val wall = (si.completionTime.get - si.submissionTime.get) / 1e3
-        if (wall > 0.5) {
-          val m = si.taskMetrics
-          println(f"STAGE ${si.stageId}%4d wall=$wall%6.2f run=${m.executorRunTime / 1e3}%7.2f " +
-            f"cpu=${m.executorCpuTime / 1e9}%7.2f gc=${m.jvmGCTime / 1e3}%6.2f " +
-            f"deser=${m.executorDeserializeTime / 1e3}%6.2f tasks=${si.numTasks} ${si.name}")
+    args.toList match {
+      case "explain" :: qs =>
+        qs.foreach { q =>
+          println(s"==== $q ====")
+          SparkEntry.queries(q)(spark, dir).explain("formatted")
         }
-      }
-    })
-    time("warmup q1")(SparkEntry.queries("q1_pricing")(spark, dir).count())
-    for (q <- args) {
-      time(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
-      time(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())
+      case qs =>
+        time("warmup q1")(SparkEntry.queries("q1_pricing")(spark, dir).count())
+        for (q <- qs) {
+          time(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
+          time(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())
+        }
     }
     spark.stop()
   }

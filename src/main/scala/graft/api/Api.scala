@@ -155,7 +155,15 @@ object Api {
         Num.roundEps(col("zv"), 6).as("value"))
     }.reduce(_ unionAll _)
 
-    val stats = series.groupBy(col("series")).agg(
+    // summary stats per requested series, plus the untransformed
+    // "Original" series when a transform is applied — mirrors
+    // timeseries.py:460-469 (the reference always reports the original
+    // interval's stats alongside transformed series)
+    val statsInput =
+      if (req.transform == NoTransform) series
+      else series.unionAll(clip(zonal).select(lit("Original").as("series"),
+        col("band"), Num.roundEps(col("zv"), 6).as("value")))
+    val stats = statsInput.groupBy(col("series")).agg(
       Num.roundEps(avg(col("value")), 6).as("mean"),
       Num.roundEps(percentile(col("value"), lit(0.5)), 6).as("median"),
       Num.roundEps(stddev_pop(col("value")), 6).as("stdev"))

@@ -36,13 +36,22 @@ class ApiSpec extends SparkSpec {
     assert(bands.toSeq == (4L to 10L))
   }
 
-  test("summary stats cover every requested series") {
+  test("summary stats cover every requested series plus Original when transformed") {
     val res = extractTimeseries(spark, sfDir, baseReq.copy(
       transform = ZScoreFixedInterval(None)))
     val stats = res.summaryStats.collect()
-    assert(stats.map(_.getString(0)).toSet == Set("original"))
-    // z-scored over its own interval: mean ~ 0
-    assert(math.abs(stats.head.getDouble(1)) < 1e-6)
+    // reference behavior (timeseries.py:460-469): transformed requests
+    // also report the untransformed interval's stats as "Original"
+    assert(stats.map(_.getString(0)).toSet == Set("original", "Original"))
+    val zscored = stats.find(_.getString(0) == "original").get
+    assert(math.abs(zscored.getDouble(1)) < 1e-6) // z-scored mean ~ 0
+    val orig = stats.find(_.getString(0) == "Original").get
+    assert(math.abs(orig.getDouble(1)) > 1e-3) // raw series mean is not 0
+  }
+
+  test("untransformed request reports no extra Original series") {
+    val res = extractTimeseries(spark, sfDir, baseReq)
+    assert(res.summaryStats.collect().map(_.getString(0)).toSet == Set("original"))
   }
 
   test("unknown dataset raises DatasetNotFoundError") {
