@@ -27,6 +27,26 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter("hamming > 7").count() == 0)
   }
 
+  test("prefix-filtered jaccard equals the unfiltered inverted-index result") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashFunctions.shingle3_sorted_hashes
+    // full (unfiltered) inverted index, independently built
+    val arr = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingle3_sorted_hashes(split(col("text"), " ")).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val ex = arr.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sz = arr.select(col("doc_id"), size(col("hs")).as("sz"))
+    val full = ex.alias("a").join(ex.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .filter(col("common").cast("double") /
+        (col("sz1") + col("sz2") - col("common")) >= Dedup.JaccardThreshold)
+    assert(pairs(full) == pairs(Dedup.ngramJaccard(spark, sfDir)))
+  }
+
   test("simhash60 kernel is bit-identical to the portable SQL formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions.{HashFunctions, Portable}
