@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.Tables
+import graft.{Num, Tables}
 import graft.functions.Portable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -72,6 +72,50 @@ object Curation {
         EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), EntityRe, "<ENTITY>"))
         .as("clean_len"))
 
+  /** The composed end-to-end curation pass — what a real corpus job
+    * chains into ONE DataFrame plan (each stage stays declarative, so
+    * Catalyst fuses the filters into the scan and the only shuffles are
+    * the md5 dedup window and the final per-source cap window):
+    * exact-dedup canonicals → quality gate → stratified hash sample →
+    * per-source quota. */
+  /** Calibrated to the corpus's quality distribution (median ≈ 0.45):
+    * keeps roughly the top three quarters before sampling. */
+  val PipelineQualityMin = 0.4
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val rateCase = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
+    val wDup = Window.partitionBy(md5(col("text")))
+    val wCap = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      // stage 1: exact dedup — keep each text's canonical document
+      .withColumn("canonical_id", min(col("doc_id")).over(wDup))
+      .filter(col("doc_id") === col("canonical_id"))
+      // stage 2: quality gate (TextAnalysis.quality's blended score)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("npunct", length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+      .withColumn("nstop",
+        size(expr(s"filter(split(text, ' '), x -> x IN ${inListSql})")))
+      .withColumn("q",
+        col("nstop").cast("double") / col("nt") * 0.5 +
+          (lit(1.0) - col("npunct").cast("double") / col("n_chars")) * 0.3 +
+          least(col("n_chars"), lit(500)).cast("double") / 500.0 * 0.2)
+      .filter(col("q") >= PipelineQualityMin)
+      // stage 3: deterministic stratified sample
+      .withColumn("bucket",
+        expr(Portable.hexToLongSpark("md5(CAST(doc_id AS STRING))", 1, 15)) % 100)
+      .filter(col("bucket") < expr(rateCase))
+      // stage 4: per-source quota
+      .withColumn("rank", row_number().over(wCap))
+      .filter(col("rank") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("rank"), Num.roundEps(col("q"), 6).as("quality"))
+  }
+
+  private val StopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+  private def inListSql = StopEn.map(s => s"'$s'").mkString("(", ", ", ")")
+
   val oracles: Map[String, String] = {
     val rateCase = SampleRates.toSeq.sortBy(_._1)
       .map { case (l, r) => s"WHEN '$l' THEN $r" }
@@ -90,6 +134,32 @@ object Curation {
            |  doc_id, n_chars
            |FROM documents
            |QUALIFY rank <= $SourceCap""".stripMargin,
+      "docs_curation_pipeline" ->
+        s"""WITH canon AS (
+           |  SELECT * FROM (
+           |    SELECT doc_id, text, lang, source, n_chars,
+           |      min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+           |    FROM documents) WHERE doc_id = canonical_id),
+           |scored AS (
+           |  SELECT doc_id, lang, source, n_chars,
+           |    (CAST(len(list_filter(string_split(text, ' '),
+           |        x -> x IN $inListSql)) AS DOUBLE)
+           |       / len(string_split(text, ' ')) * 0.5
+           |     + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+           |              AS DOUBLE) / n_chars) * 0.3
+           |     + CAST(least(n_chars, 500) AS DOUBLE) / 500.0 * 0.2) AS q
+           |  FROM canon),
+           |sampled AS (
+           |  SELECT * FROM scored
+           |  WHERE q >= $PipelineQualityMin
+           |  AND ${Portable.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)} % 100
+           |      < ($rateCase))
+           |SELECT doc_id, source, lang,
+           |  row_number() OVER (PARTITION BY source
+           |                     ORDER BY n_chars DESC, doc_id) AS rank,
+           |  round(q + 1e-9, 6) AS quality
+           |FROM sampled
+           |QUALIFY rank <= $SourceCap""".stripMargin,
       "text_pii_scrub" ->
         s"""SELECT doc_id,
            |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
@@ -105,6 +175,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_sample_hash" -> (sampleHash _),
     "docs_source_cap" -> (sourceCap _),
-    "text_pii_scrub" -> (piiScrub _)
+    "text_pii_scrub" -> (piiScrub _),
+    "docs_curation_pipeline" -> (curationPipeline _)
   )
 }
