@@ -68,7 +68,29 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         Num.roundEps(sum(col("value")), 2).as("total_value"))
 
+  /** Heavy hitters: top-10 users per dataset by event count, via the
+    * bounded-heap TopKAgg — O(k) state per group with map-side combine,
+    * versus a row_number window that shuffle-sorts every (dataset, user)
+    * count at scale. */
+  def topkUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopK.top_k(col("cnt").cast("double"),
+        col("user_id"), 10).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("event_type"), (col("r0") + 1).cast("long").as("rank"),
+        col("e.id").as("user_id"), col("e.score").cast("long").as("cnt"))
+
   val oracles: Map[String, String] = Map(
+    "events_topk_users" ->
+      """SELECT event_type, rank, user_id, cnt FROM (
+        |  SELECT event_type, user_id, count(*) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id) AS BIGINT) AS rank
+        |  FROM events GROUP BY event_type, user_id)
+        |WHERE rank <= 10""".stripMargin,
     "events_sessionize" ->
       s"""WITH t AS (
          |  SELECT user_id, ts, event_id, value,
@@ -110,6 +132,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_asof_click" -> (asofClick _),
-    "events_hourly_rollup" -> (hourlyRollup _)
+    "events_hourly_rollup" -> (hourlyRollup _),
+    "events_topk_users" -> (topkUsers _)
   )
 }
