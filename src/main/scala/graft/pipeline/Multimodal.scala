@@ -47,19 +47,53 @@ object Multimodal {
     assets.mapPartitions(_.map(decodeStub)).toDF()
   }
 
-  /** The oracle re-derives the same header fields arithmetically from
-    * the md5 hex — validating that the JVM byte-level decode path and
-    * schema survived intact. */
+  /** Per-asset feature vector emitted by the (stubbed) extractor. */
+  final case class AssetFeatures(doc_id: Long, features: Array[Double])
+
+  /** The stubbed feature extractor: normalized byte intensities — the
+    * shape (binary in, fixed-dim double[] out, batch-wise on executors)
+    * that a real embedding/CNN stage uses; its output feeds directly
+    * into the Similarity operators (same Array[Double] contract). */
+  def featureStub(a: Asset): AssetFeatures =
+    AssetFeatures(a.doc_id, a.payload.map(b => (b & 0xff) / 255.0))
+
+  /** Binary → feature-vector stage, exploded to (doc_id, pos, feat)
+    * rows for the cross-engine check. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets: Dataset[Asset] = Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[Asset]
+    assets.mapPartitions(_.map(featureStub)).toDF()
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("p0", "v")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        graft.Num.roundEps(col("v"), 6).as("feat"))
+  }
+
+  /** The oracles re-derive the same bytes arithmetically from the md5
+    * hex — validating that the JVM byte-level decode path and schema
+    * survived intact. */
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       s"""SELECT doc_id, 16 AS n_bytes,
          |  ${Portable.hexToLongSql("md5(text)", 1, 8)} AS magic,
          |  ${Portable.hexToLongSql("md5(text)", 9, 4)} AS width,
          |  ${Portable.hexToLongSql("md5(text)", 13, 4)} AS height
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "mm_features" -> {
+      val exprs = (0 until 16)
+        .map(i => s"${Portable.hexToLongSql("md5(text)", 1 + 2 * i, 2)} / 255.0")
+        .mkString("[", ",\n    ", "]")
+      s"""SELECT doc_id, pos, round(v + 1e-9, 6) AS feat FROM (
+         |  SELECT doc_id,
+         |    unnest(CAST(generate_series(1, 16) AS BIGINT[])) AS pos,
+         |    unnest($exprs) AS v
+         |  FROM documents)""".stripMargin
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (binaryMeta _)
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_features" -> (features _)
   )
 }
