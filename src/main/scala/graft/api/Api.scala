@@ -58,6 +58,8 @@ object Api {
       summaryStats: DataFrame, // (series, mean, median, stdev)
       selection: DataFrame)    // (n_cells, area)
 
+  final case class TimeseriesTimeoutError(ms: Long)
+    extends RuntimeException(s"timeseries extraction exceeded $ms ms")
   final case class DatasetNotFoundError(id: String)
     extends RuntimeException(s"Dataset $id not found")
   final case class SelectedAreaOutOfBoundsError(msg: String)
@@ -179,5 +181,32 @@ object Api {
     }
 
     TimeseriesResult(series, stats, selection)
+  }
+
+  /** Mirror of the reference's max_processing_time guard
+    * (core/services.py extract_timeseries + TimeseriesTimeoutError,
+    * exercised by tests/routers/test_datasets.py:test_timeout): bound
+    * the *materialization* of a lazy result. Runs the action inside a
+    * dedicated job group and cancels the group's Spark jobs on
+    * timeout, so executor work actually stops rather than being
+    * abandoned. */
+  def materializeWithTimeout[A](spark: SparkSession, maxMs: Long)
+      (action: => A): A = {
+    if (maxMs <= 0) throw TimeseriesTimeoutError(maxMs)
+    val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+    val sc = spark.sparkContext
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      sc.setJobGroup(group, "graft bounded extraction", interruptOnCancel = true)
+      try action finally sc.clearJobGroup()
+    }
+    try Await.result(fut, maxMs.millis)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(group)
+        throw TimeseriesTimeoutError(maxMs)
+    }
   }
 }

@@ -49,6 +49,22 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(orig.getDouble(1)) > 1e-3) // raw series mean is not 0
   }
 
+  test("max_processing_time 0 raises TimeseriesTimeoutError like the reference") {
+    // mirrors test_datasets.py:test_timeout (max_processing_time=0)
+    intercept[TimeseriesTimeoutError] {
+      materializeWithTimeout(spark, 0L) {
+        extractTimeseries(spark, sfDir, baseReq).series.count()
+      }
+    }
+  }
+
+  test("generous timeout materializes normally") {
+    val n = materializeWithTimeout(spark, 120000L) {
+      extractTimeseries(spark, sfDir, baseReq).series.count()
+    }
+    assert(n > 0)
+  }
+
   test("untransformed request reports no extra Original series") {
     val res = extractTimeseries(spark, sfDir, baseReq)
     assert(res.summaryStats.collect().map(_.getString(0)).toSet == Set("original"))
