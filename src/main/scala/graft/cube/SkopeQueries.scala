@@ -201,6 +201,18 @@ object SkopeQueries {
       .groupBy(col("band"))
       .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("value"))
 
+  /** Anomalous bands: |rolling z-score| above the threshold — the
+    * alerting pass layered on the reference's ZScoreMovingInterval
+    * transform (timeseries.py:34-42). Same cube → zonal → window chain;
+    * the anomaly filter is a final codegen'd predicate. */
+  val AnomalyZ = 1.5
+  def anomalies(spark: SparkSession, dir: String): DataFrame =
+    clip(Transforms.zscoreMoving(
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 6))
+      .filter(abs(col("zv")) >= AnomalyZ)
+      .select(col("band"), Num.roundEps(col("zv"), 6).as("z"),
+        (col("zv") > 0).as("is_spike"))
+
   /** Gap-filled zonal series: the reference returns null for nodata
     * bands (geometry.py masked reduction); this extension rebuilds the
     * full requested band axis and linearly interpolates interior gaps
@@ -259,6 +271,10 @@ object SkopeQueries {
        |  UNION ALL SELECT 'trailing3', band, zv FROM trail)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "skope_anomalies" -> withZonal("mean",
+      s"""SELECT band, round(zv + 1e-9, 6) AS z, zv > 0 AS is_spike FROM (
+         |  ${Transforms.zscoreMovingSql(6)}
+         |) zs WHERE $clipSql AND abs(zv) >= $AnomalyZ""".stripMargin),
     "skope_gap_fill" -> withCube(
       s""", pt AS (SELECT band, v AS zv FROM cube WHERE user_id = $PointCell),
          |axis AS (SELECT unnest(generate_series($ReqLo, $ReqHi)) AS band),
@@ -404,6 +420,7 @@ object SkopeQueries {
     "skope_hourly_zonal" -> (hourlyZonal _),
     "skope_zonal_profile" -> (zonalProfile _),
     "skope_zonal_median_approx" -> (zonalMedianApprox _),
-    "skope_gap_fill" -> (gapFill _)
+    "skope_gap_fill" -> (gapFill _),
+    "skope_anomalies" -> (anomalies _)
   )
 }
