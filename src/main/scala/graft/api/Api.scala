@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.Num
-import graft.cube.{EventCube, Smoothers, Transforms}
+import graft.cube.{EventCube, Geometry, Smoothers, Transforms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,8 +17,16 @@ object Api {
   sealed trait SelectedArea
   /** One cell (SkopePointModel). */
   final case class PointArea(cell: Long) extends SelectedArea
-  /** Rectangular mask of cells (SkopePolygonModel on the synthetic grid). */
+  /** Rectangular mask of cells (a degenerate polygon, kept as the fast
+    * path for axis-aligned requests). */
   final case class BBoxArea(x0: Int, x1: Int, y0: Int, y1: Int) extends SelectedArea
+  /** GeoJSON Polygon (SkopePolygonModel, geometry.py:212): all_touched
+    * cell mask of a simple polygon ring. */
+  final case class PolygonArea(ring: Seq[(Double, Double)]) extends SelectedArea
+  /** GeoJSON Feature / FeatureCollection (geometry.py:216-225): union
+    * mask of several polygon shapes, each validated individually. */
+  final case class FeatureCollectionArea(rings: Seq[Seq[(Double, Double)]])
+    extends SelectedArea
 
   // --- zonal_statistic (schemas/common.py:13) ---
   sealed abstract class ZonalStatistic(val name: String)
@@ -64,6 +72,14 @@ object Api {
     extends RuntimeException(s"Dataset $id not found")
   final case class SelectedAreaOutOfBoundsError(msg: String)
     extends RuntimeException(msg)
+  /** Mirror of the reference's SelectedAreaPolygonIsNotValid
+    * (app/exceptions.py via geometry.py:160-164): the shapely
+    * explain_validity message is carried verbatim. */
+  final case class SelectedAreaPolygonIsNotValidError(msg: String)
+    extends RuntimeException(msg)
+  final case class VariableNotFoundError(variableId: String, datasetId: String)
+    extends RuntimeException(
+      s"Variable $variableId not found in dataset $datasetId")
   final case class TimeRangeContainmentError(msg: String)
     extends RuntimeException(msg)
   final case class SelectedAreaTooLargeError(nCells: Long, maxCells: Long)
@@ -71,6 +87,10 @@ object Api {
       s"selected area has $nCells cells, exceeding the $maxCells-cell limit")
 
   val KnownDatasets = Set("click", "view", "purchase", "signup", "error")
+  /** Per-dataset variables (dataset.py:100-102 get_variables): the raw
+    * `value` plus the props-derived `k` (the second-raster analogue —
+    * see Catalog). */
+  val KnownVariables = Set("value", "k")
   val AvailableBands: (Int, Int) = (1, 31)
 
   /** Mirror of the reference's default_max_cells guard
@@ -110,12 +130,39 @@ object Api {
   def extractTimeseries(spark: SparkSession, dir: String,
       req: TimeseriesRequest): TimeseriesResult = {
     if (!KnownDatasets(req.datasetId)) throw DatasetNotFoundError(req.datasetId)
+    if (!KnownVariables(req.variableId))
+      throw VariableNotFoundError(req.variableId, req.datasetId)
     if (req.bandRange._1 > req.bandRange._2 ||
         req.bandRange._2 < AvailableBands._1 ||
         req.bandRange._1 > AvailableBands._2)
       throw TimeRangeContainmentError(
         s"band range ${req.bandRange} outside available $AvailableBands")
-    req.selectedArea match {
+    // polygon shapes: validity (geometry.py:160-164) → bounds
+    // ('T********', geometry.py:165-172) → mask-window cell budget
+    // (geometry.py:118-122 guards on the raster window = the bbox)
+    def validatedShapes(rings: Seq[Seq[(Double, Double)]]): Geometry.GridFeatureCollection = {
+      val shapes = rings.map(r =>
+        Geometry.GridPolygon(r.map { case (px, py) => Geometry.Pt(px, py) }))
+      shapes.foreach { p =>
+        try p.validate()
+        catch { case e: Geometry.PolygonIsNotValid =>
+          throw SelectedAreaPolygonIsNotValidError(e.getMessage)
+        }
+        if (!p.interiorIntersectsGrid())
+          throw SelectedAreaOutOfBoundsError(
+            "no interior point of the selected area intersects an interior point of the dataset region")
+        val bw = math.floor(p.vertices.map(_.x).max).toLong -
+          math.floor(p.vertices.map(_.x).min).toLong + 1
+        val bh = math.floor(p.vertices.map(_.y).max).toLong -
+          math.floor(p.vertices.map(_.y).min).toLong + 1
+        if (bw * bh > MaxCells) throw SelectedAreaTooLargeError(bw * bh, MaxCells)
+      }
+      Geometry.GridFeatureCollection(shapes)
+    }
+
+    val polyShapes: Option[Geometry.GridFeatureCollection] = req.selectedArea match {
+      case PolygonArea(ring) => Some(validatedShapes(Seq(ring)))
+      case FeatureCollectionArea(rings) => Some(validatedShapes(rings))
       case BBoxArea(x0, x1, y0, y1) if x1 < 0 || y1 < 0 || x0 >= EventCube.GridWidth =>
         throw SelectedAreaOutOfBoundsError(
           "no interior point of the selected area intersects the dataset region")
@@ -123,7 +170,7 @@ object Api {
           if (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong > MaxCells =>
         throw SelectedAreaTooLargeError(
           (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong, MaxCells)
-      case _ => ()
+      case _ => None
     }
 
     val zonal = req.selectedArea match {
@@ -132,6 +179,9 @@ object Api {
       case BBoxArea(x0, x1, y0, y1) =>
         EventCube.zonalSeries(spark, dir, req.datasetId,
           EventCube.BBox(x0, x1, y0, y1), req.zonalStatistic.name)
+      case _: PolygonArea | _: FeatureCollectionArea =>
+        EventCube.zonalSeriesMask(spark, dir, req.datasetId,
+          polyShapes.get.mask, req.zonalStatistic.name)
     }
 
     val transformed = req.transform match {
@@ -176,6 +226,11 @@ object Api {
       case BBoxArea(x0, x1, y0, y1) =>
         EventCube.cube(spark, dir, req.datasetId)
           .filter(EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y")))
+          .agg(countDistinct(col("user_id")).as("n_cells"))
+          .withColumn("area", col("n_cells").cast("double"))
+      case _: PolygonArea | _: FeatureCollectionArea =>
+        EventCube.cube(spark, dir, req.datasetId)
+          .filter(polyShapes.get.mask(col("x"), col("y")))
           .agg(countDistinct(col("user_id")).as("n_cells"))
           .withColumn("area", col("n_cells").cast("double"))
     }

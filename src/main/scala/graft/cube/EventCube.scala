@@ -90,15 +90,25 @@ object EventCube {
     * Map-side partial agg → single shuffle on `band`.
     */
   def zonalSeries(spark: SparkSession, dir: String, dataset: String,
-      bbox: BBox, stat: String): DataFrame = {
-    val c = cube(spark, dir, dataset).filter(bbox.contains(col("x"), col("y")))
-    val agg = stat match {
-      case "mean" => avg(col("v"))
-      case "median" => percentile(col("v"), lit(0.5))
-      case other => throw new IllegalArgumentException(
-        s"unsupported zonal statistic: $other (mean|median)")
-    }
-    c.groupBy(col("band")).agg(agg.as("zv"))
+      bbox: BBox, stat: String): DataFrame =
+    zonalSeriesMask(spark, dir, dataset, bbox.contains, stat)
+
+  /** Zonal series over an arbitrary cell mask predicate — the general
+    * form used by polygon/FeatureCollection selections (the mask is a
+    * pushable codegen predicate, so a polygon costs the same as a
+    * bbox). */
+  def zonalSeriesMask(spark: SparkSession, dir: String, dataset: String,
+      mask: (Column, Column) => Column, stat: String): DataFrame = {
+    val c = cube(spark, dir, dataset).filter(mask(col("x"), col("y")))
+    c.groupBy(col("band")).agg(statAgg(stat).as("zv"))
+  }
+
+  /** The zonal statistic aggregate (common.py:13-18). */
+  def statAgg(stat: String): Column = stat match {
+    case "mean" => avg(col("v"))
+    case "median" => percentile(col("v"), lit(0.5))
+    case other => throw new IllegalArgumentException(
+      s"unsupported zonal statistic: $other (mean|median)")
   }
 
   /** Point-cell series (geometry.py:81-103): one cell, one value per

@@ -213,6 +213,50 @@ object SkopeQueries {
       .select(col("band"), Num.roundEps(col("zv"), 6).as("z"),
         (col("zv") > 0).as("is_spike"))
 
+  // ------------------------------------------------------------------
+  // Polygon geometry (geometry.py:109-225) — the reference's primary
+  // selection type, as all_touched SAT masks (see Geometry.scala).
+  // ------------------------------------------------------------------
+  import Geometry.{GridFeatureCollection, GridPolygon, Pt}
+
+  /** Convex triangle hitting a nontrivial diagonal cell set. */
+  val MaskPolygon: GridPolygon =
+    GridPolygon(Seq(Pt(1.2, 0.8), Pt(8.5, 2.2), Pt(3.1, 7.6))).validate()
+
+  /** Non-convex dart (reflex vertex at (3.5, 3.0)) — exercises the
+    * ear-clipping triangulation, not just one SAT test. */
+  val ZonalPolygon: GridPolygon =
+    GridPolygon(Seq(Pt(1.2, 0.8), Pt(8.5, 2.2), Pt(3.1, 7.6), Pt(3.5, 3.0)))
+      .validate()
+
+  /** FeatureCollection: two disjoint shapes, one combined mask
+    * (geometry.py:222-225). */
+  val FcShapes: GridFeatureCollection = GridFeatureCollection(Seq(
+    GridPolygon(Seq(Pt(0.4, 9.5), Pt(4.5, 13.4), Pt(0.4, 13.4))),
+    GridPolygon(Seq(Pt(6.2, 10.1), Pt(9.4, 10.1), Pt(9.4, 12.8), Pt(6.2, 12.8)))
+  )).validate()
+
+  /** The all_touched cell mask itself: which grid cells a triangle
+    * touches (rasterio raster_geometry_mask, geometry.py:181-183). */
+  def polygonMask(spark: SparkSession, dir: String): DataFrame =
+    cube(spark, dir, DefaultDataset)
+      .filter(MaskPolygon.mask(col("x"), col("y")))
+      .select(col("user_id"), col("x"), col("y")).distinct()
+
+  /** Zonal mean over a non-convex polygon selection — the reference's
+    * main request shape end-to-end (polygon → mask → per-band masked
+    * reduction). */
+  def polygonZonal(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(cube(spark, dir, DefaultDataset)
+      .filter(ZonalPolygon.mask(col("x"), col("y")))
+      .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
+
+  /** FeatureCollection union mask zonal mean + n_cells, one plan. */
+  def featureUnion(spark: SparkSession, dir: String): DataFrame =
+    r6(clip(cube(spark, dir, DefaultDataset)
+      .filter(FcShapes.mask(col("x"), col("y")))
+      .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
+
   /** Gap-filled zonal series: the reference returns null for nodata
     * bands (geometry.py masked reduction); this extension rebuilds the
     * full requested band axis and linearly interpolates interior gaps
@@ -271,6 +315,19 @@ object SkopeQueries {
        |  UNION ALL SELECT 'trailing3', band, zv FROM trail)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "skope_polygon_mask" -> withCube(
+      s"""SELECT DISTINCT user_id, x, y FROM cube
+         |WHERE ${MaskPolygon.maskSql()}""".stripMargin),
+    "skope_polygon_zonal" -> withCube(
+      s"""SELECT band, round((zv) + 1e-9, 6) AS value FROM (
+         |  SELECT band, avg(v) AS zv FROM cube
+         |  WHERE ${ZonalPolygon.maskSql()}
+         |  GROUP BY band) z WHERE $clipSql""".stripMargin),
+    "skope_feature_union" -> withCube(
+      s"""SELECT band, round((zv) + 1e-9, 6) AS value FROM (
+         |  SELECT band, avg(v) AS zv FROM cube
+         |  WHERE ${FcShapes.maskSql()}
+         |  GROUP BY band) z WHERE $clipSql""".stripMargin),
     "skope_anomalies" -> withZonal("mean",
       s"""SELECT band, round(zv + 1e-9, 6) AS z, zv > 0 AS is_spike FROM (
          |  ${Transforms.zscoreMovingSql(6)}
@@ -421,6 +478,9 @@ object SkopeQueries {
     "skope_zonal_profile" -> (zonalProfile _),
     "skope_zonal_median_approx" -> (zonalMedianApprox _),
     "skope_gap_fill" -> (gapFill _),
-    "skope_anomalies" -> (anomalies _)
+    "skope_anomalies" -> (anomalies _),
+    "skope_polygon_mask" -> (polygonMask _),
+    "skope_polygon_zonal" -> (polygonZonal _),
+    "skope_feature_union" -> (featureUnion _)
   )
 }

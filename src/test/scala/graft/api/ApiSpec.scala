@@ -108,6 +108,60 @@ class ApiSpec extends SparkSpec {
     assert(res.series.count() > 0)
   }
 
+  test("polygon selection extracts a series and cell count end-to-end") {
+    val tri = PolygonArea(Seq((1.2, 0.8), (8.5, 2.2), (3.1, 7.6)))
+    val res = extractTimeseries(spark, sfDir, baseReq.copy(selectedArea = tri))
+    assert(res.series.count() > 0)
+    val sel = res.selection.collect().head
+    assert(sel.getLong(0) > 1L, "triangle should mask multiple cells")
+  }
+
+  test("feature collection selects the union of its shapes' masks") {
+    // second shape sits in the populated row (sf0.001 has cells y<=1)
+    val two = FeatureCollectionArea(Seq(
+      Seq((0.2, 0.2), (1.8, 0.2), (1.0, 1.8)),
+      Seq((6.2, 0.1), (8.8, 0.1), (8.8, 0.9), (6.2, 0.9))))
+    val res = extractTimeseries(spark, sfDir, baseReq.copy(selectedArea = two))
+    val one = extractTimeseries(spark, sfDir, baseReq.copy(
+      selectedArea = PolygonArea(Seq((0.2, 0.2), (1.8, 0.2), (1.0, 1.8)))))
+    val nTwo = res.selection.collect().head.getLong(0)
+    val nOne = one.selection.collect().head.getLong(0)
+    assert(nTwo > nOne, "union mask must cover more cells than one shape")
+  }
+
+  test("self-intersecting polygon raises SelectedAreaPolygonIsNotValidError") {
+    val bowtie = PolygonArea(Seq((0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)))
+    val e = intercept[SelectedAreaPolygonIsNotValidError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(selectedArea = bowtie))
+    }
+    assert(e.getMessage.contains("not a valid polygon"))
+  }
+
+  test("polygon outside the grid raises SelectedAreaOutOfBoundsError") {
+    intercept[SelectedAreaOutOfBoundsError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(
+        selectedArea = PolygonArea(Seq((20.0, 20.0), (25.0, 20.0), (22.0, 24.0)))))
+    }
+    // boundary-only contact: interior does not intersect (T******** fails)
+    intercept[SelectedAreaOutOfBoundsError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(
+        selectedArea = PolygonArea(Seq((-2.0, 0.0), (0.0, 0.0), (0.0, 2.0), (-2.0, 2.0)))))
+    }
+  }
+
+  test("oversized polygon raises SelectedAreaTooLargeError") {
+    intercept[SelectedAreaTooLargeError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(
+        selectedArea = PolygonArea(Seq((0.0, 0.0), (9.0, 0.0), (5.0, 2e5)))))
+    }
+  }
+
+  test("unknown variable raises VariableNotFoundError") {
+    intercept[VariableNotFoundError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(variableId = "humidity"))
+    }
+  }
+
   test("point selection returns single-cell selection metadata") {
     val res = extractTimeseries(spark, sfDir,
       baseReq.copy(selectedArea = PointArea(12L)))
