@@ -39,8 +39,12 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
       .withColumn("nstop",
         size(expr(s"filter(split(text, ' '), x -> x IN ${inList(StopEn)})")))
-      .withColumn("punct_ratio", col("npunct").cast("double") / col("n"))
-      .withColumn("stop_ratio", col("nstop").cast("double") / col("nt"))
+      // nullif: degenerate (empty) docs score NULL identically in both
+      // engines rather than relying on divide-by-zero semantics
+      .withColumn("punct_ratio",
+        col("npunct").cast("double") / nullif(col("n"), lit(0)))
+      .withColumn("stop_ratio",
+        col("nstop").cast("double") / nullif(col("nt"), lit(0)))
     d.select(
       col("doc_id"), col("n").as("n_chars"),
       Num.roundEps(col("punct_ratio"), 6).as("punct_ratio"),
@@ -112,10 +116,10 @@ object TextAnalysis {
            |    len(list_filter(string_split(text, ' '), x -> x IN ${inList(StopEn)})) AS nstop
            |  FROM documents)
            |SELECT doc_id, n AS n_chars,
-           |  round((CAST(npunct AS DOUBLE) / n) + 1e-9, 6) AS punct_ratio,
-           |  round((CAST(nstop AS DOUBLE) / nt) + 1e-9, 6) AS stop_ratio,
-           |  round((CAST(nstop AS DOUBLE) / nt * 0.5
-           |    + (1.0 - CAST(npunct AS DOUBLE) / n) * 0.3
+           |  round((CAST(npunct AS DOUBLE) / nullif(n, 0)) + 1e-9, 6) AS punct_ratio,
+           |  round((CAST(nstop AS DOUBLE) / nullif(nt, 0)) + 1e-9, 6) AS stop_ratio,
+           |  round((CAST(nstop AS DOUBLE) / nullif(nt, 0) * 0.5
+           |    + (1.0 - CAST(npunct AS DOUBLE) / nullif(n, 0)) * 0.3
            |    + CAST(least(n, 500) AS DOUBLE) / 500.0 * 0.2) + 1e-9, 6) AS quality_score
            |FROM q""".stripMargin,
       "text_langid" ->
