@@ -55,7 +55,8 @@ object Api {
       transform: Transform = NoTransform,
       requestedSeriesOptions: Seq[SeriesOptions] =
         Seq(SeriesOptions("original", NoSmoother)),
-      bandRange: (Int, Int))
+      bandRange: (Int, Int),
+      resolution: EventCube.Resolution = EventCube.Daily)
 
   /** Response mirror: everything stays a DataFrame (lazy, distributed)
     * until the caller materializes — the analogue of the reference's
@@ -93,6 +94,15 @@ object Api {
   val KnownVariables = Set("value", "k")
   val AvailableBands: (Int, Int) = (1, 31)
 
+  /** Band axis extent per resolution (dataset.py:49-72: the band range
+    * is resolution-dependent; the corpus spans one January = 31 daily
+    * bands, 720 hourly bands, 1 calendar-month band). */
+  def availableBandsFor(r: EventCube.Resolution): (Int, Int) = r match {
+    case EventCube.Daily => AvailableBands
+    case EventCube.Hourly => (1, 720)
+    case EventCube.Monthly => (1, 1)
+  }
+
   /** Mirror of the reference's default_max_cells guard
     * (geometry.py:111-139, SelectedAreaPolygonIsTooLarge): bound the
     * per-request cell budget before any work is scheduled. */
@@ -105,12 +115,26 @@ object Api {
   def bandForDate(s: Option[String], default: Int): Int = s match {
     case None => default
     case Some(str) =>
-      val parts = str.split("-")
-      val d = java.time.LocalDate.of(parts(0).toInt,
-        if (parts.length > 1) parts(1).toInt else 1,
-        if (parts.length > 2) parts(2).toInt else 1)
       java.time.temporal.ChronoUnit.DAYS
-        .between(java.time.LocalDate.parse(EventCube.Origin), d).toInt + 1
+        .between(java.time.LocalDate.parse(EventCube.Origin), parseV1Date(str))
+        .toInt + 1
+  }
+
+  /** Month-resolution band for a v1 date string — find_band_range's
+    * month branch (dataset.py:66-68): Δyears·12 + Δmonths + 1, exact
+    * across year boundaries. */
+  def bandForMonth(s: Option[String], default: Int): Int = s match {
+    case None => default
+    case Some(str) =>
+      EventCube.monthBandOf(parseV1Date(str),
+        java.time.LocalDate.parse(EventCube.Origin))
+  }
+
+  private def parseV1Date(str: String): java.time.LocalDate = {
+    val parts = str.split("-")
+    java.time.LocalDate.of(parts(0).toInt,
+      if (parts.length > 1) parts(1).toInt else 1,
+      if (parts.length > 2) parts(2).toInt else 1)
   }
 
   /** v1 endpoint equivalent (routers/v1/api.py): dataset + point +
@@ -123,6 +147,19 @@ object Api {
       bandRange = (bandForDate(start, AvailableBands._1),
         bandForDate(end, AvailableBands._2)))
 
+  /** v1 request against a month-resolution dataset: "2024-01"-style
+    * strings run through the month band arithmetic and the extraction
+    * runs on the Monthly cube axis. */
+  def v1MonthlyRequest(datasetId: String, cell: Long,
+      start: Option[String] = None, end: Option[String] = None): TimeseriesRequest = {
+    val bands = availableBandsFor(EventCube.Monthly)
+    TimeseriesRequest(
+      datasetId = datasetId,
+      selectedArea = PointArea(cell),
+      bandRange = (bandForMonth(start, bands._1), bandForMonth(end, bands._2)),
+      resolution = EventCube.Monthly)
+  }
+
   /** The reference's end-to-end pipeline (core/services.py:149-184):
     * validate → select area → zonal statistic → transform → smoothers →
     * clip → summary stats.
@@ -132,11 +169,11 @@ object Api {
     if (!KnownDatasets(req.datasetId)) throw DatasetNotFoundError(req.datasetId)
     if (!KnownVariables(req.variableId))
       throw VariableNotFoundError(req.variableId, req.datasetId)
+    val avail = availableBandsFor(req.resolution)
     if (req.bandRange._1 > req.bandRange._2 ||
-        req.bandRange._2 < AvailableBands._1 ||
-        req.bandRange._1 > AvailableBands._2)
+        req.bandRange._2 < avail._1 || req.bandRange._1 > avail._2)
       throw TimeRangeContainmentError(
-        s"band range ${req.bandRange} outside available $AvailableBands")
+        s"band range ${req.bandRange} outside available $avail")
     // polygon shapes: validity (geometry.py:160-164) → bounds
     // ('T********', geometry.py:165-172) → mask-window cell budget
     // (geometry.py:118-122 guards on the raster window = the bbox)
@@ -175,13 +212,16 @@ object Api {
 
     val zonal = req.selectedArea match {
       case PointArea(cell) =>
-        EventCube.pointSeries(spark, dir, req.datasetId, cell)
+        EventCube.pointSeries(spark, dir, req.datasetId, cell,
+          req.resolution, req.variableId)
       case BBoxArea(x0, x1, y0, y1) =>
-        EventCube.zonalSeries(spark, dir, req.datasetId,
-          EventCube.BBox(x0, x1, y0, y1), req.zonalStatistic.name)
+        EventCube.zonalSeriesMask(spark, dir, req.datasetId,
+          EventCube.BBox(x0, x1, y0, y1).contains, req.zonalStatistic.name,
+          req.resolution, req.variableId)
       case _: PolygonArea | _: FeatureCollectionArea =>
         EventCube.zonalSeriesMask(spark, dir, req.datasetId,
-          polyShapes.get.mask, req.zonalStatistic.name)
+          polyShapes.get.mask, req.zonalStatistic.name,
+          req.resolution, req.variableId)
     }
 
     val transformed = req.transform match {

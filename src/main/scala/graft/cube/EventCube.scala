@@ -53,10 +53,23 @@ object EventCube {
         .cast("long")
   }
   case object Monthly extends Resolution("month") {
+    /** relativedelta month arithmetic (dataset.py:64-72): band =
+      * (Δyears · 12 + Δmonths) + 1 from the dataset origin. */
     def band(ts: Column): Column =
       ((year(ts) - year(lit(Origin).cast("date"))) * 12 +
         (month(ts) - month(lit(Origin).cast("date"))) + 1).cast("long")
+    /** translate_band_range (dataset.py:74-79): band → first day of its
+      * calendar month. */
+    def bandStart(band: Column): Column =
+      add_months(lit(Origin).cast("date"), (band - 1).cast("int"))
   }
+
+  /** Driver-side month-band arithmetic for request parsing — the exact
+    * find_band_range month branch (dataset.py:66-68), incl. year
+    * crossings. */
+  def monthBandOf(date: java.time.LocalDate, origin: java.time.LocalDate): Int =
+    ((date.getYear - origin.getYear) * 12 +
+      (date.getMonthValue - origin.getMonthValue)) + 1
 
   /** Rectangular cell selection — the analogue of the reference's
     * polygon mask (geometry.py:174-209, all_touched raster mask).
@@ -71,16 +84,29 @@ object EventCube {
   val DefaultDataset = "click"
   val PointCell = 12L
 
-  /** Long-format cube for one dataset: (band, user_id, x, y, v).
-    * Cell value = avg of the cell's raw events in the band, mirroring
-    * one pixel holding one value per band in the reference raster.
+  /** Per-variable cell value column (dataset.py:104-122
+    * get_variable_metadata: one raster per (dataset, variable)). The
+    * raw `value` is the primary variable; `k` is the props-derived
+    * second raster (the *_uncertainty analogue). */
+  def variableCol(variable: String): Column = variable match {
+    case "value" => col("value")
+    case "k" =>
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").cast("double")
+    case other => throw new IllegalArgumentException(
+      s"unknown variable: $other (value|k)")
+  }
+
+  /** Long-format cube for one (dataset, variable): (band, user_id, x,
+    * y, v). Cell value = avg of the cell's raw events in the band,
+    * mirroring one pixel holding one value per band in the reference
+    * raster.
     */
   def cube(spark: SparkSession, dir: String, dataset: String,
-      resolution: Resolution = Daily): DataFrame =
+      resolution: Resolution = Daily, variable: String = "value"): DataFrame =
     Tables.events(spark, dir)
       .filter(col("event_type") === dataset)
       .groupBy(resolution.band(col("ts")).as("band"), col("user_id"))
-      .agg(avg(col("value")).as("v"))
+      .agg(avg(variableCol(variable)).as("v"))
       .withColumn("x", col("user_id") % GridWidth)
       .withColumn("y", floor(col("user_id") / lit(GridWidth.toDouble)).cast("long"))
 
@@ -98,8 +124,10 @@ object EventCube {
     * pushable codegen predicate, so a polygon costs the same as a
     * bbox). */
   def zonalSeriesMask(spark: SparkSession, dir: String, dataset: String,
-      mask: (Column, Column) => Column, stat: String): DataFrame = {
-    val c = cube(spark, dir, dataset).filter(mask(col("x"), col("y")))
+      mask: (Column, Column) => Column, stat: String,
+      resolution: Resolution = Daily, variable: String = "value"): DataFrame = {
+    val c = cube(spark, dir, dataset, resolution, variable)
+      .filter(mask(col("x"), col("y")))
     c.groupBy(col("band")).agg(statAgg(stat).as("zv"))
   }
 
@@ -115,21 +143,23 @@ object EventCube {
     * band present. Bands with no events are absent, like nodata pixels.
     */
   def pointSeries(spark: SparkSession, dir: String, dataset: String,
-      cell: Long): DataFrame =
-    cube(spark, dir, dataset)
+      cell: Long, resolution: Resolution = Daily,
+      variable: String = "value"): DataFrame =
+    cube(spark, dir, dataset, resolution, variable)
       .filter(col("user_id") === cell)
       .select(col("band"), col("v").as("zv"))
 
   // ---- shared oracle SQL fragments (DuckDB dialect) ----
 
-  /** CTE mirroring `cube` for one dataset. */
-  def cubeSql(dataset: String): String =
+  /** CTE mirroring `cube` for one dataset; `valueSql` mirrors
+    * variableCol for the second variable. */
+  def cubeSql(dataset: String, valueSql: String = "value"): String =
     s"""cube AS (
        |  SELECT CAST(date_diff('day', DATE '$Origin', CAST(ts AS DATE)) + 1 AS BIGINT) AS band,
        |         user_id,
        |         user_id % $GridWidth AS x,
        |         CAST(floor(user_id / $GridWidth.0) AS BIGINT) AS y,
-       |         avg(value) AS v
+       |         avg($valueSql) AS v
        |  FROM events
        |  WHERE event_type = '$dataset'
        |  GROUP BY 1, 2, 3, 4

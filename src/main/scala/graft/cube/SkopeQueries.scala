@@ -27,18 +27,26 @@ object SkopeQueries {
   private def r6(df: DataFrame): DataFrame =
     df.select(col("band"), Num.roundEps(col("zv"), 6).as("value"))
 
-  /** /metadata (reference: routers/v2/api.py:15-17, metadata.yml): one
-    * row per dataset with its time range, band count, grid size. */
+  /** /metadata (reference: routers/v2/api.py:15-17, metadata.yml +
+    * dataset.py:91-157): one row per (dataset, variable) — datasets
+    * carry several variables (the *_uncertainty raster analogue is the
+    * props-derived `k`) plus a fill value slot, mirroring the
+    * multi-variable catalog the DatasetManager serves. */
+  val DatasetVariables: Seq[String] = Seq("value", "k")
   def metadata(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type").as("dataset_id"))
       .agg(
-        lit("value").as("variable_id"),
         lit("day").as("resolution"),
         date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("time_gte"),
         date_format(max(to_date(col("ts"))), "yyyy-MM-dd").as("time_lte"),
         countDistinct(to_date(col("ts"))).as("n_bands"),
         countDistinct(col("user_id")).as("n_cells"))
+      .select(col("*"),
+        explode(array(DatasetVariables.map(lit): _*)).as("variable_id"),
+        // the synthetic grid has no nodata sentinel; the slot is the
+        // contract (metadata.yml nodata / fill handling)
+        lit(null).cast("double").as("fill_value"))
 
   /** time↔band translation, 1-based (dataset.py:49-88). */
   def bandIndex(spark: SparkSession, dir: String): DataFrame =
@@ -144,18 +152,14 @@ object SkopeQueries {
         Num.roundEps(percentile(col("v"), lit(0.5)), 6).as("q50"),
         Num.roundEps(percentile(col("v"), lit(0.75)), 6).as("q75"))
 
-  /** Second variable extracted from the props JSON payload — the
-    * analogue of a dataset's additional variables (e.g. the
-    * *_uncertainty rasters in the reference's data/). Regex extraction
-    * keeps it engine-portable. */
+  /** Second variable (`k`, extracted from the props JSON payload) as a
+    * first-class cube variable — the analogue of a dataset's
+    * additional rasters (e.g. *_uncertainty), running through the same
+    * per-cell cube build as `value` (EventCube.variableCol). */
   def variableProps(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("event_type") === DefaultDataset)
-      .withColumn("k",
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
-      .groupBy((datediff(to_date(col("ts")), lit(Origin).cast("date")) + 1)
-        .cast("long").as("band"))
-      .agg(Num.roundEps(avg(col("k")), 6).as("mean_k"))
+    cube(spark, dir, DefaultDataset, Daily, "k")
+      .groupBy(col("band"))
+      .agg(Num.roundEps(avg(col("v")), 6).as("mean_k"))
 
   /** FeatureCollection analogue: zonal mean over the union of two
     * disjoint bbox masks (geometry.py:222-225 — multiple shapes, one
@@ -191,6 +195,50 @@ object SkopeQueries {
         Num.roundEps(min(col("v")), 6).as("vmin"),
         Num.roundEps(max(col("v")), 6).as("vmax"),
         Num.roundEps(stddev_pop(col("v")), 6).as("vstd"))
+
+  /** Calendar-month band resolution end-to-end (dataset.py:64-88's
+    * relativedelta arithmetic): per (dataset, month-band) zonal mean
+    * over the default bbox, with the band translated back to its
+    * month-start date (translate_band_range). The corpus spans one
+    * calendar month, so the value of this query is the *arithmetic*
+    * path — year·12+month band indexing and the band→date inverse —
+    * which MonthArithmeticSpec additionally covers across year
+    * boundaries. */
+  def monthlyZonal(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("dataset_id"),
+        EventCube.Monthly.band(col("ts")).as("band"), col("user_id"))
+      .agg(avg(col("value")).as("v"))
+      .withColumn("x", col("user_id") % GridWidth)
+      .withColumn("y", floor(col("user_id") / lit(GridWidth.toDouble)).cast("long"))
+      .filter(DefaultBBox.contains(col("x"), col("y")))
+      .groupBy(col("dataset_id"), col("band"))
+      .agg(avg(col("v")).as("zv"), countDistinct(col("user_id")).as("n_cells"))
+      .select(col("dataset_id"), col("band"),
+        date_format(EventCube.Monthly.bandStart(col("band")), "yyyy-MM-dd")
+          .as("month_start"),
+        Num.roundEps(col("zv"), 6).as("value"), col("n_cells"))
+
+  /** Approximate quantiles — the 100 TB default path for
+    * `skope_quantiles`: a bounded-memory percentile sketch instead of
+    * the exact `percentile` (which buffers every value of the group —
+    * an OOM, not a slowdown, when a group is a whole dataset). The
+    * exact variant is kept for oracle parity at test SF; this one is a
+    * rows-only check because sketch interpolation is engine-specific
+    * by design. */
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        col("event_type").as("dataset_id"),
+        (datediff(to_date(col("ts")), lit(Origin).cast("date")) + 1)
+          .cast("long").as("band"),
+        col("user_id"))
+      .agg(avg(col("value")).as("v"))
+      .groupBy(col("dataset_id"))
+      .agg(
+        percentile_approx(col("v"), lit(0.25), lit(1000)).as("q25"),
+        percentile_approx(col("v"), lit(0.5), lit(1000)).as("q50"),
+        percentile_approx(col("v"), lit(0.75), lit(1000)).as("q75"))
 
   /** Approximate zonal median — the 100 TB path for the median zonal
     * statistic (t-digest style sketch, no exact global sort). Rows-only
@@ -368,10 +416,25 @@ object SkopeQueries {
          |  round((quantile_cont(v, 0.75)) + 1e-9, 6) AS q75
          |FROM c GROUP BY dataset_id""".stripMargin,
     "skope_variable_props" ->
-      s"""SELECT CAST(date_diff('day', DATE '$Origin', CAST(ts AS DATE)) + 1 AS BIGINT) AS band,
-         |  round((avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))) + 1e-9, 6) AS mean_k
-         |FROM events WHERE event_type = '$DefaultDataset'
-         |GROUP BY 1""".stripMargin,
+      s"""WITH ${EventCube.cubeSql(DefaultDataset,
+            "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)")}
+         |SELECT band, round((avg(v)) + 1e-9, 6) AS mean_k
+         |FROM cube GROUP BY band""".stripMargin,
+    "skope_monthly_zonal" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS dataset_id,
+         |    CAST((year(ts) - year(DATE '$Origin')) * 12
+         |         + (month(ts) - month(DATE '$Origin')) + 1 AS BIGINT) AS band,
+         |    user_id, avg(value) AS v
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT dataset_id, band,
+         |  strftime(DATE '$Origin' + (band - 1) * INTERVAL 1 MONTH, '%Y-%m-%d') AS month_start,
+         |  round((avg(v)) + 1e-9, 6) AS value,
+         |  count(DISTINCT user_id) AS n_cells
+         |FROM c
+         |WHERE (user_id % ${EventCube.GridWidth}) BETWEEN ${DefaultBBox.x0} AND ${DefaultBBox.x1}
+         |  AND CAST(floor(user_id / ${EventCube.GridWidth}.0) AS BIGINT) BETWEEN ${DefaultBBox.y0} AND ${DefaultBBox.y1}
+         |GROUP BY dataset_id, band""".stripMargin,
     "skope_multi_area" -> withCube(
       s"""SELECT band, round((zv) + 1e-9, 6) AS value FROM (
          |  SELECT band, avg(v) AS zv FROM cube
@@ -399,13 +462,17 @@ object SkopeQueries {
          |  AND $clipSql
          |GROUP BY band""".stripMargin),
     "skope_metadata" ->
-      """SELECT event_type AS dataset_id, 'value' AS variable_id,
-        |  'day' AS resolution,
-        |  strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS time_gte,
-        |  strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS time_lte,
-        |  count(DISTINCT CAST(ts AS DATE)) AS n_bands,
-        |  count(DISTINCT user_id) AS n_cells
-        |FROM events GROUP BY event_type""".stripMargin,
+      """SELECT d.dataset_id, 'day' AS resolution,
+        |  d.time_gte, d.time_lte, d.n_bands, d.n_cells,
+        |  v.variable_id, CAST(NULL AS DOUBLE) AS fill_value
+        |FROM (
+        |  SELECT event_type AS dataset_id,
+        |    strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS time_gte,
+        |    strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS time_lte,
+        |    count(DISTINCT CAST(ts AS DATE)) AS n_bands,
+        |    count(DISTINCT user_id) AS n_cells
+        |  FROM events GROUP BY event_type) d
+        |CROSS JOIN (SELECT unnest(['value', 'k']) AS variable_id) v""".stripMargin,
     "skope_band_index" -> withCube(
       s"""SELECT DISTINCT band,
          |  strftime(DATE '$Origin' + (band - 1) * INTERVAL 1 DAY, '%Y-%m-%d') AS band_date
@@ -481,6 +548,8 @@ object SkopeQueries {
     "skope_anomalies" -> (anomalies _),
     "skope_polygon_mask" -> (polygonMask _),
     "skope_polygon_zonal" -> (polygonZonal _),
-    "skope_feature_union" -> (featureUnion _)
+    "skope_feature_union" -> (featureUnion _),
+    "skope_monthly_zonal" -> (monthlyZonal _),
+    "skope_quantiles_approx" -> (quantilesApprox _)
   )
 }
