@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.LongType
 
 /** Central loader for the driver-generated parquet tables (TESTDATA.md).
@@ -31,15 +31,31 @@ object Tables {
     * downstream plans see a TimestampType column; `div` keeps the
     * ns→µs conversion exact (no double rounding).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = eventsRange(s, d, None)
+
+  /** events with an optional epoch-nanosecond [start, end) bound applied
+    * to the RAW long column before the µs conversion — the predicate
+    * lands on the physical parquet column, so it reaches PushedFilters
+    * and prunes row groups by their int64 min/max stats. A bound on the
+    * *converted* timestamp would sit above a computed column and never
+    * reach the scan. */
+  def eventsRange(s: SparkSession, d: String,
+      nanos: Option[(Long, Long)]): DataFrame = {
     // runtime-settable legacy conf; set defensively so events reads work
     // even in sessions the caller built without it (e.g. the driver's)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df
+        val bounded = nanos.fold(df) { case (lo, hi) =>
+          df.filter(col("ts") >= lo && col("ts") < hi)
+        }
+        bounded.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        nanos.fold(df) { case (lo, hi) =>
+          df.filter(col("ts") >= lit(java.time.Instant.EPOCH.plusNanos(lo)) &&
+            col("ts") < lit(java.time.Instant.EPOCH.plusNanos(hi)))
+        }
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

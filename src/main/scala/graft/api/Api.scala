@@ -2,7 +2,7 @@ package graft.api
 
 import graft.Num
 import graft.cube.{EventCube, Geometry, Smoothers, Transforms}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed mirror of the reference's request/response contract
@@ -210,18 +210,45 @@ object Api {
       case _ => None
     }
 
+    // get_desired_band_range_adjustment (timeseries.py:402-431): the
+    // extraction range = requested range widened by the transform's and
+    // smoothers' window needs (union over requested series), then the
+    // result is clipped back. The widened range doubles as the scan
+    // bound — the band clip prunes events.parquet row groups via the
+    // raw-ns translation (EventCube.bandRangeNanos).
+    val widened: (Int, Int) = {
+      val (lo, hi) = req.bandRange
+      val tBack = req.transform match {
+        case ZScoreMovingInterval(w) => w
+        case _ => 0
+      }
+      val sAdj = req.requestedSeriesOptions.map(_.smoother match {
+        case NoSmoother => (0, 0)
+        case MovingAverageSmoother(true, w) => (w / 2, w / 2)
+        case MovingAverageSmoother(false, w) => (w, 0)
+      })
+      val back = tBack + sAdj.map(_._1).max
+      val fwd = sAdj.map(_._2).max
+      req.transform match {
+        // fixed reference interval: union in its bands too
+        case ZScoreFixedInterval(Some((rl, rh))) =>
+          (math.min(lo - back, rl), math.max(hi + fwd, rh))
+        case _ => (lo - back, hi + fwd)
+      }
+    }
+
     val zonal = req.selectedArea match {
       case PointArea(cell) =>
         EventCube.pointSeries(spark, dir, req.datasetId, cell,
-          req.resolution, req.variableId)
+          req.resolution, req.variableId, Some(widened))
       case BBoxArea(x0, x1, y0, y1) =>
         EventCube.zonalSeriesMask(spark, dir, req.datasetId,
           EventCube.BBox(x0, x1, y0, y1).contains, req.zonalStatistic.name,
-          req.resolution, req.variableId)
+          req.resolution, req.variableId, Some(widened))
       case _: PolygonArea | _: FeatureCollectionArea =>
         EventCube.zonalSeriesMask(spark, dir, req.datasetId,
           polyShapes.get.mask, req.zonalStatistic.name,
-          req.resolution, req.variableId)
+          req.resolution, req.variableId, Some(widened))
     }
 
     val transformed = req.transform match {
@@ -276,6 +303,93 @@ object Api {
     }
 
     TimeseriesResult(series, stats, selection)
+  }
+
+  // ------------------------------------------------------------------
+  // Batched extraction: many selections in ONE distributed plan
+  // ------------------------------------------------------------------
+
+  final case class BatchSelection(id: String, area: SelectedArea)
+
+  /** Extract one timeseries per selection in a single plan — the shape
+    * a real cluster workload has (thousands of polygons against one
+    * dataset). The reference loops requests; here the cube is scanned
+    * once, every mask is evaluated map-side (explode over per-selection
+    * predicates), and ALL window work (smoothers/transforms) is
+    * partitioned by `selection_id` — so a batch of N selections
+    * parallelizes across executors instead of serializing into the
+    * single-partition window the per-request path would give N times.
+    * Returns (selection_id, band, value) clipped to `bandRange`.
+    */
+  def extractTimeseriesBatch(spark: SparkSession, dir: String,
+      datasetId: String, selections: Seq[BatchSelection],
+      zonalStatistic: ZonalStatistic = ZonalMean,
+      transform: Transform = NoTransform,
+      smoother: Smoother = NoSmoother,
+      bandRange: (Int, Int),
+      resolution: EventCube.Resolution = EventCube.Daily,
+      variableId: String = "value"): DataFrame = {
+    if (!KnownDatasets(datasetId)) throw DatasetNotFoundError(datasetId)
+    require(selections.nonEmpty, "batch needs at least one selection")
+    val part = Seq("selection_id")
+
+    def maskOf(a: SelectedArea): Column = a match {
+      case PointArea(cell) => col("user_id") === cell
+      case BBoxArea(x0, x1, y0, y1) =>
+        EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y"))
+      case PolygonArea(ring) =>
+        Geometry.GridPolygon(ring.map { case (px, py) => Geometry.Pt(px, py) })
+          .validate().mask(col("x"), col("y"))
+      case FeatureCollectionArea(rings) =>
+        Geometry.GridFeatureCollection(rings.map(r =>
+          Geometry.GridPolygon(r.map { case (px, py) => Geometry.Pt(px, py) })))
+          .validate().mask(col("x"), col("y"))
+    }
+
+    val (back, fwd) = smoother match {
+      case NoSmoother => (0, 0)
+      case MovingAverageSmoother(true, w) => (w / 2, w / 2)
+      case MovingAverageSmoother(false, w) => (w, 0)
+    }
+    val tBack = transform match {
+      case ZScoreMovingInterval(w) => w
+      case _ => 0
+    }
+    val widened = (bandRange._1 - back - tBack, bandRange._2 + fwd)
+
+    // one scan, every selection's mask tagged map-side
+    val tagged = EventCube.cube(spark, dir, datasetId, resolution,
+        variableId, Some(widened))
+      .select(col("band"), col("v"), col("user_id"), col("x"), col("y"))
+      .select(col("band"), col("v"), explode(array(selections.map(s =>
+        struct(lit(s.id).as("sid"), maskOf(s.area).as("m"))): _*)).as("t"))
+      .filter(col("t.m"))
+      .select(col("t.sid").as("selection_id"), col("band"), col("v"))
+
+    val zonal = tagged.groupBy(col("selection_id"), col("band"))
+      .agg(EventCube.statAgg(zonalStatistic.name)
+        .as("zv"))
+
+    val transformed = transform match {
+      case NoTransform => zonal
+      case ZScoreMovingInterval(w) => Transforms.zscoreMoving(zonal, w, part)
+      case ZScoreFixedInterval(None) =>
+        val sel = zonal.filter(col("band").between(bandRange._1, bandRange._2))
+        Transforms.zscoreFixedBatch(sel, sel, part)
+      case ZScoreFixedInterval(Some((lo, hi))) =>
+        Transforms.zscoreFixedBatch(zonal,
+          zonal.filter(col("band").between(lo, hi)), part)
+    }
+
+    val smoothed = smoother match {
+      case NoSmoother => transformed
+      case MovingAverageSmoother(true, w) => Smoothers.maCentered(transformed, w, part)
+      case MovingAverageSmoother(false, w) => Smoothers.maTrailing(transformed, w, part)
+    }
+
+    smoothed.filter(col("band").between(bandRange._1, bandRange._2))
+      .select(col("selection_id"), col("band"),
+        Num.roundEps(col("zv"), 6).as("value"))
   }
 
   /** Mirror of the reference's max_processing_time guard

@@ -96,14 +96,35 @@ object EventCube {
       s"unknown variable: $other (value|k)")
   }
 
+  /** Epoch-nanosecond [start, end) window of a 1-based band range at a
+    * resolution — band arithmetic translated back to physical time at
+    * plan-build time (the inverse of Resolution.band), so a band clip
+    * can prune the events scan itself (Tables.eventsRange). Bounds
+    * below band 1 simply extend before the origin (no data there). */
+  def bandRangeNanos(resolution: Resolution, lo: Int, hi: Int): (Long, Long) = {
+    val o = java.time.LocalDate.parse(Origin).atStartOfDay()
+    def ns(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    resolution match {
+      case Daily => (ns(o.plusDays(lo - 1L)), ns(o.plusDays(hi.toLong)))
+      case Hourly => (ns(o.plusHours(lo - 1L)), ns(o.plusHours(hi.toLong)))
+      case Monthly => (ns(o.plusMonths(lo - 1L)), ns(o.plusMonths(hi.toLong)))
+    }
+  }
+
   /** Long-format cube for one (dataset, variable): (band, user_id, x,
     * y, v). Cell value = avg of the cell's raw events in the band,
     * mirroring one pixel holding one value per band in the reference
-    * raster.
+    * raster. `bandRange` (inclusive, 1-based, pre-widened by the caller
+    * per the reference's band-range-adjustment arithmetic) prunes the
+    * scan — it is a performance bound, not the semantic clip, which
+    * stays a band filter downstream.
     */
   def cube(spark: SparkSession, dir: String, dataset: String,
-      resolution: Resolution = Daily, variable: String = "value"): DataFrame =
-    Tables.events(spark, dir)
+      resolution: Resolution = Daily, variable: String = "value",
+      bandRange: Option[(Int, Int)] = None): DataFrame =
+    Tables.eventsRange(spark, dir,
+        bandRange.map { case (lo, hi) => bandRangeNanos(resolution, lo, hi) })
       .filter(col("event_type") === dataset)
       .groupBy(resolution.band(col("ts")).as("band"), col("user_id"))
       .agg(avg(variableCol(variable)).as("v"))
@@ -116,8 +137,10 @@ object EventCube {
     * Map-side partial agg → single shuffle on `band`.
     */
   def zonalSeries(spark: SparkSession, dir: String, dataset: String,
-      bbox: BBox, stat: String): DataFrame =
-    zonalSeriesMask(spark, dir, dataset, bbox.contains, stat)
+      bbox: BBox, stat: String,
+      bandRange: Option[(Int, Int)] = None): DataFrame =
+    zonalSeriesMask(spark, dir, dataset, bbox.contains, stat,
+      bandRange = bandRange)
 
   /** Zonal series over an arbitrary cell mask predicate — the general
     * form used by polygon/FeatureCollection selections (the mask is a
@@ -125,8 +148,9 @@ object EventCube {
     * bbox). */
   def zonalSeriesMask(spark: SparkSession, dir: String, dataset: String,
       mask: (Column, Column) => Column, stat: String,
-      resolution: Resolution = Daily, variable: String = "value"): DataFrame = {
-    val c = cube(spark, dir, dataset, resolution, variable)
+      resolution: Resolution = Daily, variable: String = "value",
+      bandRange: Option[(Int, Int)] = None): DataFrame = {
+    val c = cube(spark, dir, dataset, resolution, variable, bandRange)
       .filter(mask(col("x"), col("y")))
     c.groupBy(col("band")).agg(statAgg(stat).as("zv"))
   }
@@ -144,8 +168,9 @@ object EventCube {
     */
   def pointSeries(spark: SparkSession, dir: String, dataset: String,
       cell: Long, resolution: Resolution = Daily,
-      variable: String = "value"): DataFrame =
-    cube(spark, dir, dataset, resolution, variable)
+      variable: String = "value",
+      bandRange: Option[(Int, Int)] = None): DataFrame =
+    cube(spark, dir, dataset, resolution, variable, bandRange)
       .filter(col("user_id") === cell)
       .select(col("band"), col("v").as("zv"))
 

@@ -24,6 +24,15 @@ object SkopeQueries {
   private def clip(df: DataFrame): DataFrame =
     df.filter(col("band").between(ReqLo, ReqHi))
 
+  /** Requested range widened by a transform/smoother's band-range
+    * adjustment (get_desired_band_range_adjustment,
+    * timeseries.py:402-431) and handed to the cube as a scan bound:
+    * the band clip thereby prunes events.parquet row groups via the
+    * raw-ns translation (EventCube.bandRangeNanos) while the semantic
+    * clip stays downstream. */
+  private def req(back: Int = 0, fwd: Int = 0): Option[(Int, Int)] =
+    Some((ReqLo - back, ReqHi + fwd))
+
   private def r6(df: DataFrame): DataFrame =
     df.select(col("band"), Num.roundEps(col("zv"), 6).as("value"))
 
@@ -58,13 +67,14 @@ object SkopeQueries {
       .distinct()
 
   def selectPoint(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(pointSeries(spark, dir, DefaultDataset, PointCell)))
+    r6(clip(pointSeries(spark, dir, DefaultDataset, PointCell,
+      bandRange = req())))
 
   def zonalMean(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean")))
+    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean", req())))
 
   def zonalMedian(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "median")))
+    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "median", req())))
 
   /** n_cells + area of the selection (geometry.py:141-156, 184-185).
     * Unit cell area on the synthetic grid (SURVEY.md §6). */
@@ -76,31 +86,39 @@ object SkopeQueries {
 
   def maCentered(spark: SparkSession, dir: String): DataFrame =
     r6(clip(Smoothers.maCentered(
-      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 5)))
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
+        req(back = 2, fwd = 2)), 5)))
 
   def maTrailing(spark: SparkSession, dir: String): DataFrame =
     r6(clip(Smoothers.maTrailing(
-      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 3)))
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
+        req(back = 3)), 3)))
 
   def zscoreMoving(spark: SparkSession, dir: String): DataFrame =
     r6(clip(Transforms.zscoreMoving(
-      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 6)))
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
+        req(back = 6)), 6)))
 
-  /** z-score vs a fixed reference interval (bands 1..12). */
+  /** z-score vs a fixed reference interval (bands 1..12) — the scan
+    * bound is the union of the selection and the reference interval
+    * (the reference's band-range union logic, timeseries.py:402-415). */
   def zscoreFixed(spark: SparkSession, dir: String): DataFrame = {
-    val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean")
+    val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
+      Some((math.min(ReqLo, 1), math.max(ReqHi, 12))))
     r6(clip(Transforms.zscoreFixed(zonal, zonal.filter(col("band").between(1, 12)))))
   }
 
   /** z-score within the selected interval itself (scipy.stats.zscore
     * with nan_policy=omit, ddof=0 — timeseries.py:163-167). */
   def zscoreSelected(spark: SparkSession, dir: String): DataFrame = {
-    val sel = clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"))
+    val sel = clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean", req()))
     r6(Transforms.zscoreFixed(sel, sel))
   }
 
   private def threeSeries(spark: SparkSession, dir: String): DataFrame = {
-    val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean")
+    // widest adjustment across the three series: trailing3 back, centered5 fwd
+    val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
+      req(back = 3, fwd = 2))
     clip(zonal).select(lit("original").as("series"), col("band"), col("zv"))
       .unionAll(clip(Smoothers.maCentered(zonal, 5))
         .select(lit("centered5").as("series"), col("band"), col("zv")))
@@ -167,7 +185,7 @@ object SkopeQueries {
   val AreaA: BBox = BBox(0, 2, 0, 3)
   val AreaB: BBox = BBox(5, 8, 0, 2)
   def multiArea(spark: SparkSession, dir: String): DataFrame = {
-    val c = cube(spark, dir, DefaultDataset)
+    val c = cube(spark, dir, DefaultDataset, bandRange = req())
       .filter(AreaA.contains(col("x"), col("y")) ||
         AreaB.contains(col("x"), col("y")))
     r6(clip(c.groupBy(col("band")).agg(avg(col("v")).as("zv"))))
@@ -177,7 +195,8 @@ object SkopeQueries {
     * dataset.py:64-72 exercised on a second granularity): bands
     * 100..200 of the 720-hour span. */
   def hourlyZonal(spark: SparkSession, dir: String): DataFrame = {
-    val c = cube(spark, dir, DefaultDataset, EventCube.Hourly)
+    val c = cube(spark, dir, DefaultDataset, EventCube.Hourly,
+        bandRange = Some((100, 200)))
       .filter(DefaultBBox.contains(col("x"), col("y")))
     c.groupBy(col("band")).agg(avg(col("v")).as("zv"))
       .filter(col("band").between(100, 200))
@@ -187,7 +206,7 @@ object SkopeQueries {
   /** Per-band distribution profile over the selection: the summary-
     * stat family beyond mean/median (count/min/max/std_pop). */
   def zonalProfile(spark: SparkSession, dir: String): DataFrame =
-    clip(cube(spark, dir, DefaultDataset)
+    clip(cube(spark, dir, DefaultDataset, bandRange = req())
       .filter(DefaultBBox.contains(col("x"), col("y"))))
       .groupBy(col("band"))
       .agg(
@@ -244,7 +263,7 @@ object SkopeQueries {
     * statistic (t-digest style sketch, no exact global sort). Rows-only
     * check: approximation is engine-specific by design. */
   def zonalMedianApprox(spark: SparkSession, dir: String): DataFrame =
-    clip(cube(spark, dir, DefaultDataset)
+    clip(cube(spark, dir, DefaultDataset, bandRange = req())
       .filter(DefaultBBox.contains(col("x"), col("y"))))
       .groupBy(col("band"))
       .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("value"))
@@ -256,7 +275,8 @@ object SkopeQueries {
   val AnomalyZ = 1.5
   def anomalies(spark: SparkSession, dir: String): DataFrame =
     clip(Transforms.zscoreMoving(
-      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean"), 6))
+      zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
+        req(back = 6)), 6))
       .filter(abs(col("zv")) >= AnomalyZ)
       .select(col("band"), Num.roundEps(col("zv"), 6).as("z"),
         (col("zv") > 0).as("is_spike"))
@@ -278,10 +298,11 @@ object SkopeQueries {
       .validate()
 
   /** FeatureCollection: two disjoint shapes, one combined mask
-    * (geometry.py:222-225). */
+    * (geometry.py:222-225). Kept in the low-y rows so the smoke check
+    * at sf0.001 (15 cells) still selects data. */
   val FcShapes: GridFeatureCollection = GridFeatureCollection(Seq(
-    GridPolygon(Seq(Pt(0.4, 9.5), Pt(4.5, 13.4), Pt(0.4, 13.4))),
-    GridPolygon(Seq(Pt(6.2, 10.1), Pt(9.4, 10.1), Pt(9.4, 12.8), Pt(6.2, 12.8)))
+    GridPolygon(Seq(Pt(0.4, 0.1), Pt(2.6, 0.1), Pt(0.4, 1.9))),
+    GridPolygon(Seq(Pt(6.2, 0.1), Pt(9.4, 0.1), Pt(9.4, 1.8), Pt(6.2, 1.8)))
   )).validate()
 
   /** The all_touched cell mask itself: which grid cells a triangle
@@ -295,13 +316,13 @@ object SkopeQueries {
     * main request shape end-to-end (polygon → mask → per-band masked
     * reduction). */
   def polygonZonal(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(cube(spark, dir, DefaultDataset)
+    r6(clip(cube(spark, dir, DefaultDataset, bandRange = req())
       .filter(ZonalPolygon.mask(col("x"), col("y")))
       .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
 
   /** FeatureCollection union mask zonal mean + n_cells, one plan. */
   def featureUnion(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(cube(spark, dir, DefaultDataset)
+    r6(clip(cube(spark, dir, DefaultDataset, bandRange = req())
       .filter(FcShapes.mask(col("x"), col("y")))
       .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
 
@@ -319,7 +340,8 @@ object SkopeQueries {
     import org.apache.spark.sql.expressions.Window
     // the single-cell point series is sparse (bands with no events are
     // absent), so interior gaps genuinely exercise the interpolation
-    val z = clip(pointSeries(spark, dir, DefaultDataset, PointCell))
+    val z = clip(pointSeries(spark, dir, DefaultDataset, PointCell,
+      bandRange = req()))
     val axis = spark.range(ReqLo, ReqHi + 1).select(col("id").as("band"))
     val joined = axis.join(z, Seq("band"), "left")
     val wPrev = Window.orderBy(col("band"))

@@ -24,7 +24,7 @@ object Transforms {
       .withColumn("n_win", count(lit(1)).over(w))
       .filter(col("n_win") === width)
       .withColumn("z", (col("zv") - col("m")) / nullif(col("sd"), lit(0.0)))
-      .select(col("band"), col("z").as("zv"))
+      .select((partition.map(col) :+ col("band") :+ col("z").as("zv")): _*)
   }
 
   /** Fixed-interval z-score: z = (x − mean_ref) / std_pop_ref where the
@@ -38,6 +38,19 @@ object Transforms {
     s.crossJoin(broadcast(stats))
       .withColumn("z", (col("zv") - col("m_ref")) / nullif(col("sd_ref"), lit(0.0)))
       .select(col("band"), col("z").as("zv"))
+  }
+
+  /** Batched fixed-interval z-score: per-key reference stats joined
+    * back (broadcast — one row per selection), so a batch of thousands
+    * of selections stays one distributed plan with no per-selection
+    * driver loop. */
+  def zscoreFixedBatch(s: DataFrame, ref: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val stats = ref.groupBy(keys.map(col): _*).agg(
+      avg(col("zv")).as("m_ref"), stddev_pop(col("zv")).as("sd_ref"))
+    s.join(broadcast(stats), keys)
+      .withColumn("z", (col("zv") - col("m_ref")) / nullif(col("sd_ref"), lit(0.0)))
+      .select((keys.map(col) :+ col("band") :+ col("z").as("zv")): _*)
   }
 
   def zscoreMovingSql(width: Int): String =

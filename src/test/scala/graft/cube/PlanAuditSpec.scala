@@ -1,0 +1,62 @@
+package graft.cube
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression audit: the scale properties the queries
+  * claim (scan pruning, broadcastability, partial aggregation) must be
+  * visible in the plan, not just asserted in comments. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("band clip reaches the events scan as a raw-ts pushed filter") {
+    val plan = formatted(SkopeQueries.zonalMean(spark, sfDir))
+    // the band range is translated to epoch-ns bounds on the physical
+    // long column (Tables.eventsRange), so the parquet scan can prune
+    // row groups on int64 stats
+    assert(plan.contains("PushedFilters"),
+      "no pushed-filter section in the scan node")
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"ts range bound missing from pushed filters: $pushed")
+    assert(pushed.contains("EqualTo(event_type,click)"),
+      s"dataset filter missing from pushed filters: $pushed")
+  }
+
+  test("widened band range still yields exact smoother output at the clip edge") {
+    // maTrailing(3) clipped to [5, 25] needs bands 2..4; the scan bound
+    // is widened to [2, 25], and band 5's smoothed value must equal the
+    // mean of bands 2..4 from an unbounded extraction
+    import org.apache.spark.sql.functions._
+    val full = EventCube.zonalSeries(spark, sfDir,
+        EventCube.DefaultDataset, EventCube.DefaultBBox, "mean")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val smoothed = SkopeQueries.maTrailing(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = (full(2L) + full(3L) + full(4L)) / 3.0
+    assert(math.abs(smoothed(5L) - expected) < 1e-6,
+      s"edge band 5: ${smoothed(5L)} != $expected")
+    assert(smoothed.keySet === (5L to 25L).toSet)
+  }
+
+  test("hourly band bound prunes with hour-resolution arithmetic") {
+    val plan = formatted(SkopeQueries.hourlyZonal(spark, sfDir))
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      s"hourly ts bound not pushed: $pushed")
+  }
+
+  test("polygon mask is a pushable predicate, not a join or UDF") {
+    val plan = formatted(SkopeQueries.polygonZonal(spark, sfDir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Scala UDF"))
+    // mask evaluates inside the scan/filter stage: exactly the same
+    // exchange structure as the bbox zonal (two-level aggregation)
+    def exchanges(p: String) = p.split("\n").count(_.contains("Exchange"))
+    val bboxPlan = formatted(SkopeQueries.zonalMean(spark, sfDir))
+    assert(exchanges(plan) === exchanges(bboxPlan),
+      s"polygon zonal should shuffle like a bbox: ${exchanges(plan)} vs ${exchanges(bboxPlan)}")
+  }
+}
