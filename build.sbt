@@ -23,10 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] with 32 shuffle partitions needs heap headroom or the bench
+// GC-thrashes (measured 5x wall-clock swing at 8g). Size by the host:
+// big boxes get the bench heap, ordinary dev machines a safe default —
+// SPARK_DRIVER_MEM overrides either way.
+val defaultHeap: String = {
+  val hostGb =
+    try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal"))
+        .map(_.replaceAll("[^0-9]", "").toLong / 1048576L)
+        .getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+  if (hostGb >= 96) "48g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with 32 shuffle partitions needs headroom or the bench
-  // GC-thrashes (measured 5x wall-clock swing at 8g); the box has 128g.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )
