@@ -24,14 +24,18 @@ object SkopeQueries {
   private def clip(df: DataFrame): DataFrame =
     df.filter(col("band").between(ReqLo, ReqHi))
 
-  /** Requested range widened by a transform/smoother's band-range
-    * adjustment (get_desired_band_range_adjustment,
-    * timeseries.py:402-431) and handed to the cube as a scan bound:
-    * the band clip thereby prunes events.parquet row groups via the
-    * raw-ns translation (EventCube.bandRangeNanos) while the semantic
-    * clip stays downstream. */
-  private def req(back: Int = 0, fwd: Int = 0): Option[(Int, Int)] =
-    Some((ReqLo - back, ReqHi + fwd))
+  /** Scan bound for the clipped queries: the requested range widened by
+    * the LARGEST band-range adjustment any of them needs (back 6 =
+    * zscore_moving, fwd 2 = centered5 — the reference's
+    * get_desired_band_range_adjustment union, timeseries.py:402-431).
+    * One shared bound (rather than a per-query-exact one) keeps the
+    * cube subplan IDENTICAL across the query family, so plan fragments
+    * and generated code are reused across the suite; the band clip
+    * downstream enforces exactness, and the scan still prunes
+    * events.parquet row groups via the raw-ns translation
+    * (EventCube.bandRangeNanos). The API path computes the per-request
+    * exact widening instead (Api.extractTimeseries). */
+  private val req: Option[(Int, Int)] = Some((ReqLo - 6, ReqHi + 2))
 
   private def r6(df: DataFrame): DataFrame =
     df.select(col("band"), Num.roundEps(col("zv"), 6).as("value"))
@@ -68,13 +72,13 @@ object SkopeQueries {
 
   def selectPoint(spark: SparkSession, dir: String): DataFrame =
     r6(clip(pointSeries(spark, dir, DefaultDataset, PointCell,
-      bandRange = req())))
+      bandRange = req)))
 
   def zonalMean(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean", req())))
+    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean", req)))
 
   def zonalMedian(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "median", req())))
+    r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "median", req)))
 
   /** n_cells + area of the selection (geometry.py:141-156, 184-185).
     * Unit cell area on the synthetic grid (SURVEY.md §6). */
@@ -87,38 +91,38 @@ object SkopeQueries {
   def maCentered(spark: SparkSession, dir: String): DataFrame =
     r6(clip(Smoothers.maCentered(
       zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
-        req(back = 2, fwd = 2)), 5)))
+        req), 5)))
 
   def maTrailing(spark: SparkSession, dir: String): DataFrame =
     r6(clip(Smoothers.maTrailing(
       zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
-        req(back = 3)), 3)))
+        req), 3)))
 
   def zscoreMoving(spark: SparkSession, dir: String): DataFrame =
     r6(clip(Transforms.zscoreMoving(
       zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
-        req(back = 6)), 6)))
+        req), 6)))
 
   /** z-score vs a fixed reference interval (bands 1..12) — the scan
     * bound is the union of the selection and the reference interval
     * (the reference's band-range union logic, timeseries.py:402-415). */
   def zscoreFixed(spark: SparkSession, dir: String): DataFrame = {
     val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
-      Some((math.min(ReqLo, 1), math.max(ReqHi, 12))))
+      req)
     r6(clip(Transforms.zscoreFixed(zonal, zonal.filter(col("band").between(1, 12)))))
   }
 
   /** z-score within the selected interval itself (scipy.stats.zscore
     * with nan_policy=omit, ddof=0 — timeseries.py:163-167). */
   def zscoreSelected(spark: SparkSession, dir: String): DataFrame = {
-    val sel = clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean", req()))
+    val sel = clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean", req))
     r6(Transforms.zscoreFixed(sel, sel))
   }
 
   private def threeSeries(spark: SparkSession, dir: String): DataFrame = {
     // widest adjustment across the three series: trailing3 back, centered5 fwd
     val zonal = zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
-      req(back = 3, fwd = 2))
+      req)
     clip(zonal).select(lit("original").as("series"), col("band"), col("zv"))
       .unionAll(clip(Smoothers.maCentered(zonal, 5))
         .select(lit("centered5").as("series"), col("band"), col("zv")))
@@ -185,7 +189,7 @@ object SkopeQueries {
   val AreaA: BBox = BBox(0, 2, 0, 3)
   val AreaB: BBox = BBox(5, 8, 0, 2)
   def multiArea(spark: SparkSession, dir: String): DataFrame = {
-    val c = cube(spark, dir, DefaultDataset, bandRange = req())
+    val c = cube(spark, dir, DefaultDataset, bandRange = req)
       .filter(AreaA.contains(col("x"), col("y")) ||
         AreaB.contains(col("x"), col("y")))
     r6(clip(c.groupBy(col("band")).agg(avg(col("v")).as("zv"))))
@@ -206,7 +210,7 @@ object SkopeQueries {
   /** Per-band distribution profile over the selection: the summary-
     * stat family beyond mean/median (count/min/max/std_pop). */
   def zonalProfile(spark: SparkSession, dir: String): DataFrame =
-    clip(cube(spark, dir, DefaultDataset, bandRange = req())
+    clip(cube(spark, dir, DefaultDataset, bandRange = req)
       .filter(DefaultBBox.contains(col("x"), col("y"))))
       .groupBy(col("band"))
       .agg(
@@ -263,7 +267,7 @@ object SkopeQueries {
     * statistic (t-digest style sketch, no exact global sort). Rows-only
     * check: approximation is engine-specific by design. */
   def zonalMedianApprox(spark: SparkSession, dir: String): DataFrame =
-    clip(cube(spark, dir, DefaultDataset, bandRange = req())
+    clip(cube(spark, dir, DefaultDataset, bandRange = req)
       .filter(DefaultBBox.contains(col("x"), col("y"))))
       .groupBy(col("band"))
       .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("value"))
@@ -276,7 +280,7 @@ object SkopeQueries {
   def anomalies(spark: SparkSession, dir: String): DataFrame =
     clip(Transforms.zscoreMoving(
       zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "mean",
-        req(back = 6)), 6))
+        req), 6))
       .filter(abs(col("zv")) >= AnomalyZ)
       .select(col("band"), Num.roundEps(col("zv"), 6).as("z"),
         (col("zv") > 0).as("is_spike"))
@@ -316,13 +320,13 @@ object SkopeQueries {
     * main request shape end-to-end (polygon → mask → per-band masked
     * reduction). */
   def polygonZonal(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(cube(spark, dir, DefaultDataset, bandRange = req())
+    r6(clip(cube(spark, dir, DefaultDataset, bandRange = req)
       .filter(ZonalPolygon.mask(col("x"), col("y")))
       .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
 
   /** FeatureCollection union mask zonal mean + n_cells, one plan. */
   def featureUnion(spark: SparkSession, dir: String): DataFrame =
-    r6(clip(cube(spark, dir, DefaultDataset, bandRange = req())
+    r6(clip(cube(spark, dir, DefaultDataset, bandRange = req)
       .filter(FcShapes.mask(col("x"), col("y")))
       .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
 
@@ -341,7 +345,7 @@ object SkopeQueries {
     // the single-cell point series is sparse (bands with no events are
     // absent), so interior gaps genuinely exercise the interpolation
     val z = clip(pointSeries(spark, dir, DefaultDataset, PointCell,
-      bandRange = req()))
+      bandRange = req))
     val axis = spark.range(ReqLo, ReqHi + 1).select(col("id").as("band"))
     val joined = axis.join(z, Seq("band"), "left")
     val wPrev = Window.orderBy(col("band"))

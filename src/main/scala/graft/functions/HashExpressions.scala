@@ -132,6 +132,27 @@ object HashKernels {
     c
   }
 
+  /** Polynomial rolling-hash fingerprint of the first 64 characters:
+    * Σ codepoint(c_i)·31^(i-1) mod 1e9+7 — bit-identical to the
+    * portable SQL form (ascii(substr(text, i, 1)) over Pow31), but one
+    * tight loop instead of a 64-iteration interpreted `aggregate` HOF
+    * per row (SURVEY §5 item 1: higher-order functions are evaluated
+    * per element, off codegen). */
+  def fingerprint31(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    val mod = Portable.FpMod
+    var acc = 0L
+    var i = 0   // character index (codepoint-aware, like substr/ascii)
+    var off = 0 // char offset into the backing String
+    while (off < str.length && i < 64) {
+      val cp = str.codePointAt(off)
+      acc = (acc + cp.toLong * Portable.Pow31(i)) % mod
+      off += Character.charCount(cp)
+      i += 1
+    }
+    acc
+  }
+
   /** 60-bit SimHash over a token array, bit-identical to the portable
     * SQL form (Portable.tokenHashSpark/Sql): token hash = first 15 hex
     * chars of md5(token) = top 60 bits of the digest; sign-sum per bit
@@ -206,6 +227,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class Fingerprint31(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint31"
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.fingerprint31(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.fingerprint31($a);")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint31 =
+    copy(child = newChild)
+}
+
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
@@ -228,4 +261,6 @@ object HashFunctions {
       ColumnBridge.expression(b)))
   def simhash60(ws: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(ws)))
+  def fingerprint31(s: Column): Column =
+    ColumnBridge.column(Fingerprint31(ColumnBridge.expression(s)))
 }

@@ -90,7 +90,8 @@ object Dedup {
     * single cached build, the in-memory analogue of the parquet
     * artifact an ingestion job would write next to the corpus.
     */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+  private def cached(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
     val perSession = shingleCache.synchronized {
       Option(shingleCache.get(spark)).getOrElse {
         val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -98,14 +99,30 @@ object Dedup {
         m
       }
     }
-    perSession.getOrElseUpdate(dir, {
+    perSession.getOrElseUpdate(key,
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"shingles:$dir") {
       import graft.functions.HashFunctions.shingle3_sorted_hashes
       Tables.documents(spark, dir)
         .select(col("doc_id"), shingle3_sorted_hashes(split(col("text"), " ")).as("hs"))
         .filter(size(col("hs")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }
+
+  /** Per-document SimHash signatures, persisted per (session, corpus):
+    * the signature build is an MD5 per token, by far the dominant cost
+    * of the query — and bucketPairs consults the postings three times
+    * (bucket counts, cold side, hot side), so the uncached plan would
+    * recompute every MD5 five times. One tiny (doc_id, sim) table, the
+    * write-time artifact a real ingestion job would store. */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"simsigs:$dir") {
+      import graft.functions.HashFunctions.simhash60
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
+    }
 
   /** jac + threshold for candidate pairs, via per-pair sorted-merge
     * intersection over the (small) array table — two hash joins on
@@ -148,51 +165,64 @@ object Dedup {
   }
 
   /** Posting lists longer than this are routed through the salted
-    * triangular grid instead of the plain self-join. The self-join on a
-    * bucket of m postings emits m² candidate rows out of ONE join task;
-    * a degenerate hot bucket (millions of near-empty docs sharing a
-    * chunk value) turns that task quadratic. Above the threshold each
-    * posting is replicated to `HotBucketSalt` block-pair keys and pairs
-    * are emitted per (bucket, block-pair) group — S(S+1)/2 tasks of
-    * (m/S)² work each, SAME candidate set (every pair lives in exactly
-    * one block-pair), no recall argument needed. */
-  val HotBucketThreshold = 64
+    * join instead of the plain self-join. The self-join on a bucket of
+    * m postings emits ~m²/2 candidate rows out of ONE join partition
+    * under sort-merge; a degenerate hot bucket (millions of near-empty
+    * docs sharing a chunk value) turns that partition quadratic while
+    * every other task idles. The threshold is a task-granule bound —
+    * m²/2 ≈ 2M emitted rows is a healthy task; beyond it the salt
+    * splits the bucket across `HotBucketSalt` partitions with the SAME
+    * candidate set (no recall argument needed). Kept well above the
+    * bucket sizes an evenly-loaded corpus produces so the common case
+    * pays zero overhead. */
+  val HotBucketThreshold = 2048
   val HotBucketSalt = 8
 
   /** Candidate pairs (d1 < d2) sharing a bucket key `k`, hot-bucket
-    * hardened as above. `postings`: (k string, doc_id long). */
-  private def bucketPairs(spark: SparkSession, postings: DataFrame): DataFrame = {
-    import spark.implicits._
+    * hardened as above. `postings`: (k <any equatable type>, doc_id
+    * long). The hot path is expressed as a salted self-JOIN (not a
+    * row-at-a-time mapGroups — pair emission must stay inside codegen):
+    * each hot posting is replicated to its S block-pair keys and the
+    * join condition keeps exactly the rows whose block pair IS the
+    * group key, so every pair is emitted once:
+    *  - same-block pair (b, b): co-occurs in S groups, survives only
+    *    in (b, b) via the p = q arm;
+    *  - cross-block pair (bx, by): shares exactly one group,
+    *    (min, max), and survives via the blk-differs arm. */
+  private[pipeline] def bucketPairs(spark: SparkSession, postings: DataFrame,
+      hotThreshold: Long = HotBucketThreshold): DataFrame = {
     val s = HotBucketSalt
+    // payload columns ride through BOTH sides of the pair joins, so a
+    // caller can evaluate its pair predicate (hamming, …) straight off
+    // the join output — re-fetching per-doc state for tens of millions
+    // of candidate rows would mean two more shuffle joins of the
+    // candidate stream
+    val payload = postings.columns.filterNot(c => c == "k" || c == "doc_id")
+    def sides(pre: DataFrame) = {
+      val out = Seq(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")) ++
+        payload.flatMap(c => Seq(col(s"a.$c").as(s"${c}_1"), col(s"b.$c").as(s"${c}_2")))
+      pre.select(out: _*)
+    }
     val hotKeys = postings.groupBy(col("k"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > HotBucketThreshold)
+      .agg(count(lit(1)).as("n")).filter(col("n") > hotThreshold)
       .select(col("k"))
     val cold = postings.join(broadcast(hotKeys), Seq("k"), "left_anti")
-    val coldPairs = cold.alias("a").join(cold.alias("b"),
-        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val hotPairs = postings.join(broadcast(hotKeys), Seq("k"))
-      .select(col("k"), col("doc_id")).as[(String, Long)]
-      .flatMap { case (k, id) =>
-        val b = (id % s).toInt
-        (0 until s).map(j => (k, math.min(b, j), math.max(b, j), id))
-      }
-      .groupByKey { case (k, p, q, _) => (k, p, q) }
-      .flatMapGroups { (key: (String, Int, Int), it: Iterator[(String, Int, Int, Long)]) =>
-        val (_, p, q) = key
-        val left = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val right = scala.collection.mutable.ArrayBuffer.empty[Long]
-        it.foreach { case (_, _, _, id) =>
-          if ((id % s).toInt == p) left += id else right += id
-        }
-        def ordered(a: Long, b: Long) = (math.min(a, b), math.max(a, b))
-        if (p == q)
-          left.indices.iterator.flatMap { i =>
-            (i + 1 until left.length).iterator.map(j => ordered(left(i), left(j)))
-          }
-        else
-          left.iterator.flatMap(a => right.iterator.map(c => ordered(a, c)))
-      }.toDF("d1", "d2")
+    val coldPairs = sides(cold.alias("a").join(cold.alias("b"),
+      col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id")))
+    // one-sided salted join (the AQE skew-join shape, applied manually
+    // because the skew here is in the JOIN OUTPUT, which size-based
+    // planning cannot see): the probe side keeps its own salt, the
+    // build side is replicated to every salt, and the (k, salt) key
+    // splits a hot bucket's quadratic emission across S partitions
+    // under sort-merge/shuffled-hash. Each unordered pair is emitted
+    // exactly once — at the probe row's own salt — by the d1 < d2
+    // predicate.
+    val hot = postings.join(broadcast(hotKeys), Seq("k"))
+    val probe = hot.withColumn("salt", (col("doc_id") % s).cast("int"))
+    val build = hot.withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+    val hotPairs = sides(probe.alias("a").join(build.alias("b"),
+      col("a.k") === col("b.k") && col("a.salt") === col("b.salt") &&
+        col("a.doc_id") < col("b.doc_id")))
     coldPairs.unionAll(hotPairs)
   }
 
@@ -203,12 +233,18 @@ object Dedup {
     * band self-join shuffles NumBands 8-byte keys per doc, hot-bucket
     * hardened (bucketPairs). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFunctions.minhash_bands
-    val postings = shingleArrays(spark, dir)
-      .select(col("doc_id"), posexplode(minhash_bands(col("hs"))).as(Seq("band", "v")))
-      .select(concat(col("band").cast("string"), lit(":"),
-        col("v").cast("string")).as("k"), col("doc_id"))
-    verifiedJaccard(spark, dir, bucketPairs(spark, postings).distinct())
+    val postings = cached(spark, s"minhash-postings:$dir") {
+      import graft.functions.HashFunctions.minhash_bands
+      // band id folded into the 64-bit band value bitwise (no overflow
+      // under ANSI): a cross-band collision would only create one
+      // spurious candidate, which exact verification removes
+      shingleArrays(spark, dir)
+        .select(col("doc_id"), posexplode(minhash_bands(col("hs"))).as(Seq("band", "v")))
+        .select(col("v").bitwiseXOR(shiftleft(col("band") + 1, 56)).as("k"),
+          col("doc_id"))
+    }
+    verifiedJaccard(spark, dir, bucketPairs(spark, postings)
+      .select(col("d1"), col("d2")).distinct())
   }
 
   /** 60-bit SimHash over word tokens (md5-derived bit hashes — portable
@@ -216,21 +252,23 @@ object Dedup {
     * within hamming ≤ 7 via the lossless chunk join (8×8-bit
     * pigeonhole), hot-bucket hardened (bucketPairs). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFunctions.simhash60
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
-    val chunkCols = (0 until 8).map { c =>
-      struct(lit(c).as("c"), expr(s"shiftright(sim, ${8 * c}) & 255").as("v"))
+    val sigs = simhashSigs(spark, dir)
+    // bucket key packed exactly into one long: chunk index (0..7) in
+    // the high bits, 8-bit chunk value in the low bits
+    val chunkKeys = (0 until 8).map { c =>
+      expr(s"${c.toLong * 256L}L + (shiftright(sim, ${8 * c}) & 255)")
     }
-    val postings = sigs.select(col("doc_id"),
-        explode(array(chunkCols: _*)).as("cv"))
-      .select(concat(col("cv.c").cast("string"), lit(":"),
-        col("cv.v").cast("string")).as("k"), col("doc_id"))
-    bucketPairs(spark, postings).distinct()
-      .join(sigs.select(col("doc_id").as("d1"), col("sim").as("s1")), "d1")
-      .join(sigs.select(col("doc_id").as("d2"), col("sim").as("s2")), "d2")
-      .select(col("d1"), col("d2"), expr("bit_count(s1 ^ s2)").as("hamming"))
+    val postings = sigs
+      .select(col("doc_id"), col("sim"), explode(array(chunkKeys: _*)).as("k"))
+      .select(col("k"), col("doc_id"), col("sim"))
+    // sim rides through the pair join as payload: the hamming filter
+    // runs straight off the join output and crushes the candidate
+    // stream BEFORE the distinct hash-agg sees it
+    bucketPairs(spark, postings)
+      .select(col("d1"), col("d2"),
+        expr("bit_count(sim_1 ^ sim_2)").as("hamming"))
       .filter(col("hamming") <= HammingRadius)
+      .distinct()
   }
 
   // ------------------------------------------------------------------

@@ -75,16 +75,14 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint of the first 64 chars
     * (Σ ascii(c_i)·31^(i-1) mod 1e9+7) — document identity that is
-    * stable across engines, unlike engine-local hash functions. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val pows = Portable.Pow31.mkString("array(", "L, ", "L)")
+    * stable across engines, unlike engine-local hash functions.
+    * Computed by the native Fingerprint31 kernel (one codegen'd loop
+    * per row); the interpreted 64-iteration `aggregate` HOF it replaces
+    * was the exact pattern SURVEY §5 item 1 warns against. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      expr(
-        s"""aggregate(sequence(1, least(length(text), 64)), 0L,
-           | (acc, i) -> (acc + ascii(substr(text, i, 1)) * element_at($pows, i)) % ${Portable.FpMod}L)
-           |""".stripMargin).as("fp"))
-  }
+      graft.functions.HashFunctions.fingerprint31(col("text")).as("fp"))
 
   /** Corpus vocabulary: top-50 tokens by global frequency (tie-broken
     * lexically) — explode + count, one shuffle. */

@@ -3,22 +3,27 @@ package graft.pipeline
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Adversarial hot-bucket corpus (judge round-1 item 10): hundreds of
-  * near-identical documents collapse into the same SimHash chunks and
-  * MinHash bands, so every posting list blows past HotBucketThreshold
-  * and candidate generation runs through the salted triangular grid.
-  * The output must be IDENTICAL to the unbucketed ground truth — the
-  * hardening is a parallelism fix, not an approximation. */
+/** Adversarial hot-bucket coverage (judge round-1 item 10): hundreds of
+  * near-identical documents collapse into shared SimHash chunks and
+  * MinHash bands. The salted hot path must produce the IDENTICAL
+  * candidate set as a plain self-join — the hardening is a parallelism
+  * fix, not an approximation. Production HotBucketThreshold is a
+  * task-granule bound (2048 ≈ 2M emitted pairs per task), so the hot
+  * machinery is driven here directly with a low threshold, and the
+  * public queries are checked end-to-end against exhaustive ground
+  * truth on the same corpus. */
 class SkewSpec extends SparkSpec {
+
+  private val NearIdentical = 200
 
   private lazy val skewDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
-    val docs = (0 until 220).map { i =>
-      // 200 near-identical docs (one token varies) + 20 distinct docs
+    val docs = (0 until NearIdentical + 20).map { i =>
+      // near-identical cluster (one token varies) + 20 distinct docs
       val text =
-        if (i < 200) s"$base variant token$i"
+        if (i < NearIdentical) s"$base variant token$i"
         else s"totally different document number $i with its own words " +
           s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
       (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
@@ -28,19 +33,40 @@ class SkewSpec extends SparkSpec {
     dir
   }
 
-  test("the adversarial corpus actually produces hot buckets") {
+  private def postings = {
     import graft.functions.HashFunctions.simhash60
-    val sigs = graft.Tables.documents(spark, skewDir)
+    graft.Tables.documents(spark, skewDir)
       .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
-    val maxBucket = sigs
-      .select(explode(array((0 until 8).map(c =>
-        expr(s"shiftright(sim, ${8 * c}) & 255")): _*)).as("v"), col("sim"))
-      .groupBy(col("v")).count().agg(max("count")).head().getLong(0)
-    assert(maxBucket > Dedup.HotBucketThreshold,
+      .select(col("doc_id"), col("sim"),
+        explode(array((0 until 8).map(c =>
+          expr(s"${c.toLong * 256L}L + (shiftright(sim, ${8 * c}) & 255)")): _*)).as("k"))
+      .select(col("k"), col("doc_id"), col("sim"))
+  }
+
+  test("the adversarial corpus produces buckets past the test threshold") {
+    val maxBucket = postings.groupBy(col("k")).count().agg(max("count"))
+      .head().getLong(0)
+    assert(maxBucket >= NearIdentical,
       s"corpus not adversarial enough: max bucket $maxBucket")
   }
 
-  test("simhash over hot buckets equals the exhaustive ground truth") {
+  test("salted hot path emits the identical candidate set as a plain self-join") {
+    val plain = postings.alias("a").join(postings.alias("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // threshold 32 → every cluster bucket is hot → salted join path
+    val salted = Dedup.bucketPairs(spark, postings, hotThreshold = 32L)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: same pairs with the same multiplicities
+    // (per-bucket emission, pre-distinct)
+    assert(salted.groupBy(identity).view.mapValues(_.length).toMap ===
+      plain.groupBy(identity).view.mapValues(_.length).toMap)
+    assert(plain.nonEmpty)
+  }
+
+  test("simhash over the skewed corpus equals the exhaustive ground truth") {
     import graft.functions.HashFunctions.simhash60
     val sigs = graft.Tables.documents(spark, skewDir)
       .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
@@ -56,7 +82,7 @@ class SkewSpec extends SparkSpec {
     assert(got === truth)
   }
 
-  test("minhash LSH over hot buckets equals the exhaustive jaccard result") {
+  test("minhash LSH over the skewed corpus equals the exhaustive jaccard result") {
     val truth = Dedup.ngramJaccard(spark, skewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = Dedup.minhashLsh(spark, skewDir)
