@@ -287,19 +287,22 @@ object Api {
       Num.roundEps(percentile(col("value"), lit(0.5)), 6).as("median"),
       Num.roundEps(stddev_pop(col("value")), 6).as("stdev"))
 
+    // n_cells + geodesic (WGS84) area of the selection — the area field
+    // is computed from per-latitude-row ellipsoidal cell areas like the
+    // reference's pyproj.Geod arithmetic (geometry.py:62-71, 141-156)
+    def cellsOf(mask: Column): DataFrame =
+      EventCube.cube(spark, dir, req.datasetId).filter(mask)
+        .select(col("user_id"), col("y")).distinct()
+        .agg(count(lit(1)).as("n_cells"),
+          sum(Geometry.Geo.cellArea(col("y"))).as("area"))
     val selection = req.selectedArea match {
-      case PointArea(_) =>
-        spark.range(1).select(lit(1L).as("n_cells"), lit(1.0).as("area"))
+      case PointArea(cell) =>
+        spark.range(1).select(lit(1L).as("n_cells"),
+          lit(Geometry.Geo.cellAreaM2((cell / EventCube.GridWidth).toInt)).as("area"))
       case BBoxArea(x0, x1, y0, y1) =>
-        EventCube.cube(spark, dir, req.datasetId)
-          .filter(EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y")))
-          .agg(countDistinct(col("user_id")).as("n_cells"))
-          .withColumn("area", col("n_cells").cast("double"))
+        cellsOf(EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y")))
       case _: PolygonArea | _: FeatureCollectionArea =>
-        EventCube.cube(spark, dir, req.datasetId)
-          .filter(polyShapes.get.mask(col("x"), col("y")))
-          .agg(countDistinct(col("user_id")).as("n_cells"))
-          .withColumn("area", col("n_cells").cast("double"))
+        cellsOf(polyShapes.get.mask(col("x"), col("y")))
     }
 
     TimeseriesResult(series, stats, selection)

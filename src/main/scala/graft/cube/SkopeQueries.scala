@@ -324,6 +324,18 @@ object SkopeQueries {
       .filter(ZonalPolygon.mask(col("x"), col("y")))
       .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
 
+  /** n_cells + geodesic (WGS84) area of a polygon selection — the
+    * reference's `area` response field (geometry.py:141-156,
+    * pyproj.Geod), via per-latitude-row ellipsoidal cell areas
+    * precomputed at plan build (Geometry.Geo). Sum rounded to 3 dp to
+    * absorb FP associativity across engines (SURVEY §4). */
+  def geodesicArea(spark: SparkSession, dir: String): DataFrame =
+    cube(spark, dir, DefaultDataset)
+      .filter(ZonalPolygon.mask(col("x"), col("y")))
+      .select(col("user_id"), col("y")).distinct()
+      .agg(count(lit(1)).as("n_cells"),
+        Num.roundEps(sum(Geometry.Geo.cellArea(col("y"))), 3).as("area_m2"))
+
   /** FeatureCollection union mask zonal mean + n_cells, one plan. */
   def featureUnion(spark: SparkSession, dir: String): DataFrame =
     r6(clip(cube(spark, dir, DefaultDataset, bandRange = req)
@@ -402,6 +414,12 @@ object SkopeQueries {
          |  SELECT band, avg(v) AS zv FROM cube
          |  WHERE ${FcShapes.maskSql()}
          |  GROUP BY band) z WHERE $clipSql""".stripMargin),
+    "skope_geodesic_area" -> withCube(
+      s""", cells AS (SELECT DISTINCT user_id, y FROM cube
+         |  WHERE ${ZonalPolygon.maskSql()})
+         |SELECT count(*) AS n_cells,
+         |  round((sum(${Geometry.Geo.cellAreaSql()})) + 1e-9, 3) AS area_m2
+         |FROM cells""".stripMargin),
     "skope_anomalies" -> withZonal("mean",
       s"""SELECT band, round(zv + 1e-9, 6) AS z, zv > 0 AS is_spike FROM (
          |  ${Transforms.zscoreMovingSql(6)}
@@ -576,6 +594,7 @@ object SkopeQueries {
     "skope_polygon_zonal" -> (polygonZonal _),
     "skope_feature_union" -> (featureUnion _),
     "skope_monthly_zonal" -> (monthlyZonal _),
-    "skope_quantiles_approx" -> (quantilesApprox _)
+    "skope_quantiles_approx" -> (quantilesApprox _),
+    "skope_geodesic_area" -> (geodesicArea _)
   )
 }

@@ -166,6 +166,22 @@ class ApiSpec extends SparkSpec {
     val res = extractTimeseries(spark, sfDir,
       baseReq.copy(selectedArea = PointArea(12L)))
     val sel = res.selection.collect().head
-    assert(sel.getLong(0) == 1L && sel.getDouble(1) == 1.0)
+    // area = geodesic m² of the cell's 1° row (cell 12 sits in row 1)
+    assert(sel.getLong(0) == 1L)
+    assert(sel.getDouble(1) === graft.cube.Geometry.Geo.cellAreaM2(1))
+  }
+
+  test("selection area is the geodesic sum of its cells' row areas") {
+    import graft.cube.Geometry.Geo
+    val res = extractTimeseries(spark, sfDir,
+      baseReq.copy(selectedArea = BBoxArea(0, 9, 0, 1)))
+    val sel = res.selection.collect().head
+    val n = sel.getLong(0)
+    assert(n > 10, "sf0.001 has both full rows populated")
+    // cells live in rows 0 and 1; the area must be a sum of those two
+    // row areas with the right multiplicities
+    val expected = (0 until 10).map(_ => Geo.cellAreaM2(0)).sum +
+      (0 until (n - 10).toInt).map(_ => Geo.cellAreaM2(1)).sum
+    assert(math.abs(sel.getDouble(1) - expected) < 1e-3)
   }
 }

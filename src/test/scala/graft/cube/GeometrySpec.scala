@@ -124,6 +124,32 @@ class GeometrySpec extends AnyFunSuite {
     assert(SkopeQueries.MaskPolygon.interiorIntersectsGrid())
   }
 
+  test("geodesic cell areas match WGS84 magnitudes and ordering") {
+    import Geometry.Geo
+    // a 1-degree cell at ~45N is ~8.7e9 m^2 (textbook value)
+    val mid = Geo.cellAreaM2(5) // row 5 spans 44..45N
+    assert(mid > 8.0e9 && mid < 9.5e9, s"implausible cell area $mid")
+    // moving south from 50N toward the equator, cells grow
+    (1 until Geometry.GridHeight).foreach { y =>
+      assert(Geo.cellAreaM2(y) > Geo.cellAreaM2(y - 1))
+    }
+    // whole-earth consistency: summing 360 lon-degrees x 180 rows of
+    // 1-degree zones reproduces the WGS84 authalic surface area
+    val earth = (0 until 180).map { i =>
+      val ulLat = 90.0 - i
+      // reuse the row formula by shifting the grid origin
+      val a = Geo.Wgs84A; val e = Geo.Wgs84E
+      def zone(lat: Double) = {
+        val s = math.sin(math.toRadians(lat))
+        math.Pi * a * a * (1 - e * e) *
+          (s / (1 - e * e * s * s) + math.log((1 + e * s) / (1 - e * s)) / (2 * e)) / 360.0
+      }
+      math.abs(zone(ulLat) - zone(ulLat - 1)) * 360.0
+    }.sum
+    assert(math.abs(earth - 5.1006e14) / 5.1006e14 < 1e-3,
+      s"earth surface area off: $earth")
+  }
+
   test("oracle SQL emission round-trips the same constants") {
     val sql = SkopeQueries.MaskPolygon.maskSql()
     // convex triangle: one SAT conjunction, 10 comparisons
