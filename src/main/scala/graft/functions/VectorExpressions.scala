@@ -85,6 +85,51 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Int8 scalar-quantization stats: for a vector v, scale = 127 /
+  * max|v_i| and the reconstruction MSE of q_i = floor(v_i·scale + 0.5)
+  * (floor-based rounding — bit-identical in every engine, unlike
+  * round-half-even vs half-away). Returns [scale, mse]; the write-time
+  * reduction of an int8-quantized ANN index. One primitive loop via
+  * a shared static kernel (eval + codegen, HashKernels pattern). */
+object QuantKernel {
+  def stats(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(x.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      val q = math.floor(v * scale + 0.5)
+      val r = if (scale == 0.0) 0.0 else q / scale
+      val d = v - r
+      sse += d * d
+      i += 1
+    }
+    val mse = if (n == 0) 0.0 else sse / n
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(scale, mse))
+  }
+}
+
+case class QuantizeStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quantize_stats"
+  override def nullSafeEval(a: Any): Any =
+    QuantKernel.stats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.QuantKernel.stats($a);")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. Inputs must be
     * array<double> (cast float embeddings first). */
@@ -94,4 +139,7 @@ object VectorFunctions {
 
   def l2_norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+
+  def quantize_stats(a: Column): Column =
+    ColumnBridge.column(QuantizeStats(ColumnBridge.expression(a)))
 }

@@ -271,6 +271,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified
+    * minhash-LSH pair graph, labels = min doc_id per component — the
+    * canonical-election step a real dedup pipeline runs after pair
+    * generation (keep one doc per cluster, drop the rest).
+    *
+    * Spark-side this is iterative min-label propagation: each round a
+    * node takes the min of its own and its neighbors' labels, until a
+    * fixpoint (≤ graph diameter rounds; near-dup clusters are
+    * tiny-diameter by construction). Each round is one broadcast-or-
+    * shuffle join + agg — the standard large-graph CC shape; labels
+    * are persisted per round and the loop is driver-side control flow
+    * only (no data to the driver beyond the 1-row convergence count).
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2")).persist()
+    val edges = pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      val changed = prop.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = prop
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------------
 
   private val shingleSql =
@@ -318,7 +356,24 @@ object Dedup {
        |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingRadius""".stripMargin
   }
 
+  /** CC oracle: recursive reachability min over the same verified pair
+    * graph (DuckDB recursive CTE — UNION dedup guarantees
+    * termination). */
+  private val clustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT d1, d2 FROM ($jaccardSql) j),
+       |edges AS (
+       |  SELECT d1 AS s, d2 AS t FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersSql,
     "dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
@@ -333,6 +388,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _)
+    "dedup_simhash" -> (simhash _),
+    "dedup_clusters" -> (clusters _)
   )
 }

@@ -83,7 +83,36 @@ object EventOps {
       .select(col("event_type"), (col("r0") + 1).cast("long").as("rank"),
         col("e.id").as("user_id"), col("e.score").cast("long").as("cnt"))
 
+  /** Cohort retention: users grouped by first-activity day, counted per
+    * day-offset of return — the engagement matrix every event store
+    * derives. Two hash aggregations (first-day per user, then the
+    * cohort matrix) — both partial-agg map-side, shuffles on user_id
+    * then (cohort, offset); no window, no self-join. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .join(firsts, "user_id")
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN firsts f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_topk_users" ->
       """SELECT event_type, rank, user_id, cnt FROM (
         |  SELECT event_type, user_id, count(*) AS cnt,
@@ -133,6 +162,7 @@ object EventOps {
     "events_sessionize" -> (sessionize _),
     "events_asof_click" -> (asofClick _),
     "events_hourly_rollup" -> (hourlyRollup _),
-    "events_topk_users" -> (topkUsers _)
+    "events_topk_users" -> (topkUsers _),
+    "events_retention" -> (retention _)
   )
 }

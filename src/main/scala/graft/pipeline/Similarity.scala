@@ -165,6 +165,19 @@ object Similarity {
         col("e.id").as("vec_id"), col("e.score").as("cos"))
   }
 
+  /** Int8 scalar quantization stats per vector — the write-time
+    * compression pass of a quantized ANN index: per-vector scale
+    * (127 / max|v|) and reconstruction MSE, via the native
+    * QuantizeStats kernel (one codegen'd loop per row; floor-based
+    * rounding so the arithmetic is bit-identical across engines). */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize_stats(col("v")).as("qs"))
+      .select(col("vec_id"),
+        Num.roundEps(col("qs").getItem(0), 6).as("scale"),
+        Num.roundEps(col("qs").getItem(1), 6).as("mse"))
+
   /** Per-label centroid vectors (elementwise mean) — the K-means-style
     * reduction a real IVF index builds at write time. posexplode +
     * groupBy(label, pos): one shuffle, map-side partial agg. */
@@ -208,13 +221,32 @@ object Similarity {
          |  round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) AS cos
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) >= $CosineThreshold"""
-        .stripMargin
+        .stripMargin,
+    // mirror of QuantKernel.stats: same floor-based rounding, same
+    // index-order summation, explicit d*d (not pow) for bit identity
+    "emb_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vv,
+        |    127.0 / list_max(list_transform(vv, x -> abs(x))) AS scale
+        |  FROM v)
+        |SELECT vec_id,
+        |  round(scale + 1e-9, 6) AS scale,
+        |  round((list_sum(list_transform(vv,
+        |      x -> (x - floor(x * scale + 0.5) / scale)
+        |         * (x - floor(x * scale + 0.5) / scale)))
+        |    / len(vv)) + 1e-9, 6) AS mse
+        |FROM m""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "dedup_embedding" -> (embeddingPairs _),
     "ann_ivf" -> (annIvf _),
-    "emb_centroids" -> (centroids _)
+    "emb_centroids" -> (centroids _),
+    "emb_quantize" -> (embQuantize _)
   )
 }
