@@ -289,8 +289,15 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // init = one propagation step already applied (min of self and
+    // direct neighbors): near-dup clusters are cliques in practice, so
+    // most components converge at init and the loop runs once to
+    // confirm the fixpoint
+    var labels = edges
+      .select(col("src").as("id"), col("dst").as("label"))
+      .unionAll(edges.select(col("src").as("id"), col("src").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+      .persist()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
