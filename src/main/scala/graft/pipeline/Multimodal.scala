@@ -70,6 +70,44 @@ object Multimodal {
         graft.Num.roundEps(col("v"), 6).as("feat"))
   }
 
+  /** Frame stride for the video-style sampling pass. */
+  val FrameBytes = 4
+  val NFrames = 12
+  val FrameStride = 3
+
+  /** Video-style frame sampling over a binary payload: the payload (48
+    * deterministic bytes = three md5 blocks of the doc text) is treated
+    * as `NFrames` fixed-size frames; every `FrameStride`-th frame is
+    * sliced out of the BINARY column (map-side explode + substring —
+    * the real plumbing a frame-decode stage feeds) and digested. The
+    * per-frame digest runs over the frame's hex form because the oracle
+    * engine's md5 is VARCHAR-only; the slicing itself is byte-level. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(unhex(md5(col("text"))),
+          unhex(md5(concat(col("text"), lit("a")))),
+          unhex(md5(concat(col("text"), lit("b"))))).as("payload"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), lit(NFrames - 1), lit(FrameStride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        lower(hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")))
+          .as("frame_hex"))
+      .withColumn("frame_digest", md5(col("frame_hex")))
+
+  private val frameSampleSql = {
+    val idxs = (0 until NFrames by FrameStride).mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  substring(hexstr, frame_idx * ${2 * FrameBytes} + 1, ${2 * FrameBytes}) AS frame_hex,
+       |  md5(substring(hexstr, frame_idx * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) AS frame_digest
+       |FROM (
+       |  SELECT doc_id,
+       |    md5(text) || md5(text || 'a') || md5(text || 'b') AS hexstr,
+       |    unnest($idxs) AS frame_idx
+       |  FROM documents)""".stripMargin
+  }
+
   /** The oracles re-derive the same bytes arithmetically from the md5
     * hex — validating that the JVM byte-level decode path and schema
     * survived intact. */
@@ -89,11 +127,13 @@ object Multimodal {
          |    unnest(CAST(generate_series(1, 16) AS BIGINT[])) AS pos,
          |    unnest($exprs) AS v
          |  FROM documents)""".stripMargin
-    }
+    },
+    "mm_frame_sample" -> frameSampleSql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
-    "mm_features" -> (features _)
+    "mm_features" -> (features _),
+    "mm_frame_sample" -> (frameSample _)
   )
 }
