@@ -1,0 +1,152 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.cube.EventCube
+import Api._
+
+/** JSON request parsing — the reference's wire format
+  * (timeseries/app/schemas/timeseries.py TimeseriesRequest +
+  * geojson_pydantic geometries; acceptance shapes under
+  * timeseries/data/requests/), so a skope-api client's request
+  * body drives this engine unchanged. Geometry coordinates are in the
+  * grid's CRS (the documented geo-transform, Geometry.Geo): a request
+  * against the real service uses lon/lat the same way against its
+  * raster transform.
+  *
+  * Jackson (already on the Spark classpath) does the tree parsing; the
+  * result is the same typed TimeseriesRequest the programmatic API
+  * uses, so all validation (polygon validity, bounds, budget, variable
+  * and range checks) happens in extractTimeseries exactly once.
+  */
+object RequestJson {
+
+  private val mapper = new ObjectMapper()
+
+  final case class RequestParseError(msg: String)
+    extends RuntimeException(s"malformed timeseries request: $msg")
+
+  def parse(json: String): TimeseriesRequest = {
+    val root =
+      try mapper.readTree(json)
+      catch { case e: Exception => throw RequestParseError(e.getMessage) }
+    def req(name: String): JsonNode = {
+      val n = root.get(name)
+      if (n == null) throw RequestParseError(s"missing field $name")
+      n
+    }
+    val resolution = Option(root.get("resolution")).map(_.asText("day"))
+      .getOrElse("day") match {
+      case "day" => EventCube.Daily
+      case "hour" => EventCube.Hourly
+      case "month" => EventCube.Monthly
+      case other => throw RequestParseError(s"unsupported resolution $other")
+    }
+    val bandRange = Option(root.get("band_range")) match {
+      case Some(br) if br.isArray && br.size == 2 =>
+        (br.get(0).asInt, br.get(1).asInt)
+      case Some(_) => throw RequestParseError("band_range must be [lo, hi]")
+      case None => availableBandsFor(resolution)
+    }
+    TimeseriesRequest(
+      datasetId = req("dataset_id").asText,
+      variableId = Option(root.get("variable_id")).map(_.asText)
+        .getOrElse("value"),
+      selectedArea = parseGeometry(req("selected_area")),
+      zonalStatistic = Option(root.get("zonal_statistic")).map(_.asText)
+        .getOrElse("mean") match {
+        case "mean" => ZonalMean
+        case "median" => ZonalMedian
+        case other => throw RequestParseError(s"unknown zonal_statistic $other")
+      },
+      transform = parseTransform(Option(root.get("transform"))),
+      requestedSeriesOptions = parseSeries(Option(root.get("requested_series_options"))),
+      bandRange = bandRange,
+      resolution = resolution)
+  }
+
+  /** GeoJSON geometry → SelectedArea (Point / Polygon / Feature /
+    * FeatureCollection — geometry.py:61-225's accepted types). */
+  def parseGeometry(g: JsonNode): SelectedArea = {
+    def ring(coords: JsonNode): Seq[(Double, Double)] = {
+      if (!coords.isArray) throw RequestParseError("polygon ring must be an array")
+      (0 until coords.size).map { i =>
+        val p = coords.get(i)
+        (p.get(0).asDouble, p.get(1).asDouble)
+      }
+    }
+    def polygonRings(geom: JsonNode): Seq[(Double, Double)] = {
+      val cs = geom.get("coordinates")
+      if (cs == null || !cs.isArray || cs.size < 1)
+        throw RequestParseError("Polygon needs a coordinates array")
+      // exterior ring only (hole-free, like the reference fixtures)
+      ring(cs.get(0))
+    }
+    Option(g.get("type")).map(_.asText) match {
+      case Some("Point") =>
+        val c = g.get("coordinates")
+        if (c == null || c.size < 2) throw RequestParseError("Point needs [x, y]")
+        val (px, py) = (c.get(0).asDouble, c.get(1).asDouble)
+        PointArea(math.floor(py).toLong * EventCube.GridWidth + math.floor(px).toLong)
+      case Some("Polygon") => PolygonArea(polygonRings(g))
+      case Some("Feature") =>
+        val geom = g.get("geometry")
+        if (geom == null) throw RequestParseError("Feature needs a geometry")
+        parseGeometry(geom) match {
+          case p: PolygonArea => p
+          case p: PointArea => p
+          case _ => throw RequestParseError("unsupported Feature geometry")
+        }
+      case Some("FeatureCollection") =>
+        val fs = g.get("features")
+        if (fs == null || !fs.isArray || fs.size == 0)
+          throw RequestParseError("FeatureCollection needs features")
+        FeatureCollectionArea((0 until fs.size).map { i =>
+          val geom = fs.get(i).get("geometry")
+          if (geom == null) throw RequestParseError("Feature needs a geometry")
+          polygonRings(geom)
+        })
+      case other =>
+        throw RequestParseError(s"unsupported geometry type $other")
+    }
+  }
+
+  private def parseTransform(t: Option[JsonNode]): Transform = t match {
+    case None => NoTransform
+    case Some(n) => Option(n.get("type")).map(_.asText) match {
+      case None | Some("NoTransform") => NoTransform
+      case Some("ZScoreMovingInterval") =>
+        ZScoreMovingInterval(Option(n.get("width")).map(_.asInt)
+          .getOrElse(throw RequestParseError("ZScoreMovingInterval needs width")))
+      case Some("ZScoreFixedInterval") =>
+        ZScoreFixedInterval(Option(n.get("band_range")).map(br =>
+          (br.get(0).asInt, br.get(1).asInt)))
+      case Some(other) => throw RequestParseError(s"unknown transform $other")
+    }
+  }
+
+  private def parseSeries(s: Option[JsonNode]): Seq[SeriesOptions] = s match {
+    case None => Seq(SeriesOptions("original", NoSmoother))
+    case Some(arr) =>
+      if (!arr.isArray || arr.size == 0)
+        throw RequestParseError("requested_series_options must be a non-empty array")
+      (0 until arr.size).map { i =>
+        val n = arr.get(i)
+        val name = Option(n.get("name")).map(_.asText)
+          .getOrElse(throw RequestParseError("series option needs a name"))
+        val sm = Option(n.get("smoother")).map { m =>
+          Option(m.get("type")).map(_.asText) match {
+            case None | Some("NoSmoother") => NoSmoother
+            case Some("MovingAverageSmoother") =>
+              val method = Option(m.get("method")).map(_.asText)
+                .getOrElse(throw RequestParseError("smoother needs a method"))
+              val width = Option(m.get("width")).map(_.asInt)
+                .getOrElse(throw RequestParseError("smoother needs a width"))
+              MovingAverageSmoother(centered = method == "centered", width)
+            case Some(other) => throw RequestParseError(s"unknown smoother $other")
+          }
+        }.getOrElse(NoSmoother)
+        SeriesOptions(name, sm)
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.api
+
+import graft.SparkSpec
+import Api._
+import RequestJson.{parse, RequestParseError}
+
+/** Wire-format parsing shaped like the reference's request fixtures
+  * (under timeseries/data/requests/) — a skope-api client's JSON body
+  * drives the engine end-to-end. */
+class RequestJsonSpec extends SparkSpec {
+
+  test("a v2-shaped polygon request parses and extracts end-to-end") {
+    val json =
+      """{
+        |  "resolution": "day",
+        |  "dataset_id": "click",
+        |  "variable_id": "value",
+        |  "band_range": [5, 25],
+        |  "selected_area": {
+        |    "type": "Polygon",
+        |    "coordinates": [[[0.2, 0.2], [8.5, 0.2], [4.0, 1.8], [0.2, 0.2]]]
+        |  },
+        |  "zonal_statistic": "mean",
+        |  "transform": { "type": "NoTransform" },
+        |  "requested_series_options": [
+        |    { "name": "original", "smoother": { "type": "NoSmoother" } },
+        |    { "name": "smoothed",
+        |      "smoother": { "type": "MovingAverageSmoother",
+        |                    "method": "trailing", "width": 3 } }
+        |  ]
+        |}""".stripMargin
+    val req = parse(json)
+    assert(req.datasetId === "click")
+    assert(req.bandRange === (5, 25))
+    assert(req.requestedSeriesOptions.map(_.name) === Seq("original", "smoothed"))
+    assert(req.requestedSeriesOptions(1).smoother ===
+      MovingAverageSmoother(centered = false, 3))
+    val res = extractTimeseries(spark, sfDir, req)
+    assert(res.series.count() > 0)
+    assert(res.selection.collect().head.getLong(0) > 1)
+  }
+
+  test("Point coordinates map to the containing cell like dataset.index") {
+    val req = parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.7, 1.2]}}"""
+        .stripMargin)
+    assert(req.selectedArea === PointArea(12L)) // floor(1.2)*10 + floor(2.7)
+    assert(req.bandRange === availableBandsFor(graft.cube.EventCube.Daily))
+  }
+
+  test("Feature and FeatureCollection geometries parse") {
+    val feature = parse(
+      """{"dataset_id": "click", "selected_area": {
+        |  "type": "Feature", "properties": {},
+        |  "geometry": {"type": "Polygon",
+        |    "coordinates": [[[0.1, 0.1], [1.9, 0.1], [1.0, 1.9]]]}}}"""
+        .stripMargin)
+    assert(feature.selectedArea.isInstanceOf[PolygonArea])
+    val fc = parse(
+      """{"dataset_id": "click", "selected_area": {
+        |  "type": "FeatureCollection", "features": [
+        |   {"type": "Feature", "geometry": {"type": "Polygon",
+        |     "coordinates": [[[0.1, 0.1], [1.9, 0.1], [1.0, 1.9]]]}},
+        |   {"type": "Feature", "geometry": {"type": "Polygon",
+        |     "coordinates": [[[6.2, 0.1], [9.4, 0.1], [9.4, 1.8], [6.2, 1.8]]]}}
+        |  ]}}""".stripMargin)
+    assert(fc.selectedArea.asInstanceOf[FeatureCollectionArea].rings.size === 2)
+  }
+
+  test("transforms and month resolution parse (monthly fixture shape)") {
+    val req = parse(
+      """{"resolution": "month", "dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "transform": {"type": "ZScoreMovingInterval", "width": 6}}"""
+        .stripMargin)
+    assert(req.resolution === graft.cube.EventCube.Monthly)
+    assert(req.bandRange === (1, 1))
+    assert(req.transform === ZScoreMovingInterval(6))
+  }
+
+  test("malformed requests raise RequestParseError; invalid polygons still validate") {
+    intercept[RequestParseError](parse("""{"selected_area": {}}"""))
+    intercept[RequestParseError](parse("not json at all {{{"))
+    intercept[RequestParseError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Circle", "coordinates": [1, 2]}}"""
+        .stripMargin))
+    // geometry VALIDITY is still the API layer's job, not the parser's
+    val bowtie = parse(
+      """{"dataset_id": "click", "selected_area": {"type": "Polygon",
+        |  "coordinates": [[[0,0],[2,2],[2,0],[0,2]]]}}""".stripMargin)
+    intercept[SelectedAreaPolygonIsNotValidError] {
+      extractTimeseries(spark, sfDir, bowtie)
+    }
+  }
+}

@@ -35,6 +35,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("polygon mask composes with the streaming windowed zonal agg") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.cube.Geometry.{GridPolygon, Pt}
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // triangle over cells (0,0)/(1,0) only
+    val tri = GridPolygon(Seq(Pt(0.2, 0.2), Pt(1.8, 0.2), Pt(1.0, 0.8))).validate()
+    val q = EventStream.polygonZonalStream(events, tri).writeStream
+      .format("memory").queryName("poly_stream").outputMode("append").start()
+    try {
+      def ns(day: Int) = (1704067200L + day * 86400L) * 1000000000L
+      input.addData(
+        (1L, ns(0), 0L, "click", 10.0, "{}"), // cell (0,0): in mask
+        (2L, ns(0), 1L, "click", 30.0, "{}"), // cell (1,0): in mask
+        (3L, ns(0), 7L, "click", 99.0, "{}"), // cell (7,0): outside
+        (4L, ns(0), 15L, "click", 99.0, "{}")) // cell (5,1): outside
+      input.addData((5L, ns(5), 0L, "click", 1.0, "{}")) // advance watermark
+      q.processAllAvailable()
+      val out = s.sql("SELECT zonal_mean FROM poly_stream").collect()
+      assert(out.length == 1)
+      assert(out.head.getDouble(0) == 20.0) // mean(10, 30); outsiders excluded
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses replayed ids within the watermark") {
     val s = spark
     import s.implicits._
