@@ -313,6 +313,11 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // loop-scoped artifacts: the final labels frame is persisted (and
+    // materialized by the last convergence check), so the upstream
+    // caches can go
+    pairs.unpersist()
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
