@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm, MinHashBands, Shingle3SortedHashes, SimHash60, SortedIntersectCount}
+import graft.functions.{DotProduct, Fingerprint31, L2Norm, MinHashBands, QuantizeStats, Shingle3SortedHashes, SimHash60, SortedIntersectCount, TopKAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,10 +35,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    e.injectFunction((FunctionIdentifier("fingerprint31"),
+      new ExpressionInfo(classOf[Fingerprint31].getName, "fingerprint31"),
+      (exprs: Seq[Expression]) => Fingerprint31(exprs.head)))
+    e.injectFunction((FunctionIdentifier("quantize_stats"),
+      new ExpressionInfo(classOf[QuantizeStats].getName, "quantize_stats"),
+      (exprs: Seq[Expression]) => QuantizeStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (exprs: Seq[Expression]) => GraftExtensions.topK(exprs)))
   }
 }
 
 object GraftExtensions {
+  /** top_k(score, id, k) — k must be a foldable integer literal. */
+  private[graft] def topK(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "top_k(score, id, k)")
+    require(exprs(2).foldable, "top_k's k must be a literal")
+    TopKAgg(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+  }
+
   /** Runtime registration for sessions built elsewhere. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -54,5 +71,11 @@ object GraftExtensions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint31", exprs => Fingerprint31(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_stats", exprs => QuantizeStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k", exprs => topK(exprs), "built-in")
   }
 }

@@ -67,6 +67,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q5 keeps every dimension join broadcast (regression guard)") {
+    val plan = formatted(graft.relational.TpchQueries.q5(spark, sfDir))
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"q5 should broadcast its dimension joins, saw $bhj")
+    assert(!plan.contains("SortMergeJoin"),
+      "q5 fell back to a sort-merge join — a dimension grew past the broadcast threshold?")
+  }
+
+  test("zonal aggregation is two-level partial (map-side combine)") {
+    val plan = formatted(SkopeQueries.zonalMean(spark, sfDir))
+    val aggs = plan.split("\n").count(l =>
+      l.trim.startsWith("(") && l.contains("HashAggregate"))
+    // cube build (partial+final) + zonal (partial+final) = 4 agg nodes
+    assert(aggs >= 4, s"expected partial aggregation pairs, saw $aggs HashAggregate nodes")
+  }
+
   test("polygon mask is a pushable predicate, not a join or UDF") {
     val plan = formatted(SkopeQueries.polygonZonal(spark, sfDir))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("Scala UDF"))
