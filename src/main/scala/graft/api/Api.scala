@@ -21,8 +21,10 @@ object Api {
     * path for axis-aligned requests). */
   final case class BBoxArea(x0: Int, x1: Int, y0: Int, y1: Int) extends SelectedArea
   /** GeoJSON Polygon (SkopePolygonModel, geometry.py:212): all_touched
-    * cell mask of a simple polygon ring. */
-  final case class PolygonArea(ring: Seq[(Double, Double)]) extends SelectedArea
+    * cell mask of a simple exterior ring minus any interior rings
+    * (holes). */
+  final case class PolygonArea(ring: Seq[(Double, Double)],
+      holes: Seq[Seq[(Double, Double)]] = Nil) extends SelectedArea
   /** GeoJSON Feature / FeatureCollection (geometry.py:216-225): union
     * mask of several polygon shapes, each validated individually. */
   final case class FeatureCollectionArea(rings: Seq[Seq[(Double, Double)]])
@@ -177,9 +179,11 @@ object Api {
     // polygon shapes: validity (geometry.py:160-164) → bounds
     // ('T********', geometry.py:165-172) → mask-window cell budget
     // (geometry.py:118-122 guards on the raster window = the bbox)
-    def validatedShapes(rings: Seq[Seq[(Double, Double)]]): Geometry.GridFeatureCollection = {
-      val shapes = rings.map(r =>
-        Geometry.GridPolygon(r.map { case (px, py) => Geometry.Pt(px, py) }))
+    def toPoly(ring: Seq[(Double, Double)],
+        holes: Seq[Seq[(Double, Double)]] = Nil): Geometry.GridPolygon =
+      Geometry.GridPolygon(ring.map { case (px, py) => Geometry.Pt(px, py) },
+        holes.map(_.map { case (px, py) => Geometry.Pt(px, py) }))
+    def validatedShapes(shapes: Seq[Geometry.GridPolygon]): Geometry.GridFeatureCollection = {
       shapes.foreach { p =>
         try p.validate()
         catch { case e: Geometry.PolygonIsNotValid =>
@@ -198,8 +202,10 @@ object Api {
     }
 
     val polyShapes: Option[Geometry.GridFeatureCollection] = req.selectedArea match {
-      case PolygonArea(ring) => Some(validatedShapes(Seq(ring)))
-      case FeatureCollectionArea(rings) => Some(validatedShapes(rings))
+      case PolygonArea(ring, holes) =>
+        Some(validatedShapes(Seq(toPoly(ring, holes))))
+      case FeatureCollectionArea(rings) =>
+        Some(validatedShapes(rings.map(r => toPoly(r))))
       case BBoxArea(x0, x1, y0, y1) if x1 < 0 || y1 < 0 || x0 >= EventCube.GridWidth =>
         throw SelectedAreaOutOfBoundsError(
           "no interior point of the selected area intersects the dataset region")
@@ -340,8 +346,10 @@ object Api {
       case PointArea(cell) => col("user_id") === cell
       case BBoxArea(x0, x1, y0, y1) =>
         EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y"))
-      case PolygonArea(ring) =>
-        Geometry.GridPolygon(ring.map { case (px, py) => Geometry.Pt(px, py) })
+      case PolygonArea(ring, holes) =>
+        Geometry.GridPolygon(
+          ring.map { case (px, py) => Geometry.Pt(px, py) },
+          holes.map(_.map { case (px, py) => Geometry.Pt(px, py) }))
           .validate().mask(col("x"), col("y"))
       case FeatureCollectionArea(rings) =>
         Geometry.GridFeatureCollection(rings.map(r =>

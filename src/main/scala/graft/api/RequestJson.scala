@@ -75,12 +75,12 @@ object RequestJson {
         (p.get(0).asDouble, p.get(1).asDouble)
       }
     }
-    def polygonRings(geom: JsonNode): Seq[(Double, Double)] = {
+    def polygonArea(geom: JsonNode): PolygonArea = {
       val cs = geom.get("coordinates")
       if (cs == null || !cs.isArray || cs.size < 1)
         throw RequestParseError("Polygon needs a coordinates array")
-      // exterior ring only (hole-free, like the reference fixtures)
-      ring(cs.get(0))
+      // GeoJSON: first ring is the exterior, the rest are holes
+      PolygonArea(ring(cs.get(0)), (1 until cs.size).map(i => ring(cs.get(i))))
     }
     Option(g.get("type")).map(_.asText) match {
       case Some("Point") =>
@@ -88,7 +88,7 @@ object RequestJson {
         if (c == null || c.size < 2) throw RequestParseError("Point needs [x, y]")
         val (px, py) = (c.get(0).asDouble, c.get(1).asDouble)
         PointArea(math.floor(py).toLong * EventCube.GridWidth + math.floor(px).toLong)
-      case Some("Polygon") => PolygonArea(polygonRings(g))
+      case Some("Polygon") => polygonArea(g)
       case Some("Feature") =>
         val geom = g.get("geometry")
         if (geom == null) throw RequestParseError("Feature needs a geometry")
@@ -104,7 +104,7 @@ object RequestJson {
         FeatureCollectionArea((0 until fs.size).map { i =>
           val geom = fs.get(i).get("geometry")
           if (geom == null) throw RequestParseError("Feature needs a geometry")
-          polygonRings(geom)
+          polygonArea(geom).ring
         })
       case other =>
         throw RequestParseError(s"unsupported geometry type $other")

@@ -91,74 +91,37 @@ object Geometry {
   final case class PolygonIsNotValid(msg: String)
     extends RuntimeException(s"selected area is not a valid polygon: $msg")
 
-  /** A simple polygon (exterior ring only — the reference's request
-    * fixtures are hole-free; holes would subtract a second mask).
-    * The ring may be GeoJSON-closed (first == last) or open. */
-  final case class GridPolygon(ring: Seq[Pt]) {
+  /** A simple polygon with optional interior rings (GeoJSON Polygon:
+    * one exterior + any number of holes). Rings may be GeoJSON-closed
+    * (first == last) or open.
+    *
+    * all_touched with holes: the hole BOUNDARY belongs to the polygon,
+    * so a cell is excluded only when it lies strictly inside a hole —
+    * decided by "a corner is inside the hole's triangulation AND no
+    * hole edge touches the cell square" (if no edge touches, the cell
+    * is entirely on one side, and the corner picks which). Both parts
+    * are conjunctions/disjunctions of linear tests like the exterior
+    * mask. */
+  final case class GridPolygon(ring: Seq[Pt], holes: Seq[Seq[Pt]] = Nil) {
 
-    /** De-duplicated open ring (GeoJSON closure + consecutive repeats
-      * removed). */
-    val vertices: IndexedSeq[Pt] = {
-      val open =
-        if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1)
-        else ring
-      val out = scala.collection.mutable.ArrayBuffer.empty[Pt]
-      open.foreach { p => if (out.isEmpty || out.last != p) out += p }
-      if (out.length > 1 && out.head == out.last) out.remove(out.length - 1)
-      out.toIndexedSeq
-    }
+    /** De-duplicated open exterior ring (GeoJSON closure + consecutive
+      * repeats removed). */
+    val vertices: IndexedSeq[Pt] = normalizeRing(ring)
+    val holeRings: Seq[IndexedSeq[Pt]] = holes.map(normalizeRing)
 
-    def signedArea: Double = {
-      var a = 0.0
-      var i = 0
-      val n = vertices.length
-      while (i < n) {
-        val p = vertices(i); val q = vertices((i + 1) % n)
-        a += p.x * q.y - q.x * p.y
-        i += 1
-      }
-      a / 2.0
-    }
+    def signedArea: Double = shoelace(vertices)
 
-    /** shapely `is_valid` analogue (geometry.py:160-164): at least 3
-      * distinct vertices, nonzero area, no ring self-intersection
-      * (proper edge crossings, collinear overlaps, or spikes). Raises
+    /** shapely `is_valid` analogue (geometry.py:160-164): every ring
+      * must have at least 3 distinct vertices, nonzero area, and no
+      * self-intersection; holes must lie inside the shell. Raises
       * PolygonIsNotValid with an explain_validity-style reason. */
     def validate(): GridPolygon = {
-      val n = vertices.length
-      if (n < 3) throw PolygonIsNotValid("too few points")
-      // spikes: consecutive edges folding back on themselves
-      var i = 0
-      while (i < n) {
-        val a = vertices((i + n - 1) % n); val b = vertices(i)
-        val c = vertices((i + 1) % n)
-        val cr = cross(a, b, c)
-        if (cr == 0.0 && (c.x - b.x) * (a.x - b.x) + (c.y - b.y) * (a.y - b.y) > 0)
-          throw PolygonIsNotValid(s"ring self-intersection at ${b.x} ${b.y}")
-        i += 1
+      validateRing(vertices)
+      holeRings.foreach { h =>
+        validateRing(h)
+        if (!h.forall(p => pointInTriangles(p, triangles)))
+          throw PolygonIsNotValid("hole lies outside shell")
       }
-      // non-adjacent edge pairs must not intersect at all
-      i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          val adjacent = j == i + 1 || (i == 0 && j == n - 1)
-          if (!adjacent) {
-            val (a, b) = (vertices(i), vertices((i + 1) % n))
-            val (c, d) = (vertices(j), vertices((j + 1) % n))
-            if (segmentsTouch(a, b, c, d)) {
-              val x = (a.x + b.x + c.x + d.x) / 4
-              val y = (a.y + b.y + c.y + d.y) / 4
-              throw PolygonIsNotValid(
-                f"self-intersection near $x%.2f $y%.2f")
-            }
-          }
-          j += 1
-        }
-        i += 1
-      }
-      if (math.abs(signedArea) < 1e-12)
-        throw PolygonIsNotValid("zero-area ring")
       this
     }
 
@@ -173,58 +136,142 @@ object Geometry {
       math.abs(shoelace(clipped)) > 1e-12
     }
 
-    /** CCW ear-clipped triangulation (two-ears theorem: every simple
-      * polygon admits one; validate() has run by the time this is
-      * used). */
-    lazy val triangles: Seq[(Pt, Pt, Pt)] = {
-      val ccw = if (signedArea < 0) vertices.reverse else vertices
-      val pts = scala.collection.mutable.ArrayBuffer(ccw: _*)
-      val tris = Seq.newBuilder[(Pt, Pt, Pt)]
-      while (pts.length > 3) {
-        var i = 0
-        var eaten = false
-        while (i < pts.length && !eaten) {
-          val p = pts((i + pts.length - 1) % pts.length)
-          val c = pts(i)
-          val nx = pts((i + 1) % pts.length)
-          if (cross(p, c, nx) > 1e-12) {
-            val blocked = pts.indices.exists { j =>
-              val v = pts(j)
-              (v != p) && (v != c) && (v != nx) && strictlyInTriangle(v, p, c, nx)
-            }
-            if (!blocked) {
-              tris += ((p, c, nx))
-              pts.remove(i)
-              eaten = true
-            }
-          }
-          if (!eaten) i += 1
-        }
-        // degenerate (collinear) corner: drop it — a zero-area ear
-        // contributes no cells
-        if (!eaten) {
-          val j = pts.indices.minBy { k =>
-            math.abs(cross(pts((k + pts.length - 1) % pts.length), pts(k),
-              pts((k + 1) % pts.length)))
-          }
-          pts.remove(j)
-        }
+    /** CCW ear-clipped triangulation of the exterior ring. */
+    lazy val triangles: Seq[(Pt, Pt, Pt)] = triangulate(vertices)
+    lazy val holeTriangles: Seq[Seq[(Pt, Pt, Pt)]] = holeRings.map(triangulate)
+
+    /** "Cell strictly inside hole h" as a Column: the cell's corner is
+      * in the hole's triangulation and no hole edge touches the cell
+      * square. */
+    private def insideHole(h: Int, x: Column, y: Column): Column = {
+      val ringH = holeRings(h)
+      val corner = holeTriangles(h)
+        .map(t => Sat.pointInTriangleColumn(t, x, y)).reduce(_ || _)
+      val edges = ringH.indices.map { i =>
+        !Sat.segmentColumn(ringH(i), ringH((i + 1) % ringH.length), x, y)
       }
-      if (pts.length == 3) tris += ((pts(0), pts(1), pts(2)))
-      tris.result()
+      edges.foldLeft(corner)(_ && _)
+    }
+
+    private def insideHoleSql(h: Int, x: String, y: String): String = {
+      val ringH = holeRings(h)
+      val corner = holeTriangles(h)
+        .map(t => Sat.pointInTriangleSql(t, x, y)).mkString("(", " OR ", ")")
+      val edges = ringH.indices.map { i =>
+        "NOT " + Sat.segmentSql(ringH(i), ringH((i + 1) % ringH.length), x, y)
+      }
+      (corner +: edges).mkString("(", " AND ", ")")
     }
 
     /** The all_touched cell mask as a Spark predicate: cell square
       * [x, x+1] × [y, y+1] intersects the polygon ⟺ it intersects some
-      * triangle of the triangulation. */
-    def mask(x: Column, y: Column): Column =
-      triangles.map(t => Sat.column(t, x, y)).reduce(_ || _)
+      * exterior triangle and is not strictly inside any hole. */
+    def mask(x: Column, y: Column): Column = {
+      val ext = triangles.map(t => Sat.column(t, x, y)).reduce(_ || _)
+      holeRings.indices.foldLeft(ext)((acc, h) => acc && !insideHole(h, x, y))
+    }
 
     /** The same mask, same double arithmetic, in DuckDB SQL over cell
       * columns `x`/`y`. */
-    def maskSql(x: String = "x", y: String = "y"): String =
-      triangles.map(t => Sat.sql(t, x, y)).mkString("(", "\n    OR ", ")")
+    def maskSql(x: String = "x", y: String = "y"): String = {
+      val ext = triangles.map(t => Sat.sql(t, x, y)).mkString("(", "\n    OR ", ")")
+      if (holeRings.isEmpty) ext
+      else (ext +: holeRings.indices.map(h => "NOT " + insideHoleSql(h, x, y)))
+        .mkString("(", "\n    AND ", ")")
+    }
   }
+
+  /** De-duplicated open ring. */
+  private def normalizeRing(r: Seq[Pt]): IndexedSeq[Pt] = {
+    val open = if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+    val out = scala.collection.mutable.ArrayBuffer.empty[Pt]
+    open.foreach { p => if (out.isEmpty || out.last != p) out += p }
+    if (out.length > 1 && out.head == out.last) out.remove(out.length - 1)
+    out.toIndexedSeq
+  }
+
+  /** Ring validity: ≥3 distinct vertices, no spikes, no self-
+    * intersection among non-adjacent edges, nonzero area. */
+  private def validateRing(vs: IndexedSeq[Pt]): Unit = {
+    val n = vs.length
+    if (n < 3) throw PolygonIsNotValid("too few points")
+    var i = 0
+    while (i < n) {
+      val a = vs((i + n - 1) % n); val b = vs(i); val c = vs((i + 1) % n)
+      if (cross(a, b, c) == 0.0 &&
+          (c.x - b.x) * (a.x - b.x) + (c.y - b.y) * (a.y - b.y) > 0)
+        throw PolygonIsNotValid(s"ring self-intersection at ${b.x} ${b.y}")
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val adjacent = j == i + 1 || (i == 0 && j == n - 1)
+        if (!adjacent) {
+          val (a, b) = (vs(i), vs((i + 1) % n))
+          val (c, d) = (vs(j), vs((j + 1) % n))
+          if (segmentsTouch(a, b, c, d)) {
+            val x = (a.x + b.x + c.x + d.x) / 4
+            val y = (a.y + b.y + c.y + d.y) / 4
+            throw PolygonIsNotValid(f"self-intersection near $x%.2f $y%.2f")
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (math.abs(shoelace(vs)) < 1e-12)
+      throw PolygonIsNotValid("zero-area ring")
+  }
+
+  /** CCW ear-clipped triangulation (two-ears theorem: every simple
+    * polygon admits one; the ring has been validated by the time this
+    * is used). */
+  private def triangulate(vs: IndexedSeq[Pt]): Seq[(Pt, Pt, Pt)] = {
+    val ccw = if (shoelace(vs) < 0) vs.reverse else vs
+    val pts = scala.collection.mutable.ArrayBuffer(ccw: _*)
+    val tris = Seq.newBuilder[(Pt, Pt, Pt)]
+    while (pts.length > 3) {
+      var i = 0
+      var eaten = false
+      while (i < pts.length && !eaten) {
+        val p = pts((i + pts.length - 1) % pts.length)
+        val c = pts(i)
+        val nx = pts((i + 1) % pts.length)
+        if (cross(p, c, nx) > 1e-12) {
+          val blocked = pts.indices.exists { j =>
+            val v = pts(j)
+            (v != p) && (v != c) && (v != nx) && strictlyInTriangle(v, p, c, nx)
+          }
+          if (!blocked) {
+            tris += ((p, c, nx))
+            pts.remove(i)
+            eaten = true
+          }
+        }
+        if (!eaten) i += 1
+      }
+      // degenerate (collinear) corner: drop it — a zero-area ear
+      // contributes no cells
+      if (!eaten) {
+        val j = pts.indices.minBy { k =>
+          math.abs(cross(pts((k + pts.length - 1) % pts.length), pts(k),
+            pts((k + 1) % pts.length)))
+        }
+        pts.remove(j)
+      }
+    }
+    if (pts.length == 3) tris += ((pts(0), pts(1), pts(2)))
+    tris.result()
+  }
+
+  /** Non-strict point-in-triangulation (driver-side doubles). */
+  private def pointInTriangles(p: Pt, tris: Seq[(Pt, Pt, Pt)]): Boolean =
+    tris.exists { case (a, b, c) =>
+      // triangulate() emits CCW triangles
+      cross(a, b, p) >= 0 && cross(b, c, p) >= 0 && cross(c, a, p) >= 0
+    }
 
   /** Feature / FeatureCollection analogue (geometry.py:216-225): a list
     * of shapes validated individually, masked as a union. */
@@ -295,6 +342,68 @@ object Geometry {
           s"$proj + ${f(e.cMin)} <= ${f(e.tMax)}")
       }
       (base ++ edgeTests).mkString("(", " AND ", ")")
+    }
+
+    // -- segment vs unit square (SAT: square axes + segment normal +
+    //    segment direction — exact for the degenerate 2-vertex hull) --
+
+    private def segAxes(a: Pt, b: Pt): Seq[Axis] = {
+      val nx = -(b.y - a.y); val ny = b.x - a.x
+      val dx = b.x - a.x; val dy = b.y - a.y
+      val nProj = nx * a.x + ny * a.y // both endpoints project equally on n
+      Seq(
+        Axis(1, 0, math.min(a.x, b.x), math.max(a.x, b.x), 0, 1),
+        Axis(0, 1, math.min(a.y, b.y), math.max(a.y, b.y), 0, 1),
+        Axis(nx, ny, nProj, nProj,
+          math.min(0, nx) + math.min(0, ny), math.max(0, nx) + math.max(0, ny)),
+        Axis(dx, dy,
+          math.min(dx * a.x + dy * a.y, dx * b.x + dy * b.y),
+          math.max(dx * a.x + dy * a.y, dx * b.x + dy * b.y),
+          math.min(0, dx) + math.min(0, dy), math.max(0, dx) + math.max(0, dy)))
+    }
+
+    def segmentColumn(a: Pt, b: Pt, x: Column, y: Column): Column = {
+      val xd = x.cast("double"); val yd = y.cast("double")
+      segAxes(a, b).map { e =>
+        val proj = lit(e.nx) * xd + lit(e.ny) * yd
+        (proj + lit(e.cMax) >= lit(e.tMin)) && (proj + lit(e.cMin) <= lit(e.tMax))
+      }.reduce(_ && _)
+    }
+
+    def segmentSql(a: Pt, b: Pt, x: String, y: String): String = {
+      val xd = s"CAST($x AS DOUBLE)"; val yd = s"CAST($y AS DOUBLE)"
+      segAxes(a, b).flatMap { e =>
+        val proj = s"${f(e.nx)} * $xd + ${f(e.ny)} * $yd"
+        Seq(s"$proj + ${f(e.cMax)} >= ${f(e.tMin)}",
+          s"$proj + ${f(e.cMin)} <= ${f(e.tMax)}")
+      }.mkString("(", " AND ", ")")
+    }
+
+    // -- corner point (x, y) in a CCW triangle, non-strict --
+
+    private def halfPlanes(t: (Pt, Pt, Pt)): Seq[(Double, Double, Double)] = {
+      val vs = Seq(t._1, t._2, t._3)
+      vs.indices.map { i =>
+        val a = vs(i); val b = vs((i + 1) % 3)
+        // cross(a,b,p) = cx·(py − a.y) − cy·(px − a.x) with
+        // cx = b.x − a.x, cy = b.y − a.y, folded to k1·x + k2·y + k3
+        val cx = b.x - a.x; val cy = b.y - a.y
+        (-cy, cx, cy * a.x - cx * a.y)
+      }
+    }
+
+    def pointInTriangleColumn(t: (Pt, Pt, Pt), x: Column, y: Column): Column = {
+      val xd = x.cast("double"); val yd = y.cast("double")
+      halfPlanes(t).map { case (k1, k2, k3) =>
+        lit(k1) * xd + lit(k2) * yd + lit(k3) >= lit(0.0)
+      }.reduce(_ && _)
+    }
+
+    def pointInTriangleSql(t: (Pt, Pt, Pt), x: String, y: String): String = {
+      val xd = s"CAST($x AS DOUBLE)"; val yd = s"CAST($y AS DOUBLE)"
+      halfPlanes(t).map { case (k1, k2, k3) =>
+        s"${f(k1)} * $xd + ${f(k2)} * $yd + ${f(k3)} >= 0.0"
+      }.mkString("(", " AND ", ")")
     }
   }
 

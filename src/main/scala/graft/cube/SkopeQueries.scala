@@ -309,6 +309,21 @@ object SkopeQueries {
     GridPolygon(Seq(Pt(6.2, 0.1), Pt(9.4, 0.1), Pt(9.4, 1.8), Pt(6.2, 1.8)))
   )).validate()
 
+  /** Polygon with an interior ring (GeoJSON hole): cells strictly
+    * inside the hole are excluded; cells touching the hole BOUNDARY
+    * stay selected (the boundary belongs to the polygon —
+    * all_touched). */
+  val HolePolygon: GridPolygon = GridPolygon(
+    ring = Seq(Pt(0.4, 0.4), Pt(8.6, 0.4), Pt(8.6, 7.6), Pt(0.4, 7.6)),
+    holes = Seq(Seq(Pt(2.5, 1.5), Pt(6.5, 1.5), Pt(6.5, 5.5), Pt(2.5, 5.5)))
+  ).validate()
+
+  /** Donut mask: the polygon-with-hole cell set. */
+  def polygonHole(spark: SparkSession, dir: String): DataFrame =
+    cube(spark, dir, DefaultDataset)
+      .filter(HolePolygon.mask(col("x"), col("y")))
+      .select(col("user_id"), col("x"), col("y")).distinct()
+
   /** The all_touched cell mask itself: which grid cells a triangle
     * touches (rasterio raster_geometry_mask, geometry.py:181-183). */
   def polygonMask(spark: SparkSession, dir: String): DataFrame =
@@ -404,6 +419,9 @@ object SkopeQueries {
     "skope_polygon_mask" -> withCube(
       s"""SELECT DISTINCT user_id, x, y FROM cube
          |WHERE ${MaskPolygon.maskSql()}""".stripMargin),
+    "skope_polygon_hole" -> withCube(
+      s"""SELECT DISTINCT user_id, x, y FROM cube
+         |WHERE ${HolePolygon.maskSql()}""".stripMargin),
     "skope_polygon_zonal" -> withCube(
       s"""SELECT band, round((zv) + 1e-9, 6) AS value FROM (
          |  SELECT band, avg(v) AS zv FROM cube
@@ -595,6 +613,7 @@ object SkopeQueries {
     "skope_feature_union" -> (featureUnion _),
     "skope_monthly_zonal" -> (monthlyZonal _),
     "skope_quantiles_approx" -> (quantilesApprox _),
-    "skope_geodesic_area" -> (geodesicArea _)
+    "skope_geodesic_area" -> (geodesicArea _),
+    "skope_polygon_hole" -> (polygonHole _)
   )
 }

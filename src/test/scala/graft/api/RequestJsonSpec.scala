@@ -68,6 +68,23 @@ class RequestJsonSpec extends SparkSpec {
     assert(fc.selectedArea.asInstanceOf[FeatureCollectionArea].rings.size === 2)
   }
 
+  test("polygon interior rings (holes) parse and subtract from the mask") {
+    val donut = parse(
+      """{"dataset_id": "click", "band_range": [5, 25],
+        |  "selected_area": {"type": "Polygon", "coordinates": [
+        |    [[0.4, 0.4], [8.6, 0.4], [8.6, 7.6], [0.4, 7.6], [0.4, 0.4]],
+        |    [[2.5, 1.5], [6.5, 1.5], [6.5, 5.5], [2.5, 5.5], [2.5, 1.5]]
+        |  ]}}""".stripMargin)
+    val solid = donut.copy(selectedArea =
+      PolygonArea(donut.selectedArea.asInstanceOf[PolygonArea].ring))
+    assert(donut.selectedArea.asInstanceOf[PolygonArea].holes.size === 1)
+    val nDonut = extractTimeseries(spark, sfDir, donut)
+      .selection.collect().head.getLong(0)
+    val nSolid = extractTimeseries(spark, sfDir, solid)
+      .selection.collect().head.getLong(0)
+    assert(nDonut <= nSolid)
+  }
+
   test("transforms and month resolution parse (monthly fixture shape)") {
     val req = parse(
       """{"resolution": "month", "dataset_id": "click",

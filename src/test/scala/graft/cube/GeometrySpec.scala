@@ -124,6 +124,69 @@ class GeometrySpec extends AnyFunSuite {
     assert(SkopeQueries.MaskPolygon.interiorIntersectsGrid())
   }
 
+  /** Spark-evaluated mask over a synthetic grid (the hole logic lives
+    * in the Column emission, not the test-side SAT replica). */
+  private def sparkMaskCells(poly: GridPolygon, w: Int = 12, h: Int = 16): Set[(Int, Int)] = {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    (for (x <- 0 until w; y <- 0 until h) yield (x, y)).toDF("x", "y")
+      .filter(poly.mask(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+  }
+
+  /** AWT even-odd reference for a polygon with holes. */
+  private def awtDonut(poly: GridPolygon, cx: Int, cy: Int,
+      inflate: Double = 0.0): Boolean = {
+    import java.awt.geom.{Area, Path2D, Rectangle2D}
+    val path = new Path2D.Double(Path2D.WIND_EVEN_ODD)
+    (poly.vertices +: poly.holeRings).foreach { ring =>
+      path.moveTo(ring.head.x, ring.head.y)
+      ring.tail.foreach(p => path.lineTo(p.x, p.y))
+      path.closePath()
+    }
+    val a = new Area(path)
+    a.intersect(new Area(new Rectangle2D.Double(
+      cx - inflate, cy - inflate, 1 + 2 * inflate, 1 + 2 * inflate)))
+    !a.isEmpty
+  }
+
+  test("polygon holes exclude strictly-interior cells, keep boundary-touching ones") {
+    val donut = GridPolygon(
+      ring = Seq(Pt(0.5, 0.5), Pt(8.5, 0.5), Pt(8.5, 8.5), Pt(0.5, 8.5)),
+      holes = Seq(Seq(Pt(2.5, 2.5), Pt(6.5, 2.5), Pt(6.5, 6.5), Pt(2.5, 6.5)))
+    ).validate()
+    val cells = sparkMaskCells(donut)
+    // strictly inside the hole: [x,x+1]x[y,y+1] within (2.5,6.5)^2
+    for (x <- 3 to 5; y <- 3 to 5)
+      assert(!cells((x, y)), s"cell ($x,$y) inside the hole must be excluded")
+    // touching the hole boundary from inside it: still part of the polygon
+    assert(cells((2, 3)) && cells((6, 3)) && cells((3, 2)) && cells((3, 6)))
+    // ordinary ring cells
+    assert(cells((0, 0)) && cells((8, 8)))
+    // outside the exterior
+    assert(!cells((9, 9)) && !cells((11, 2)))
+  }
+
+  test("donut mask agrees with the AWT even-odd reference everywhere") {
+    val donut = SkopeQueries.HolePolygon
+    val cells = sparkMaskCells(donut)
+    for (x <- 0 until 12; y <- 0 until 16) {
+      if (awtDonut(donut, x, y)) assert(cells((x, y)),
+        s"cell ($x,$y): positive-area donut overlap missing from mask")
+      if (cells((x, y))) assert(awtDonut(donut, x, y, inflate = 1e-9),
+        s"cell ($x,$y): masked but not even boundary-touching")
+    }
+  }
+
+  test("a hole outside the shell is rejected") {
+    val bad = GridPolygon(
+      ring = Seq(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4)),
+      holes = Seq(Seq(Pt(6, 6), Pt(8, 6), Pt(7, 8))))
+    val e = intercept[PolygonIsNotValid](bad.validate())
+    assert(e.getMessage.contains("hole lies outside shell"))
+  }
+
   test("geodesic cell areas match WGS84 magnitudes and ordering") {
     import Geometry.Geo
     // a 1-degree cell at ~45N is ~8.7e9 m^2 (textbook value)
