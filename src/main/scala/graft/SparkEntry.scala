@@ -37,7 +37,9 @@ object SparkEntry {
     "q16_parts_suppliers" -> (TpchQueries.q16 _),
     "q18_large_cust" -> (TpchQueries.q18 _),
     "q19_brand_disc" -> (TpchQueries.q19 _),
-    "q22_idle_cust" -> (TpchQueries.q22 _)
+    "q22_idle_cust" -> (TpchQueries.q22 _),
+    "q13_custdist" -> (TpchQueries.q13 _),
+    "q15_top_supplier" -> (TpchQueries.q15 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries ++
     Curation.queries

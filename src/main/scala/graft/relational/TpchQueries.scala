@@ -225,7 +225,58 @@ object TpchQueries {
         Num.roundEps(sum(col("c_acctbal")), 2).as("totacctbal"))
   }
 
+  /** Customer order-count distribution (Q13 shape): LEFT OUTER join so
+    * zero-order customers survive, then a second aggregation over the
+    * per-customer counts. Both aggs are partial map-side; the outer
+    * join shuffles on custkey (orders side pre-filtered). */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Top-revenue supplier (Q15 shape): quarterly revenue per supplier,
+    * suppliers matching the scalar-subquery max. The max is a 1-row
+    * broadcast; revenue is rounded BEFORE the equality so both engines
+    * compare identical doubles (SURVEY §4). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1995-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(Num.roundEps(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round((sum(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, rev.total_revenue
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
