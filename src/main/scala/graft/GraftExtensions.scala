@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (exprs: Seq[Expression]) => GraftExtensions.topK(exprs)))
+    // deployment-policy rewrite: exact percentile → sketch when
+    // spark.graft.approxPercentile is set (plans/ApproxPercentileRule)
+    e.injectOptimizerRule(graft.plans.ApproxPercentileRule.apply)
   }
 }
 
