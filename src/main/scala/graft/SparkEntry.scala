@@ -39,7 +39,9 @@ object SparkEntry {
     "q19_brand_disc" -> (TpchQueries.q19 _),
     "q22_idle_cust" -> (TpchQueries.q22 _),
     "q13_custdist" -> (TpchQueries.q13 _),
-    "q15_top_supplier" -> (TpchQueries.q15 _)
+    "q15_top_supplier" -> (TpchQueries.q15 _),
+    "q8_market_share" -> (TpchQueries.q8 _),
+    "q17_small_qty" -> (TpchQueries.q17 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries ++
     Curation.queries

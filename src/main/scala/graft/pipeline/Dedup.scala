@@ -321,6 +321,58 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The APPLY step of near-dup dedup: the corpus that remains after
+    * dropping every non-canonical member of a near-dup cluster (keep =
+    * cluster canonical or never matched any pair). This is the pass
+    * that actually shrinks the training corpus; `clusters` only labels
+    * it. The drop set (non-canonical members) is a tiny fraction of the
+    * corpus, so it broadcasts into a left-anti join against the full
+    * document scan — map-only, no shuffle of the corpus itself. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val drop = clusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  /** Substring-level duplication (the suffix-array-dedup family, e.g.
+    * "Deduplicating Training Data Makes Language Models Better": find
+    * VERBATIM spans that recur anywhere in the corpus, not documents
+    * that look alike). Every SpanLen-char window of every document is a
+    * span; a position is duplicated if its span occurs at ≥ 2 corpus
+    * positions (other documents OR a repeat within the same one).
+    * Output: per-document span counts + duplicated fraction — the
+    * signal a scrubbing pass thresholds on.
+    *
+    * Scale: one explode to (doc_id, span-hash) — corpus-linear, like
+    * the shingle index — then a count per span key and a broadcast of
+    * the duplicated keys back onto the span stream. The group/join key
+    * is the 64-bit xxhash of the span, never the 40-char text (8-byte
+    * shuffle keys; a collision needs ~1e-14 and only ever adds one
+    * false dup position — the same engine-local-hash policy as the
+    * shingle kernels). */
+  val SpanLen = 40
+  def substringDup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= SpanLen)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
+            s" i -> xxhash64(substring(text, i, $SpanLen)))")).as("h"))
+    val dupKeys = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("h"))
+    spans
+      .join(broadcast(dupKeys.withColumn("dup", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(coalesce(col("dup"), lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        Num.roundEps(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
+
   // ------------------------------------------------------------------
 
   private val shingleSql =
@@ -386,6 +438,26 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
+    "docs_dedup_apply" ->
+      s"""WITH cl AS ($clustersSql)
+         |SELECT d.doc_id, d.source, d.lang, d.n_chars
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
+    // span grouped by its TEXT here (vs the 64-bit span hash inside the
+    // engine): only counts cross to the compare, per the engine-local
+    // hash policy above
+    "dedup_substring" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, length(text) - ${SpanLen - 1}),
+         |    i -> substring(text, i, $SpanLen))) AS s
+         |  FROM documents WHERE length(text) >= $SpanLen),
+         |dup AS (SELECT s FROM spans GROUP BY s HAVING count(*) > 1)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  count(dup.s) AS n_dup_spans,
+         |  round((CAST(count(dup.s) AS DOUBLE) / count(*)) + 1e-9, 6) AS dup_frac
+         |FROM spans LEFT JOIN dup USING (s)
+         |GROUP BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
@@ -401,6 +473,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
-    "dedup_clusters" -> (clusters _)
+    "dedup_clusters" -> (clusters _),
+    "docs_dedup_apply" -> (dedupApply _),
+    "dedup_substring" -> (substringDup _)
   )
 }

@@ -101,7 +101,58 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * stage k+1 only with an event strictly after their stage-k time
+    * (first view, first click after that view, first purchase after
+    * that click). One shuffle on user_id: the three stage times are
+    * unordered window aggregates over the same user partition (no sort,
+    * no self-join — the naive formulation is three joins of the event
+    * table with itself), then a global 1-row agg reshaped to one row
+    * per stage. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" &&
+        col("ts") > col("tv"), col("ts"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("tc"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"), max(col("tp")).as("tp"))
+    staged
+      .agg(count(col("tv")).as("n_view"), count(col("tc")).as("n_click"),
+        count(col("tp")).as("n_purchase"))
+      .select(expr(
+        """stack(3,
+          |  1L, 'view', n_view,
+          |  2L, 'click', n_click,
+          |  3L, 'purchase', n_purchase) AS (stage_idx, stage, n_users)"""
+          .stripMargin))
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS tc FROM events e JOIN s USING (user_id)
+        |  WHERE event_type = 'click' AND ts > tv GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > tc GROUP BY e.user_id),
+        |agg AS (
+        |  SELECT count(tv) AS n_view,
+        |    (SELECT count(*) FROM c) AS n_click,
+        |    (SELECT count(*) FROM p) AS n_purchase
+        |  FROM s)
+        |SELECT CAST(t.i AS BIGINT) AS stage_idx,
+        |  CASE t.i WHEN 1 THEN 'view' WHEN 2 THEN 'click' ELSE 'purchase' END AS stage,
+        |  CASE t.i WHEN 1 THEN n_view WHEN 2 THEN n_click ELSE n_purchase END AS n_users
+        |FROM agg, generate_series(1, 3) t(i)""".stripMargin,
     "events_retention" ->
       """WITH firsts AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
@@ -163,6 +214,7 @@ object EventOps {
     "events_asof_click" -> (asofClick _),
     "events_hourly_rollup" -> (hourlyRollup _),
     "events_topk_users" -> (topkUsers _),
-    "events_retention" -> (retention _)
+    "events_retention" -> (retention _),
+    "events_funnel" -> (funnel _)
   )
 }

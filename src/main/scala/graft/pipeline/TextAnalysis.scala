@@ -93,9 +93,75 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(50)
 
+  /** Repetition signals (the Gopher-rules family): duplicate-word
+    * fraction plus the corpus-classic "most frequent word / bigram
+    * share" — high values flag boilerplate and degenerate generations.
+    *
+    * The per-doc mode counts go through explode + two-level hash
+    * aggregation (shuffle key = (doc_id, token), map-side combine) —
+    * NOT a per-row interpreted HOF loop (SURVEY §5 item 1); the
+    * duplicate-word fraction is pure map-side array arithmetic. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws")))
+    def topShare(tokens: DataFrame, n: String, out: String): DataFrame =
+      tokens
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"), first(col(n)).as(n))
+        .groupBy(col("doc_id"))
+        .agg((max(col("cnt")).cast("double") / first(col(n))).as(out))
+    val words = topShare(
+      base.select(col("doc_id"), col("nw"), explode(col("ws")).as("tok")),
+      "nw", "top_word_share")
+    val bigrams = topShare(
+      base.filter(col("nw") >= 2)
+        .select(col("doc_id"), (col("nw") - 1).as("nb"),
+          explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""
+              .stripMargin)).as("tok")),
+      "nb", "top_bigram_share")
+    base
+      .withColumn("dup_word_frac",
+        lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+          nullif(col("nw"), lit(0)))
+      .join(words, "doc_id")
+      .join(bigrams, "doc_id")
+      .select(col("doc_id"), col("nw").as("n_words"),
+        Num.roundEps(col("dup_word_frac"), 6).as("dup_word_frac"),
+        Num.roundEps(col("top_word_share"), 6).as("top_word_share"),
+        Num.roundEps(col("top_bigram_share"), 6).as("top_bigram_share"))
+  }
+
   val oracles: Map[String, String] = {
     val pows = Portable.Pow31.mkString("[", ", ", "]")
     Map(
+      "text_repetition" ->
+        """WITH base AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |words AS (
+          |  SELECT doc_id, max(cnt) AS maxw FROM (
+          |    SELECT doc_id, w, count(*) AS cnt
+          |    FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+          |    GROUP BY doc_id, w)
+          |  GROUP BY doc_id),
+          |bigrams AS (
+          |  SELECT doc_id, max(cnt) AS maxb FROM (
+          |    SELECT doc_id, b, count(*) AS cnt
+          |    FROM (SELECT doc_id, unnest(list_transform(
+          |        generate_series(1, len(ws) - 1),
+          |        i -> ws[i] || ' ' || ws[i + 1])) AS b
+          |      FROM base WHERE len(ws) >= 2)
+          |    GROUP BY doc_id, b)
+          |  GROUP BY doc_id)
+          |SELECT b.doc_id, len(ws) AS n_words,
+          |  round((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+          |    / nullif(len(ws), 0)) + 1e-9, 6) AS dup_word_frac,
+          |  round((CAST(maxw AS DOUBLE) / len(ws)) + 1e-9, 6) AS top_word_share,
+          |  round((CAST(maxb AS DOUBLE) / (len(ws) - 1)) + 1e-9, 6) AS top_bigram_share
+          |FROM base b JOIN words USING (doc_id) JOIN bigrams USING (doc_id)"""
+          .stripMargin,
       "text_vocab" ->
         """SELECT token, count(*) AS cnt
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -149,6 +215,7 @@ object TextAnalysis {
     "text_tokens" -> (tokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
-    "text_fingerprint" -> (fingerprint _)
+    "text_fingerprint" -> (fingerprint _),
+    "text_repetition" -> (repetition _)
   )
 }

@@ -259,7 +259,81 @@ object TpchQueries {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** National market share (Q8 shape): the share of one supplier nation
+    * in a region's revenue for one part type, by order year. Every
+    * dimension (part, supplier, customer-with-region, both nations)
+    * broadcasts; the only big shuffle is lineitem⋈orders on orderkey,
+    * and the conditional-share division happens after a two-row agg. */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    // customers resolved to the target region (broadcast chain of tiny dims)
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val part = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") <= lit("1996-12-31").cast("date"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(Num.roundEps(
+        sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0)) / sum(vol),
+        6).as("mkt_share"))
+  }
+
+  /** Small-quantity-order revenue (Q17 shape): lineitems under 20% of
+    * their part's average quantity. The correlated scalar subquery
+    * becomes a per-part aggregate joined back; both sides derive from
+    * the SAME part-filtered scan, so the per-part averages aggregate
+    * only the filtered fact rows (shuffle on partkey), never the full
+    * table. (The schema has no p_container — brand + size bounds stand
+    * in for the reference predicate.) */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13" && col("p_size") < 15)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val lim = li.groupBy(col("l_partkey").as("k"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_lim"))
+    li.join(broadcast(lim), col("l_partkey") === col("k"))
+      .filter(col("l_quantity") < col("qty_lim"))
+      .agg(Num.roundEps(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |round((sum(CASE WHEN n2.n_name = 'NATION_3'
+        |             THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
+        |       sum(l_extendedprice*(1-l_discount))) + 1e-9, 6) AS mkt_share
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |GROUP BY 1""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round((sum(l_extendedprice) / 7.0) + 1e-5, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#13' AND p_size < 15
+        |AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+        .stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
