@@ -124,8 +124,11 @@ object Similarity {
 
   /** IVF-style ANN: bucket vectors by nearest of `IvfCentroids` seed
     * centroids (deterministic: the first 16 vectors), probe the
-    * `IvfNProbe` nearest buckets per query. Approximate by design —
-    * registered as a rows-only check (no SQL oracle).
+    * `IvfNProbe` nearest buckets per query. Approximate as a SEARCH
+    * STRUCTURE (recall < 1 vs brute force — AnnRecallSpec asserts the
+    * floor), but every step is deterministic arithmetic, so the full
+    * pipeline carries an exact SQL oracle (assignment → probed buckets
+    * → bucket-restricted top-k, mirrored in DuckDB).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir).withColumn("nrm", norm("v"))
@@ -135,8 +138,14 @@ object Similarity {
     // collapses the IvfCentroids candidate rows per vector map-side,
     // so the single shuffle moves one row per vector (a row_number
     // window here shuffled 16× the table; judge-flagged, fixed)
+    // selection scores are ROUNDED (6 dp, eps-guarded) before any
+    // argmax/top-k: selection then depends only on values both engines
+    // agree on bit-for-bit, which is what lets the whole IVF pipeline
+    // carry an exact SQL oracle despite being approximate-by-design
+    // as a search structure
     val assigned = all.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot("cv", "v") / (col("cn") * col("nrm")))
+      .withColumn("ccos",
+        Num.roundEps(dot("cv", "v") / (col("cn") * col("nrm")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("v"), col("nrm"), col("cent_id")),
         struct(col("ccos"), (-col("cent_id")).as("tb"))).as("m"))
@@ -147,7 +156,8 @@ object Similarity {
     val probes = all.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val probeBuckets = probes.crossJoin(broadcast(cents))
-      .withColumn("pcos", dot("cv", "pv") / (col("cn") * col("pn")))
+      .withColumn("pcos",
+        Num.roundEps(dot("cv", "pv") / (col("cn") * col("pn")), 6))
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(col("pcos"), col("cent_id"), IvfNProbe).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("cent_id"))
@@ -200,7 +210,43 @@ object Similarity {
   private val dotSql =
     "list_sum(list_transform(generate_series(1, len(a.vv)), i -> a.vv[i] * b.vv[i]))"
 
+  /** dot(x.vv, y.vv) over arbitrary CTE aliases. */
+  private def dotSqlOf(x: String, y: String) =
+    s"list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $y[i]))"
+
   val oracles: Map[String, String] = Map(
+    // exact mirror of annIvf: nearest-centroid assignment, probed
+    // buckets, bucket-restricted top-k — all selections over the same
+    // 6-dp eps-rounded scores with the same (score desc, id asc) order
+    "ann_ivf" ->
+      s"""WITH $vecSql,
+         |c AS (SELECT vec_id AS cent_id, vv AS cv, nrm AS cn FROM v
+         |      WHERE vec_id < $IvfCentroids),
+         |asg AS (
+         |  SELECT vec_id, vv, nrm, cent_id FROM (
+         |    SELECT x.vec_id, x.vv, x.nrm, c.cent_id,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        round((${dotSqlOf("x.vv", "c.cv")} / (c.cn * x.nrm)) + 1e-9, 6) DESC,
+         |        c.cent_id) AS r
+         |    FROM v x CROSS JOIN c) WHERE r = 1),
+         |p AS (SELECT vec_id AS probe_id, vv AS pv, nrm AS pn FROM v
+         |      WHERE vec_id < $NumProbes),
+         |pb AS (
+         |  SELECT probe_id, cent_id FROM (
+         |    SELECT p.probe_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        round((${dotSqlOf("p.pv", "c.cv")} / (c.cn * p.pn)) + 1e-9, 6) DESC,
+         |        c.cent_id) AS r
+         |    FROM p CROSS JOIN c) WHERE r <= $IvfNProbe),
+         |cand AS (
+         |  SELECT p.probe_id, a.vec_id,
+         |    round((${dotSqlOf("p.pv", "a.vv")} / (p.pn * a.nrm)) + 1e-9, 6) AS cos
+         |  FROM pb JOIN asg a USING (cent_id) JOIN p USING (probe_id)
+         |  WHERE a.vec_id <> p.probe_id)
+         |SELECT probe_id,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
+         |  vec_id, cos
+         |FROM cand QUALIFY rank <= $TopK""".stripMargin,
     "ann_topk" ->
       s"""WITH $vecSql
          |SELECT a.vec_id AS probe_id,
