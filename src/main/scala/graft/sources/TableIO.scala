@@ -47,6 +47,42 @@ object TableIO {
     }
   }
 
+  /** Bucketed (hash-clustered) parquet table: rows are routed to
+    * `numBuckets` files by hash of `bucketCols` at WRITE time and
+    * optionally sorted within each bucket.
+    *
+    * This is the co-located-join layout for 100 TB fact tables: two
+    * tables bucketed the same way on their join key satisfy the join's
+    * required HashClusteredDistribution straight off the scan, so a
+    * repeated fact⋈fact join (lineitem⋈orders on orderkey every night)
+    * pays ZERO shuffle — the exchange that would otherwise move the
+    * whole fact table disappears from the plan, and with in-bucket
+    * sorting the sort-merge join's sorts disappear too
+    * (TableIOSpec asserts both on the physical plan; the sort-elision
+    * additionally needs `spark.sql.legacy.bucketedTableScan.
+    * outputOrdering=true` at read time). Bucketing must go through the
+    * catalog (`saveAsTable`): the bucket spec lives in table metadata,
+    * which is what lets the planner trust the layout. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    // Pre-shuffle into the bucket layout so each bucket is ONE file:
+    // repartition's hash (Murmur3 pmod numBuckets) is the same function
+    // bucketBy uses, so task i holds exactly bucket i. One file per
+    // bucket is what lets the scan report the in-bucket sort order
+    // downstream (multi-file buckets force a re-Sort under the join)
+    // and avoids the small-files explosion of writer-per-task × bucket.
+    val clustered = df.repartition(numBuckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = clustered.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+      else w
+    ws.saveAsTable(table)
+  }
+
   def read(spark: SparkSession, path: String, format: Format,
       schema: StructType): DataFrame = format match {
     case Parquet => spark.read.schema(schema).parquet(path)

@@ -51,4 +51,48 @@ class TableIOSpec extends SparkSpec {
     val b = back.collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("co-bucketed fact tables join with zero shuffle and zero sort") {
+    // The 100 TB claim made concrete: lineitem and orders bucketed +
+    // sorted on their join key at write time must sort-merge join
+    // straight off the scan — no Exchange, no Sort in the plan.
+    // Broadcast is disabled so the shuffle-free-ness comes from the
+    // bucket layout, not from the tables being small.
+    val liDir = Files.createTempDirectory("graft_bkt_li").toString
+    val ordDir = Files.createTempDirectory("graft_bkt_ord").toString
+    TableIO.writeBucketed(
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "bkt_lineitem", liDir, Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    TableIO.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+      "bkt_orders", ordDir, Seq("o_orderkey"), 8, Seq("o_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sorted-bucket scans report their ordering only behind this flag
+      // (and only with one file per bucket, which writeBucketed
+      // guarantees via its pre-shuffle)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val joined = spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still shuffles:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"in-bucket sorting not exploited, plan re-sorts:\n$plan")
+      assert(joined.count() ==
+        Tables.lineitem(spark, sfDir).join(Tables.orders(spark, sfDir),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
 }
