@@ -99,8 +99,14 @@ object Dedup {
         m
       }
     }
-    perSession.getOrElseUpdate(key,
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    perSession.getOrElseUpdate(key, {
+      val df = build
+      // a build that persisted (and materialized) itself is stored
+      // as-is — re-persisting would only log a cache-manager warning
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    })
   }
 
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
@@ -284,7 +290,14 @@ object Dedup {
     * are persisted per round and the loop is driver-side control flow
     * only (no data to the driver beyond the 1-row convergence count).
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    // cached per (session, corpus): the label table is a write-time
+    // artifact (like the shingle/signature tables) consumed by BOTH
+    // the cluster query and the apply step — without the cache the
+    // apply step re-runs the whole LSH + propagation loop
+    cached(spark, s"clusters:$dir")(clustersBuild(spark, dir))
+
+  private def clustersBuild(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2")).persist()
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -313,12 +326,16 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    // loop-scoped artifacts: the final labels frame is persisted (and
-    // materialized by the last convergence check), so the upstream
-    // caches can go
+    // hand the result over as its own eagerly-materialized cache entry
+    // and drop every loop-scoped artifact — the iterative lineage must
+    // never be re-executed (and the per-round persists must not leak)
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     pairs.unpersist()
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    labels.unpersist()
+    out
   }
 
   /** The APPLY step of near-dup dedup: the corpus that remains after
@@ -346,28 +363,34 @@ object Dedup {
     * Output: per-document span counts + duplicated fraction — the
     * signal a scrubbing pass thresholds on.
     *
-    * Scale: one explode to (doc_id, span-hash) — corpus-linear, like
-    * the shingle index — then a count per span key and a broadcast of
-    * the duplicated keys back onto the span stream. The group/join key
-    * is the 64-bit xxhash of the span, never the 40-char text (8-byte
-    * shuffle keys; a collision needs ~1e-14 and only ever adds one
-    * false dup position — the same engine-local-hash policy as the
-    * shingle kernels). */
+    * Scale: ONE explode pass to (doc_id, span-hash) — corpus-linear,
+    * like the shingle index — pre-aggregated to per-(span, doc) counts
+    * (map-side combine collapses intra-document repeats before the
+    * shuffle), then a window sum per span key turns the counts global,
+    * and a final per-doc aggregation rolls up. No second scan of the
+    * corpus and no broadcast of the duplicated-key set (which grows
+    * with the corpus — an unbounded broadcast is exactly the
+    * driver-collect anti-pattern at 100 TB). The key is the 64-bit
+    * xxhash of the span, never the 40-char text (8-byte shuffle keys;
+    * a collision needs ~1e-14 and only ever adds one false dup
+    * position — the same engine-local-hash policy as the shingle
+    * kernels). */
   val SpanLen = 40
   def substringDup(spark: SparkSession, dir: String): DataFrame = {
-    val spans = Tables.documents(spark, dir)
+    val perDocSpan = Tables.documents(spark, dir)
       .filter(length(col("text")) >= SpanLen)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
             s" i -> xxhash64(substring(text, i, $SpanLen)))")).as("h"))
-    val dupKeys = spans.groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(col("h"))
-    spans
-      .join(broadcast(dupKeys.withColumn("dup", lit(1L))), Seq("h"), "left")
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val wSpan = Window.partitionBy(col("h"))
+    perDocSpan
+      .withColumn("tot", sum(col("c")).over(wSpan))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(coalesce(col("dup"), lit(0L))).as("n_dup_spans"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("tot") > 1, col("c")).otherwise(0L)).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         Num.roundEps(col("n_dup_spans").cast("double") / col("n_spans"), 6)
           .as("dup_frac"))

@@ -19,6 +19,33 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
+      case "cc" :: Nil =>
+        import org.apache.spark.sql.functions._
+        time("warmup q1")(SparkEntry.queries("q1_pricing")(spark, dir).count())
+        val pairs = time("lsh pairs")(
+          graft.pipeline.Dedup.minhashLsh(spark, dir)
+            .select(col("d1"), col("d2")).persist())
+        time("pairs count")(println("pairs=" + pairs.count()))
+        val edges = pairs.unionAll(pairs.select(col("d2"), col("d1")))
+          .toDF("src", "dst").persist()
+        time("edges count")(println("edges=" + edges.count()))
+        var labels = edges
+          .select(col("src").as("id"), col("dst").as("label"))
+          .unionAll(edges.select(col("src"), col("src")))
+          .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+        time("init labels")(println("labels=" + labels.count()))
+        (1 to 3).foreach { r =>
+          val prop = edges.join(labels, edges("dst") === labels("id"))
+            .select(col("src").as("id"), col("label"))
+            .unionAll(labels)
+            .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+          time(s"round $r prop+count") {
+            val changed = prop.join(labels.withColumnRenamed("label", "old"), "id")
+              .filter(col("label") < col("old")).limit(1).count()
+            println(s"changed=$changed")
+          }
+          labels = prop
+        }
       case "explain" :: qs =>
         qs.foreach { q =>
           println(s"==== $q ====")
