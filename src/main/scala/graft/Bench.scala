@@ -23,13 +23,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the whole line inside the driver's
-    // bounded output-tail capture even as the query inventory grows.
-    def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // The driver machine-parses this line from a 2000-char output tail
+    // that also contains sbt's ~70-char "[success] ..." epilogue, so the
+    // whole line must stay under ~1900 chars even as the inventory
+    // grows: centisecond precision, trailing zeros stripped, sf as a
+    // basename. (Round 1 failed parse on the "[info] " logger prefix —
+    // hence run/outputStrategy in build.sbt; round 2 on sheer length.)
+    def fmt(v: Double, dp: Int): String = {
+      val s = String.format(s"%.${dp}f", Double.box(v))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (s.isEmpty) "0" else s
+    }
+    // ~19 chars/query at 1 dp: at 81 queries the line is ~1870 chars,
+    // leaving headroom for ~3 more queries before the budget is hit
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     System.out.flush()
     spark.stop()
   }

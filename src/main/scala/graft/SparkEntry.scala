@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cube.SkopeQueries
-import graft.pipeline.{Curation, Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, EventOps, Multimodal, Similarity, TextAnalysis, TrainingPrep}
 import graft.relational.TpchQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -44,12 +44,12 @@ object SparkEntry {
     "q17_small_qty" -> (TpchQueries.q17 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries ++
-    Curation.queries
+    Curation.queries ++ TrainingPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ SkopeQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      EventOps.oracles ++ Curation.oracles
+      EventOps.oracles ++ Curation.oracles ++ TrainingPrep.oracles
 }

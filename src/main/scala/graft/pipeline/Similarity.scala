@@ -175,6 +175,24 @@ object Similarity {
         col("e.id").as("vec_id"), col("e.score").as("cos"))
   }
 
+  /** Recall@k of the IVF search against the brute-force baseline —
+    * the metric that justifies an approximate index's nprobe setting.
+    * Runs both in-engine pipelines and joins their result sets per
+    * probe; AnnRecallSpec asserts the floor, and the DuckDB oracle
+    * (a join of the two exact-oracled pipelines) checks the exact
+    * per-probe hit counts. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = annTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+    val ivf = annIvf(spark, dir).select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1))
+    brute
+      .join(ivf, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("probe_id"), col("n_hit"),
+        Num.roundEps(col("n_hit").cast("double") / TopK, 6).as("recall"))
+  }
+
   /** Int8 scalar quantization stats per vector — the write-time
     * compression pass of a quantized ANN index: per-vector scale
     * (127 / max|v|) and reconstruction MSE, via the native
@@ -214,12 +232,11 @@ object Similarity {
   private def dotSqlOf(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $y[i]))"
 
-  val oracles: Map[String, String] = Map(
-    // exact mirror of annIvf: nearest-centroid assignment, probed
-    // buckets, bucket-restricted top-k — all selections over the same
-    // 6-dp eps-rounded scores with the same (score desc, id asc) order
-    "ann_ivf" ->
-      s"""WITH $vecSql,
+  // exact mirror of annIvf: nearest-centroid assignment, probed
+  // buckets, bucket-restricted top-k — all selections over the same
+  // 6-dp eps-rounded scores with the same (score desc, id asc) order
+  private val annIvfSql =
+    s"""WITH $vecSql,
          |c AS (SELECT vec_id AS cent_id, vv AS cv, nrm AS cn FROM v
          |      WHERE vec_id < $IvfCentroids),
          |asg AS (
@@ -246,16 +263,30 @@ object Similarity {
          |SELECT probe_id,
          |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
          |  vec_id, cos
-         |FROM cand QUALIFY rank <= $TopK""".stripMargin,
-    "ann_topk" ->
-      s"""WITH $vecSql
-         |SELECT a.vec_id AS probe_id,
-         |  row_number() OVER (PARTITION BY a.vec_id
-         |    ORDER BY round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) DESC, b.vec_id) AS rank,
-         |  b.vec_id AS vec_id,
-         |  round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) AS cos
-         |FROM v a JOIN v b ON a.vec_id < $NumProbes AND b.vec_id <> a.vec_id
-         |QUALIFY rank <= $TopK""".stripMargin,
+         |FROM cand QUALIFY rank <= $TopK""".stripMargin
+
+  private val annTopkSql =
+    s"""WITH $vecSql
+       |SELECT a.vec_id AS probe_id,
+       |  row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) DESC, b.vec_id) AS rank,
+       |  b.vec_id AS vec_id,
+       |  round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) AS cos
+       |FROM v a JOIN v b ON a.vec_id < $NumProbes AND b.vec_id <> a.vec_id
+       |QUALIFY rank <= $TopK""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivf" -> annIvfSql,
+    "ann_topk" -> annTopkSql,
+    // both sides are the exact-oracled pipelines above, so the recall
+    // itself carries an exact oracle (DuckDB allows a WITH inside each
+    // parenthesized side)
+    "ann_recall" ->
+      s"""SELECT b.probe_id, count(i.vec_id) AS n_hit,
+         |  round((CAST(count(i.vec_id) AS DOUBLE) / $TopK) + 1e-9, 6) AS recall
+         |FROM ($annTopkSql) b LEFT JOIN ($annIvfSql) i
+         |  ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+         |GROUP BY b.probe_id""".stripMargin,
     "emb_centroids" ->
       """SELECT label, i AS pos,
         |  round((avg(CAST(embedding[i] AS DOUBLE))) + 1e-9, 6) AS mean_val
@@ -292,6 +323,7 @@ object Similarity {
     "ann_topk" -> (annTopK _),
     "dedup_embedding" -> (embeddingPairs _),
     "ann_ivf" -> (annIvf _),
+    "ann_recall" -> (annRecall _),
     "emb_centroids" -> (centroids _),
     "emb_quantize" -> (embQuantize _)
   )

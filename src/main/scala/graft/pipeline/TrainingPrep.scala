@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import graft.{Num, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators: the passes that turn a curated
+  * corpus into model-ready training data — deterministic splits,
+  * sequence packing, benchmark-contamination checks, and a unigram
+  * language-model quality score.
+  *
+  * Scale design (100 TB):
+  *  - splits are a pure scan predicate (md5-derived bucket, no RNG) +
+  *    one tiny aggregation — reproducible across reruns and engines.
+  *  - packing is a prefix sum per (source, shard): the shard count is
+  *    the output-file parallelism knob (a pack stream is inherently
+  *    sequential — each offset depends on every earlier document in
+  *    the same stream — so parallelism comes from sharding the
+  *    streams, exactly like one writer task per output file).
+  *  - contamination joins the corpus's n-gram stream against the
+  *    benchmark's on 8-byte hash keys — never on gram text; the
+  *    benchmark side is tiny but the join is written as a plain
+  *    shuffle join so the plan survives a benchmark too large to
+  *    broadcast (AQE broadcasts it when it is small).
+  *  - the unigram score is two aggregations over one token stream;
+  *    the vocabulary table is orders of magnitude smaller than the
+  *    corpus and AQE picks the join strategy.
+  */
+object TrainingPrep {
+
+  /** Deterministic md5 bucket in [0, 100) — the same engine-portable
+    * arithmetic as Curation.sampleHash. */
+  private val bucketSpark =
+    Portable.hexToLongSpark("md5(CAST(doc_id AS STRING))", 1, 15) + " % 100"
+  private val bucketSql =
+    Portable.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15) + " % 100"
+
+  // -------------------------------------------------------- splits --
+
+  /** Train/val/test thresholds: bucket < 90 → train, < 95 → val,
+    * else test. */
+  val TrainPct = 90
+  val ValPct = 95
+
+  /** Deterministic train/val/test split report: per (source, subset)
+    * document and token counts — the manifest a training job reads to
+    * size its data mixture. Assignment is a map-only scan predicate;
+    * the report is one small aggregation. */
+  def splitReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(bucketSpark))
+      .withColumn("subset",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < ValPct, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("subset"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+
+  // ------------------------------------------------------- packing --
+
+  /** Tokens per packed training sequence. */
+  val SeqLen = 256
+  /** Pack streams per source — the output-file parallelism knob; at
+    * 100 TB this scales with corpus size (one stream ≈ one writer
+    * task ≈ one output file), bounding every window partition. */
+  val PackShards = 8
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * (source, shard, doc_id) order and chopped into SeqLen-token
+    * training sequences; each document reports the sequence it starts
+    * in and its token offset inside it. The prefix sum is a window
+    * over (source, shard) — parallel across streams, sequential
+    * within one, which is the inherent data dependency of packing. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $SeqLen").as("seq_id"),
+        (col("cum_before") % SeqLen).as("seq_offset"))
+  }
+
+  // ------------------------------------------------- contamination --
+
+  /** Benchmark membership: the top 2% of the md5 bucket space. */
+  val BenchmarkPct = 98
+  /** Contamination n-gram width (token 8-grams, the common
+    * benchmark-overlap window). */
+  val GramN = 8
+
+  /** Per-document token n-gram hash stream, distinct within document.
+    * The 64-bit engine-local hash stays inside the join (counts only
+    * cross to the oracle — the same policy as the shingle kernels;
+    * a collision needs ~1e-14 and only ever flags one extra gram). */
+  private def gramHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= GramN)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(ws) - ${GramN - 1})," +
+          s" i -> xxhash64(concat_ws(' ', slice(ws, i, $GramN))))"))).as("g"))
+
+  /** Benchmark-contamination check: for each benchmark document, the
+    * fraction of its distinct token 8-grams that appear verbatim
+    * anywhere in the training corpus — the decontamination signal a
+    * pretraining pipeline thresholds on before holding out an eval
+    * set. One n-gram pass over each side, distinct train keys, one
+    * hash join on 8-byte keys. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(bucketSpark))
+    val bench = gramHashes(docs.filter(col("bucket") >= BenchmarkPct))
+    val train = gramHashes(docs.filter(col("bucket") < BenchmarkPct))
+      .select(col("g")).distinct()
+    bench
+      .join(train.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        Num.roundEps(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("contaminated_frac"))
+  }
+
+  // ------------------------------------------------ unigram logprob --
+
+  /** Unigram LM quality score: per-document mean log-probability of
+    * its tokens under the corpus's own unigram distribution — the
+    * cheap perplexity proxy used to rank documents before a real LM
+    * scores them. Two aggregations over one exploded token stream;
+    * the vocabulary side of the join is corpus-vocabulary-sized
+    * (≪ corpus) and AQE broadcasts it when it fits. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("tot"))
+    toks
+      .join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.roundEps(avg(log(col("cnt").cast("double") / col("tot"))), 6)
+          .as("avg_logprob"))
+  }
+
+  // ------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "docs_split" ->
+      s"""SELECT source,
+         |  CASE WHEN $bucketSql < $TrainPct THEN 'train'
+         |       WHEN $bucketSql < $ValPct THEN 'val'
+         |       ELSE 'test' END AS subset,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY source, subset""".stripMargin,
+    "docs_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id % $PackShards AS shard, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM d)
+         |SELECT source, shard, doc_id, n_tokens,
+         |  cum_before // $SeqLen AS seq_id,
+         |  cum_before % $SeqLen AS seq_offset
+         |FROM c""".stripMargin,
+    // gram keys are TEXT here (vs 64-bit hashes inside the engine):
+    // only counts cross to the compare, per the engine-local-hash
+    // policy (SURVEY.md §4)
+    "docs_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    $bucketSql AS bucket
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(ws) - ${GramN - 1}),
+         |    i -> array_to_string(list_slice(ws, i, i + ${GramN - 1}), ' ')))) AS g
+         |  FROM d WHERE len(ws) >= $GramN),
+         |train AS (SELECT DISTINCT g FROM g WHERE bucket < $BenchmarkPct)
+         |SELECT b.doc_id, count(*) AS n_grams, count(train.g) AS n_hit,
+         |  round((CAST(count(train.g) AS DOUBLE) / count(*)) + 1e-9, 6)
+         |    AS contaminated_frac
+         |FROM g b LEFT JOIN train ON b.g = train.g
+         |WHERE b.bucket >= $BenchmarkPct
+         |GROUP BY b.doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |total AS (SELECT sum(cnt) AS tot FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(CAST(cnt AS DOUBLE) / tot)) + 1e-9, 6) AS avg_logprob
+        |FROM toks JOIN freq USING (token) CROSS JOIN total
+        |GROUP BY doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_split" -> (splitReport _),
+    "docs_pack_sequences" -> (packSequences _),
+    "docs_contamination" -> (contamination _),
+    "text_unigram_logprob" -> (unigramLogprob _)
+  )
+}

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingPrepSpec extends SparkSpec {
+
+  test("split subsets partition the corpus") {
+    val rep = TrainingPrep.splitReport(spark, sfDir).collect()
+    val subsets = rep.map(_.getAs[String]("subset")).toSet
+    assert(subsets.subsetOf(Set("train", "val", "test")))
+    val nDocs = rep.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == graft.Tables.documents(spark, sfDir).count())
+    // deterministic: identical assignment on a rerun
+    val again = TrainingPrep.splitReport(spark, sfDir).collect()
+    assert(rep.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("packSequences offsets are the running token count within a stream") {
+    val rows = TrainingPrep.packSequences(spark, sfDir)
+      .orderBy(col("source"), col("shard"), col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+      .foreach { case (_, stream) =>
+        var cum = 0L
+        stream.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          val seqId = r.getAs[Long]("seq_id")
+          val off = r.getAs[Long]("seq_offset")
+          // (seq_id, seq_offset) decompose the running count exactly
+          assert(seqId * TrainingPrep.SeqLen + off == cum)
+          cum += r.getAs[Long]("n_tokens")
+        }
+      }
+  }
+
+  test("contamination fractions are sane and bounded") {
+    val rows = TrainingPrep.contamination(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams")
+      val hit = r.getAs[Long]("n_hit")
+      val frac = r.getAs[Double]("contaminated_frac")
+      assert(n > 0 && hit >= 0 && hit <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("a verbatim copy of a training doc is flagged fully contaminated") {
+    // synthetic corpus: one training doc + one benchmark doc with the
+    // same text; the benchmark doc's grams must all hit. doc_ids are
+    // chosen by their md5 bucket: 7 -> 55 (train, <98), 63 -> >=98
+    // (benchmark tail).
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (7L, text, "src0", "en", text.length.toLong),
+      (63L, text, "src1", "en", text.length.toLong)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("trainingprep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TrainingPrep.contamination(spark, tmp).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("doc_id") == 63L)
+    assert(out.head.getAs[Double]("contaminated_frac") == 1.0)
+  }
+
+  test("unigramLogprob scores are negative log-probabilities") {
+    val rows = TrainingPrep.unigramLogprob(spark, sfDir).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0)
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // a doc made entirely of the corpus's most common tokens must score
+    // higher (less negative) than one of rare tokens — ranking sanity
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(byDoc.values.max > byDoc.values.min)
+  }
+}
