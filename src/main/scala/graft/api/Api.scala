@@ -110,6 +110,36 @@ object Api {
     * per-request cell budget before any work is scheduled. */
   val MaxCells: Long = 100000L
 
+  /** The reference's chunked-read planner
+    * (SkopePolygonModel._make_band_range_groups, geometry.py:111-139):
+    * split an inclusive 1-based band range into contiguous groups of
+    * whole bands whose cell count stays under `maxSize`, exactly
+    * replicating the reference arithmetic (full chunks of
+    * ⌊maxSize/cellsPerBand⌋ bands, then one remainder group). In this
+    * engine the scan planner does this job natively (row-group /
+    * maxPartitionBytes splits over the band-sorted cube), so this is
+    * the task-granule sizing used at cube-write time rather than a
+    * runtime read loop — but the arithmetic and the too-large guard
+    * are the reference's observable contract
+    * (tests/test_stores.py:test_split_indices). */
+  def bandRangeGroups(width: Int, height: Int, bandRange: (Int, Int),
+      maxSize: Long = MaxCells): Seq[Range] = {
+    val cellsPerBand = width.toLong * height
+    val cellsPerFullChunk = maxSize - maxSize % cellsPerBand
+    if (cellsPerFullChunk == 0)
+      throw SelectedAreaTooLargeError(cellsPerBand, maxSize)
+    val (gte, lte) = bandRange
+    val nBands = lte - gte + 1
+    val bandsPerFullChunk = (cellsPerFullChunk / cellsPerBand).toInt
+    val nFullChunks = (cellsPerBand * nBands / cellsPerFullChunk).toInt
+    val full = (0 until nFullChunks).map { i =>
+      i * bandsPerFullChunk + gte until (i + 1) * bandsPerFullChunk + gte
+    }
+    val nLastBands = nBands % bandsPerFullChunk
+    if (nLastBands > 0) full :+ (nBands - nLastBands + gte until nBands + gte)
+    else full
+  }
+
   /** v1 start/end string parsing (TimeseriesV1Request.to_time_range,
     * timeseries.py:289-325): "2024" → 2024-01-01, "2024-02" →
     * 2024-02-01, "2024-02-03" → itself; None → the dataset edge.

@@ -306,11 +306,20 @@ object Dedup {
     // direct neighbors): near-dup clusters are cliques in practice, so
     // most components converge at init and the loop runs once to
     // confirm the fixpoint
+    // convergence telemetry: labels only ever DECREASE (min of self and
+    // neighbors), so Σlabel is strictly monotone until the fixpoint and
+    // "sum unchanged" ⟺ "no label changed" — one decimal aggregate per
+    // round instead of a prop⋈labels join + count (decimal: exact, no
+    // 64-bit wrap at any corpus size)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .first().getDecimal(0)
     var labels = edges
       .select(col("src").as("id"), col("dst").as("label"))
       .unionAll(edges.select(col("src").as("id"), col("src").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
       .persist()
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -319,11 +328,11 @@ object Dedup {
         .unionAll(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist()
-      val changed = prop.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).limit(1).count()
+      val s = labelSum(prop)
       labels.unpersist()
       labels = prop
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       rounds += 1
     }
     // hand the result over as its own eagerly-materialized cache entry

@@ -129,6 +129,31 @@ object TrainingPrep {
           .as("contaminated_frac"))
   }
 
+  // ---------------------------------------------------- mix weights --
+
+  /** Mixing temperature: weight ∝ token_share^(1/2) — the standard
+    * "up-sample the tail domains" exponent (fixed at 0.5 so both
+    * engines compute it as an exact IEEE sqrt). */
+
+  /** Domain mixing weights: per-source token share and the
+    * temperature-scaled sampling weight a training job draws domains
+    * with. Two tiny aggregations over one scan; the per-source table
+    * is #sources rows, so the normalizing constants broadcast. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = bySource.agg(sum(col("n_tokens")).as("tot"))
+    val shared = bySource.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("w_raw", sqrt(col("share")))
+    val z = shared.agg(sum(col("w_raw")).as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        Num.roundEps(col("share"), 6).as("token_share"),
+        Num.roundEps(col("w_raw") / col("z"), 6).as("mix_weight"))
+  }
+
   // ------------------------------------------------ unigram logprob --
 
   /** Unigram LM quality score: per-document mean log-probability of
@@ -198,6 +223,22 @@ object TrainingPrep {
          |FROM g b LEFT JOIN train ON b.g = train.g
          |WHERE b.bucket >= $BenchmarkPct
          |GROUP BY b.doc_id""".stripMargin,
+    "docs_mix_weights" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / tot AS share,
+        |    sqrt(CAST(n_tokens AS DOUBLE) / tot) AS w_raw
+        |  FROM s CROSS JOIN t),
+        |z AS (SELECT sum(w_raw) AS z FROM w)
+        |SELECT source, n_tokens,
+        |  round(share + 1e-9, 6) AS token_share,
+        |  round((w_raw / z) + 1e-9, 6) AS mix_weight
+        |FROM w CROSS JOIN z""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -214,6 +255,7 @@ object TrainingPrep {
     "docs_split" -> (splitReport _),
     "docs_pack_sequences" -> (packSequences _),
     "docs_contamination" -> (contamination _),
+    "docs_mix_weights" -> (mixWeights _),
     "text_unigram_logprob" -> (unigramLogprob _)
   )
 }

@@ -63,6 +63,20 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.head.getAs[Double]("contaminated_frac") == 1.0)
   }
 
+  test("mixWeights are a distribution that up-samples tail domains") {
+    val rows = TrainingPrep.mixWeights(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val wSum = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    // sqrt temperature: every domain's weight exceeds share for small
+    // domains and trails it for dominant ones (crossover at z^-2)
+    val shares = rows.map(r =>
+      r.getAs[Double]("token_share") -> r.getAs[Double]("mix_weight"))
+    val (minS, minW) = shares.minBy(_._1)
+    val (maxS, maxW) = shares.maxBy(_._1)
+    assert(minW / minS > maxW / maxS, "tail domain not up-sampled")
+  }
+
   test("unigramLogprob scores are negative log-probabilities") {
     val rows = TrainingPrep.unigramLogprob(spark, sfDir).collect()
     assert(rows.length == graft.Tables.documents(spark, sfDir).count())
