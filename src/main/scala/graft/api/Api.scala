@@ -140,6 +140,25 @@ object Api {
     else full
   }
 
+  /** v2 `time_range` → 1-based band range at the request's resolution —
+    * the wire format's primary range field (TimeseriesRequest.time_range,
+    * timeseries.py:365; find_band_range, dataset.py:49-72). Dates accept
+    * the same "2024" | "2024-02" | "2024-02-03" shapes as v1; hourly
+    * ranges are whole days (gte at 00:00, lte through 23:00). */
+  def bandRangeForTimeRange(resolution: EventCube.Resolution,
+      gte: String, lte: String): (Int, Int) = {
+    val bands = availableBandsFor(resolution)
+    resolution match {
+      case EventCube.Daily =>
+        (bandForDate(Some(gte), bands._1), bandForDate(Some(lte), bands._2))
+      case EventCube.Monthly =>
+        (bandForMonth(Some(gte), bands._1), bandForMonth(Some(lte), bands._2))
+      case EventCube.Hourly =>
+        ((bandForDate(Some(gte), 1) - 1) * 24 + 1,
+          bandForDate(Some(lte), (bands._2 + 23) / 24) * 24)
+    }
+  }
+
   /** v1 start/end string parsing (TimeseriesV1Request.to_time_range,
     * timeseries.py:289-325): "2024" → 2024-01-01, "2024-02" →
     * 2024-02-01, "2024-02-03" → itself; None → the dataset edge.

@@ -46,7 +46,15 @@ object RequestJson {
       case Some(br) if br.isArray && br.size == 2 =>
         (br.get(0).asInt, br.get(1).asInt)
       case Some(_) => throw RequestParseError("band_range must be [lo, hi]")
-      case None => availableBandsFor(resolution)
+      case None => Option(root.get("time_range")) match {
+        // the wire format's primary range field (timeseries.py:365):
+        // ISO-ish dates converted server-side (find_band_range)
+        case Some(tr) =>
+          def pt(name: String): String = Option(tr.get(name)).map(_.asText)
+            .getOrElse(throw RequestParseError(s"time_range needs $name"))
+          Api.bandRangeForTimeRange(resolution, pt("gte"), pt("lte"))
+        case None => availableBandsFor(resolution)
+      }
     }
     TimeseriesRequest(
       datasetId = req("dataset_id").asText,

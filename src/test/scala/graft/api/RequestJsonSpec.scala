@@ -96,6 +96,42 @@ class RequestJsonSpec extends SparkSpec {
     assert(req.transform === ZScoreMovingInterval(6))
   }
 
+  test("time_range is the wire format's primary range field (timeseries.py:365)") {
+    // v2 clients send dates, not band indices; conversion is
+    // find_band_range's job server-side (dataset.py:49-72)
+    val req = parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-25"}}"""
+        .stripMargin)
+    assert(req.bandRange === (5, 25))
+    assert(extractTimeseries(spark, sfDir, req).series.count() > 0)
+    // partial dates snap like the v1 strings: year → Jan 1, month → 1st
+    val monthly = parse(
+      """{"resolution": "month", "dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01", "lte": "2024-01"}}""".stripMargin)
+    assert(monthly.bandRange === (1, 1))
+    // hourly: date bounds widen to whole days
+    val hourly = parse(
+      """{"resolution": "hour", "dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01-02", "lte": "2024-01-03"}}"""
+        .stripMargin)
+    assert(hourly.bandRange === (25, 72))
+    // band_range, when present, wins (it is already resolution-native)
+    val both = parse(
+      """{"dataset_id": "click", "band_range": [3, 7],
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-25"}}"""
+        .stripMargin)
+    assert(both.bandRange === (3, 7))
+    intercept[RequestParseError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01-05"}}""".stripMargin))
+  }
+
   test("malformed requests raise RequestParseError; invalid polygons still validate") {
     intercept[RequestParseError](parse("""{"selected_area": {}}"""))
     intercept[RequestParseError](parse("not json at all {{{"))
