@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // deployment-policy rewrite: exact percentile → sketch when
     // spark.graft.approxPercentile is set (plans/ApproxPercentileRule)
     e.injectOptimizerRule(graft.plans.ApproxPercentileRule.apply)
+    // whole-operator extension: the as-of join physical strategy
+    // (plans/AsofJoin — ladder rung (c))
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

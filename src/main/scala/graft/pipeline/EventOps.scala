@@ -39,11 +39,36 @@ object EventOps {
         Num.roundEps(sum(col("value")), 2).as("total_value"))
   }
 
-  /** As-of (backward) join: each purchase picks up the value of the
-    * same user's most recent strictly-prior click. Expressed as a
-    * single pass over the per-user event order (union + IGNORE NULLS
-    * last_value over an unbounded-to--1 frame) — no join at all, so
-    * at scale it is one shuffle on user_id instead of a range join. */
+  /** As-of (backward) join via the custom physical operator
+    * (plans/AsofJoin — logical node + strategy + merge-scan SparkPlan,
+    * extension-ladder rung (c)): each purchase picks up the value of
+    * the same user's most recent strictly-prior click. One hash
+    * Exchange per side on user_id and a streaming per-partition merge
+    * with O(1) state — the same total shuffle volume as the windowed
+    * formulation below (which shuffles clicks+purchases as one
+    * stream), without buffering window frames. AsofJoinSpec asserts
+    * both formulations agree row-for-row. */
+  def asofClickExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("value").as("click_value"))
+    graft.plans.AsofJoin.asof(purchases, clicks,
+      leftKey = "user_id", rightKey = "c_user",
+      leftTime = "ts", rightTime = "c_ts",
+      rightTieBreak = Seq("click_id"), strict = true)
+      .select(col("event_id"), col("user_id"),
+        Num.roundEps(col("value"), 2).as("value"),
+        Num.roundEps(col("click_value"), 2).as("last_click_value"))
+  }
+
+  /** The windowed as-of formulation (union + IGNORE NULLS last_value
+    * over an unbounded-to--1 frame) — no join at all, one shuffle of
+    * the combined stream on user_id. The better plan when both sides
+    * already live in one table; the custom operator above is the
+    * general two-table case. */
   def asofClick(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -211,7 +236,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
-    "events_asof_click" -> (asofClick _),
+    "events_asof_click" -> (asofClickExec _),
     "events_hourly_rollup" -> (hourlyRollup _),
     "events_topk_users" -> (topkUsers _),
     "events_retention" -> (retention _),
