@@ -141,4 +141,48 @@ class EventStreamSpec extends SparkSpec {
       assert(out.toSeq == Seq(("click", 2L, 15.0), ("view", 1L, 30.0)))
     } finally q.stop()
   }
+
+  test("bounded-state heavy hitters bracket the true counts (Misra-Gries)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.streamingHeavyHitters(events, capacity = 4, topK = 3)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      // skewed stream over 20 distinct users: user 1 dominates (40
+      // events), user 2 second (20), user 3 third (10); 17 "noise"
+      // users once each. n = 87, capacity m = 4 → any user above
+      // n/(m+1) = 17.4 is guaranteed tracked (users 1 and 2; 3 likely)
+      var id = 0L
+      def ev(user: Long, n: Int) = (1 to n).map { _ =>
+        id += 1
+        (id, 1704067200000000000L + id * 1000000000L, user, "click", 1.0, "{}")
+      }
+      val rnd = new scala.util.Random(42)
+      val batch = rnd.shuffle(ev(1L, 40) ++ ev(2L, 20) ++ ev(3L, 10) ++
+        (100L until 117L).flatMap(u => ev(u, 1)))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val out = s.sql(
+        """SELECT user_id, min_count, max_count FROM hh_stream
+          |WHERE dataset_id = 'click'""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val byUser = out.map(t => t._1 -> (t._2, t._3)).toMap
+      val truth = Map(1L -> 40L, 2L -> 20L, 3L -> 10L)
+      // the two guaranteed-frequency users must be reported...
+      assert(byUser.contains(1L) && byUser.contains(2L), s"got $byUser")
+      // ...and every reported bracket must contain its true count
+      byUser.foreach { case (u, (lo, hi)) =>
+        val t = truth.getOrElse(u, 1L)
+        assert(lo <= t && t <= hi, s"user $u: true $t outside [$lo, $hi]")
+      }
+      // state is bounded: at most `capacity` users ever reported at once
+      assert(out.length <= 4)
+    } finally q.stop()
+  }
 }
