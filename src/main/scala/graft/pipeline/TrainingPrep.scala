@@ -159,8 +159,9 @@ object TrainingPrep {
   /** Unigram LM quality score: per-document mean log-probability of
     * its tokens under the corpus's own unigram distribution — the
     * cheap perplexity proxy used to rank documents before a real LM
-    * scores them. Two aggregations over one exploded token stream;
-    * the vocabulary side of the join is corpus-vocabulary-sized
+    * scores them. Two passes over the corpus scan (the frequency
+    * build, then the scoring join of the same token stream); the
+    * vocabulary side of the join is corpus-vocabulary-sized
     * (≪ corpus) and AQE broadcasts it when it fits. */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)

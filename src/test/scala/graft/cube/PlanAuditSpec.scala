@@ -83,6 +83,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs >= 4, s"expected partial aggregation pairs, saw $aggs HashAggregate nodes")
   }
 
+  test("sequence packing windows are partitioned (no single-partition sort)") {
+    val plan = formatted(graft.pipeline.TrainingPrep.packSequences(spark, sfDir))
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(windows.nonEmpty)
+    // the prefix-sum window must carry its (source, shard) partition
+    // spec — an empty partitionBy serializes the whole corpus
+    val spec = plan.split("\n").find(l =>
+      l.contains("windowspecdefinition")).getOrElse("")
+    assert(spec.contains("source") && spec.contains("shard"),
+      s"pack window not partitioned by stream: $spec")
+  }
+
+  test("contamination joins on hash keys, never gram text") {
+    val plan = formatted(graft.pipeline.TrainingPrep.contamination(spark, sfDir))
+    assert(plan.contains("xxhash64"), "gram join key is not hashed")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "contamination fell into a nested-loop join")
+  }
+
+  test("as-of query plans through the custom exec with pushed scan filters") {
+    val df = graft.pipeline.EventOps.asofClickExec(spark, sfDir)
+    val plan = formatted(df)
+    assert(plan.contains("AsofJoin"), s"custom exec missing from:\n$plan")
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(event_type,purchase)") &&
+      pushed.contains("EqualTo(event_type,click)"),
+      s"event_type filters not at the scans: $pushed")
+  }
+
   test("polygon mask is a pushable predicate, not a join or UDF") {
     val plan = formatted(SkopeQueries.polygonZonal(spark, sfDir))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("Scala UDF"))
