@@ -58,7 +58,8 @@ object Api {
       requestedSeriesOptions: Seq[SeriesOptions] =
         Seq(SeriesOptions("original", NoSmoother)),
       bandRange: (Int, Int),
-      resolution: EventCube.Resolution = EventCube.Daily)
+      resolution: EventCube.Resolution = EventCube.Daily,
+      maxProcessingTimeMs: Long = MaxProcessingTimeMs)
 
   /** Response mirror: everything stays a DataFrame (lazy, distributed)
     * until the caller materializes — the analogue of the reference's
@@ -106,9 +107,15 @@ object Api {
   }
 
   /** Mirror of the reference's default_max_cells guard
-    * (geometry.py:111-139, SelectedAreaPolygonIsTooLarge): bound the
-    * per-request cell budget before any work is scheduled. */
-  val MaxCells: Long = 100000L
+    * (config.py:33, geometry.py:111-139,
+    * SelectedAreaPolygonIsTooLarge): bound the per-request cell budget
+    * before any work is scheduled. */
+  val MaxCells: Long = 500000L
+
+  /** The reference's per-request processing budget in ms (config.py:32;
+    * TimeseriesRequest.max_processing_time is validated to
+    * 0 ≤ t ≤ this and enforced at materialization). */
+  val MaxProcessingTimeMs: Long = 15000L
 
   /** The reference's chunked-read planner
     * (SkopePolygonModel._make_band_range_groups, geometry.py:111-139):
@@ -499,4 +506,14 @@ object Api {
       case Left(t) => throw t
     }
   }
+
+  /** The reference's full request contract in one call: extract, then
+    * materialize the series under the request's own
+    * max_processing_time budget (core/services.py extract_timeseries
+    * wraps the work in asyncio.wait_for the same way). */
+  def extractSeriesBounded(spark: SparkSession, dir: String,
+      req: TimeseriesRequest): Array[org.apache.spark.sql.Row] =
+    materializeWithTimeout(spark, req.maxProcessingTimeMs) {
+      extractTimeseries(spark, dir, req).series.collect()
+    }
 }

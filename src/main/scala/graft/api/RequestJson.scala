@@ -56,6 +56,13 @@ object RequestJson {
         case None => availableBandsFor(resolution)
       }
     }
+    // 0 ≤ max_processing_time ≤ the server budget, like the reference's
+    // pydantic Field(ge=0, le=settings.max_processing_time)
+    val maxMs = Option(root.get("max_processing_time")).map(_.asLong)
+      .getOrElse(MaxProcessingTimeMs)
+    if (maxMs < 0 || maxMs > MaxProcessingTimeMs)
+      throw RequestParseError(
+        s"max_processing_time must be in [0, $MaxProcessingTimeMs]")
     TimeseriesRequest(
       datasetId = req("dataset_id").asText,
       variableId = Option(root.get("variable_id")).map(_.asText)
@@ -70,7 +77,8 @@ object RequestJson {
       transform = parseTransform(Option(root.get("transform"))),
       requestedSeriesOptions = parseSeries(Option(root.get("requested_series_options"))),
       bandRange = bandRange,
-      resolution = resolution)
+      resolution = resolution,
+      maxProcessingTimeMs = maxMs)
   }
 
   /** GeoJSON geometry → SelectedArea (Point / Polygon / Feature /

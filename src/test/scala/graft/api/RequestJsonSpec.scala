@@ -132,6 +132,28 @@ class RequestJsonSpec extends SparkSpec {
         |  "time_range": {"gte": "2024-01-05"}}""".stripMargin))
   }
 
+  test("max_processing_time parses, validates its bounds, and is enforced") {
+    val base =
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]}%s}"""
+        .stripMargin
+    assert(parse(base.format("")).maxProcessingTimeMs === MaxProcessingTimeMs)
+    assert(parse(base.format(""", "max_processing_time": 5000"""))
+      .maxProcessingTimeMs === 5000L)
+    // pydantic Field(ge=0, le=settings.max_processing_time) analogue
+    intercept[RequestParseError](
+      parse(base.format(""", "max_processing_time": -1""")))
+    intercept[RequestParseError](
+      parse(base.format(""", "max_processing_time": 999999""")))
+    // budget 0 cannot materialize anything — the reference's
+    // test_timeout shape, through the request contract end-to-end
+    intercept[TimeseriesTimeoutError] {
+      extractSeriesBounded(spark, sfDir,
+        parse(base.format(""", "max_processing_time": 0""")))
+    }
+    assert(extractSeriesBounded(spark, sfDir, parse(base.format(""))).nonEmpty)
+  }
+
   test("malformed requests raise RequestParseError; invalid polygons still validate") {
     intercept[RequestParseError](parse("""{"selected_area": {}}"""))
     intercept[RequestParseError](parse("not json at all {{{"))
