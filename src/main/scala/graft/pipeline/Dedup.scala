@@ -61,21 +61,9 @@ object Dedup {
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
-  /** Weak identity map session → (dir → persisted arrays): entries die
-    * with their SparkSession (no cross-lifecycle leak, no hash-code
-    * collision after GC — judge-advice fix), and clearShingleCache is
-    * the explicit unpersist hook. */
-  private val shingleCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
-
-  /** Unpersist and forget every cached shingle artifact. */
-  def clearShingleCache(): Unit = shingleCache.synchronized {
-    import scala.jdk.CollectionConverters._
-    shingleCache.values.asScala.foreach(_.values.foreach(df =>
-      try df.unpersist() catch { case _: Throwable => () }))
-    shingleCache.clear()
-  }
+  /** Unpersist and forget every cached artifact (delegates to the
+    * family-shared ArtifactCache). */
+  def clearShingleCache(): Unit = ArtifactCache.clear()
 
   /** Per-document shingle sets: (doc_id, hs) with hs = ascending-sorted
     * distinct 64-bit hashes of the word 3-grams
@@ -91,23 +79,8 @@ object Dedup {
     * artifact an ingestion job would write next to the corpus.
     */
   private def cached(spark: SparkSession, key: String)
-      (build: => DataFrame): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      Option(shingleCache.get(spark)).getOrElse {
-        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        shingleCache.put(spark, m)
-        m
-      }
-    }
-    perSession.getOrElseUpdate(key, {
-      val df = build
-      // a build that persisted (and materialized) itself is stored
-      // as-is — re-persisting would only log a cache-manager warning
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    })
-  }
+      (build: => DataFrame): DataFrame =
+    ArtifactCache.cached(spark, key)(build)
 
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     cached(spark, s"shingles:$dir") {
