@@ -3,8 +3,10 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Source/sink abstraction: the same logical table behind parquet, CSV
-  * or JSON-lines, read with an EXPLICIT schema.
+/** Source/sink abstraction: the same logical table behind parquet,
+  * ORC, CSV or JSON-lines, read with an EXPLICIT schema. Parquet and
+  * ORC are the columnar lake formats (predicate pushdown + min/max
+  * pruning both ways); CSV/JSON are interchange.
   *
   * Scale rules encoded here:
   *  - Never infer schema: inference is a full extra pass over the data
@@ -23,6 +25,7 @@ object TableIO {
 
   sealed abstract class Format(val name: String)
   case object Parquet extends Format("parquet")
+  case object Orc extends Format("orc")
   case object Csv extends Format("csv")
   case object Json extends Format("json")
 
@@ -41,6 +44,7 @@ object TableIO {
     val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     format match {
       case Parquet => w1.parquet(path)
+      case Orc => w1.orc(path)
       case Csv => w1.option("header", "true").option("timestampFormat", TsFmt)
         .csv(path)
       case Json => w1.option("timestampFormat", TsFmt).json(path)
@@ -86,6 +90,7 @@ object TableIO {
   def read(spark: SparkSession, path: String, format: Format,
       schema: StructType): DataFrame = format match {
     case Parquet => spark.read.schema(schema).parquet(path)
+    case Orc => spark.read.schema(schema).orc(path)
     case Csv => spark.read.schema(schema).option("header", "true")
       .option("timestampFormat", TsFmt).csv(path)
     case Json => spark.read.schema(schema).option("timestampFormat", TsFmt)

@@ -24,6 +24,10 @@ class TableIOSpec extends SparkSpec {
     roundTrip(TableIO.Json, "documents")
   }
 
+  test("orc round-trips embeddings including the array column") {
+    roundTrip(TableIO.Orc, "embeddings")
+  }
+
   test("parquet round-trips lineitem with partitioning") {
     val df = Tables.lineitem(spark, sfDir)
     val dir = Files.createTempDirectory("graft_io_part").toString
