@@ -58,8 +58,10 @@ object RequestJson {
     }
     // 0 ≤ max_processing_time ≤ the server budget, like the reference's
     // pydantic Field(ge=0, le=settings.max_processing_time)
-    val maxMs = Option(root.get("max_processing_time")).map(_.asLong)
-      .getOrElse(MaxProcessingTimeMs)
+    val maxMs = Option(root.get("max_processing_time")).map { n =>
+      if (!n.isNumber) throw RequestParseError("max_processing_time must be a number")
+      n.asLong
+    }.getOrElse(MaxProcessingTimeMs)
     if (maxMs < 0 || maxMs > MaxProcessingTimeMs)
       throw RequestParseError(
         s"max_processing_time must be in [0, $MaxProcessingTimeMs]")
