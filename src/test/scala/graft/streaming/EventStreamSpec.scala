@@ -142,6 +142,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment carries last-click state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.streamingAsofClick(events).writeStream
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    try {
+      def ns(sec: Long) = (1704067200L + sec) * 1000000000L
+      // batch 1: user 1 clicks (v=5) then purchases (should see 5);
+      //          user 2 purchases with no prior click (null)
+      input.addData(
+        (1L, ns(10), 1L, "click", 5.0, "{}"),
+        (2L, ns(20), 1L, "purchase", 100.0, "{}"),
+        (3L, ns(20), 2L, "purchase", 50.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases again — the batch-1 click must still
+      // be in state; then a newer click replaces it for a third buy
+      input.addData(
+        (4L, ns(30), 1L, "purchase", 200.0, "{}"),
+        (5L, ns(40), 1L, "click", 7.0, "{}"),
+        (6L, ns(50), 1L, "purchase", 300.0, "{}"))
+      q.processAllAvailable()
+      val out = s.sql(
+        "SELECT event_id, last_click_value FROM asof_stream ORDER BY event_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(out(2L) == Some(5.0))
+      assert(out(3L) == None)
+      assert(out(4L) == Some(5.0)) // state survived the batch boundary
+      assert(out(6L) == Some(7.0)) // newer click wins
+    } finally q.stop()
+  }
+
   test("bounded-state heavy hitters bracket the true counts (Misra-Gries)") {
     val s = spark
     import s.implicits._
