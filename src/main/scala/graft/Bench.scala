@@ -29,8 +29,10 @@ object Bench {
     // grows: centisecond precision, trailing zeros stripped, sf as a
     // basename. (Round 1 failed parse on the "[info] " logger prefix —
     // hence run/outputStrategy in build.sbt; round 2 on sheer length.)
+    // Locale.ROOT pins the decimal separator: the default-locale format
+    // emits "1,2" under a comma-decimal locale, corrupting the JSON
     def fmt(v: Double, dp: Int): String = {
-      val s = String.format(s"%.${dp}f", Double.box(v))
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (s.isEmpty) "0" else s
     }

@@ -151,18 +151,40 @@ object Api {
     * the wire format's primary range field (TimeseriesRequest.time_range,
     * timeseries.py:365; find_band_range, dataset.py:49-72). Dates accept
     * the same "2024" | "2024-02" | "2024-02-03" shapes as v1; hourly
-    * ranges are whole days (gte at 00:00, lte through 23:00). */
+    * ranges are whole days (gte at 00:00, lte through 23:00).
+    *
+    * OptionalTimeRange semantics (dataset.py:72-92): a missing bound
+    * normalizes to the corresponding dataset edge
+    * (normalize_time_range); a PROVIDED bound outside the dataset's own
+    * range raises TimeRangeContainmentError before any extraction — the
+    * reference validates each bound against the dataset time range
+    * inside find_band_range, not downstream. */
   def bandRangeForTimeRange(resolution: EventCube.Resolution,
-      gte: String, lte: String): (Int, Int) = {
+      gte: Option[String], lte: Option[String]): (Int, Int) = {
     val bands = availableBandsFor(resolution)
+    def checked(band: Int, bound: String): Int = {
+      if (band < bands._1 || band > bands._2)
+        throw TimeRangeContainmentError(
+          s"$bound is not within the dataset time range (bands " +
+            s"${bands._1}..${bands._2} at this resolution).")
+      band
+    }
     resolution match {
       case EventCube.Daily =>
-        (bandForDate(Some(gte), bands._1), bandForDate(Some(lte), bands._2))
+        (gte.map(s => checked(bandForDate(Some(s), bands._1), s))
+          .getOrElse(bands._1),
+          lte.map(s => checked(bandForDate(Some(s), bands._2), s))
+            .getOrElse(bands._2))
       case EventCube.Monthly =>
-        (bandForMonth(Some(gte), bands._1), bandForMonth(Some(lte), bands._2))
+        (gte.map(s => checked(bandForMonth(Some(s), bands._1), s))
+          .getOrElse(bands._1),
+          lte.map(s => checked(bandForMonth(Some(s), bands._2), s))
+            .getOrElse(bands._2))
       case EventCube.Hourly =>
-        ((bandForDate(Some(gte), 1) - 1) * 24 + 1,
-          bandForDate(Some(lte), (bands._2 + 23) / 24) * 24)
+        (gte.map(s => checked((bandForDate(Some(s), 1) - 1) * 24 + 1, s))
+          .getOrElse(bands._1),
+          lte.map(s => checked(bandForDate(Some(s), (bands._2 + 23) / 24) * 24, s))
+            .getOrElse(bands._2))
     }
   }
 

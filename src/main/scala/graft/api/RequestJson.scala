@@ -48,10 +48,13 @@ object RequestJson {
       case Some(_) => throw RequestParseError("band_range must be [lo, hi]")
       case None => Option(root.get("time_range")) match {
         // the wire format's primary range field (timeseries.py:365):
-        // ISO-ish dates converted server-side (find_band_range)
+        // ISO-ish dates converted server-side (find_band_range); a
+        // missing bound is the dataset edge (OptionalTimeRange +
+        // normalize_time_range, dataset.py:43-47,72-76), and an
+        // out-of-range bound raises TimeRangeContainmentError there
         case Some(tr) =>
-          def pt(name: String): String = Option(tr.get(name)).map(_.asText)
-            .getOrElse(throw RequestParseError(s"time_range needs $name"))
+          def pt(name: String): Option[String] =
+            Option(tr.get(name)).map(_.asText)
           Api.bandRangeForTimeRange(resolution, pt("gte"), pt("lte"))
         case None => availableBandsFor(resolution)
       }

@@ -283,9 +283,12 @@ object Dedup {
     // neighbors), so Σlabel is strictly monotone until the fixpoint and
     // "sum unchanged" ⟺ "no label changed" — one decimal aggregate per
     // round instead of a prop⋈labels join + count (decimal: exact, no
-    // 64-bit wrap at any corpus size)
+    // 64-bit wrap at any corpus size). sum() over an empty frame is
+    // NULL (a clean corpus has no pairs at all) — coalesced to 0 so the
+    // fixpoint test stays a plain compareTo
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
         .first().getDecimal(0)
     var labels = edges
       .select(col("src").as("id"), col("dst").as("label"))
@@ -324,15 +327,17 @@ object Dedup {
     * dropping every non-canonical member of a near-dup cluster (keep =
     * cluster canonical or never matched any pair). This is the pass
     * that actually shrinks the training corpus; `clusters` only labels
-    * it. The drop set (non-canonical members) is a tiny fraction of the
-    * corpus, so it broadcasts into a left-anti join against the full
-    * document scan — map-only, no shuffle of the corpus itself. */
+    * it. The drop set (non-canonical members) scales with the
+    * DUPLICATED fraction of the corpus — unbounded in the worst case —
+    * so it is a plain left-anti join: AQE broadcasts it only while it
+    * actually fits, and falls back to a shuffle join on a heavily
+    * duplicated corpus instead of OOMing a forced broadcast. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val drop = clusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     Tables.documents(spark, dir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 

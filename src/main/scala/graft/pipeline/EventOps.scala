@@ -215,17 +215,27 @@ object EventOps {
          |  count(*) AS n_events,
          |  round((sum(value)) + 1e-5, 2) AS total_value
          |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // true as-of semantics, matching AsofJoinExec exactly: the click
+    // with the greatest (c_ts, click_id) among c_ts STRICTLY before the
+    // purchase ts. (The previous windowed ROWS-frame formulation counted
+    // an equal-timestamp click with a smaller event_id as "prior" —
+    // a latent divergence whenever a user clicks and purchases in the
+    // same microsecond.)
     "events_asof_click" ->
-      """WITH t AS (
-        |  SELECT event_id, user_id, event_type, value,
-        |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS last_click_value
-        |  FROM events WHERE event_type IN ('click', 'purchase'))
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts, value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.value, c.click_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_ts < p.ts)
         |SELECT event_id, user_id, round((value) + 1e-5, 2) AS value,
-        |  round((last_click_value) + 1e-5, 2) AS last_click_value
-        |FROM t WHERE event_type = 'purchase'""".stripMargin,
+        |  round((click_value) + 1e-5, 2) AS last_click_value
+        |FROM j WHERE rn = 1""".stripMargin,
     "events_hourly_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  CAST(extract(hour FROM ts) AS BIGINT) AS hour,

@@ -126,10 +126,36 @@ class RequestJsonSpec extends SparkSpec {
         |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-25"}}"""
         .stripMargin)
     assert(both.bandRange === (3, 7))
-    intercept[RequestParseError](parse(
+    // OptionalTimeRange (dataset.py:43-47): a missing bound normalizes
+    // to the dataset edge (normalize_time_range), not a parse error
+    val open = parse(
       """{"dataset_id": "click",
         |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
-        |  "time_range": {"gte": "2024-01-05"}}""".stripMargin))
+        |  "time_range": {"gte": "2024-01-05"}}""".stripMargin)
+    assert(open.bandRange === (5, 31))
+    val openLo = parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"lte": "2024-01-25"}}""".stripMargin)
+    assert(openLo.bandRange === (1, 25))
+    // find_band_range (dataset.py:84-92): a provided bound outside the
+    // dataset's own time range is a containment error at parse/convert
+    // time, before any extraction is planned
+    intercept[TimeRangeContainmentError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2023-12-25", "lte": "2024-01-25"}}"""
+        .stripMargin))
+    intercept[TimeRangeContainmentError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-02-05"}}"""
+        .stripMargin))
+    intercept[TimeRangeContainmentError](parse(
+      """{"resolution": "month", "dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-03", "lte": "2024-03"}}"""
+        .stripMargin))
   }
 
   test("max_processing_time parses, validates its bounds, and is enforced") {

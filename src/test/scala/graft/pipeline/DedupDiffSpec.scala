@@ -46,6 +46,22 @@ class DedupDiffSpec extends SparkSpec {
     dir
   }
 
+  test("clusters and dedup-apply survive a clean corpus (no near-dup pairs)") {
+    // regression: labelSum over an EMPTY label frame is a null sum —
+    // the fixpoint compareTo NPE'd on any corpus with zero LSH
+    // candidate pairs (the common case: an already-clean corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    import spark.implicits._
+    (0 until 25).map(i =>
+        (i.toLong, (0 until 30).map(j => s"clean${i}tok$j").mkString(" "),
+          "en", s"src${i % 3}", 30L * 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.clusters(spark, dir).count() === 0L)
+    // apply keeps every document when nothing was matched
+    assert(Dedup.dedupApply(spark, dir).count() === 25L)
+  }
+
   test("minhash LSH finds exactly the exhaustive-Jaccard pairs") {
     Seq(11, 22, 33).foreach { seed =>
       val dir = corpus(seed)
