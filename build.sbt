@@ -15,6 +15,10 @@ run / fork := true
 // the bench driver machine-parses the one JSON line Bench prints, and a
 // logger prefix breaks that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the driver reads only the LAST 2000 chars of output: sbt's
+// "[success] Total time: ..." epilogue (~75 chars) would eat that
+// budget right where the bench JSON line sits, so suppress it.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

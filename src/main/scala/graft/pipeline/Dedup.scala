@@ -260,8 +260,22 @@ object Dedup {
     * fixpoint (≤ graph diameter rounds; near-dup clusters are
     * tiny-diameter by construction). Each round is one broadcast-or-
     * shuffle join + agg — the standard large-graph CC shape; labels
-    * are persisted per round and the loop is driver-side control flow
-    * only (no data to the driver beyond the 1-row convergence count).
+    * are materialized per round and the loop is driver-side control
+    * flow only (no data to the driver beyond the 1-row convergence
+    * sum).
+    *
+    * Each round's label table is `localCheckpoint`ed, not merely
+    * persisted: persist short-circuits EXECUTION but the logical plan
+    * still doubles per round (labels appears in both the join and the
+    * union), so by round 3 Catalyst re-analysis of the exponentially
+    * growing tree dominates wall-clock (measured 1.5 s → 7.5 s → 9 s
+    * per round on a 500-row label table). Checkpointing truncates the
+    * lineage to the materialized blocks, making every round's plan
+    * constant-size — the standard iterative-algorithm discipline on
+    * Spark. (On a multi-node cluster prefer `checkpoint()` to a
+    * reliable store for fault tolerance; local blocks match the
+    * local[n] deployment here and the loop re-runs from the persisted
+    * edge table on loss either way.)
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
     // cached per (session, corpus): the label table is a write-time
@@ -294,7 +308,7 @@ object Dedup {
       .select(col("src").as("id"), col("dst").as("label"))
       .unionAll(edges.select(col("src").as("id"), col("src").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
-      .persist()
+      .localCheckpoint() // eager: materializes AND truncates lineage
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -303,7 +317,7 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
         .unionAll(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
       val s = labelSum(prop)
       labels.unpersist()
       labels = prop
