@@ -186,6 +186,83 @@ object Similarity {
         col("e.id").as("vec_id"), col("e.score").as("cos"))
   }
 
+  // LSH-bucketed ANN: random-hyperplane (SimHash-family) signatures,
+  // LshBands bands of LshRows sign bits each; candidate = shares ≥ 1
+  // band key with the probe.
+  val LshPlanes = 64
+  val LshBands = 16
+  val LshRows = 4 // LshBands * LshRows == LshPlanes
+
+  /** Deterministic ±1 hyperplanes: component (p, i) is +1 when the
+    * first hex digit of md5("plane<p>_<i>") is 0–7, else −1 — the same
+    * md5 both engines expose, so the oracle regenerates the identical
+    * planes from the same strings (no RNG, no shipped literals). */
+  private lazy val lshPlanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, Dim) { (p, i) =>
+      val h = md.digest(s"plane${p}_$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+  }
+
+  /** Per-vector LSH band keys — the write-time signature pass of the
+    * index: LshPlanes native dot products (codegen'd, one literal plane
+    * array each) → sign bits → LshRows-bit packed band keys. Map-only;
+    * cached per (session, corpus) like the other write-time artifacts. */
+  private def lshSigs(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.cached(spark, s"lshsigs:$dir") {
+      val bits = (0 until LshPlanes).map { p =>
+        when(Num.roundEps(
+          graft.functions.VectorFunctions.dot_product(
+            col("v"), typedLit(lshPlanes(p).toSeq)), 6) >= 0, 1).otherwise(0)
+      }
+      val bandKeys = (0 until LshBands).map { b =>
+        (0 until LshRows).map(r => bits(b * LshRows + r) * lit(1 << r))
+          .reduce(_ + _).as(s"k$b")
+      }
+      normedVecs(spark, dir)
+        .select(col("vec_id") +: bandKeys: _*)
+    }
+
+  /** LSH-bucketed ANN top-k — the named alternative scale path to IVF:
+    * no centroid table, pure hash buckets. Candidates come from an
+    * inverted-index join on (band, key) — the probe side is a bounded
+    * broadcast (NumProbes × LshBands rows), so candidate generation is
+    * a map-only scan of the posting table, never all-pairs; verification
+    * is the exact rounded cosine and a bounded-heap top-k. Approximate
+    * as a search structure (recall < 1, floor asserted in
+    * AnnRecallSpec) but deterministic arithmetic end-to-end, so it
+    * carries an exact SQL oracle like annIvf. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = lshSigs(spark, dir)
+    def post(df: DataFrame, idCol: String): DataFrame = df.select(col("vec_id"),
+        posexplode(array((0 until LshBands).map(b => col(s"k$b")): _*))
+          .as(Seq("band", "key")))
+      .select(col("vec_id").as(idCol), col("band"), col("key"))
+    val cand = post(sigs, "vec_id")
+      .join(broadcast(post(sigs.filter(col("vec_id") < NumProbes), "probe_id")),
+        Seq("band", "key"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val all = normedVecs(spark, dir)
+    val probes = all.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    // candidate list and probe set are both bounded by the probe batch
+    // (probes × colliding bucket members), so BOTH broadcast and the
+    // big vector table is only ever the streamed side — zero shuffle
+    // of the table itself (a huge probe batch would flip cand to a
+    // shuffle join; at that point it IS the workload, not overhead)
+    all.join(broadcast(cand), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cos",
+        Num.roundEps(dot("pv", "v") / (col("pn") * col("nrm")), 6))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.top_k(col("cos"), col("vec_id"), TopK).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.id").as("vec_id"), col("e.score").as("cos"))
+  }
+
   /** Recall@k of the IVF search against the brute-force baseline —
     * the metric that justifies an approximate index's nprobe setting.
     * Runs both in-engine pipelines and joins their result sets per
@@ -286,9 +363,45 @@ object Similarity {
        |FROM v a JOIN v b ON a.vec_id < $NumProbes AND b.vec_id <> a.vec_id
        |QUALIFY rank <= $TopK""".stripMargin
 
+  // exact mirror of annLsh: the planes are REGENERATED from the same
+  // md5 strings (not shipped as literals), signatures from the same
+  // 6-dp eps-rounded dot signs, candidates from the same band-key
+  // semi-join, final ranking over the same rounded cosine
+  private val annLshSql =
+    s"""WITH $vecSql,
+       |pl AS (
+       |  SELECT p, list_transform(generate_series(1, $Dim), i ->
+       |    CASE WHEN substr(md5('plane' || CAST(p AS VARCHAR) || '_' ||
+       |        CAST(i - 1 AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
+       |      THEN 1.0 ELSE -1.0 END) AS h
+       |  FROM generate_series(0, ${LshPlanes - 1}) t(p)),
+       |sb AS (
+       |  SELECT v.vec_id, pl.p,
+       |    CASE WHEN round(list_sum(list_transform(generate_series(1, $Dim),
+       |        i -> v.vv[i] * pl.h[i])) + 1e-9, 6) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM v CROSS JOIN pl),
+       |bd AS (
+       |  SELECT vec_id, p // $LshRows AS band,
+       |    sum(bit * (1 << (p % $LshRows))) AS key
+       |  FROM sb GROUP BY vec_id, p // $LshRows),
+       |cand AS (
+       |  SELECT DISTINCT pb.vec_id AS probe_id, b.vec_id
+       |  FROM bd b JOIN bd pb ON b.band = pb.band AND b.key = pb.key
+       |  WHERE pb.vec_id < $NumProbes AND b.vec_id <> pb.vec_id)
+       |SELECT probe_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
+       |  vec_id, cos
+       |FROM (
+       |  SELECT c.probe_id, c.vec_id,
+       |    round((${dotSqlOf("p.vv", "x.vv")} / (p.nrm * x.nrm)) + 1e-9, 6) AS cos
+       |  FROM cand c JOIN v x ON x.vec_id = c.vec_id
+       |  JOIN v p ON p.vec_id = c.probe_id)
+       |QUALIFY rank <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf" -> annIvfSql,
     "ann_topk" -> annTopkSql,
+    "ann_lsh" -> annLshSql,
     // both sides are the exact-oracled pipelines above, so the recall
     // itself carries an exact oracle (DuckDB allows a WITH inside each
     // parenthesized side)
@@ -334,6 +447,7 @@ object Similarity {
     "ann_topk" -> (annTopK _),
     "dedup_embedding" -> (embeddingPairs _),
     "ann_ivf" -> (annIvf _),
+    "ann_lsh" -> (annLsh _),
     "ann_recall" -> (annRecall _),
     "emb_centroids" -> (centroids _),
     "emb_quantize" -> (embQuantize _)

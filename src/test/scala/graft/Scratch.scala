@@ -46,6 +46,14 @@ object Scratch {
           }
           labels = prop
         }
+      case "dump" :: q :: out :: Nil =>
+        // one-query Verify: parquet dump + its oracle SQL, for fast
+        // local DuckDB iteration without the full 82-query pass
+        SparkEntry.queries(q)(spark, dir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/$q")
+        SparkEntry.oracleSql.get(q).foreach(sql =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$out/$q.sql"), sql))
       case "explain" :: qs =>
         qs.foreach { q =>
           println(s"==== $q ====")

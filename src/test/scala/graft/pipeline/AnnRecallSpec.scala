@@ -26,6 +26,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.7, f"IVF recall@10 $mean%.3f below 0.7 floor")
   }
 
+  test("annLsh recall@10 vs brute force is >= 0.7 at 16 bands x 4 bits") {
+    val exact = Similarity.annTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    val approx = Similarity.annLsh(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    val recalls = exact.map { case (p, truth) =>
+      approx(p).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean LSH recall@10 = $mean%.3f over ${recalls.size} probes")
+    assert(mean >= 0.7, f"LSH recall@10 $mean%.3f below 0.7 floor")
+  }
+
   test("annIvf scores are exact for the neighbors it does return") {
     // approximation may miss neighbors but must never mis-score one:
     // every (probe, vec) pair that appears in both results carries the
