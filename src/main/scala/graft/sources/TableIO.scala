@@ -87,6 +87,47 @@ object TableIO {
     ws.saveAsTable(table)
   }
 
+  /** Small-files compaction: rewrite a table directory into
+    * ~`targetBytes` files.
+    *
+    * At 100 TB the scan bottleneck is often FILE COUNT, not bytes: a
+    * table written by thousands of streaming micro-batches (or an
+    * over-parallel job) accumulates millions of KB-scale files, and
+    * listing, footer reads, and task scheduling all scale with the
+    * file count. Nightly compaction to row-group-sized files
+    * (~128 MB) is the standard lake maintenance pass.
+    *
+    * File count is sized from the SOURCE's on-disk bytes (a filesystem
+    * listing, no data read), then the rows are round-robin
+    * `repartition(n)`-ed so every output file lands near the target —
+    * one full shuffle, the price of perfect sizing (cheaper than the
+    * degenerate `coalesce(n)` which skews file sizes by input
+    * locality). `maxRecordsPerFile` is NOT used here: it caps file
+    * size but cannot merge small inputs, which is the actual problem.
+    * Compression changes size on disk vs in flight, so `targetBytes`
+    * is calibrated against the SOURCE format's own bytes — right when
+    * compacting like-to-like (the common case). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      format: Format, schema: StructType,
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      // count only data files — skip _SUCCESS / checksums / hidden
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) bytes += f.getLen
+    }
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = read(spark, inPath, format, schema)
+    write(df.repartition(n), outPath, format, partitionBy)
+    n
+  }
+
   def read(spark: SparkSession, path: String, format: Format,
       schema: StructType): DataFrame = format match {
     case Parquet => spark.read.schema(schema).parquet(path)

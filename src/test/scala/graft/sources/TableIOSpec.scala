@@ -56,6 +56,35 @@ class TableIOSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("compaction rewrites a small-files table into target-sized files") {
+    // the small-files problem in miniature: events sprayed across 64
+    // tiny files, compacted back to ~target-sized ones
+    val df = Tables.events(spark, sfDir)
+    val smallDir = Files.createTempDirectory("graft_small").toString
+    TableIO.write(df.repartition(64), smallDir, TableIO.Parquet)
+    def dataFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+    val before = dataFiles(smallDir)
+    assert(before.length == 64, s"expected 64 small files, got ${before.length}")
+    val totalBytes = before.map(_.length).sum
+    val target = totalBytes / 4 // aim for ~4 output files
+    val outDir = Files.createTempDirectory("graft_compact").toString
+    val n = TableIO.compact(spark, smallDir, outDir, TableIO.Parquet,
+      df.schema, targetBytes = target)
+    val after = dataFiles(outDir)
+    assert(n >= 4 && n <= 5, s"expected ~4 target files, planned $n")
+    assert(after.length == n, s"planned $n files, wrote ${after.length}")
+    // no rows harmed
+    val back = TableIO.read(spark, outDir, TableIO.Parquet, df.schema)
+    assert(back.count() == df.count())
+    // sizes are near the target (round-robin balance): every file
+    // within 2x of the mean
+    val mean = after.map(_.length).sum / after.length
+    after.foreach(f => assert(f.length > mean / 2 && f.length < mean * 2,
+      s"file ${f.getName} size ${f.length} far from mean $mean"))
+  }
+
   test("co-bucketed fact tables join with zero shuffle and zero sort") {
     // The 100 TB claim made concrete: lineitem and orders bucketed +
     // sorted on their join key at write time must sort-merge join

@@ -63,6 +63,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed quantile sketch aggregates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.dailyZonalQuantiles(events).writeStream
+      .format("memory").queryName("quant_stream").outputMode("append").start()
+    try {
+      def ns(day: Int) = (1704067200L + day * 86400L) * 1000000000L
+      // day 0 values arrive across TWO batches — the sketch must merge
+      // partial state, not just aggregate within one batch
+      input.addData((1L, ns(0), 1L, "click", 10.0, "{}"),
+        (2L, ns(0), 2L, "click", 20.0, "{}"))
+      q.processAllAvailable()
+      input.addData((3L, ns(0), 3L, "click", 30.0, "{}"),
+        (4L, ns(0), 4L, "click", 40.0, "{}"),
+        (5L, ns(0), 5L, "click", 50.0, "{}"))
+      q.processAllAvailable()
+      input.addData((6L, ns(5), 6L, "click", 1.0, "{}")) // close day 0
+      q.processAllAvailable()
+      val out = s.sql(
+        """SELECT median_value, quartiles, n_events FROM quant_stream
+          |WHERE day = timestamp'2024-01-01 00:00:00'""".stripMargin).collect()
+      assert(out.length == 1, s"expected one closed day-0 row, got ${out.length}")
+      // sketch at this accuracy is exact on 5 values, across both batches
+      assert(out.head.getDouble(0) == 30.0, s"median ${out.head.getDouble(0)}")
+      assert(out.head.getSeq[Double](1) == Seq(20.0, 40.0))
+      assert(out.head.getLong(2) == 5L)
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses replayed ids within the watermark") {
     val s = spark
     import s.implicits._
