@@ -67,6 +67,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh streams the vector table: every join is broadcast, no row_number") {
+    val plan = formatted(graft.pipeline.Similarity.annLsh(spark, sfDir))
+    // the vector table must never be the build/shuffled side: candidate
+    // generation and scoring are broadcast joins (probe postings, cand
+    // list, probe vectors are all bounded by the probe batch)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "ann_lsh shuffles the vector table for a join")
+    assert(!plan.contains("row_number"), "ann_lsh ranks via a window")
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast joins, saw $bhj")
+  }
+
   test("q5 keeps every dimension join broadcast (regression guard)") {
     val plan = formatted(graft.relational.TpchQueries.q5(spark, sfDir))
     val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
