@@ -55,7 +55,14 @@ object RequestJson {
         case Some(tr) =>
           def pt(name: String): Option[String] =
             Option(tr.get(name)).map(_.asText)
-          Api.bandRangeForTimeRange(resolution, pt("gte"), pt("lte"))
+          // malformed date strings surface as a parse error at the wire
+          // boundary (the reference's pydantic/int() validation layer);
+          // containment errors pass through typed
+          try Api.bandRangeForTimeRange(resolution, pt("gte"), pt("lte"))
+          catch {
+            case e @ (_: NumberFormatException | _: java.time.DateTimeException) =>
+              throw RequestParseError(s"bad time_range date: ${e.getMessage}")
+          }
         case None => availableBandsFor(resolution)
       }
     }

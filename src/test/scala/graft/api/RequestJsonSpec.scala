@@ -156,6 +156,16 @@ class RequestJsonSpec extends SparkSpec {
         |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
         |  "time_range": {"gte": "2024-03", "lte": "2024-03"}}"""
         .stripMargin))
+    // malformed dates are a wire-layer parse error, not a raw
+    // NumberFormatException / DateTimeException leaking to the caller
+    intercept[RequestParseError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "not-a-date"}}""".stripMargin))
+    intercept[RequestParseError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-13-40"}}""".stripMargin))
   }
 
   test("max_processing_time parses, validates its bounds, and is enforced") {
