@@ -70,6 +70,55 @@ object Multimodal {
         graft.Num.roundEps(col("v"), 6).as("feat"))
   }
 
+  /** One output pixel of the resize stage. */
+  final case class ResizedAsset(doc_id: Long, y: Long, x: Long, mean_px: Double)
+
+  /** The stubbed resize: the 16-byte payload is a 4×4 grayscale image,
+    * area-averaged down to 2×2 (each output pixel = mean of its 2×2
+    * source block) — the exact arithmetic of an area-interpolation
+    * downscale, over real bytes; a codec-backed decode feeds the same
+    * pixel-grid-in, pixel-grid-out shape. */
+  def resizeStub(a: Asset): Seq[ResizedAsset] = {
+    val px = a.payload.map(_ & 0xff)
+    for (by <- 0 until 2; bx <- 0 until 2) yield {
+      val s = (for (dy <- 0 until 2; dx <- 0 until 2)
+        yield px((by * 2 + dy) * 4 + (bx * 2 + dx))).sum
+      ResizedAsset(a.doc_id, by.toLong, bx.toLong, s / 4.0)
+    }
+  }
+
+  /** Binary → resized-pixel-grid stage (mapPartitions, map-only like
+    * the other multimodal passes). */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets: Dataset[Asset] = Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[Asset]
+    assets.mapPartitions(_.flatMap(resizeStub)).toDF()
+      .select(col("doc_id"), col("y"), col("x"),
+        graft.Num.roundEps(col("mean_px"), 6).as("mean_px"))
+  }
+
+  private val resizeSql = {
+    // the same 2×2 block means, re-derived from the md5 hex: source
+    // pixel (r, c) is byte r*4+c of the payload
+    def pxSql(r: Int, c: Int) =
+      Portable.hexToLongSql("md5(text)", 1 + 2 * (r * 4 + c), 2)
+    val cells = for (by <- 0 until 2; bx <- 0 until 2) yield {
+      val sum = (for (dy <- 0 until 2; dx <- 0 until 2)
+        yield pxSql(by * 2 + dy, bx * 2 + dx)).mkString(" + ")
+      s"($sum) / 4.0"
+    }
+    val ys = Seq(0, 0, 1, 1).mkString("[", ", ", "]")
+    val xs = Seq(0, 1, 0, 1).mkString("[", ", ", "]")
+    s"""SELECT doc_id, y, x, round(v + 1e-9, 6) AS mean_px FROM (
+       |  SELECT doc_id,
+       |    unnest(CAST($ys AS BIGINT[])) AS y,
+       |    unnest(CAST($xs AS BIGINT[])) AS x,
+       |    unnest([${cells.mkString(",\n      ")}]) AS v
+       |  FROM documents)""".stripMargin
+  }
+
   /** Frame stride for the video-style sampling pass. */
   val FrameBytes = 4
   val NFrames = 12
@@ -128,12 +177,14 @@ object Multimodal {
          |    unnest($exprs) AS v
          |  FROM documents)""".stripMargin
     },
-    "mm_frame_sample" -> frameSampleSql
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_resize" -> resizeSql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features" -> (features _),
-    "mm_frame_sample" -> (frameSample _)
+    "mm_frame_sample" -> (frameSample _),
+    "mm_resize" -> (resize _)
   )
 }

@@ -94,6 +94,18 @@ class PipelineSpec extends SparkSpec {
     assert(m == Multimodal.AssetMeta(7L, 16, 258L, 3L, 4L))
   }
 
+  test("resize stub area-averages each 2x2 block of the 4x4 grid") {
+    // pixel value = its row-major index ×16, so block means are exact
+    val bytes = Array.tabulate(16)(i => (i * 16).toByte)
+    val out = Multimodal.resizeStub(Multimodal.Asset(3L, bytes))
+    def mean(idxs: Seq[Int]) = idxs.map(i => (bytes(i) & 0xff)).sum / 4.0
+    assert(out.toSet == Set(
+      Multimodal.ResizedAsset(3L, 0, 0, mean(Seq(0, 1, 4, 5))),
+      Multimodal.ResizedAsset(3L, 0, 1, mean(Seq(2, 3, 6, 7))),
+      Multimodal.ResizedAsset(3L, 1, 0, mean(Seq(8, 9, 12, 13))),
+      Multimodal.ResizedAsset(3L, 1, 1, mean(Seq(10, 11, 14, 15)))))
+  }
+
   test("ann brute-force and IVF agree on most neighbors (recall sanity)") {
     val bf = Similarity.annTopK(spark, sfDir)
       .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
