@@ -63,6 +63,72 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming zonal equals the same aggregation in batch") {
+    // end-to-end parity on the REAL corpus: the events parquet split
+    // into three ascending-time files, streamed through the file
+    // source one file per trigger (so the watermark advances across
+    // micro-batches and no file carries late data), must emit exactly
+    // the batch answer for every window it closes
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    val raw = s.read.schema(EventStream.eventSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val (minNs, maxNs) = {
+      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val cut1 = minNs + (maxNs - minNs) / 2
+    val cut2 = minNs + (maxNs - minNs) * 3 / 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_parity").toString
+    new java.io.File(s"$dir/src").mkdirs()
+    Seq(col("ts") < cut1,
+        col("ts") >= cut1 && col("ts") < cut2,
+        col("ts") >= cut2).zipWithIndex.foreach { case (p, i) =>
+      raw.filter(p).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stage_$i")
+      val part = new java.io.File(s"$dir/stage_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/src/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // oldest-first processing order comes from modification time
+      assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    val stream = s.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.dailyZonalMean(stream).writeStream
+      .format("memory").queryName("parity_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT dataset_id, day, zonal_mean, n_cells_seen FROM parity_stream")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+      val batch = EventStream.dailyZonalMean(
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+      assert(streamed.nonEmpty, "no windows emitted")
+      // every closed window matches batch: the HLL register-max merge
+      // is order-independent (exact equality); the mean's partial sums
+      // associate differently across micro-batches (last-ulp FP drift,
+      // observed 57.66399999999999 vs 57.664) so it gets a 1e-9 bound
+      streamed.foreach { case (k, (mean, cells)) =>
+        assert(batch.contains(k), s"streamed window $k absent from batch")
+        val (bMean, bCells) = batch(k)
+        assert(cells == bCells, s"window $k: cells $cells vs $bCells")
+        assert(math.abs(mean - bMean) <= 1e-9 * math.max(1.0, math.abs(bMean)),
+          s"window $k: mean $mean vs $bMean")
+      }
+      // and the watermark actually closed a substantial prefix: all
+      // days ending at least 2 days (watermark) before the second
+      // cut — ≈ the first half of the month across every dataset
+      val days = streamed.keySet.map(_._2 / 86400000L)
+      assert(days.size >= 10, s"only ${days.size} distinct days closed")
+    } finally q.stop()
+  }
+
   test("windowed quantile sketch aggregates across micro-batches") {
     val s = spark
     import s.implicits._
