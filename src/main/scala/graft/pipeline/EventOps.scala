@@ -108,6 +108,47 @@ object EventOps {
       .select(col("event_type"), (col("r0") + 1).cast("long").as("rank"),
         col("e.id").as("user_id"), col("e.score").cast("long").as("cnt"))
 
+  /** Attribution lookback window in days. */
+  val AttrWindowDays = 3L
+
+  /** Attribution-window RANGE JOIN: every purchase collects the same
+    * user's clicks strictly inside its trailing AttrWindowDays window
+    * (click count + summed click value per purchase) — the "all events
+    * within Δt" companion to the as-of join's "latest event before".
+    *
+    * Scale: a plain equi-join on user_id with the time predicate as a
+    * post-filter lets one hot user cross-product its entire history;
+    * BANDING bounds the blow-up by time instead: both sides key on
+    * (user_id, floor(µs / W)) and each click is replicated to its own
+    * and the following band, so any (purchase, click) pair within W
+    * shares exactly one band key and every candidate pair is at most
+    * 2W apart — the standard bucketed-range-join shape. Replication
+    * factor is exactly 2; the final window predicate drops the
+    * overshoot. One shuffle per side on the band key. */
+  def attrWindow(spark: SparkSession, dir: String): DataFrame = {
+    val wUs = AttrWindowDays * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+      .withColumn("bkt", floor(col("p_us") / wUs).cast("long"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"), col("value").as("c_value"))
+      .withColumn("bkt", explode(array(
+        floor(col("c_us") / wUs).cast("long"),
+        floor(col("c_us") / wUs).cast("long") + 1)))
+    p.join(c,
+        p("user_id") === c("c_user") && p("bkt") === c("bkt") &&
+          c("c_us") < p("p_us") && c("c_us") > p("p_us") - wUs, "left")
+      .groupBy(col("event_id"), col("user_id"), col("value"))
+      .agg(count(col("c_us")).as("n_clicks"),
+        Num.roundEps(coalesce(sum(col("c_value")), lit(0.0)), 2).as("attr_value"))
+      .select(col("event_id"), col("user_id"),
+        Num.roundEps(col("value"), 2).as("value"),
+        col("n_clicks"), col("attr_value"))
+  }
+
   /** Cohort retention: users grouped by first-activity day, counted per
     * day-offset of return — the engagement matrix every event store
     * derives. Two hash aggregations (first-day per user, then the
@@ -158,6 +199,23 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // events are µs-aligned (verified: zero sub-µs components in the
+    // corpus), so the engine's µs arithmetic and the oracle's
+    // ns-precision interval comparison agree on every boundary
+    "events_attr_window" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, ts AS c_ts, value AS c_value
+         |  FROM events WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id,
+         |  round((p.value) + 1e-5, 2) AS value,
+         |  count(c.c_ts) AS n_clicks,
+         |  round(coalesce(sum(c.c_value), 0) + 1e-5, 2) AS attr_value
+         |FROM p LEFT JOIN c ON c.user_id = p.user_id
+         |  AND c.c_ts < p.ts AND c.c_ts > p.ts - INTERVAL $AttrWindowDays DAY
+         |GROUP BY p.event_id, p.user_id, p.value""".stripMargin,
     "events_funnel" ->
       """WITH s AS (
         |  SELECT user_id,
@@ -250,6 +308,7 @@ object EventOps {
     "events_hourly_rollup" -> (hourlyRollup _),
     "events_topk_users" -> (topkUsers _),
     "events_retention" -> (retention _),
-    "events_funnel" -> (funnel _)
+    "events_funnel" -> (funnel _),
+    "events_attr_window" -> (attrWindow _)
   )
 }
