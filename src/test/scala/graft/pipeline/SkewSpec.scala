@@ -82,6 +82,50 @@ class SkewSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("banded range join equals brute force on band-boundary-heavy events") {
+    // adversarial fixture for events_attr_window's banding: timestamps
+    // pinned AT band edges (multiples of W), one µs either side, and at
+    // exact window-width separations — any off-by-one in the
+    // band replication scheme or the strict window predicate shows
+    // up as a missed or double-counted pair (the replicate-to-two-bands
+    // scheme). Compared against an in-memory brute force over the rows.
+    val rnd = new scala.util.Random(77)
+    val wUs = EventOps.AttrWindowDays * 86400L * 1000000L
+    val baseUs = 1704067200000000L // 2024-01-01 in µs
+    import spark.implicits._
+    val rows = Seq.newBuilder[(Long, Long, Long, String, Double, String)]
+    var id = 0L
+    def add(user: Long, us: Long, tpe: String, v: Double): Unit = {
+      id += 1; rows += ((id, us * 1000L, user, tpe, v, "{}"))
+    }
+    (0 until 40).foreach { i =>
+      val user = i % 7L
+      val edge = baseUs + (i % 5) * wUs // a band boundary
+      val offs = Seq(-wUs, -wUs + 1, -1L, 0L, 1L, wUs - 1, wUs)
+      add(user, edge + offs(rnd.nextInt(offs.length)), "click", i * 1.0)
+      add(user, edge + offs(rnd.nextInt(offs.length)), "purchase", i * 2.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    rows.result().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.attrWindow(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    // brute force in memory
+    val evs = rows.result()
+    val clicks = evs.filter(_._4 == "click")
+    val truth = evs.filter(_._4 == "purchase").map { p =>
+      val inWin = clicks.filter(c => c._3 == p._3 &&
+        c._2 < p._2 && c._2 > p._2 - wUs * 1000L)
+      p._1 -> (inWin.size.toLong,
+        graft.Num.roundEpsJvm(inWin.map(_._5).sum, 2))
+    }.toMap
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (k, v) =>
+      assert(got(k) == v, s"purchase $k: engine ${got(k)} vs brute $v")
+    }
+    assert(truth.values.exists(_._1 > 0), "fixture produced no in-window pairs")
+  }
+
   test("minhash LSH over the skewed corpus equals the exhaustive jaccard result") {
     val truth = Dedup.ngramJaccard(spark, skewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
