@@ -130,6 +130,73 @@ case class QuantizeStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass LSH signature kernel: all `Planes` random-hyperplane
+  * sign bits and the packed band keys in ONE loop over the vector —
+  * the 64 separate DotProduct expressions it replaces re-read the
+  * vector once per plane (64× the memory traffic on the signature
+  * pass, and a plan with 64 × 64 embedded literals to codegen). Same
+  * single-pass-kernel discipline as the MinHash/SimHash signatures
+  * (SURVEY §5 item 5).
+  *
+  * The ±1 plane matrix is DERIVED, not stored: component (p, i) is +1
+  * iff the first hex digit of md5("plane<p>_<i>") is 0–7 — the same
+  * strings the DuckDB oracle hashes, so both engines regenerate the
+  * identical matrix from nothing. Sign bits use the engine-wide
+  * 6-dp eps rounding (Num.roundEpsJvm ≡ Spark round ≡ oracle round)
+  * so a dot product within an ulp of zero cannot flip between
+  * engines. */
+object LshKernel {
+  val Planes = 64
+  val Bands = 16
+  val Rows = 4 // Bands * Rows == Planes
+  val Dim = 64
+
+  /** Row-major [p * Dim + i] ±1 matrix. */
+  lazy val matrix: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = new Array[Double](Planes * Dim)
+    var p = 0
+    while (p < Planes) {
+      var i = 0
+      while (i < Dim) {
+        val h = md.digest(s"plane${p}_$i".getBytes("UTF-8"))
+        m(p * Dim + i) = if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+        i += 1
+      }
+      p += 1
+    }
+    m
+  }
+
+  def bandKeys(x: ArrayData): ArrayData = {
+    val keys = new Array[Int](Bands)
+    val n = math.min(Dim, x.numElements())
+    var p = 0
+    while (p < Planes) {
+      var dot = 0.0
+      var i = 0
+      val off = p * Dim
+      while (i < n) { dot += x.getDouble(i) * matrix(off + i); i += 1 }
+      if (graft.Num.roundEpsJvm(dot, 6) >= 0) keys(p / Rows) |= 1 << (p % Rows)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+}
+
+case class LshBandKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override def nullSafeEval(a: Any): Any =
+    LshKernel.bandKeys(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshKernel.bandKeys($a);")
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. Inputs must be
     * array<double> (cast float embeddings first). */
@@ -142,4 +209,7 @@ object VectorFunctions {
 
   def quantize_stats(a: Column): Column =
     ColumnBridge.column(QuantizeStats(ColumnBridge.expression(a)))
+
+  def lsh_band_keys(a: Column): Column =
+    ColumnBridge.column(LshBandKeys(ColumnBridge.expression(a)))
 }

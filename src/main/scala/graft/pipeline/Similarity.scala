@@ -188,40 +188,22 @@ object Similarity {
 
   // LSH-bucketed ANN: random-hyperplane (SimHash-family) signatures,
   // LshBands bands of LshRows sign bits each; candidate = shares ≥ 1
-  // band key with the probe.
-  val LshPlanes = 64
-  val LshBands = 16
-  val LshRows = 4 // LshBands * LshRows == LshPlanes
-
-  /** Deterministic ±1 hyperplanes: component (p, i) is +1 when the
-    * first hex digit of md5("plane<p>_<i>") is 0–7, else −1 — the same
-    * md5 both engines expose, so the oracle regenerates the identical
-    * planes from the same strings (no RNG, no shipped literals). */
-  private lazy val lshPlanes: Array[Array[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshPlanes, Dim) { (p, i) =>
-      val h = md.digest(s"plane${p}_$i".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
-    }
-  }
+  // band key with the probe. Parameters + the md5-derived ±1 plane
+  // matrix live in the kernel (functions.LshKernel) — the oracle
+  // regenerates the identical planes from the same md5 strings.
+  val LshPlanes: Int = graft.functions.LshKernel.Planes
+  val LshBands: Int = graft.functions.LshKernel.Bands
+  val LshRows: Int = graft.functions.LshKernel.Rows
 
   /** Per-vector LSH band keys — the write-time signature pass of the
-    * index: LshPlanes native dot products (codegen'd, one literal plane
-    * array each) → sign bits → LshRows-bit packed band keys. Map-only;
-    * cached per (session, corpus) like the other write-time artifacts. */
+    * index, ONE single-pass native kernel per row (all 64 sign bits and
+    * the packed band keys in one loop; 64 separate dot products re-read
+    * the vector 64×). Map-only; cached per (session, corpus) like the
+    * other write-time artifacts. */
   private def lshSigs(spark: SparkSession, dir: String): DataFrame =
     ArtifactCache.cached(spark, s"lshsigs:$dir") {
-      val bits = (0 until LshPlanes).map { p =>
-        when(Num.roundEps(
-          graft.functions.VectorFunctions.dot_product(
-            col("v"), typedLit(lshPlanes(p).toSeq)), 6) >= 0, 1).otherwise(0)
-      }
-      val bandKeys = (0 until LshBands).map { b =>
-        (0 until LshRows).map(r => bits(b * LshRows + r) * lit(1 << r))
-          .reduce(_ + _).as(s"k$b")
-      }
-      normedVecs(spark, dir)
-        .select(col("vec_id") +: bandKeys: _*)
+      normedVecs(spark, dir).select(col("vec_id"),
+        graft.functions.VectorFunctions.lsh_band_keys(col("v")).as("ks"))
     }
 
   /** LSH-bucketed ANN top-k — the named alternative scale path to IVF:
@@ -235,9 +217,8 @@ object Similarity {
     * carries an exact SQL oracle like annIvf. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = lshSigs(spark, dir)
-    def post(df: DataFrame, idCol: String): DataFrame = df.select(col("vec_id"),
-        posexplode(array((0 until LshBands).map(b => col(s"k$b")): _*))
-          .as(Seq("band", "key")))
+    def post(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vec_id"), posexplode(col("ks")).as(Seq("band", "key")))
       .select(col("vec_id").as(idCol), col("band"), col("key"))
     val cand = post(sigs, "vec_id")
       .join(broadcast(post(sigs.filter(col("vec_id") < NumProbes), "probe_id")),
