@@ -129,6 +129,77 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed query resumes exactly-once across a restart") {
+    // the fault-tolerance contract at 100 TB: a windowed aggregation
+    // stopped mid-stream and restarted from its checkpoint must carry
+    // watermark + window state forward — no window re-emitted, no
+    // window lost, and the union of both runs' emissions equal to the
+    // batch answer on every key
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    val raw = s.read.schema(EventStream.eventSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val (minNs, maxNs) = {
+      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val cut1 = minNs + (maxNs - minNs) / 3
+    val cut2 = minNs + (maxNs - minNs) * 2 / 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    new java.io.File(s"$dir/src").mkdirs()
+    def land(name: String, p: org.apache.spark.sql.Column, mtime: Long): Unit = {
+      raw.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$dir/st_$name")
+      val part = new java.io.File(s"$dir/st_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/src/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    // the parquet FILE sink is the recoverable one (its _spark_metadata
+    // commit log is what makes output exactly-once across restarts;
+    // the memory sink refuses checkpoint recovery outright)
+    def start() = {
+      val stream = s.readStream.schema(EventStream.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      EventStream.dailyZonalMean(stream).writeStream
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
+    }
+    def emitted(): Seq[((String, Long), (Double, Long))] =
+      s.read.parquet(s"$dir/out")
+        .select("dataset_id", "day", "zonal_mean", "n_cells_seen").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getDouble(2), r.getLong(3))).toSeq
+    land("f0", col("ts") < cut1, 1000000L)
+    land("f1", col("ts") >= cut1 && col("ts") < cut2, 2000000L)
+    val q1 = start()
+    val run1 = try { q1.processAllAvailable(); emitted() } finally q1.stop()
+    assert(run1.nonEmpty, "run 1 closed no windows before the stop")
+    // crash/restart: new query instance, same checkpoint, more data
+    land("f2", col("ts") >= cut2, 3000000L)
+    val q2 = start()
+    val all = try { q2.processAllAvailable(); emitted() } finally q2.stop()
+    assert(all.size > run1.size, "restart emitted no new windows")
+    // exactly-once: every window key appears ONCE across both runs —
+    // a restart that replayed f0/f1 against committed state would
+    // either duplicate keys or double-count their aggregates
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"windows duplicated across restart: $dups")
+    // and the union matches the batch answer on every emitted key
+    val batch = EventStream.dailyZonalMean(
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    all.foreach { case (k, (mean, cells)) =>
+      assert(batch.contains(k), s"window $k absent from batch")
+      val (bMean, bCells) = batch(k)
+      assert(cells == bCells, s"window $k: cells $cells vs $bCells")
+      assert(math.abs(mean - bMean) <= 1e-9 * math.max(1.0, math.abs(bMean)),
+        s"window $k: mean $mean vs $bMean")
+    }
+  }
+
   test("windowed quantile sketch aggregates across micro-batches") {
     val s = spark
     import s.implicits._
