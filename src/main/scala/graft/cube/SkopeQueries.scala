@@ -80,6 +80,30 @@ object SkopeQueries {
   def zonalMedian(spark: SparkSession, dir: String): DataFrame =
     r6(clip(zonalSeries(spark, dir, DefaultDataset, DefaultBBox, "median", req)))
 
+  /** One materialized cube per (session, corpus) — at scale this is the
+    * lake table CubeWriter maintains at ingest time. */
+  private val cubeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The same zonal mean answered from the MATERIALIZED cube
+    * (CubeWriter) instead of raw events: dataset selection is a
+    * partition-directory prune (`PartitionFilters`) and the band range
+    * prunes row groups via the within-file band sort — the 100 TB read
+    * path, exercised by a CHECKED query (its oracle is identical to
+    * skope_zonal_mean's, so the materialization must be
+    * semantics-preserving end-to-end). */
+  def cubeZonal(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + ":" + dir
+    val path = cubeDirs.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-cube").toString
+      CubeWriter.materialize(spark, dir, p)
+      p
+    })
+    val slice = CubeWriter.readSlice(spark, path, DefaultDataset, ReqLo, ReqHi)
+      .filter(DefaultBBox.contains(col("x"), col("y")))
+    r6(slice.groupBy(col("band")).agg(avg(col("v")).as("zv")))
+  }
+
   /** n_cells + area of the selection (geometry.py:141-156, 184-185).
     * Unit cell area on the synthetic grid (SURVEY.md §6). */
   def ncellsArea(spark: SparkSession, dir: String): DataFrame =
@@ -546,6 +570,10 @@ object SkopeQueries {
       s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
     "skope_zonal_median" -> withZonal("median",
       s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
+    // identical oracle to skope_zonal_mean: the materialized-cube read
+    // path must be semantics-preserving
+    "skope_cube_zonal" -> withZonal("mean",
+      s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
     "skope_ncells_area" -> withCube(
       s"""SELECT count(DISTINCT user_id) AS n_cells,
          |  CAST(count(DISTINCT user_id) AS DOUBLE) AS area
@@ -591,6 +619,7 @@ object SkopeQueries {
     "skope_select_point" -> (selectPoint _),
     "skope_zonal_mean" -> (zonalMean _),
     "skope_zonal_median" -> (zonalMedian _),
+    "skope_cube_zonal" -> (cubeZonal _),
     "skope_ncells_area" -> (ncellsArea _),
     "skope_ma_centered" -> (maCentered _),
     "skope_ma_trailing" -> (maTrailing _),

@@ -67,6 +67,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("materialized-cube query prunes partitions and pushes the band range") {
+    val plan = formatted(SkopeQueries.cubeZonal(spark, sfDir))
+    val part = plan.split("\n").filter(_.contains("PartitionFilters")).mkString
+    assert(part.contains("dataset_id"),
+      s"dataset not pruned via partition directories: $part")
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(band") &&
+      pushed.contains("LessThanOrEqual(band"),
+      s"band range not at the cube scan: $pushed")
+  }
+
   test("ann_lsh streams the vector table: every join is broadcast, no row_number") {
     val plan = formatted(graft.pipeline.Similarity.annLsh(spark, sfDir))
     // the vector table must never be the build/shuffled side: candidate
