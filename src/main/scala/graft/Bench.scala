@@ -36,10 +36,13 @@ object Bench {
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (s.isEmpty) "0" else s
     }
-    // ~19 chars/query at 1 dp: at 81 queries the line is ~1870 chars,
-    // leaving headroom for ~3 more queries before the budget is hit
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
-      .mkString("{", ",", "}")
+    // ~19 chars/query at 1 dp: at 86 queries the line is ~1974 chars —
+    // right at the budget. Values ≥ 10 s drop the decimal (a noisy-box
+    // stall would otherwise add a char per slow query and overflow the
+    // tail right when the data matters most).
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + fmt(v, if (v >= 10) 0 else 1)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
