@@ -26,7 +26,10 @@ def canon(df):
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
-            return f"{v:.6g}"
+            # 6 DECIMAL places like the driver's compare (6 significant
+            # digits would collapse genuine >1e-6 divergences on values
+            # >= 1000 into the same string)
+            return f"{v:.6f}".rstrip("0").rstrip(".")
         if isinstance(v, bytes):
             return v.hex()
         return str(v)

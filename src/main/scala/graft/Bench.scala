@@ -32,8 +32,12 @@ object Bench {
     // Locale.ROOT pins the decimal separator: the default-locale format
     // emits "1,2" under a comma-decimal locale, corrupting the JSON
     def fmt(v: Double, dp: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      val raw = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      // strip trailing zeros ONLY after a decimal point — integer
+      // output ("10", "100") has significant zeros
+      val s = if (raw.contains('.'))
+        raw.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else raw
       if (s.isEmpty) "0" else s
     }
     // ~19 chars/query at 1 dp: at 86 queries the line is ~1974 chars —

@@ -98,11 +98,14 @@ object Api {
   val AvailableBands: (Int, Int) = (1, 31)
 
   /** Band axis extent per resolution (dataset.py:49-72: the band range
-    * is resolution-dependent; the corpus spans one January = 31 daily
-    * bands, 720 hourly bands, 1 calendar-month band). */
+    * is resolution-dependent; the corpus's declared extent is one
+    * January = 31 daily bands = 744 hourly bands = 1 calendar-month
+    * band — the SAME calendar span at every resolution, so a date that
+    * is in-range at day resolution is in-range at hour resolution
+    * too). */
   def availableBandsFor(r: EventCube.Resolution): (Int, Int) = r match {
     case EventCube.Daily => AvailableBands
-    case EventCube.Hourly => (1, 720)
+    case EventCube.Hourly => (1, AvailableBands._2 * 24)
     case EventCube.Monthly => (1, 1)
   }
 

@@ -53,8 +53,12 @@ object RequestJson {
         // normalize_time_range, dataset.py:43-47,72-76), and an
         // out-of-range bound raises TimeRangeContainmentError there
         case Some(tr) =>
+          // a JSON null bound is as absent as a missing key
+          // (OptionalTimeRange's Optional[date] admits both) — and
+          // NullNode.asText is the STRING "null", so it must be
+          // filtered before it reaches the date parser
           def pt(name: String): Option[String] =
-            Option(tr.get(name)).map(_.asText)
+            Option(tr.get(name)).filterNot(_.isNull).map(_.asText)
           // malformed date strings surface as a parse error at the wire
           // boundary (the reference's pydantic/int() validation layer);
           // containment errors pass through typed

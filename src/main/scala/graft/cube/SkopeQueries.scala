@@ -95,7 +95,14 @@ object SkopeQueries {
   def cubeZonal(spark: SparkSession, dir: String): DataFrame = {
     val key = spark.sparkContext.applicationId + ":" + dir
     val path = cubeDirs.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-cube").toString
+      // deterministic location per corpus (not a fresh temp dir):
+      // materialize overwrites, so repeated JVMs REUSE the same path
+      // instead of accumulating full-cube copies in /tmp — and a
+      // partial dir from a failed run is simply overwritten
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val p = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-cube-$hash").toString
       CubeWriter.materialize(spark, dir, p)
       p
     })

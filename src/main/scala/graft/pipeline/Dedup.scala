@@ -319,6 +319,11 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(prop)
+      // note: unpersist is a CacheManager call and does NOT free
+      // localCheckpoint blocks; those are released asynchronously by
+      // the ContextCleaner once the superseded round's Dataset (the
+      // only reference to its checkpointed RDD) is dropped here —
+      // bounded by GC lag, not accumulated for the loop's lifetime
       labels.unpersist()
       labels = prop
       converged = s.compareTo(prevSum) == 0

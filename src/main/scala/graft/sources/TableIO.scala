@@ -106,7 +106,10 @@ object TableIO {
     * size but cannot merge small inputs, which is the actual problem.
     * Compression changes size on disk vs in flight, so `targetBytes`
     * is calibrated against the SOURCE format's own bytes — right when
-    * compacting like-to-like (the common case). */
+    * compacting like-to-like (the common case). With `partitionBy`,
+    * sizing switches from byte-target to one-file-per-partition-value
+    * (see inline note); the returned count is the task count either
+    * way. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       format: Format, schema: StructType,
       targetBytes: Long = 128L * 1024 * 1024,
@@ -115,16 +118,31 @@ object TableIO {
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(hPath, true)
+    val inRoot = fs.makeQualified(hPath).toString
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      // count only data files — skip _SUCCESS / checksums / hidden
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) bytes += f.getLen
+      // count only data files: skip _SUCCESS / checksums / hidden AND
+      // anything under a metadata directory (_spark_metadata/0 has an
+      // innocent file name — a streaming-sink table, the motivating
+      // case, would otherwise count commit-log bytes the read ignores)
+      val rel = f.getPath.toString.stripPrefix(inRoot).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) bytes += f.getLen
     }
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = read(spark, inPath, format, schema)
-    write(df.repartition(n), outPath, format, partitionBy)
+    // Unpartitioned: round-robin into exactly n near-target files.
+    // Partitioned: round-robin would spread every partition value over
+    // all n tasks and the writer would split per value again (n×P tiny
+    // files — worse than the input); hash-cluster on the partition
+    // columns instead, so each value lands in one task = ONE file per
+    // partition directory, the classic partitioned-table compaction.
+    val clustered =
+      if (partitionBy.isEmpty) df.repartition(n)
+      else df.repartition(n, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    write(clustered, outPath, format, partitionBy)
     n
   }
 

@@ -156,6 +156,21 @@ class RequestJsonSpec extends SparkSpec {
         |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
         |  "time_range": {"gte": "2024-03", "lte": "2024-03"}}"""
         .stripMargin))
+    // a JSON null bound = an absent bound (OptionalTimeRange's
+    // Optional[date]) — NOT the string "null" reaching the date parser
+    val nullLo = parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": null, "lte": "2024-01-25"}}""".stripMargin)
+    assert(nullLo.bandRange === (1, 25))
+    // the last calendar day is in-range at EVERY resolution (the
+    // declared extent is the same January span: 31 days = 744 hours)
+    val hourlyEdge = parse(
+      """{"resolution": "hour", "dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-31"}}"""
+        .stripMargin)
+    assert(hourlyEdge.bandRange === (97, 744))
     // malformed dates are a wire-layer parse error, not a raw
     // NumberFormatException / DateTimeException leaking to the caller
     intercept[RequestParseError](parse(

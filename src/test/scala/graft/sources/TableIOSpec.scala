@@ -85,6 +85,31 @@ class TableIOSpec extends SparkSpec {
       s"file ${f.getName} size ${f.length} far from mean $mean"))
   }
 
+  test("partitioned compaction yields one file per partition directory") {
+    // round-robin would spread every partition value over all tasks and
+    // re-split per value (n*P tiny files); the partitioned path must
+    // hash-cluster so each dataset directory holds exactly one file
+    val df = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "event_type", "value")
+    val smallDir = Files.createTempDirectory("graft_small_p").toString
+    TableIO.write(df.repartition(16), smallDir, TableIO.Parquet,
+      partitionBy = Seq("event_type"))
+    val outDir = Files.createTempDirectory("graft_compact_p").toString
+    TableIO.compact(spark, smallDir, outDir, TableIO.Parquet, df.schema,
+      targetBytes = 4L * 1024, partitionBy = Seq("event_type"))
+    val dirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(f =>
+        f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: expected 1 compacted file, got ${files.length}")
+    }
+    val back = TableIO.read(spark, outDir, TableIO.Parquet, df.schema)
+    assert(back.count() == df.count())
+  }
+
   test("co-bucketed fact tables join with zero shuffle and zero sort") {
     // The 100 TB claim made concrete: lineitem and orders bucketed +
     // sorted on their join key at write time must sort-merge join
