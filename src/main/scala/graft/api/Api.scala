@@ -26,8 +26,10 @@ object Api {
   final case class PolygonArea(ring: Seq[(Double, Double)],
       holes: Seq[Seq[(Double, Double)]] = Nil) extends SelectedArea
   /** GeoJSON Feature / FeatureCollection (geometry.py:216-225): union
-    * mask of several polygon shapes, each validated individually. */
-  final case class FeatureCollectionArea(rings: Seq[Seq[(Double, Double)]])
+    * mask of several polygon shapes — each a full Polygon WITH its
+    * interior rings (a Feature's holes subtract exactly as they do for
+    * a bare Polygon) — validated individually. */
+  final case class FeatureCollectionArea(features: Seq[PolygonArea])
     extends SelectedArea
 
   // --- zonal_statistic (schemas/common.py:13) ---
@@ -285,15 +287,25 @@ object Api {
     val polyShapes: Option[Geometry.GridFeatureCollection] = req.selectedArea match {
       case PolygonArea(ring, holes) =>
         Some(validatedShapes(Seq(toPoly(ring, holes))))
-      case FeatureCollectionArea(rings) =>
-        Some(validatedShapes(rings.map(r => toPoly(r))))
-      case BBoxArea(x0, x1, y0, y1) if x1 < 0 || y1 < 0 || x0 >= EventCube.GridWidth =>
+      case FeatureCollectionArea(fs) =>
+        Some(validatedShapes(fs.map(p => toPoly(p.ring, p.holes))))
+      case BBoxArea(x0, x1, y0, y1)
+          if x1 < 0 || y1 < 0 || x0 >= EventCube.GridWidth ||
+            y0 >= Geometry.GridHeight =>
         throw SelectedAreaOutOfBoundsError(
           "no interior point of the selected area intersects the dataset region")
       case BBoxArea(x0, x1, y0, y1)
           if (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong > MaxCells =>
         throw SelectedAreaTooLargeError(
           (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong, MaxCells)
+      // a point is a 1-cell mask; out-of-grid cells (including the
+      // wrapped cells a negative x would alias to) are a bounds error
+      // like the reference's rasterio index check (geometry.py:81-103)
+      case PointArea(cell)
+          if cell < 0 ||
+            cell >= EventCube.GridWidth.toLong * Geometry.GridHeight =>
+        throw SelectedAreaOutOfBoundsError(
+          s"point cell $cell is outside the dataset region")
       case _ => None
     }
 
@@ -341,9 +353,14 @@ object Api {
     val transformed = req.transform match {
       case NoTransform => zonal
       case ZScoreMovingInterval(w) => Transforms.zscoreMoving(zonal, w)
+      // interval absent = the REQUESTED interval supplies the stats
+      // (timeseries.py:181-189) — but the transform still applies to
+      // the FULL widened series: a downstream smoother needs the
+      // widened edge bands, which clipping-before-transforming would
+      // silently drop from the response
       case ZScoreFixedInterval(None) =>
-        val sel = zonal.filter(col("band").between(req.bandRange._1, req.bandRange._2))
-        Transforms.zscoreFixed(sel, sel)
+        Transforms.zscoreFixed(zonal,
+          zonal.filter(col("band").between(req.bandRange._1, req.bandRange._2)))
       case ZScoreFixedInterval(Some((lo, hi))) =>
         Transforms.zscoreFixed(zonal, zonal.filter(col("band").between(lo, hi)))
     }
@@ -376,10 +393,15 @@ object Api {
 
     // n_cells + geodesic (WGS84) area of the selection — the area field
     // is computed from per-latitude-row ellipsoidal cell areas like the
-    // reference's pyproj.Geod arithmetic (geometry.py:62-71, 141-156)
+    // reference's pyproj.Geod arithmetic (geometry.py:62-71, 141-156).
+    // Counted over the GEOMETRIC mask on the grid (geometry.py counts
+    // raster mask cells), NOT over cells that happen to carry events —
+    // data-independent, so it is also not a corpus scan
     def cellsOf(mask: Column): DataFrame =
-      EventCube.cube(spark, dir, req.datasetId).filter(mask)
-        .select(col("user_id"), col("y")).distinct()
+      spark.range(EventCube.GridWidth.toLong * Geometry.GridHeight)
+        .select((col("id") % EventCube.GridWidth).as("x"),
+          floor(col("id") / EventCube.GridWidth).cast("long").as("y"))
+        .filter(mask)
         .agg(count(lit(1)).as("n_cells"),
           sum(Geometry.Geo.cellArea(col("y"))).as("area"))
     val selection = req.selectedArea match {
@@ -423,19 +445,50 @@ object Api {
     require(selections.nonEmpty, "batch needs at least one selection")
     val part = Seq("selection_id")
 
+    // the same per-shape validation as the single-request path
+    // (validity → typed error, bounds, cell budget): a batch selection
+    // must not bypass the reference's guards (geometry.py:111-172)
+    def validatedPoly(ring: Seq[(Double, Double)],
+        holes: Seq[Seq[(Double, Double)]]): Geometry.GridPolygon = {
+      val p = Geometry.GridPolygon(
+        ring.map { case (px, py) => Geometry.Pt(px, py) },
+        holes.map(_.map { case (px, py) => Geometry.Pt(px, py) }))
+      try p.validate()
+      catch { case e: Geometry.PolygonIsNotValid =>
+        throw SelectedAreaPolygonIsNotValidError(e.getMessage)
+      }
+      if (!p.interiorIntersectsGrid())
+        throw SelectedAreaOutOfBoundsError(
+          "no interior point of the selected area intersects an interior point of the dataset region")
+      val bw = math.floor(p.vertices.map(_.x).max).toLong -
+        math.floor(p.vertices.map(_.x).min).toLong + 1
+      val bh = math.floor(p.vertices.map(_.y).max).toLong -
+        math.floor(p.vertices.map(_.y).min).toLong + 1
+      if (bw * bh > MaxCells) throw SelectedAreaTooLargeError(bw * bh, MaxCells)
+      p
+    }
+
     def maskOf(a: SelectedArea): Column = a match {
-      case PointArea(cell) => col("user_id") === cell
+      case PointArea(cell) =>
+        if (cell < 0 || cell >= EventCube.GridWidth.toLong * Geometry.GridHeight)
+          throw SelectedAreaOutOfBoundsError(
+            s"point cell $cell is outside the dataset region")
+        col("user_id") === cell
       case BBoxArea(x0, x1, y0, y1) =>
+        if (x1 < 0 || y1 < 0 || x0 >= EventCube.GridWidth ||
+            y0 >= Geometry.GridHeight)
+          throw SelectedAreaOutOfBoundsError(
+            "no interior point of the selected area intersects the dataset region")
+        if ((x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong > MaxCells)
+          throw SelectedAreaTooLargeError(
+            (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong, MaxCells)
         EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y"))
       case PolygonArea(ring, holes) =>
-        Geometry.GridPolygon(
-          ring.map { case (px, py) => Geometry.Pt(px, py) },
-          holes.map(_.map { case (px, py) => Geometry.Pt(px, py) }))
-          .validate().mask(col("x"), col("y"))
-      case FeatureCollectionArea(rings) =>
-        Geometry.GridFeatureCollection(rings.map(r =>
-          Geometry.GridPolygon(r.map { case (px, py) => Geometry.Pt(px, py) })))
-          .validate().mask(col("x"), col("y"))
+        validatedPoly(ring, holes).mask(col("x"), col("y"))
+      case FeatureCollectionArea(fs) =>
+        Geometry.GridFeatureCollection(
+          fs.map(p => validatedPoly(p.ring, p.holes)))
+          .mask(col("x"), col("y"))
     }
 
     val (back, fwd) = smoother match {
@@ -447,7 +500,15 @@ object Api {
       case ZScoreMovingInterval(w) => w
       case _ => 0
     }
-    val widened = (bandRange._1 - back - tBack, bandRange._2 + fwd)
+    // a fixed reference interval's bands must be scanned too (the
+    // single-request path unions them the same way) — otherwise the
+    // reference stats are computed over a truncated or empty interval
+    val widened = transform match {
+      case ZScoreFixedInterval(Some((rl, rh))) =>
+        (math.min(bandRange._1 - back - tBack, rl),
+          math.max(bandRange._2 + fwd, rh))
+      case _ => (bandRange._1 - back - tBack, bandRange._2 + fwd)
+    }
 
     // one scan, every selection's mask tagged map-side
     val tagged = EventCube.cube(spark, dir, datasetId, resolution,
@@ -465,9 +526,12 @@ object Api {
     val transformed = transform match {
       case NoTransform => zonal
       case ZScoreMovingInterval(w) => Transforms.zscoreMoving(zonal, w, part)
+      // like the single path: stats from the requested interval, but
+      // the transform covers the widened series so the smoother keeps
+      // its edge context
       case ZScoreFixedInterval(None) =>
-        val sel = zonal.filter(col("band").between(bandRange._1, bandRange._2))
-        Transforms.zscoreFixedBatch(sel, sel, part)
+        Transforms.zscoreFixedBatch(zonal,
+          zonal.filter(col("band").between(bandRange._1, bandRange._2)), part)
       case ZScoreFixedInterval(Some((lo, hi))) =>
         Transforms.zscoreFixedBatch(zonal,
           zonal.filter(col("band").between(lo, hi)), part)

@@ -42,9 +42,17 @@ object RequestJson {
       case "month" => EventCube.Monthly
       case other => throw RequestParseError(s"unsupported resolution $other")
     }
+    // strict integer bounds: asInt would silently coerce a malformed
+    // value ("abc", null, 1.5-as-string) to 0 — band 0 is a range the
+    // client never asked for, not an error
+    def intBound(n: JsonNode, what: String): Int = {
+      if (n == null || !n.canConvertToInt)
+        throw RequestParseError(s"$what must be an integer")
+      n.asInt
+    }
     val bandRange = Option(root.get("band_range")) match {
       case Some(br) if br.isArray && br.size == 2 =>
-        (br.get(0).asInt, br.get(1).asInt)
+        (intBound(br.get(0), "band_range[0]"), intBound(br.get(1), "band_range[1]"))
       case Some(_) => throw RequestParseError("band_range must be [lo, hi]")
       case None => Option(root.get("time_range")) match {
         // the wire format's primary range field (timeseries.py:365):
@@ -119,7 +127,15 @@ object RequestJson {
         val c = g.get("coordinates")
         if (c == null || c.size < 2) throw RequestParseError("Point needs [x, y]")
         val (px, py) = (c.get(0).asDouble, c.get(1).asDouble)
-        PointArea(math.floor(py).toLong * EventCube.GridWidth + math.floor(px).toLong)
+        // out-of-grid points must NOT silently alias onto a valid cell
+        // (floor(-0.5) = -1 would wrap to the previous row's last
+        // cell); bounds are the reference's rasterio index check
+        val (cx, cy) = (math.floor(px).toLong, math.floor(py).toLong)
+        if (cx < 0 || cx >= EventCube.GridWidth ||
+            cy < 0 || cy >= graft.cube.Geometry.GridHeight)
+          throw Api.SelectedAreaOutOfBoundsError(
+            s"point ($px, $py) is outside the dataset region")
+        PointArea(cy * EventCube.GridWidth + cx)
       case Some("Polygon") => polygonArea(g)
       case Some("Feature") =>
         val geom = g.get("geometry")
@@ -133,10 +149,13 @@ object RequestJson {
         val fs = g.get("features")
         if (fs == null || !fs.isArray || fs.size == 0)
           throw RequestParseError("FeatureCollection needs features")
+        // each feature keeps its FULL polygon — interior rings included
+        // (dropping holes here would silently include hole cells the
+        // identical geometry excludes when sent as a bare Polygon)
         FeatureCollectionArea((0 until fs.size).map { i =>
           val geom = fs.get(i).get("geometry")
           if (geom == null) throw RequestParseError("Feature needs a geometry")
-          polygonArea(geom).ring
+          polygonArea(geom)
         })
       case other =>
         throw RequestParseError(s"unsupported geometry type $other")
@@ -151,8 +170,22 @@ object RequestJson {
         ZScoreMovingInterval(Option(n.get("width")).map(_.asInt)
           .getOrElse(throw RequestParseError("ZScoreMovingInterval needs width")))
       case Some("ZScoreFixedInterval") =>
-        ZScoreFixedInterval(Option(n.get("band_range")).map(br =>
-          (br.get(0).asInt, br.get(1).asInt)))
+        // same [lo, hi] shape validation as the top-level band_range —
+        // a scalar or short array must be a parse error, not an NPE
+        ZScoreFixedInterval(Option(n.get("band_range"))
+          .filterNot(_.isNull).map { br =>
+            if (!br.isArray || br.size != 2)
+              throw RequestParseError(
+                "ZScoreFixedInterval band_range must be [lo, hi]")
+            def ib(i: Int): Int = {
+              val e = br.get(i)
+              if (e == null || !e.canConvertToInt)
+                throw RequestParseError(
+                  s"ZScoreFixedInterval band_range[$i] must be an integer")
+              e.asInt
+            }
+            (ib(0), ib(1))
+          })
       case Some(other) => throw RequestParseError(s"unknown transform $other")
     }
   }

@@ -330,6 +330,16 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
+    // the cap is a runaway guard, not a tolerance: min-label needs
+    // ~diameter rounds, and a component deeper than 50 would exit here
+    // with MULTIPLE labels per cluster — dedup-apply would then keep
+    // several "canonicals" of one duplicate family. Fail loud instead
+    // of silently under-deduplicating.
+    if (!converged)
+      throw new IllegalStateException(
+        "connected-components label propagation did not converge within " +
+          "50 rounds — pathological cluster diameter; raise the cap or " +
+          "switch this corpus to large-star/small-star rounds")
     // hand the result over as its own eagerly-materialized cache entry
     // and drop every loop-scoped artifact — the iterative lineage must
     // never be re-executed (and the per-round persists must not leak)

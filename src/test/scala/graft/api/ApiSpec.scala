@@ -119,8 +119,8 @@ class ApiSpec extends SparkSpec {
   test("feature collection selects the union of its shapes' masks") {
     // second shape sits in the populated row (sf0.001 has cells y<=1)
     val two = FeatureCollectionArea(Seq(
-      Seq((0.2, 0.2), (1.8, 0.2), (1.0, 1.8)),
-      Seq((6.2, 0.1), (8.8, 0.1), (8.8, 0.9), (6.2, 0.9))))
+      PolygonArea(Seq((0.2, 0.2), (1.8, 0.2), (1.0, 1.8))),
+      PolygonArea(Seq((6.2, 0.1), (8.8, 0.1), (8.8, 0.9), (6.2, 0.9)))))
     val res = extractTimeseries(spark, sfDir, baseReq.copy(selectedArea = two))
     val one = extractTimeseries(spark, sfDir, baseReq.copy(
       selectedArea = PolygonArea(Seq((0.2, 0.2), (1.8, 0.2), (1.0, 1.8)))))

@@ -65,7 +65,7 @@ class RequestJsonSpec extends SparkSpec {
         |   {"type": "Feature", "geometry": {"type": "Polygon",
         |     "coordinates": [[[6.2, 0.1], [9.4, 0.1], [9.4, 1.8], [6.2, 1.8]]]}}
         |  ]}}""".stripMargin)
-    assert(fc.selectedArea.asInstanceOf[FeatureCollectionArea].rings.size === 2)
+    assert(fc.selectedArea.asInstanceOf[FeatureCollectionArea].features.size === 2)
   }
 
   test("polygon interior rings (holes) parse and subtract from the mask") {
