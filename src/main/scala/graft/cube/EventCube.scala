@@ -43,21 +43,37 @@ object EventCube {
     /** 1-based band index of a timestamp column. */
     def band(ts: Column): Column
   }
+  /** Origin as UTC epoch seconds — a DRIVER-SIDE constant, so the band
+    * expressions below are pure epoch arithmetic, independent of
+    * `spark.sql.session.timeZone`. (The tz-sensitive forms —
+    * to_date(ts), lit(Origin).cast — resolve the origin in the session
+    * zone while bandRangeNanos prunes the scan in UTC: on a non-UTC
+    * session the prune window and the band filter would disagree and
+    * silently clip in-range events. The cube's calendar contract IS
+    * UTC; this makes the core indexing honor it on any session.) */
+  private val OriginEpochSec: Long = java.time.LocalDate.parse(Origin)
+    .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+
   case object Daily extends Resolution("day") {
     def band(ts: Column): Column =
-      (datediff(to_date(ts), lit(Origin).cast("date")) + 1).cast("long")
+      (floor((unix_seconds(ts) - OriginEpochSec) / 86400L) + 1).cast("long")
   }
   case object Hourly extends Resolution("hour") {
     def band(ts: Column): Column =
-      (floor((unix_seconds(ts) - unix_seconds(lit(Origin).cast("timestamp"))) / 3600L) + 1)
-        .cast("long")
+      (floor((unix_seconds(ts) - OriginEpochSec) / 3600L) + 1).cast("long")
   }
   case object Monthly extends Resolution("month") {
     /** relativedelta month arithmetic (dataset.py:64-72): band =
-      * (Δyears · 12 + Δmonths) + 1 from the dataset origin. */
-    def band(ts: Column): Column =
-      ((year(ts) - year(lit(Origin).cast("date"))) * 12 +
-        (month(ts) - month(lit(Origin).cast("date"))) + 1).cast("long")
+      * (Δyears · 12 + Δmonths) + 1 from the dataset origin — over the
+      * UTC calendar (convert_timezone to UTC wall-clock; origin
+      * year/month are driver-side constants), so the band is
+      * session-timezone-independent like Daily/Hourly. */
+    def band(ts: Column): Column = {
+      val o = java.time.LocalDate.parse(Origin)
+      val u = convert_timezone(lit("UTC"), ts)
+      ((year(u) - o.getYear) * 12 +
+        (month(u) - o.getMonthValue) + 1).cast("long")
+    }
     /** translate_band_range (dataset.py:74-79): band → first day of its
       * calendar month. */
     def bandStart(band: Column): Column =

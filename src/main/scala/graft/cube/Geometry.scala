@@ -121,6 +121,16 @@ object Geometry {
         validateRing(h)
         if (!h.forall(p => pointInTriangles(p, triangles)))
           throw PolygonIsNotValid("hole lies outside shell")
+        // vertices-in-shell does not imply the EDGES stay inside a
+        // CONCAVE shell: a hole edge can cut across a reflex notch.
+        // A hole edge properly crossing a shell edge means the hole
+        // exits the polygon (point contact stays legal, like shapely)
+        for {
+          i <- h.indices
+          j <- vertices.indices
+        } if (segmentsCross(h(i), h((i + 1) % h.length),
+            vertices(j), vertices((j + 1) % vertices.length)))
+          throw PolygonIsNotValid("hole crosses the shell boundary")
       }
       this
     }
@@ -416,6 +426,11 @@ object Geometry {
 
   private def strictlyInTriangle(v: Pt, a: Pt, b: Pt, c: Pt): Boolean =
     cross(a, b, v) > 1e-12 && cross(b, c, v) > 1e-12 && cross(c, a, v) > 1e-12
+
+  /** PROPER crossing only (interiors intersect; shared endpoints and
+    * collinear touch do not count) — the hole-exits-shell test. */
+  private def segmentsCross(a: Pt, b: Pt, c: Pt, d: Pt): Boolean =
+    cross(a, b, c) * cross(a, b, d) < 0 && cross(c, d, a) * cross(c, d, b) < 0
 
   /** Any contact (proper crossing, endpoint touch, collinear overlap)
     * between segments ab and cd. */

@@ -95,16 +95,22 @@ object SkopeQueries {
   def cubeZonal(spark: SparkSession, dir: String): DataFrame = {
     val key = spark.sparkContext.applicationId + ":" + dir
     val path = cubeDirs.computeIfAbsent(key, _ => {
-      // deterministic location per corpus (not a fresh temp dir):
-      // materialize overwrites, so repeated JVMs REUSE the same path
-      // instead of accumulating full-cube copies in /tmp — and a
-      // partial dir from a failed run is simply overwritten
+      // per-JVM location (pid in the path): a shared fixed path would
+      // race a CONCURRENT application overwriting it mid-scan; the /tmp
+      // accumulation that a unique path reintroduces is handled by the
+      // shutdown hook deleting this JVM's copies on exit
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val p = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-cube-$hash").toString
-      CubeWriter.materialize(spark, dir, p)
-      p
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-cube-$hash-${ProcessHandle.current().pid()}")
+      CubeWriter.materialize(spark, dir, p.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p)
+      }))
+      p.toString
     })
     val slice = CubeWriter.readSlice(spark, path, DefaultDataset, ReqLo, ReqHi)
       .filter(DefaultBBox.contains(col("x"), col("y")))

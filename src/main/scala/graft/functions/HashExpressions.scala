@@ -3,11 +3,11 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Single-pass hashing kernels for the dedup family.
   *
@@ -158,14 +158,19 @@ object HashKernels {
     * chars of md5(token) = top 60 bits of the digest; sign-sum per bit
     * with multiplicity; bit set iff the sum is >= 0.
     */
+  // one digest per thread, not per document: getInstance does a JCA
+  // provider lookup + allocation, pure overhead on this hot kernel
+  // (digest() self-resets, so reuse is safe)
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def simhash60(ws: ArrayData): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val counts = new Array[Int](60)
     val n = ws.numElements()
     var i = 0
     while (i < n) {
       val d = md.digest(ws.getUTF8String(i).getBytes)
-      md.reset()
       // conv(substr(md5,1,15),16,10): 7 full bytes + the high nibble of
       // the 8th
       var h = 0L
@@ -189,7 +194,10 @@ object HashKernels {
   }
 }
 
-case class MinHashBands(child: Expression) extends UnaryExpression {
+case class MinHashBands(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
   override def nullSafeEval(a: Any): Any =
@@ -201,7 +209,10 @@ case class MinHashBands(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class Shingle3SortedHashes(child: Expression) extends UnaryExpression {
+case class Shingle3SortedHashes(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle3_sorted_hashes"
   override def nullSafeEval(a: Any): Any =
@@ -214,7 +225,9 @@ case class Shingle3SortedHashes(child: Expression) extends UnaryExpression {
 }
 
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -227,7 +240,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-case class Fingerprint31(child: Expression) extends UnaryExpression {
+case class Fingerprint31(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint31"
   override def nullSafeEval(a: Any): Any =
@@ -239,7 +255,10 @@ case class Fingerprint31(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class SimHash60(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
   override def nullSafeEval(a: Any): Any =

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
   */
 case class TopKAgg(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKAgg.Buffer] {
+  extends TypedImperativeAggregate[TopKAgg.Buffer] with ExpectsInputTypes {
 
   require(k > 0, "top-k needs k > 0")
 
+  // declared types turn top_k(int_score, ...) into an analysis error
+  // (update would otherwise ClassCastException on every task)
+  override def inputTypes = Seq(DoubleType, LongType)
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(TopKAgg.entryType, containsNull = false)

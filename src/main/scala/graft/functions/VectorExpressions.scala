@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -21,8 +21,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * list_sum semantics (SURVEY.md §4).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // declared input types make a wrong-typed call (the documented
+  // mistake: raw array<float> embeddings) an ANALYSIS error instead of
+  // silent garbage from reading float bytes as doubles
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -55,8 +61,11 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** sqrt(Σ x_i²) with the same codegen shape as DotProduct. */
-case class L2Norm(child: Expression) extends UnaryExpression {
+case class L2Norm(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_norm"
 
@@ -117,7 +126,10 @@ object QuantKernel {
   }
 }
 
-case class QuantizeStats(child: Expression) extends UnaryExpression {
+case class QuantizeStats(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "quantize_stats"
@@ -184,7 +196,10 @@ object LshKernel {
   }
 }
 
-case class LshBandKeys(child: Expression) extends UnaryExpression {
+case class LshBandKeys(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def prettyName: String = "lsh_band_keys"

@@ -36,8 +36,14 @@ case class ApproxPercentileRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val accuracy = spark.conf.get(AccuracyKey, "1000").toInt
       plan.transformAllExpressions {
         // only the no-frequency form (frequency 1L) maps cleanly onto
-        // the sketch; weighted percentiles keep the exact path
-        case p: Percentile if p.frequencyExpression == Literal(1L) =>
+        // the sketch; weighted percentiles keep the exact path. The
+        // child must already be DoubleType: Percentile.dataType is
+        // ALWAYS double but ApproximatePercentile's is child.dataType,
+        // and a post-analysis dataType change corrupts downstream
+        // attribute slots (a long written where a double is read)
+        case p: Percentile
+            if p.frequencyExpression == Literal(1L) &&
+              p.child.dataType == org.apache.spark.sql.types.DoubleType =>
           ApproximatePercentile(p.child, p.percentageExpression,
             Literal(accuracy), p.mutableAggBufferOffset, p.inputAggBufferOffset)
       }

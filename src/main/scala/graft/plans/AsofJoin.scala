@@ -58,10 +58,17 @@ object AsofJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // the exec compares right values with orderings derived from the
+    // LEFT types — mismatched sides would ClassCastException (or worse,
+    // compare garbage) at executor runtime; fail at plan build instead
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
     ColumnBridge.ofRows(spark, AsofJoinPlan(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime),
-      rightTieBreak.map(attr(rp, _)), strict))
+      lk, rk, lt, rt, rightTieBreak.map(attr(rp, _)), strict))
   }
 
   /** Idempotent runtime registration (sessions built with
