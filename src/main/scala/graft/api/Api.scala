@@ -353,14 +353,15 @@ object Api {
     val transformed = req.transform match {
       case NoTransform => zonal
       case ZScoreMovingInterval(w) => Transforms.zscoreMoving(zonal, w)
-      // interval absent = the REQUESTED interval supplies the stats
-      // (timeseries.py:181-189) — but the transform still applies to
-      // the FULL widened series: a downstream smoother needs the
-      // widened edge bands, which clipping-before-transforming would
-      // silently drop from the response
+      // interval absent = the stats come from the WHOLE extracted
+      // (smoother-widened) series: the reference passes txs == xs (the
+      // full extract over band_range_to_extract) to stats.zscore
+      // (timeseries.py:163-167 + services.py:131-147, where a None
+      // transform_band_range leaves transformed_series_data =
+      // original_series_data). Stats over the requested interval only
+      // would diverge whenever a smoother widens the scan.
       case ZScoreFixedInterval(None) =>
-        Transforms.zscoreFixed(zonal,
-          zonal.filter(col("band").between(req.bandRange._1, req.bandRange._2)))
+        Transforms.zscoreFixed(zonal, zonal)
       case ZScoreFixedInterval(Some((lo, hi))) =>
         Transforms.zscoreFixed(zonal, zonal.filter(col("band").between(lo, hi)))
     }
@@ -526,12 +527,10 @@ object Api {
     val transformed = transform match {
       case NoTransform => zonal
       case ZScoreMovingInterval(w) => Transforms.zscoreMoving(zonal, w, part)
-      // like the single path: stats from the requested interval, but
-      // the transform covers the widened series so the smoother keeps
-      // its edge context
+      // like the single path: stats over the whole widened extract
+      // (txs == xs in the reference, timeseries.py:163-167)
       case ZScoreFixedInterval(None) =>
-        Transforms.zscoreFixedBatch(zonal,
-          zonal.filter(col("band").between(bandRange._1, bandRange._2)), part)
+        Transforms.zscoreFixedBatch(zonal, zonal, part)
       case ZScoreFixedInterval(Some((lo, hi))) =>
         Transforms.zscoreFixedBatch(zonal,
           zonal.filter(col("band").between(lo, hi)), part)

@@ -60,7 +60,16 @@ object RequestJson {
         // missing bound is the dataset edge (OptionalTimeRange +
         // normalize_time_range, dataset.py:43-47,72-76), and an
         // out-of-range bound raises TimeRangeContainmentError there
+        // a JSON null time_range is as absent as a missing key
+        // (pydantic's Optional[OptionalTimeRange] admits both)
+        case Some(tr) if tr.isNull => availableBandsFor(resolution)
         case Some(tr) =>
+          // a non-object node ("2024", [..]) must be a parse error like
+          // the reference's pydantic validation — get("gte") on it
+          // returns null, which would silently degrade the request to
+          // the full dataset extent
+          if (!tr.isObject)
+            throw RequestParseError("time_range must be an object with gte/lte")
           // a JSON null bound is as absent as a missing key
           // (OptionalTimeRange's Optional[date] admits both) — and
           // NullNode.asText is the STRING "null", so it must be

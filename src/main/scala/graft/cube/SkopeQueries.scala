@@ -234,7 +234,8 @@ object SkopeQueries {
 
   /** Hour-resolution zonal mean (the Resolution generalization of
     * dataset.py:64-72 exercised on a second granularity): bands
-    * 100..200 of the 720-hour span. */
+    * 100..200 of the 744-hour span (31 days × 24 —
+    * Api.availableBandsFor). */
   def hourlyZonal(spark: SparkSession, dir: String): DataFrame = {
     val c = cube(spark, dir, DefaultDataset, EventCube.Hourly,
         bandRange = Some((100, 200)))
@@ -412,9 +413,14 @@ object SkopeQueries {
       bandRange = req))
     val axis = spark.range(ReqLo, ReqHi + 1).select(col("id").as("band"))
     val joined = axis.join(z, Seq("band"), "left")
-    val wPrev = Window.orderBy(col("band"))
+    // constant-valued partition key, like Smoothers/Transforms
+    // (pmod(band, 1), not lit(0) — EliminateWindowPartitions strips
+    // foldables): the axis is #bands rows for ONE selection — bounded —
+    // and the declared spec keeps the WindowExec single-partition
+    // warning out of the logs
+    val wPrev = Window.partitionBy(pmod(col("band"), lit(1))).orderBy(col("band"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.orderBy(col("band"))
+    val wNext = Window.partitionBy(pmod(col("band"), lit(1))).orderBy(col("band"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsBand = when(col("zv").isNotNull, col("band"))
     val filled = joined

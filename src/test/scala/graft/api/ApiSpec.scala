@@ -49,6 +49,32 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(orig.getDouble(1)) > 1e-3) // raw series mean is not 0
   }
 
+  test("fixed z-score (None) stats cover the smoother-widened extract like the reference") {
+    // timeseries.py:163-167 + services.py:131-147: with time_range None
+    // the transform sees txs == xs — the FULL extract over
+    // band_range_to_extract (here [2, 25]: trailing width 3 widens the
+    // requested [5, 25] back by 3) — so the z-score stats come from
+    // bands 2..25, not the requested 5..25
+    import graft.cube.EventCube
+    val res = extractTimeseries(spark, sfDir, baseReq.copy(
+      transform = ZScoreFixedInterval(None),
+      requestedSeriesOptions =
+        Seq(SeriesOptions("sm", MovingAverageSmoother(centered = false, 3)))))
+    val got = res.series.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val full = EventCube.zonalSeries(spark, sfDir, "click",
+        EventCube.BBox(0, 9, 0, 9), "mean")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val xs = (2L to 25L).map(full)
+    val m = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(v => (v - m) * (v - m)).sum / xs.size)
+    def z(b: Long) = (full(b) - m) / sd
+    (5L to 25L).foreach { b =>
+      val expected = (z(b - 3) + z(b - 2) + z(b - 1)) / 3.0
+      assert(math.abs(got(b) - expected) < 1e-6,
+        s"band $b: ${got(b)} != $expected (stats must span the widened extract)")
+    }
+  }
+
   test("max_processing_time 0 raises TimeseriesTimeoutError like the reference") {
     // mirrors test_datasets.py:test_timeout (max_processing_time=0)
     intercept[TimeseriesTimeoutError] {

@@ -183,6 +183,27 @@ class RequestJsonSpec extends SparkSpec {
         |  "time_range": {"gte": "2024-13-40"}}""".stripMargin))
   }
 
+  test("time_range must be an object — a scalar/array is a parse error, null is absent") {
+    // a non-object time_range would make get("gte")/get("lte") return
+    // null and silently degrade the request to the full dataset extent;
+    // the reference's pydantic layer rejects the body instead
+    intercept[RequestParseError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": "2024-01-05"}""".stripMargin))
+    intercept[RequestParseError](parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": ["2024-01-05", "2024-01-25"]}""".stripMargin))
+    // an explicit JSON null is as absent as a missing key
+    // (Optional[OptionalTimeRange])
+    val nullTr = parse(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": null}""".stripMargin)
+    assert(nullTr.bandRange === availableBandsFor(graft.cube.EventCube.Daily))
+  }
+
   test("max_processing_time parses, validates its bounds, and is enforced") {
     val base =
       """{"dataset_id": "click",

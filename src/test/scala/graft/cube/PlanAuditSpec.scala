@@ -90,6 +90,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast joins, saw $bhj")
   }
 
+  test("no query in the inventory plans an unpartitioned window") {
+    // an empty window partitionSpec moves ALL data to one partition and
+    // logs WindowExec's single-partition warning; single-series paths
+    // declare a constant key instead (bounded by construction), batch
+    // paths a real one — either way the spec must be non-empty
+    import org.apache.spark.sql.execution.window.WindowExec
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val unpartitioned = fn(spark, sfDir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name plans ${unpartitioned.size} unpartitioned Window operator(s)")
+    }
+  }
+
   test("q5 keeps every dimension join broadcast (regression guard)") {
     val plan = formatted(graft.relational.TpchQueries.q5(spark, sfDir))
     val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
