@@ -109,6 +109,7 @@ object Api {
     case EventCube.Daily => AvailableBands
     case EventCube.Hourly => (1, AvailableBands._2 * 24)
     case EventCube.Monthly => (1, 1)
+    case EventCube.Yearly => (1, 1)
   }
 
   /** Mirror of the reference's default_max_cells guard
@@ -185,6 +186,11 @@ object Api {
           .getOrElse(bands._1),
           lte.map(s => checked(bandForMonth(Some(s), bands._2), s))
             .getOrElse(bands._2))
+      case EventCube.Yearly =>
+        (gte.map(s => checked(bandForYear(Some(s), bands._1), s))
+          .getOrElse(bands._1),
+          lte.map(s => checked(bandForYear(Some(s), bands._2), s))
+            .getOrElse(bands._2))
       case EventCube.Hourly =>
         (gte.map(s => checked((bandForDate(Some(s), 1) - 1) * 24 + 1, s))
           .getOrElse(bands._1),
@@ -212,6 +218,16 @@ object Api {
     case None => default
     case Some(str) =>
       EventCube.monthBandOf(parseV1Date(str),
+        java.time.LocalDate.parse(EventCube.Origin))
+  }
+
+  /** Year-resolution band for a v1 date string — find_band_range's year
+    * branch (dataset.py:69-71): relativedelta years + 1 ("2024" parses
+    * to 2024-01-01 like the other v1 strings). */
+  def bandForYear(s: Option[String], default: Int): Int = s match {
+    case None => default
+    case Some(str) =>
+      EventCube.yearBandOf(parseV1Date(str),
         java.time.LocalDate.parse(EventCube.Origin))
   }
 

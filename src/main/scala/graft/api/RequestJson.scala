@@ -40,6 +40,7 @@ object RequestJson {
       case "day" => EventCube.Daily
       case "hour" => EventCube.Hourly
       case "month" => EventCube.Monthly
+      case "year" => EventCube.Yearly
       case other => throw RequestParseError(s"unsupported resolution $other")
     }
     // strict integer bounds: asInt would silently coerce a malformed

@@ -80,12 +80,49 @@ object EventCube {
       add_months(lit(Origin).cast("date"), (band - 1).cast("int"))
   }
 
+  case object Yearly extends Resolution("year") {
+    /** The reference's PRIMARY resolution (metadata.yml
+      * `timespan.resolution: year`; dataset.py:69-71's `else` branch):
+      * band = relativedelta(ts, origin).years + 1 — the number of WHOLE
+      * years elapsed since the dataset origin, so a mid-year origin
+      * does not tick the band over at the calendar new year but at its
+      * own anniversary (and a leap-day origin at Feb 28, matching
+      * relativedelta's normalization). Over the UTC calendar like
+      * Daily/Hourly/Monthly. */
+    def band(ts: Column): Column = {
+      val o = java.time.LocalDate.parse(Origin)
+      val u = convert_timezone(lit("UTC"), ts)
+      val beforeAnniversary =
+        (month(u) < o.getMonthValue) ||
+          (month(u) === o.getMonthValue && dayofmonth(u) < o.getDayOfMonth)
+      ((year(u) - o.getYear) - when(beforeAnniversary, 1).otherwise(0) + 1)
+        .cast("long")
+    }
+    /** translate_band_range (dataset.py:79-84 year branch): band →
+      * origin + (band − 1) years. */
+    def bandStart(band: Column): Column =
+      add_months(lit(Origin).cast("date"), ((band - 1) * 12).cast("int"))
+  }
+
   /** Driver-side month-band arithmetic for request parsing — the exact
     * find_band_range month branch (dataset.py:66-68), incl. year
     * crossings. */
   def monthBandOf(date: java.time.LocalDate, origin: java.time.LocalDate): Int =
     ((date.getYear - origin.getYear) * 12 +
       (date.getMonthValue - origin.getMonthValue)) + 1
+
+  /** Driver-side year-band arithmetic — find_band_range's year branch
+    * (dataset.py:69-71): relativedelta(date, origin).years + 1. The
+    * explicit anniversary guard (rather than ChronoUnit.YEARS.between)
+    * reproduces relativedelta's leap-day normalization: from a Feb 29
+    * origin, Feb 28 of the next year is still band 1 — Java's YEARS
+    * unit would clamp the anniversary to Feb 28 and call it band 2. */
+  def yearBandOf(date: java.time.LocalDate, origin: java.time.LocalDate): Int = {
+    val beforeAnniversary = date.getMonthValue < origin.getMonthValue ||
+      (date.getMonthValue == origin.getMonthValue &&
+        date.getDayOfMonth < origin.getDayOfMonth)
+    (date.getYear - origin.getYear) - (if (beforeAnniversary) 1 else 0) + 1
+  }
 
   /** Rectangular cell selection — the analogue of the reference's
     * polygon mask (geometry.py:174-209, all_touched raster mask).
@@ -124,7 +161,26 @@ object EventCube {
     resolution match {
       case Daily => (ns(o.plusDays(lo - 1L)), ns(o.plusDays(hi.toLong)))
       case Hourly => (ns(o.plusHours(lo - 1L)), ns(o.plusHours(hi.toLong)))
-      case Monthly => (ns(o.plusMonths(lo - 1L)), ns(o.plusMonths(hi.toLong)))
+      case Monthly =>
+        // month bands ignore day-of-month (year·12+month arithmetic),
+        // so the physical window of band b is the CALENDAR month b−1
+        // after the origin's month — anchoring at the origin's month
+        // start keeps the window a superset for mid-month origins
+        // (o.plusMonths from Jan 31 would clamp into February and
+        // prune band-2 events)
+        val m0 = o.withDayOfMonth(1)
+        (ns(m0.plusMonths(lo - 1L)), ns(m0.plusMonths(hi.toLong)))
+      case Yearly =>
+        // year bands tick at the origin's anniversary (relativedelta
+        // .years); plusYears clamps a Feb 29 origin to Feb 28, which
+        // would START the window one day early (harmless) but also END
+        // it one day early (pruning the last day of band hi) — push a
+        // clamped anniversary to the true tick-over day (Mar 1)
+        def anniversary(n: Long): java.time.LocalDateTime = {
+          val d = o.plusYears(n)
+          if (d.getDayOfMonth != o.getDayOfMonth) d.plusDays(1) else d
+        }
+        (ns(anniversary(lo - 1L)), ns(anniversary(hi.toLong)))
     }
   }
 

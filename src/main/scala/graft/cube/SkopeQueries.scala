@@ -44,22 +44,52 @@ object SkopeQueries {
     * dataset.py:91-157): one row per (dataset, variable) — datasets
     * carry several variables (the *_uncertainty raster analogue is the
     * props-derived `k`) plus a fill value slot, mirroring the
-    * multi-variable catalog the DatasetManager serves. */
+    * multi-variable catalog the DatasetManager serves.
+    *
+    * Served fields come from the STATIC catalog (Catalog — the
+    * metadata.yml model): title, resolution, timespan, timeZero era
+    * label, region extents, uncertainty slot, and the
+    * timespan-DERIVED n_bands (dataset.py:34-41 builds the band extent
+    * from the yml, not from scanning the rasters — a dataset with
+    * absent bands still reports its declared extent). Only n_cells is
+    * corpus-derived (the raster-shape analogue). Catalog is 5 rows —
+    * broadcast, never a shuffle. */
   val DatasetVariables: Seq[String] = Seq("value", "k")
   def metadata(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type").as("dataset_id"))
-      .agg(
-        lit("day").as("resolution"),
-        date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("time_gte"),
-        date_format(max(to_date(col("ts"))), "yyyy-MM-dd").as("time_lte"),
-        countDistinct(to_date(col("ts"))).as("n_bands"),
-        countDistinct(col("user_id")).as("n_cells"))
+      .agg(countDistinct(col("user_id")).as("n_cells"))
+      .join(broadcast(Catalog.table(spark)), Seq("dataset_id"))
+      .select(col("dataset_id"), col("title"), col("resolution"),
+        col("time_gte"), col("time_lte"), col("time_zero"),
+        col("n_bands"), col("n_cells"), col("uncertainty"),
+        col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"))
       .select(col("*"),
         explode(array(DatasetVariables.map(lit): _*)).as("variable_id"),
         // the synthetic grid has no nodata sentinel; the slot is the
         // contract (metadata.yml nodata / fill handling)
         lit(null).cast("double").as("fill_value"))
+
+  /** Year-resolution band axis with era labels (dataset.py:69-71's year
+    * branch — the reference's PRIMARY resolution — plus metadata.yml's
+    * `timespan.period.timeZero` label arithmetic: label = timeZero +
+    * band − 1, the lbda_v2 '0001'-era contract). The corpus spans one
+    * January so every event lands in band 1; the value of the query is
+    * the arithmetic path end-to-end (year band indexing, era labels,
+    * translate-back), which YearArithmeticSpec additionally covers
+    * across anniversaries, leap days, and the year-1 era. */
+  def yearlyBandIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("dataset_id"),
+        EventCube.Yearly.band(col("ts")).as("band"))
+      .agg(countDistinct(col("user_id")).as("n_cells"))
+      .join(broadcast(Catalog.table(spark)
+        .select(col("dataset_id"), col("time_zero"))), Seq("dataset_id"))
+      .select(col("dataset_id"), col("band"),
+        (col("time_zero") + col("band") - 1).as("year_label"),
+        date_format(EventCube.Yearly.bandStart(col("band")), "yyyy-MM-dd")
+          .as("year_start"),
+        col("n_cells"))
 
   /** time↔band translation, 1-based (dataset.py:49-88). */
   def bandIndex(spark: SparkSession, dir: String): DataFrame =
@@ -567,17 +597,28 @@ object SkopeQueries {
          |  AND $clipSql
          |GROUP BY band""".stripMargin),
     "skope_metadata" ->
-      """SELECT d.dataset_id, 'day' AS resolution,
-        |  d.time_gte, d.time_lte, d.n_bands, d.n_cells,
-        |  v.variable_id, CAST(NULL AS DOUBLE) AS fill_value
-        |FROM (
-        |  SELECT event_type AS dataset_id,
-        |    strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS time_gte,
-        |    strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS time_lte,
-        |    count(DISTINCT CAST(ts AS DATE)) AS n_bands,
-        |    count(DISTINCT user_id) AS n_cells
-        |  FROM events GROUP BY event_type) d
-        |CROSS JOIN (SELECT unnest(['value', 'k']) AS variable_id) v""".stripMargin,
+      s"""SELECT d.dataset_id, c.title, c.resolution,
+         |  c.time_gte, c.time_lte, c.time_zero, c.n_bands, d.n_cells,
+         |  c.uncertainty, c.lat_min, c.lat_max, c.lon_min, c.lon_max,
+         |  v.variable_id, CAST(NULL AS DOUBLE) AS fill_value
+         |FROM (
+         |  SELECT event_type AS dataset_id,
+         |    count(DISTINCT user_id) AS n_cells
+         |  FROM events GROUP BY event_type) d
+         |JOIN ${Catalog.tableSql} c USING (dataset_id)
+         |CROSS JOIN (SELECT unnest(['value', 'k']) AS variable_id) v""".stripMargin,
+    "skope_yearly_band_index" ->
+      s"""WITH yb AS (
+         |  SELECT event_type AS dataset_id,
+         |    CAST(year(ts) - year(DATE '$Origin') + 1 AS BIGINT) AS band,
+         |    count(DISTINCT user_id) AS n_cells
+         |  FROM events GROUP BY 1, 2)
+         |SELECT yb.dataset_id, yb.band,
+         |  c.time_zero + yb.band - 1 AS year_label,
+         |  strftime(DATE '$Origin' + ((yb.band - 1) * 12) * INTERVAL 1 MONTH,
+         |           '%Y-%m-%d') AS year_start,
+         |  yb.n_cells
+         |FROM yb JOIN ${Catalog.tableSql} c USING (dataset_id)""".stripMargin,
     "skope_band_index" -> withCube(
       s"""SELECT DISTINCT band,
          |  strftime(DATE '$Origin' + (band - 1) * INTERVAL 1 DAY, '%Y-%m-%d') AS band_date
@@ -635,6 +676,7 @@ object SkopeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skope_metadata" -> (metadata _),
     "skope_band_index" -> (bandIndex _),
+    "skope_yearly_band_index" -> (yearlyBandIndex _),
     "skope_select_point" -> (selectPoint _),
     "skope_zonal_mean" -> (zonalMean _),
     "skope_zonal_median" -> (zonalMedian _),
