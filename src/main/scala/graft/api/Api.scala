@@ -66,11 +66,18 @@ object Api {
   /** Response mirror: everything stays a DataFrame (lazy, distributed)
     * until the caller materializes — the analogue of the reference's
     * series/summary_stats/n_cells/area fields
-    * (schemas/timeseries.py:264-274). */
+    * (schemas/timeseries.py:264-274). `series` carries the band AND its
+    * translated band-start date; `timeRange` is the reference's
+    * per-series time_range field (get_time_range_after_transforms ∩
+    * requested range, timeseries.py:419-431 + translate_band_range,
+    * dataset.py:74-88): the emitted bands of a smoothed series are
+    * exactly the valid-window bands clipped to the request, so their
+    * min/max translate to the reported (gte, lte). */
   final case class TimeseriesResult(
-      series: DataFrame,       // (series, band, value)
+      series: DataFrame,       // (series, band, value, band_date)
       summaryStats: DataFrame, // (series, mean, median, stdev)
-      selection: DataFrame)    // (n_cells, area)
+      selection: DataFrame,    // (n_cells, area)
+      timeRange: DataFrame)    // (series, time_gte, time_lte)
 
   final case class TimeseriesTimeoutError(ms: Long)
     extends RuntimeException(s"timeseries extraction exceeded $ms ms")
@@ -395,6 +402,16 @@ object Api {
         Num.roundEps(col("zv"), 6).as("value"))
     }.reduce(_ unionAll _)
 
+    // per-series time_range (timeseries.py:419-431): the series' valid
+    // band range intersected with the request, translated back to dates
+    // (translate_band_range) — derived from the emitted bands, which
+    // are that intersection by construction. One ~#series-row agg.
+    val timeRange = series.groupBy(col("series"))
+      .agg(min(col("band")).as("blo"), max(col("band")).as("bhi"))
+      .select(col("series"),
+        EventCube.bandStartString(req.resolution, col("blo")).as("time_gte"),
+        EventCube.bandStartString(req.resolution, col("bhi")).as("time_lte"))
+
     // summary stats per requested series, plus the untransformed
     // "Original" series when a transform is applied — mirrors
     // timeseries.py:460-469 (the reference always reports the original
@@ -431,7 +448,14 @@ object Api {
         cellsOf(polyShapes.get.mask(col("x"), col("y")))
     }
 
-    TimeseriesResult(series, stats, selection)
+    // the response series carries the translated band date alongside
+    // the index (appended AFTER the stats input is built — stats union
+    // the 3-column original series — and appended LAST so positional
+    // consumers of (series, band, value) are unaffected)
+    val seriesOut = series.select(col("series"), col("band"), col("value"),
+      EventCube.bandStartString(req.resolution, col("band")).as("band_date"))
+
+    TimeseriesResult(seriesOut, stats, selection, timeRange)
   }
 
   // ------------------------------------------------------------------

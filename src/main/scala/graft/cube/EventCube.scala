@@ -51,8 +51,28 @@ object EventCube {
     * session the prune window and the band filter would disagree and
     * silently clip in-range events. The cube's calendar contract IS
     * UTC; this makes the core indexing honor it on any session.) */
-  private val OriginEpochSec: Long = java.time.LocalDate.parse(Origin)
+  val OriginEpochSec: Long = java.time.LocalDate.parse(Origin)
     .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+
+  /** Band → band-start date/time string at a resolution — the column
+    * form of translate_band_range (dataset.py:74-88, generalized to the
+    * two sub-month granularities this cube adds). Used for the
+    * response's per-series time_range and band→date columns. */
+  def bandStartString(r: Resolution, band: Column): Column = r match {
+    case Daily => date_format(
+      date_add(lit(Origin).cast("date"), (band - 1).cast("int")), "yyyy-MM-dd")
+    case Monthly => date_format(Monthly.bandStart(band), "yyyy-MM-dd")
+    case Yearly => date_format(Yearly.bandStart(band), "yyyy-MM-dd")
+    case Hourly =>
+      // pure date+integer arithmetic (no timestamp rendering), so the
+      // string is the UTC wall-clock on any session time zone
+      concat(
+        date_format(date_add(lit(Origin).cast("date"),
+          floor((band - 1) / 24).cast("int")), "yyyy-MM-dd"),
+        lit(" "),
+        lpad(pmod(band - 1, lit(24)).cast("string"), 2, "0"),
+        lit(":00"))
+  }
 
   case object Daily extends Resolution("day") {
     def band(ts: Column): Column =

@@ -49,6 +49,43 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(orig.getDouble(1)) > 1e-3) // raw series mean is not 0
   }
 
+  test("per-series time_range translates the clipped band range (translate_band_range)") {
+    // full data on both sides of [5, 25]: every series reports exactly
+    // the requested range, translated to dates
+    val res = extractTimeseries(spark, sfDir, baseReq.copy(
+      requestedSeriesOptions = Seq(
+        SeriesOptions("original", NoSmoother),
+        SeriesOptions("trailing", MovingAverageSmoother(centered = false, 3)))))
+    val tr = res.timeRange.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(tr("original") === ("2024-01-05", "2024-01-25"))
+    assert(tr("trailing") === ("2024-01-05", "2024-01-25"))
+    // at the data edge the window guard clips the series start — the
+    // reported range is the VALID range ∩ requested (the reference's
+    // get_time_range_after_transforms ∩ time_range): trailing width 3
+    // from band 1 first yields band 4
+    val edge = extractTimeseries(spark, sfDir, baseReq.copy(
+      bandRange = (1, 10),
+      requestedSeriesOptions =
+        Seq(SeriesOptions("trailing", MovingAverageSmoother(centered = false, 3)))))
+    val trEdge = edge.timeRange.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(trEdge("trailing") === ("2024-01-04", "2024-01-10"))
+    // and the series frame itself carries the band→date translation
+    val dates = edge.series.collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(dates(4L) === "2024-01-04" && dates(10L) === "2024-01-10")
+  }
+
+  test("per-series time_range translates month bands at month resolution") {
+    val req = v1MonthlyRequest("click", 12L, Some("2024-01"), Some("2024-01"))
+    val res = extractTimeseries(spark, sfDir, req)
+    val tr = res.timeRange.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(tr("original") === ("2024-01-01", "2024-01-01"))
+    val dates = res.series.collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(dates(1L) === "2024-01-01")
+  }
+
   test("fixed z-score (None) stats cover the smoother-widened extract like the reference") {
     // timeseries.py:163-167 + services.py:131-147: with time_range None
     // the transform sees txs == xs — the FULL extract over
