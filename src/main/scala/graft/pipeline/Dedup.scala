@@ -401,12 +401,29 @@ object Dedup {
             s" i -> xxhash64(substring(text, i, $SpanLen)))")).as("h"))
       .groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-    val wSpan = Window.partitionBy(col("h"))
-    perDocSpan
-      .withColumn("tot", sum(col("c")).over(wSpan))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_spans"),
-        sum(when(col("tot") > 1, col("c")).otherwise(0L)).as("n_dup_spans"))
+    // No per-span window: a corpus-universal boilerplate span would put
+    // EVERY document's row into one window partition (the last skew
+    // hole in the dedup family). Instead use the complement identity
+    //   n_dup_spans = n_spans − #(globally unique spans of the doc):
+    // a span with tot = sum(c) = 1 has exactly one (doc, c=1) row, so
+    // any_value names its owning doc, and the groupBy(h) PARTIAL-aggs
+    // map-side — a universal span collapses to one row per task before
+    // the shuffle, where a window must materialize the whole partition.
+    // All remaining shuffle keys are either partial-agged (h) or unique
+    // per row (doc_id).
+    val uniqPerDoc = perDocSpan.groupBy(col("h"))
+      .agg(sum(col("c")).as("tot"), any_value(col("doc_id")).as("doc_id"))
+      .filter(col("tot") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    // n_spans is position count = length − SpanLen + 1 — read straight
+    // off the text, no second pass over the exploded span stream
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= SpanLen)
+      .select(col("doc_id"),
+        (length(col("text")) - (SpanLen - 1)).cast("long").as("n_spans"))
+      .join(uniqPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_uniq"), lit(0L))).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         Num.roundEps(col("n_dup_spans").cast("double") / col("n_spans"), 6)
           .as("dup_frac"))

@@ -126,6 +126,51 @@ class SkewSpec extends SparkSpec {
     assert(truth.values.exists(_._1 > 0), "fixture produced no in-window pairs")
   }
 
+  test("substring dup is exact on a corpus-universal boilerplate span") {
+    // every document opens with the same 80-char boilerplate — the
+    // worst case for any per-span-key partitioning (one span key owned
+    // by the whole corpus). The aggregation formulation must equal an
+    // independent in-memory count, and the plan must carry no Window
+    // operator at all (the old formulation's per-span window would
+    // serialize the corpus on this input).
+    val boiler = "standard legal disclaimer header repeated verbatim on " +
+      "every single document in this synthetic corpus"
+    val docs = (0 until 60).map { i =>
+      val tail =
+        if (i < 50) s"unique trailing content number $i with words " +
+          s"alpha$i beta$i gamma$i delta$i epsilon$i"
+        else s"dup tail ${i % 2}" // a few shared tails beyond the boiler
+      (i.toLong, s"$boiler $tail", "en", s"src${i % 3}",
+        (boiler.length + tail.length + 1).toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = Dedup.substringDup(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Window"),
+      "substring dup must not window over the span key")
+    val got = Dedup.substringDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent in-memory truth over the span STRINGS
+    val n = Dedup.SpanLen
+    val all = scala.collection.mutable.Map.empty[String, Int]
+    val perDoc = docs.map { case (id, text, _, _, _) =>
+      val spans = text.sliding(n).toSeq
+      spans.foreach(s => all(s) = all.getOrElse(s, 0) + 1)
+      id -> spans
+    }
+    perDoc.foreach { case (id, spans) =>
+      val dup = spans.count(s => all(s) > 1).toLong
+      assert(got(id) === (spans.size.toLong, dup),
+        s"doc $id: engine ${got(id)} vs brute (${spans.size}, $dup)")
+    }
+    assert(perDoc.forall(_._2.nonEmpty))
+    // the boilerplate really is universal: every doc reports dup spans
+    assert(got.values.forall(_._2 > 0))
+  }
+
   test("minhash LSH over the skewed corpus equals the exhaustive jaccard result") {
     val truth = Dedup.ngramJaccard(spark, skewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
