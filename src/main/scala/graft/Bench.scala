@@ -23,7 +23,7 @@ object Bench {
     "q19_brand_disc" -> "q19", "q22_idle_cust" -> "q22",
     // skope core
     "skope_metadata" -> "s_meta", "skope_band_index" -> "s_band",
-    "skope_yearly_band_index" -> "s_year",
+    "skope_yearly_band_index" -> "s_year", "skope_batch_extract" -> "s_batch",
     "skope_select_point" -> "s_point", "skope_zonal_mean" -> "s_zmean",
     "skope_zonal_median" -> "s_zmed", "skope_cube_zonal" -> "s_cube",
     "skope_ncells_area" -> "s_ncell", "skope_ma_centered" -> "s_mac",

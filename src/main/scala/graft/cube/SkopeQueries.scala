@@ -425,6 +425,30 @@ object SkopeQueries {
       .filter(FcShapes.mask(col("x"), col("y")))
       .groupBy(col("band")).agg(avg(col("v")).as("zv"))))
 
+  /** Batched multi-selection extraction as a CHECKED query: four
+    * selections (bbox, non-convex polygon, triangle, point) of one
+    * dataset with a trailing smoother, in ONE plan — a single cube
+    * scan with map-side mask tagging, every window partitioned by
+    * selection_id (Api.extractTimeseriesBatch; BatchExtractionSpec
+    * asserts the plan). This is the cluster workload shape (thousands
+    * of polygons against one dataset) the reference serves as a
+    * request loop; the oracle is the per-selection union of the
+    * single-request semantics. */
+  def batchExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Api._
+    def ringOf(p: GridPolygon): Seq[(Double, Double)] =
+      p.vertices.map(v => (v.x, v.y))
+    extractTimeseriesBatch(spark, dir, DefaultDataset,
+      Seq(
+        BatchSelection("bbox", BBoxArea(DefaultBBox.x0, DefaultBBox.x1,
+          DefaultBBox.y0, DefaultBBox.y1)),
+        BatchSelection("dart", PolygonArea(ringOf(ZonalPolygon))),
+        BatchSelection("tri", PolygonArea(ringOf(MaskPolygon))),
+        BatchSelection("pt", PointArea(PointCell))),
+      smoother = MovingAverageSmoother(centered = false, 3),
+      bandRange = (ReqLo, ReqHi))
+  }
+
   /** Gap-filled zonal series: the reference returns null for nodata
     * bands (geometry.py masked reduction); this extension rebuilds the
     * full requested band axis and linearly interpolates interior gaps
@@ -478,6 +502,23 @@ object SkopeQueries {
     s"WITH ${EventCube.cubeSql(DefaultDataset)},\n${EventCube.zonalSql(DefaultBBox, stat)}\n$body"
 
   private val clipSql = s"band BETWEEN $ReqLo AND $ReqHi"
+
+  /** One batch selection's oracle: zonal mean under `where`, trailing
+    * MA(3) with the full-window guard, clipped — the single-request
+    * semantics the batch plan must reproduce per selection. The zonal
+    * CTE carries the WIDENED extraction bound ([ReqLo−3, ReqHi], the
+    * reference's band_range_to_extract): on a sparse series the
+    * row-based window must see exactly the extracted bands, not rows
+    * from outside the extraction window. */
+  private def batchSelSql(sid: String, where: String): String =
+    s"""SELECT '$sid' AS selection_id, band, round(sm + 1e-9, 6) AS value FROM (
+       |  SELECT band,
+       |    avg(zv) OVER (ORDER BY band ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS sm,
+       |    count(*) OVER (ORDER BY band ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_win
+       |  FROM (SELECT band, avg(v) AS zv FROM cube
+       |        WHERE $where AND band BETWEEN ${ReqLo - 3} AND $ReqHi
+       |        GROUP BY band) z) t
+       |WHERE n_win = 3 AND $clipSql""".stripMargin
 
   private def threeSeriesSql: String =
     s"""orig AS (SELECT band, zv FROM zonal WHERE $clipSql),
@@ -607,6 +648,13 @@ object SkopeQueries {
          |  FROM events GROUP BY event_type) d
          |JOIN ${Catalog.tableSql} c USING (dataset_id)
          |CROSS JOIN (SELECT unnest(['value', 'k']) AS variable_id) v""".stripMargin,
+    "skope_batch_extract" -> withCube(Seq(
+      batchSelSql("bbox",
+        s"x BETWEEN ${DefaultBBox.x0} AND ${DefaultBBox.x1} " +
+          s"AND y BETWEEN ${DefaultBBox.y0} AND ${DefaultBBox.y1}"),
+      batchSelSql("dart", ZonalPolygon.maskSql()),
+      batchSelSql("tri", MaskPolygon.maskSql()),
+      batchSelSql("pt", s"user_id = $PointCell")).mkString("\nUNION ALL\n")),
     "skope_yearly_band_index" ->
       s"""WITH yb AS (
          |  SELECT event_type AS dataset_id,
@@ -677,6 +725,7 @@ object SkopeQueries {
     "skope_metadata" -> (metadata _),
     "skope_band_index" -> (bandIndex _),
     "skope_yearly_band_index" -> (yearlyBandIndex _),
+    "skope_batch_extract" -> (batchExtract _),
     "skope_select_point" -> (selectPoint _),
     "skope_zonal_mean" -> (zonalMean _),
     "skope_zonal_median" -> (zonalMedian _),

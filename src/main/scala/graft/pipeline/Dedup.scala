@@ -286,6 +286,31 @@ object Dedup {
 
   private def clustersBuild(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2")).persist()
+    // min-label propagation needs ~diameter rounds — near-dup clusters
+    // are tiny-diameter cliques, so it normally converges at init+1. A
+    // pathological corpus (a CHAIN of near-dups, each similar only to
+    // its neighbors) exceeds the round cap; rather than fail or silently
+    // under-deduplicate (multiple "canonicals" per family), fall back to
+    // the O(log n)-round two-phase algorithm.
+    val labels = minLabelCC(spark, pairs)
+      .getOrElse(twoPhaseCC(spark, pairs))
+    // hand the result over as its own eagerly-materialized cache entry
+    // and drop every loop-scoped artifact — the iterative lineage must
+    // never be re-executed (and the per-round persists must not leak)
+    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pairs.unpersist()
+    out
+  }
+
+  /** Min-label propagation over an undirected pair list (d1, d2) →
+    * Some((doc_id, cluster_id)) with cluster_id = component minimum, or
+    * None when `maxRounds` (≈ graph diameter) is exceeded — the caller
+    * escalates to [[twoPhaseCC]]. One join + agg per round,
+    * `localCheckpoint`ed (lineage must stay constant-size; SURVEY
+    * §5.17). */
+  private[pipeline] def minLabelCC(spark: SparkSession, pairs: DataFrame,
+      maxRounds: Int = 50): Option[DataFrame] = {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").persist()
@@ -312,7 +337,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
         .unionAll(labels)
@@ -330,26 +355,72 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
-    // the cap is a runaway guard, not a tolerance: min-label needs
-    // ~diameter rounds, and a component deeper than 50 would exit here
-    // with MULTIPLE labels per cluster — dedup-apply would then keep
-    // several "canonicals" of one duplicate family. Fail loud instead
-    // of silently under-deduplicating.
+    edges.unpersist()
+    if (!converged) { labels.unpersist(); None }
+    else Some(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * O(log n)-round MapReduce CC algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — for graphs whose
+    * diameter defeats per-round label propagation. Each phase is one
+    * groupBy + join over the edge list (partial-agged min per node, so
+    * a high-degree star hub collapses map-side); edges are kept
+    * CANONICAL (a > b, deduped) and `localCheckpoint`ed per round.
+    *
+    *  - large-star: connect every strictly-larger neighbor of u to the
+    *    minimum of u's closed neighborhood;
+    *  - small-star: on (a > b)-oriented edges, connect a and all its
+    *    smaller neighbors to their minimum.
+    *
+    * Terminal state is a forest of min-rooted stars (checked by exact
+    * edge-set equality across a full round); labels read straight off
+    * the star edges. Output schema matches [[minLabelCC]]. */
+  private[pipeline] def twoPhaseCC(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    var edges = canon(pairs.select(col("d1").as("a"), col("d2").as("b")))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    // 60 rounds bounds graphs astronomically past any real corpus
+    // (convergence is O(log² n) worst case, O(log n) in practice)
+    while (!converged && rounds < 60) {
+      // large-star
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = canon(sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+        .localCheckpoint()
+      // small-star (edges already canonical: a > b ⇒ closed-neighborhood
+      // min of a over its smaller neighbors is min(b))
+      val minsS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = canon(
+        large.join(minsS, Seq("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .unionAll(minsS.select(col("a"), col("m").as("b"))))
+        .localCheckpoint()
+      // exact set equality with the PREVIOUS round's edges — both sides
+      // deduped, so count match + empty difference ⟺ same set
+      converged = small.count() == edges.count() &&
+        small.except(edges).count() == 0
+      edges.unpersist()
+      edges = small
+      rounds += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        "connected-components label propagation did not converge within " +
-          "50 rounds — pathological cluster diameter; raise the cap or " +
-          "switch this corpus to large-star/small-star rounds")
-    // hand the result over as its own eagerly-materialized cache entry
-    // and drop every loop-scoped artifact — the iterative lineage must
-    // never be re-executed (and the per-round persists must not leak)
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    pairs.unpersist()
-    edges.unpersist()
-    labels.unpersist()
-    out
+        "two-phase connected components did not converge within 60 rounds")
+    edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .unionAll(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")))
+      .distinct()
   }
 
   /** The APPLY step of near-dup dedup: the corpus that remains after
