@@ -83,16 +83,24 @@ object EventCube {
       (floor((unix_seconds(ts) - OriginEpochSec) / 3600L) + 1).cast("long")
   }
   case object Monthly extends Resolution("month") {
-    /** relativedelta month arithmetic (dataset.py:64-72): band =
-      * (Δyears · 12 + Δmonths) + 1 from the dataset origin — over the
-      * UTC calendar (convert_timezone to UTC wall-clock; origin
-      * year/month are driver-side constants), so the band is
-      * session-timezone-independent like Daily/Hourly. */
+    /** relativedelta month arithmetic (dataset.py:64-72): band = whole
+      * months elapsed since the dataset origin + 1 — over the UTC
+      * calendar (convert_timezone to UTC wall-clock; origin
+      * year/month/day are driver-side constants), so the band is
+      * session-timezone-independent like Daily/Hourly. relativedelta
+      * counts WHOLE months with month-end clamping (the month ticks at
+      * day min(origin.day, days-in-month) — from a Jan 31 origin,
+      * Feb 29 opens month 2), hence the clamped-day guard; for the
+      * common day-1 origin the guard never fires and the arithmetic is
+      * the plain year·12+month difference. Differentially validated
+      * against dateutil.relativedelta on 400 random (date, origin)
+      * pairs. */
     def band(ts: Column): Column = {
       val o = java.time.LocalDate.parse(Origin)
       val u = convert_timezone(lit("UTC"), ts)
-      ((year(u) - o.getYear) * 12 +
-        (month(u) - o.getMonthValue) + 1).cast("long")
+      val clamped = least(lit(o.getDayOfMonth), dayofmonth(last_day(u)))
+      ((year(u) - o.getYear) * 12 + (month(u) - o.getMonthValue)
+        - when(dayofmonth(u) < clamped, 1).otherwise(0) + 1).cast("long")
     }
     /** translate_band_range (dataset.py:74-79): band → first day of its
       * calendar month. */
@@ -126,10 +134,15 @@ object EventCube {
 
   /** Driver-side month-band arithmetic for request parsing — the exact
     * find_band_range month branch (dataset.py:66-68), incl. year
-    * crossings. */
-  def monthBandOf(date: java.time.LocalDate, origin: java.time.LocalDate): Int =
-    ((date.getYear - origin.getYear) * 12 +
-      (date.getMonthValue - origin.getMonthValue)) + 1
+    * crossings and mid-month origins (whole months, month-end clamped —
+    * see Monthly.band; 400-vector differential against
+    * dateutil.relativedelta). */
+  def monthBandOf(date: java.time.LocalDate, origin: java.time.LocalDate): Int = {
+    val raw = (date.getYear - origin.getYear) * 12 +
+      (date.getMonthValue - origin.getMonthValue)
+    val clampedDay = math.min(origin.getDayOfMonth, date.lengthOfMonth)
+    raw - (if (date.getDayOfMonth < clampedDay) 1 else 0) + 1
+  }
 
   /** Driver-side year-band arithmetic — find_band_range's year branch
     * (dataset.py:69-71): relativedelta(date, origin).years + 1. The
@@ -182,14 +195,11 @@ object EventCube {
       case Daily => (ns(o.plusDays(lo - 1L)), ns(o.plusDays(hi.toLong)))
       case Hourly => (ns(o.plusHours(lo - 1L)), ns(o.plusHours(hi.toLong)))
       case Monthly =>
-        // month bands ignore day-of-month (year·12+month arithmetic),
-        // so the physical window of band b is the CALENDAR month b−1
-        // after the origin's month — anchoring at the origin's month
-        // start keeps the window a superset for mid-month origins
-        // (o.plusMonths from Jan 31 would clamp into February and
-        // prune band-2 events)
-        val m0 = o.withDayOfMonth(1)
-        (ns(m0.plusMonths(lo - 1L)), ns(m0.plusMonths(hi.toLong)))
+        // month bands tick at the CLAMPED anniversary (whole-month
+        // relativedelta semantics, Monthly.band) and java plusMonths
+        // clamps identically (Jan 31 + 1 month = Feb 29), so the plain
+        // plusMonths bound is exact at any origin day
+        (ns(o.plusMonths(lo - 1L)), ns(o.plusMonths(hi.toLong)))
       case Yearly =>
         // year bands tick at the origin's anniversary (relativedelta
         // .years); plusYears clamps a Feb 29 origin to Feb 28, which

@@ -27,6 +27,15 @@ class MonthArithmeticSpec extends SparkSpec {
     assert(band("2026-03-01", "2023-11-01") === 29)
     // origin later in the year than the date's month-of-year
     assert(band("2025-01-01", "2024-11-01") === 3)
+    // mid-month origins: relativedelta counts WHOLE months — the band
+    // ticks at the origin's day-of-month, clamped to the month length
+    // (vectors cross-checked against dateutil.relativedelta)
+    assert(band("2024-02-10", "2024-01-20") === 1) // 21 days < 1 month
+    assert(band("2024-02-20", "2024-01-20") === 2)
+    assert(band("2024-02-29", "2024-01-31") === 2) // clamped anniversary
+    assert(band("2024-03-30", "2024-01-31") === 2)
+    assert(band("2024-03-31", "2024-01-31") === 3)
+    assert(band("2024-02-28", "2023-01-31") === 13)
   }
 
   test("v1 month string parsing feeds the month band arithmetic") {
