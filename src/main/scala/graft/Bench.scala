@@ -98,6 +98,13 @@ object Bench {
     // cost, which BASELINE.md identifies as the dominant term at sf0.1 —
     // the min is the engine's speed, which is what the 2× gate grades.)
     val pass1 = named.map { case (n, f) => n -> timeOnce(f) }
+    // drop session-scoped derived artifacts (shingle tables, signatures,
+    // cluster labels) so pass 2 re-pays the family's build cost like
+    // every earlier round's bench did — otherwise min-of-2 would report
+    // a cache read (~0 s) for the artifact-backed dedup/ANN queries and
+    // hide the engine work the 2x gate is grading. JVM/codegen warmth
+    // (the noise being targeted) still carries over.
+    graft.pipeline.ArtifactCache.clear()
     val pass2 = named.map { case (n, f) => n -> timeOnce(f) }
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // The driver machine-parses this line from a 2000-char output tail,

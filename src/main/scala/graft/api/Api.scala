@@ -338,25 +338,30 @@ object Api {
     // result is clipped back. The widened range doubles as the scan
     // bound — the band clip prunes events.parquet row groups via the
     // raw-ns translation (EventCube.bandRangeNanos).
-    val widened: (Int, Int) = {
-      val (lo, hi) = req.bandRange
-      val tBack = req.transform match {
-        case ZScoreMovingInterval(w) => w
-        case _ => 0
-      }
-      val sAdj = req.requestedSeriesOptions.map(_.smoother match {
-        case NoSmoother => (0, 0)
-        case MovingAverageSmoother(true, w) => (w / 2, w / 2)
-        case MovingAverageSmoother(false, w) => (w, 0)
-      })
-      val back = tBack + sAdj.map(_._1).max
-      val fwd = sAdj.map(_._2).max
-      req.transform match {
-        // fixed reference interval: union in its bands too
-        case ZScoreFixedInterval(Some((rl, rh))) =>
-          (math.min(lo - back, rl), math.max(hi + fwd, rh))
-        case _ => (lo - back, hi + fwd)
-      }
+    val tBack = req.transform match {
+      case ZScoreMovingInterval(w) => w
+      case _ => 0
+    }
+    def smootherAdj(s: Smoother): (Int, Int) = s match {
+      case NoSmoother => (0, 0)
+      case MovingAverageSmoother(true, w) => (w / 2, w / 2)
+      case MovingAverageSmoother(false, w) => (w, 0)
+    }
+    // band_range_to_extract before the fixed-interval union: requested
+    // range widened by the transform's and smoothers' needs
+    // (get_desired_band_range_adjustment union, timeseries.py:402-415)
+    val extractBr0: (Int, Int) = {
+      val sAdj = req.requestedSeriesOptions.map(so => smootherAdj(so.smoother))
+      (req.bandRange._1 - (tBack + sAdj.map(_._1).max),
+        req.bandRange._2 + sAdj.map(_._2).max)
+    }
+    val widened: (Int, Int) = req.transform match {
+      // fixed reference interval: union in its bands too (the reference
+      // extracts them as a second slice, services.py:138-146; here one
+      // scan bound covers both)
+      case ZScoreFixedInterval(Some((rl, rh))) =>
+        (math.min(extractBr0._1, rl), math.max(extractBr0._2, rh))
+      case _ => extractBr0
     }
 
     val zonal = req.selectedArea match {
@@ -402,15 +407,30 @@ object Api {
         Num.roundEps(col("zv"), 6).as("value"))
     }.reduce(_ unionAll _)
 
-    // per-series time_range (timeseries.py:419-431): the series' valid
-    // band range intersected with the request, translated back to dates
-    // (translate_band_range) — derived from the emitted bands, which
-    // are that intersection by construction. One ~#series-row agg.
-    val timeRange = series.groupBy(col("series"))
-      .agg(min(col("band")).as("blo"), max(col("band")).as("bhi"))
-      .select(col("series"),
-        EventCube.bandStartString(req.resolution, col("blo")).as("time_gte"),
-        EventCube.bandStartString(req.resolution, col("bhi")).as("time_lte"))
+    // per-series time_range (get_time_range_after_transforms ∩
+    // requested, timeseries.py:419-431): pure band-range ARITHMETIC —
+    // the avail-clamped extraction range minus the transform's and the
+    // series' own adjustments, intersected with the request, translated
+    // back to dates (translate_band_range). Data-INDEPENDENT like the
+    // reference: a sparse series (absent bands) still reports the full
+    // valid range, and every requested series gets a row even when the
+    // window guard empties it (then gte > lte, signalling emptiness).
+    // Driver-side literal frame — no extra job.
+    val timeRange = {
+      val extractBr = (math.max(extractBr0._1, avail._1),
+        math.min(extractBr0._2, avail._2))
+      val rows = req.requestedSeriesOptions.map { so =>
+        val sAdj = smootherAdj(so.smoother)
+        (so.name,
+          math.max(extractBr._1 + tBack + sAdj._1, req.bandRange._1),
+          math.min(extractBr._2 - sAdj._2, req.bandRange._2))
+      }
+      import spark.implicits._
+      rows.toDF("series", "blo", "bhi")
+        .select(col("series"),
+          EventCube.bandStartString(req.resolution, col("blo")).as("time_gte"),
+          EventCube.bandStartString(req.resolution, col("bhi")).as("time_lte"))
+    }
 
     // summary stats per requested series, plus the untransformed
     // "Original" series when a transform is applied — mirrors

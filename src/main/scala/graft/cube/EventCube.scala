@@ -114,15 +114,20 @@ object EventCube {
       * band = relativedelta(ts, origin).years + 1 — the number of WHOLE
       * years elapsed since the dataset origin, so a mid-year origin
       * does not tick the band over at the calendar new year but at its
-      * own anniversary (and a leap-day origin at Feb 28, matching
-      * relativedelta's normalization). Over the UTC calendar like
-      * Daily/Hourly/Monthly. */
+      * own anniversary. Like the month arithmetic, relativedelta clamps
+      * the anniversary day to the target month's length: from a Feb 29
+      * origin, Feb 28 of a non-leap year IS the anniversary (origin +
+      * 1 year = Feb 28 in dateutil), hence the clamped-day guard.
+      * Differentially validated against dateutil.relativedelta on
+      * random vectors plus targeted leap-day anniversaries. Over the
+      * UTC calendar like Daily/Hourly/Monthly. */
     def band(ts: Column): Column = {
       val o = java.time.LocalDate.parse(Origin)
       val u = convert_timezone(lit("UTC"), ts)
+      val clamped = least(lit(o.getDayOfMonth), dayofmonth(last_day(u)))
       val beforeAnniversary =
         (month(u) < o.getMonthValue) ||
-          (month(u) === o.getMonthValue && dayofmonth(u) < o.getDayOfMonth)
+          (month(u) === o.getMonthValue && dayofmonth(u) < clamped)
       ((year(u) - o.getYear) - when(beforeAnniversary, 1).otherwise(0) + 1)
         .cast("long")
     }
@@ -145,15 +150,20 @@ object EventCube {
   }
 
   /** Driver-side year-band arithmetic — find_band_range's year branch
-    * (dataset.py:69-71): relativedelta(date, origin).years + 1. The
-    * explicit anniversary guard (rather than ChronoUnit.YEARS.between)
-    * reproduces relativedelta's leap-day normalization: from a Feb 29
-    * origin, Feb 28 of the next year is still band 1 — Java's YEARS
-    * unit would clamp the anniversary to Feb 28 and call it band 2. */
+    * (dataset.py:69-71): relativedelta(date, origin).years + 1, with
+    * the anniversary day clamped to the target month's length (from a
+    * Feb 29 origin, Feb 28 of a non-leap year IS the anniversary:
+    * origin + 1 year = Feb 28 in dateutil — equivalent to
+    * ChronoUnit.YEARS.between, kept explicit to mirror the month
+    * guard). */
   def yearBandOf(date: java.time.LocalDate, origin: java.time.LocalDate): Int = {
+    val clampedDay =
+      if (date.getMonthValue == origin.getMonthValue)
+        math.min(origin.getDayOfMonth, date.lengthOfMonth)
+      else origin.getDayOfMonth
     val beforeAnniversary = date.getMonthValue < origin.getMonthValue ||
       (date.getMonthValue == origin.getMonthValue &&
-        date.getDayOfMonth < origin.getDayOfMonth)
+        date.getDayOfMonth < clampedDay)
     (date.getYear - origin.getYear) - (if (beforeAnniversary) 1 else 0) + 1
   }
 
@@ -201,16 +211,11 @@ object EventCube {
         // plusMonths bound is exact at any origin day
         (ns(o.plusMonths(lo - 1L)), ns(o.plusMonths(hi.toLong)))
       case Yearly =>
-        // year bands tick at the origin's anniversary (relativedelta
-        // .years); plusYears clamps a Feb 29 origin to Feb 28, which
-        // would START the window one day early (harmless) but also END
-        // it one day early (pruning the last day of band hi) — push a
-        // clamped anniversary to the true tick-over day (Mar 1)
-        def anniversary(n: Long): java.time.LocalDateTime = {
-          val d = o.plusYears(n)
-          if (d.getDayOfMonth != o.getDayOfMonth) d.plusDays(1) else d
-        }
-        (ns(anniversary(lo - 1L)), ns(anniversary(hi.toLong)))
+        // year bands tick at the CLAMPED anniversary (whole-year
+        // relativedelta semantics, Yearly.band) and java plusYears
+        // clamps identically (Feb 29 + 1 year = Feb 28), so the plain
+        // plusYears bound is exact at any origin day
+        (ns(o.plusYears(lo - 1L)), ns(o.plusYears(hi.toLong)))
     }
   }
 

@@ -56,10 +56,18 @@ object SkopeQueries {
     * broadcast, never a shuffle. */
   val DatasetVariables: Seq[String] = Seq("value", "k")
   def metadata(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type").as("dataset_id"))
-      .agg(countDistinct(col("user_id")).as("n_cells"))
-      .join(broadcast(Catalog.table(spark)), Seq("dataset_id"))
+    // catalog-LEFT join: a catalog dataset with zero events still
+    // reports its declared extent with n_cells 0 (the reference serves
+    // metadata.yml regardless of raster content), and an event_type
+    // absent from the catalog is not served — metadata is the yml's
+    // contract, not the corpus's. The corpus agg (≤ #datasets rows)
+    // broadcasts.
+    Catalog.table(spark)
+      .join(broadcast(Tables.events(spark, dir)
+        .groupBy(col("event_type").as("dataset_id"))
+        .agg(countDistinct(col("user_id")).as("n_cells"))), Seq("dataset_id"),
+        "left")
+      .withColumn("n_cells", coalesce(col("n_cells"), lit(0L)))
       .select(col("dataset_id"), col("title"), col("resolution"),
         col("time_gte"), col("time_lte"), col("time_zero"),
         col("n_bands"), col("n_cells"), col("uncertainty"),
@@ -638,15 +646,16 @@ object SkopeQueries {
          |  AND $clipSql
          |GROUP BY band""".stripMargin),
     "skope_metadata" ->
-      s"""SELECT d.dataset_id, c.title, c.resolution,
-         |  c.time_gte, c.time_lte, c.time_zero, c.n_bands, d.n_cells,
+      s"""SELECT c.dataset_id, c.title, c.resolution,
+         |  c.time_gte, c.time_lte, c.time_zero, c.n_bands,
+         |  coalesce(d.n_cells, 0) AS n_cells,
          |  c.uncertainty, c.lat_min, c.lat_max, c.lon_min, c.lon_max,
          |  v.variable_id, CAST(NULL AS DOUBLE) AS fill_value
-         |FROM (
+         |FROM ${Catalog.tableSql} c
+         |LEFT JOIN (
          |  SELECT event_type AS dataset_id,
          |    count(DISTINCT user_id) AS n_cells
-         |  FROM events GROUP BY event_type) d
-         |JOIN ${Catalog.tableSql} c USING (dataset_id)
+         |  FROM events GROUP BY event_type) d USING (dataset_id)
          |CROSS JOIN (SELECT unnest(['value', 'k']) AS variable_id) v""".stripMargin,
     "skope_batch_extract" -> withCube(Seq(
       batchSelSql("bbox",

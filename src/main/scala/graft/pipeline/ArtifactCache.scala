@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Weak identity map session → (key → persisted frame): entries die
   * with their SparkSession (no cross-lifecycle leak, no hash-code
   * collision after GC — judge-advice fix); `clear()` is the explicit
-  * unpersist hook. */
-private[pipeline] object ArtifactCache {
+  * unpersist hook (graft-visible: the bench clears artifacts between
+  * its timing passes so cached builds don't vanish from the min). */
+private[graft] object ArtifactCache {
 
   private val cache =
     new java.util.WeakHashMap[SparkSession,

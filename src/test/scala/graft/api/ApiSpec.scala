@@ -74,6 +74,19 @@ class ApiSpec extends SparkSpec {
     // and the series frame itself carries the band→date translation
     val dates = edge.series.collect().map(r => r.getLong(1) -> r.getString(3)).toMap
     assert(dates(4L) === "2024-01-04" && dates(10L) === "2024-01-10")
+    // the range is band-range ARITHMETIC, not derived from emitted
+    // rows: a series emptied by the window guard still reports its row
+    // (with gte > lte signalling emptiness), like the reference's
+    // data-independent get_time_range_after_transforms
+    val empty = extractTimeseries(spark, sfDir, baseReq.copy(
+      bandRange = (1, 3),
+      requestedSeriesOptions =
+        Seq(SeriesOptions("trailing", MovingAverageSmoother(centered = false, 3)))))
+    assert(empty.series.count() === 0)
+    val er = empty.timeRange.collect()
+    assert(er.length === 1, "every requested series gets a time_range row")
+    assert(er.head.getString(1) === "2024-01-04" &&
+      er.head.getString(2) === "2024-01-03")
   }
 
   test("per-series time_range translates month bands at month resolution") {

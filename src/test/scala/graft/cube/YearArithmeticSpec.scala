@@ -30,10 +30,14 @@ class YearArithmeticSpec extends SparkSpec {
     assert(band("2025-02-28", "2024-03-01") === 1)
     assert(band("2025-03-01", "2024-03-01") === 2)
     assert(band("2026-02-28", "2024-03-01") === 2)
-    // leap-day origin: relativedelta normalizes Feb 29 + 1y to Feb 28,
-    // so Feb 28 of the next year is still band 1 and Mar 1 is band 2
-    assert(band("2025-02-28", "2024-02-29") === 1)
+    // leap-day origin: relativedelta CLAMPS the anniversary to the
+    // month length (Feb 29 + 1 year = Feb 28 in dateutil), so Feb 28
+    // of a non-leap year already opens the next band — vectors
+    // cross-checked against dateutil.relativedelta directly
+    assert(band("2025-02-28", "2024-02-29") === 2)
     assert(band("2025-03-01", "2024-02-29") === 2)
+    assert(band("2026-02-28", "2024-02-29") === 3)
+    assert(band("2028-02-28", "2024-02-29") === 4) // leap year: 29 is the tick
     assert(band("2028-02-29", "2024-02-29") === 5)
   }
 
@@ -110,6 +114,25 @@ class YearArithmeticSpec extends SparkSpec {
     val monthly = Catalog.Entry("m", "t", "month",
       "2023-11-01", "2024-02-01", 2023, "u")
     assert(Catalog.nBands(monthly) === 4)
+  }
+
+  test("metadata serves every catalog dataset even when it has no events") {
+    import org.apache.spark.sql.functions._
+    // a corpus slice holding ONLY click events: the other four catalog
+    // datasets must still appear with their declared extent (the
+    // reference serves metadata.yml regardless of raster content)
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "click")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SkopeQueries.metadata(spark, dir).collect()
+    val byId = rows.groupBy(_.getString(0))
+    assert(byId.keySet === Catalog.entries.map(_.id).toSet,
+      "every catalog dataset must be served")
+    val errorRow = byId("error").head
+    assert(errorRow.getLong(7) === 0L, "empty dataset reports n_cells 0")
+    assert(errorRow.getLong(6) === 31L, "declared n_bands survives an empty corpus")
+    assert(byId("click").head.getLong(7) > 0L)
   }
 
   test("timeZero era labels: label = timeZero + band - 1") {
