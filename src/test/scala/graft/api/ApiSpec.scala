@@ -99,6 +99,15 @@ class ApiSpec extends SparkSpec {
     assert(dates(1L) === "2024-01-01")
   }
 
+  test("per-series time_range translates hour bands as UTC wall-clock strings") {
+    // hourly bands 25..48 = the whole second calendar day
+    val res = extractTimeseries(spark, sfDir, baseReq.copy(
+      bandRange = (25, 48), resolution = graft.cube.EventCube.Hourly))
+    val tr = res.timeRange.collect().head
+    assert(tr.getString(1) === "2024-01-02 00:00")
+    assert(tr.getString(2) === "2024-01-02 23:00")
+  }
+
   test("fixed z-score (None) stats cover the smoother-widened extract like the reference") {
     // timeseries.py:163-167 + services.py:131-147: with time_range None
     // the transform sees txs == xs — the FULL extract over
