@@ -70,9 +70,11 @@ object Api {
     * translated band-start date; `timeRange` is the reference's
     * per-series time_range field (get_time_range_after_transforms ∩
     * requested range, timeseries.py:419-431 + translate_band_range,
-    * dataset.py:74-88): the emitted bands of a smoothed series are
-    * exactly the valid-window bands clipped to the request, so their
-    * min/max translate to the reported (gte, lte). */
+    * dataset.py:74-88) — computed by band-range ARITHMETIC, not from
+    * the emitted rows: a sparse series still reports the full valid
+    * range, and a series the window guard empties still gets a row
+    * (with gte > lte signalling emptiness), exactly like the
+    * reference's data-independent derivation. */
   final case class TimeseriesResult(
       series: DataFrame,       // (series, band, value, band_date)
       summaryStats: DataFrame, // (series, mean, median, stdev)
