@@ -1,7 +1,7 @@
 package graft.cube
 
 import graft.{Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The §2 skope-core query inventory: each reference capability as a
@@ -318,13 +318,37 @@ object SkopeQueries {
           .as("month_start"),
         Num.roundEps(col("zv"), 6).as("value"), col("n_cells"))
 
+  /** Rank-error window half-width used to GATE the sketch queries.
+    * `percentile_approx(accuracy = 1000)` guarantees rank error
+    * ≤ 1/1000; the gate window is the exact percentiles at q ± 0.05 —
+    * 50× the guarantee — so the boolean can only trip on a genuinely
+    * broken sketch, never on legitimate sketch/interpolation slack.
+    * The oracle recomputes the same exact window (DuckDB
+    * `quantile_cont` at q ± ε) and emits literal TRUE; a sketch value
+    * outside the window makes the engine emit FALSE → hash mismatch →
+    * red CORRECTNESS row. The window endpoints themselves are
+    * hash-compared as exact values, so the bound computation is
+    * oracle-verified too. */
+  val SketchEps = 0.05
+
+  /** within_bound gate for one sketch column: exact lo/hi (rounded for
+    * the hash) plus the raw-valued containment boolean. */
+  private def sketchGate(approx: Column, vCol: Column, q: Double,
+      prefix: String): Seq[Column] = {
+    val lo = percentile(vCol, lit(q - SketchEps))
+    val hi = percentile(vCol, lit(q + SketchEps))
+    Seq(
+      Num.roundEps(lo, 6).as(s"${prefix}_lo"),
+      Num.roundEps(hi, 6).as(s"${prefix}_hi"),
+      (approx >= lo - 1e-9 && approx <= hi + 1e-9).as(s"${prefix}_ok"))
+  }
+
   /** Approximate quantiles — the 100 TB default path for
     * `skope_quantiles`: a bounded-memory percentile sketch instead of
     * the exact `percentile` (which buffers every value of the group —
     * an OOM, not a slowdown, when a group is a whole dataset). The
-    * exact variant is kept for oracle parity at test SF; this one is a
-    * rows-only check because sketch interpolation is engine-specific
-    * by design. */
+    * sketch value is engine-specific by design, so the oracle gates it
+    * with the exact rank-error window instead (see [[SketchEps]]). */
   def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(
@@ -334,19 +358,27 @@ object SkopeQueries {
         col("user_id"))
       .agg(avg(col("value")).as("v"))
       .groupBy(col("dataset_id"))
-      .agg(
-        percentile_approx(col("v"), lit(0.25), lit(1000)).as("q25"),
-        percentile_approx(col("v"), lit(0.5), lit(1000)).as("q50"),
-        percentile_approx(col("v"), lit(0.75), lit(1000)).as("q75"))
+      .agg(quantileGates.head, quantileGates.tail: _*)
+
+  private lazy val quantileGates: Seq[Column] =
+    Seq(0.25, 0.5, 0.75).flatMap { q =>
+      sketchGate(percentile_approx(col("v"), lit(q), lit(1000)),
+        col("v"), q, s"q${(q * 100).toInt}")
+    }
+
+  private lazy val medianGates: Seq[Column] =
+    sketchGate(percentile_approx(col("v"), lit(0.5), lit(1000)),
+      col("v"), 0.5, "med")
 
   /** Approximate zonal median — the 100 TB path for the median zonal
-    * statistic (t-digest style sketch, no exact global sort). Rows-only
-    * check: approximation is engine-specific by design. */
+    * statistic (bounded-memory sketch, no exact global sort). The
+    * sketch value is engine-specific by design, so the oracle gates it
+    * with the exact rank-error window instead (see [[SketchEps]]). */
   def zonalMedianApprox(spark: SparkSession, dir: String): DataFrame =
     clip(cube(spark, dir, DefaultDataset, bandRange = req)
       .filter(DefaultBBox.contains(col("x"), col("y"))))
       .groupBy(col("band"))
-      .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("value"))
+      .agg(medianGates.head, medianGates.tail: _*)
 
   /** Anomalous bands: |rolling z-score| above the threshold — the
     * alerting pass layered on the reference's ZScoreMovingInterval
@@ -599,6 +631,37 @@ object SkopeQueries {
          |  round((quantile_cont(v, 0.5)) + 1e-9, 6) AS q50,
          |  round((quantile_cont(v, 0.75)) + 1e-9, 6) AS q75
          |FROM c GROUP BY dataset_id""".stripMargin,
+    // Sketch gates (see SketchEps): the oracle recomputes the exact
+    // q ± ε window — hash-verifying the engine's bound computation —
+    // and asserts containment via literal TRUE; an out-of-window sketch
+    // value flips the engine's *_ok to FALSE and reds the row.
+    "skope_quantiles_approx" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS dataset_id,
+         |    CAST(date_diff('day', DATE '$Origin', CAST(ts AS DATE)) + 1 AS BIGINT) AS band,
+         |    user_id, avg(value) AS v
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT dataset_id,
+         |  round((quantile_cont(v, ${0.25 - SketchEps})) + 1e-9, 6) AS q25_lo,
+         |  round((quantile_cont(v, ${0.25 + SketchEps})) + 1e-9, 6) AS q25_hi,
+         |  TRUE AS q25_ok,
+         |  round((quantile_cont(v, ${0.5 - SketchEps})) + 1e-9, 6) AS q50_lo,
+         |  round((quantile_cont(v, ${0.5 + SketchEps})) + 1e-9, 6) AS q50_hi,
+         |  TRUE AS q50_ok,
+         |  round((quantile_cont(v, ${0.75 - SketchEps})) + 1e-9, 6) AS q75_lo,
+         |  round((quantile_cont(v, ${0.75 + SketchEps})) + 1e-9, 6) AS q75_hi,
+         |  TRUE AS q75_ok
+         |FROM c GROUP BY dataset_id""".stripMargin,
+    "skope_zonal_median_approx" -> withCube(
+      s"""SELECT band,
+         |  round((quantile_cont(v, ${0.5 - SketchEps})) + 1e-9, 6) AS med_lo,
+         |  round((quantile_cont(v, ${0.5 + SketchEps})) + 1e-9, 6) AS med_hi,
+         |  TRUE AS med_ok
+         |FROM cube
+         |WHERE x BETWEEN ${DefaultBBox.x0} AND ${DefaultBBox.x1}
+         |  AND y BETWEEN ${DefaultBBox.y0} AND ${DefaultBBox.y1}
+         |  AND $clipSql
+         |GROUP BY band""".stripMargin),
     "skope_variable_props" ->
       s"""WITH ${EventCube.cubeSql(DefaultDataset,
             "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)")}
