@@ -132,14 +132,27 @@ object Dedup {
     * of a naive shingle self-join at 100 TB. Candidates are still
     * exact-verified per pair, so the output equals the brute-force
     * result. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(spark, dir, HotBucketThreshold)
+
+  /** Test seam: SkewSpec drives the hot-bucket arm with a low threshold
+    * (the production granule bound needs a corpus too large for a unit
+    * test to reach). */
+  private[pipeline] def ngramJaccard(spark: SparkSession, dir: String,
+      hotThreshold: Long): DataFrame = {
     val prefixLen = (size(col("hs")) -
       ceil(lit(JaccardThreshold) * size(col("hs"))) + 1).cast("int")
-    val ex = shingleArrays(spark, dir)
-      .select(col("doc_id"), explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
-    val cand = ex.alias("a").join(ex.alias("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    // prefix postings routed through the hot-bucket-hardened pair join
+    // (bucketPairs), not a bare self-join: prefix filtering truncates
+    // hot posting lists only probabilistically, and a corpus-universal
+    // boilerplate shingle that survives into many prefixes would
+    // otherwise emit its quadratic candidate set through ONE sort-merge
+    // partition. Candidate set is identical (pairs sharing a prefix
+    // hash, d1 < d2, distinct), so output equality is unconditional.
+    val postings = shingleArrays(spark, dir)
+      .select(explode(slice(col("hs"), lit(1), prefixLen)).as("k"), col("doc_id"))
+    val cand = bucketPairs(spark, postings, hotThreshold)
+      .select(col("d1"), col("d2")).distinct()
     verifiedJaccard(spark, dir, cand)
   }
 

@@ -171,6 +171,42 @@ class SkewSpec extends SparkSpec {
     assert(got.values.forall(_._2 > 0))
   }
 
+  test("ngram jaccard hot-bucket arm is exact on the boilerplate-heavy corpus") {
+    // The near-identical cluster shares almost every word 3-gram, so
+    // its shared shingle hashes survive prefix filtering into ~200-deep
+    // posting buckets — the corpus-universal-boilerplate hazard the
+    // bucketPairs routing exists for. First prove the fixture really
+    // trips the (test-scale) hot threshold on the PREFIX index:
+    import graft.functions.HashFunctions.shingle3_sorted_hashes
+    val hs = graft.Tables.documents(spark, skewDir)
+      .select(col("doc_id"), shingle3_sorted_hashes(split(col("text"), " ")).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val prefixLen = (size(col("hs")) -
+      ceil(lit(Dedup.JaccardThreshold) * size(col("hs"))) + 1).cast("int")
+    val maxBucket = hs
+      .select(explode(slice(col("hs"), lit(1), prefixLen)).as("k"))
+      .groupBy(col("k")).count().agg(max("count")).head().getLong(0)
+    assert(maxBucket >= 32L,
+      s"fixture's prefix index not hot enough: max bucket $maxBucket")
+    // exhaustive in-memory truth over the distinct word-3-gram sets
+    val docs = graft.Tables.documents(spark, skewDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> grams(t) }
+    val truth = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = si.intersect(sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= Dedup.JaccardThreshold
+    } yield (i, j, graft.Num.roundEpsJvm(jac, 6))).toSet
+    val got = Dedup.ngramJaccard(spark, skewDir, hotThreshold = 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty, "expected near-dup pairs in the corpus")
+    assert(got === truth)
+  }
+
   test("minhash LSH over the skewed corpus equals the exhaustive jaccard result") {
     val truth = Dedup.ngramJaccard(spark, skewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
