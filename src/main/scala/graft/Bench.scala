@@ -85,10 +85,19 @@ object Bench {
     try SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed pass records +Infinity (never its elapsed time), so
+    // min-of-two can only select a SUCCESSFUL pass's timing — a query
+    // that runs slowly once and fails fast once must not report the
+    // fast failure. A query with no successful pass surfaces as the
+    // -1 marker in the JSON line (Infinity is not valid JSON) plus a
+    // stderr line naming it.
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable =>
+        System.err.println(s"bench FAILED $name: ${t.getClass.getSimpleName}")
+        Double.PositiveInfinity }
     }
     // Two FULL passes, min per query: the bench box shows rotating ~10 s
     // stall windows (BASELINE.md) that can print 29 s for a 1.4 s query.
@@ -97,7 +106,7 @@ object Bench {
     // steady-state estimate. (Second runs also skip one-shot plan/codegen
     // cost, which BASELINE.md identifies as the dominant term at sf0.1 —
     // the min is the engine's speed, which is what the 2× gate grades.)
-    val pass1 = named.map { case (n, f) => n -> timeOnce(f) }
+    val pass1 = named.map { case (n, f) => n -> timeOnce(n, f) }
     // drop session-scoped derived artifacts (shingle tables, signatures,
     // cluster labels) so pass 2 re-pays the family's build cost like
     // every earlier round's bench did — otherwise min-of-2 would report
@@ -105,8 +114,11 @@ object Bench {
     // hide the engine work the 2x gate is grading. JVM/codegen warmth
     // (the noise being targeted) still carries over.
     graft.pipeline.ArtifactCache.clear()
-    val pass2 = named.map { case (n, f) => n -> timeOnce(f) }
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val pass2 = named.map { case (n, f) => n -> timeOnce(n, f) }
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      val m = math.min(a, b)
+      n -> (if (m.isInfinite) -1.0 else m) // -1 = failed in BOTH passes
+    }
     // The driver machine-parses this line from a 2000-char output tail,
     // so the whole line must stay under ~1900 chars even as the inventory
     // grows: short aliases (map above), centisecond precision, trailing
@@ -127,7 +139,7 @@ object Bench {
     val qs = results.map { case (k, v) =>
       s"\"" + alias.getOrElse(k, k) + "\":" + fmt(v, if (v >= 10) 0 else 1)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     System.out.flush()

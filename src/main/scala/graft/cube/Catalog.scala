@@ -1,11 +1,16 @@
 package graft.cube
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
+  StringType, StructField, StructType}
 
 /** Static dataset catalog — the engine-side model of the fields the
   * reference serves from `metadata.yml` (load_api_metadata,
-  * dataset.py:142-154): title, timespan (resolution + period gte/lte +
-  * timeZero era label), region extents, and the uncertainty slot. The
+  * dataset.py:142-154 returns the yml documents VERBATIM): title,
+  * description, method summary, references, originator, status,
+  * revision date, ordering, timespan (resolution + resolutionLabel +
+  * period gte/lte + timeZero era label + era suffix), region (name,
+  * zoom, center, style, extents), and the uncertainty slot. The
   * reference's band count comes from this timespan, NOT from scanning
   * the rasters (dataset.py:34-41 builds the Dataset from the yml), so
   * `skope_metadata`'s n_bands is derived here too — a dataset with
@@ -16,10 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
-  /** One metadata.yml document (the served subset). `timeZero` is the
-    * era label of band 1 at year resolution (metadata.yml
-    * `timespan.period.timeZero` — lbda_v2 pairs `timeZero: 1` with
-    * gte '0001', so label = timeZero + band − 1). */
+  /** One metadata.yml document (the full served field set —
+    * metadata.yml:1-60). `timeZero` is the era label of band 1 at year
+    * resolution (metadata.yml `timespan.period.timeZero` — lbda_v2
+    * pairs `timeZero: 1` with gte '0001', so label = timeZero +
+    * band − 1); `eraSuffix` is the period's display suffix ("CE"). */
   final case class Entry(
       id: String,
       title: String,
@@ -27,14 +33,25 @@ object Catalog {
       timeGte: String,
       timeLte: String,
       timeZero: Int,
-      uncertainty: String)
+      uncertainty: String,
+      ordering: Int = 0,
+      description: String = "",
+      status: String = "Published",
+      revised: String = "2024-02-01",
+      resolutionLabel: String = "",
+      eraSuffix: String = "CE",
+      methodSummary: String = "",
+      references: String = "",
+      originator: String = "")
 
   /** The synthetic corpus's five datasets: day-resolution January 2024,
     * era anchored at 2024 (so the year-resolution view of the same span
     * labels band 1 as 2024, exercising the timeZero + band − 1
-    * arithmetic with a non-unity era offset). */
+    * arithmetic with a non-unity era offset). The description carries a
+    * deliberate apostrophe: the DuckDB VALUES emission must survive
+    * quote-bearing catalog text (tableSql escaping). */
   val entries: Seq[Entry] = Seq("click", "view", "purchase", "signup", "error")
-    .map { id =>
+    .zipWithIndex.map { case (id, i) =>
       Entry(
         id = id,
         title = s"Synthetic $id events (grid-cell daily cube)",
@@ -42,17 +59,35 @@ object Catalog {
         timeGte = "2024-01-01",
         timeLte = "2024-01-31",
         timeZero = 2024,
-        uncertainty = "synthetic corpus: no uncertainty raster")
+        uncertainty = "synthetic corpus: no uncertainty raster",
+        ordering = (i + 1) * 10,
+        description = s"Daily $id counts over the corpus's synthetic " +
+          "10-degree grid, January 2024.",
+        status = "Published",
+        revised = "2024-02-01",
+        resolutionLabel = "daily",
+        eraSuffix = "CE",
+        methodSummary = s"Events of type '$id' aggregated to one value " +
+          "per (grid cell, day) by mean.",
+        references = "Synthetic corpus; no external publication.",
+        originator = "graft synthetic generator")
     }
 
-  /** Region extents shared by every dataset: the documented
-    * geo-transform (1° cells from 50°N / −120°E — Geometry.Geo) over
-    * the GridWidth × GridHeight cell grid, as (latMin, latMax, lonMin,
-    * lonMax) like metadata.yml's `region.extents` corner pairs. */
+  /** Region fields shared by every dataset (metadata.yml `region`):
+    * extents are the documented geo-transform (1° cells from 50°N /
+    * −120°E — Geometry.Geo) over the GridWidth × GridHeight cell grid,
+    * as (latMin, latMax, lonMin, lonMax) corner pairs; zoom/center/
+    * style are the map-display hints the reference serves alongside. */
   val LatMax: Double = Geometry.Geo.UlLat
   val LatMin: Double = Geometry.Geo.UlLat - Geometry.GridHeight
   val LonMin: Double = Geometry.Geo.UlLon
   val LonMax: Double = Geometry.Geo.UlLon + EventCube.GridWidth
+  val RegionName = "Synthetic grid"
+  val RegionZoom = 4
+  val RegionCenterLat: Double = (LatMin + LatMax) / 2
+  val RegionCenterLon: Double = (LonMin + LonMax) / 2
+  val RegionStyleColor = "blue"
+  val RegionStyleWeight = 2
 
   /** Timespan-derived band count at the entry's declared resolution —
     * the reference's BandRange over [gte, lte] (find_band_range against
@@ -70,33 +105,66 @@ object Catalog {
     }
   }
 
+  /** (name, type) column layout shared by [[table]] and [[tableSql]] —
+    * one source of truth so the engine frame and the oracle VALUES list
+    * cannot drift. */
+  private val columns: Seq[(String, DataType)] = Seq(
+    "dataset_id" -> StringType, "title" -> StringType,
+    "ordering" -> LongType, "description" -> StringType,
+    "status" -> StringType, "revised" -> StringType,
+    "resolution" -> StringType, "resolution_label" -> StringType,
+    "time_gte" -> StringType, "time_lte" -> StringType,
+    "time_zero" -> LongType, "era_suffix" -> StringType,
+    "n_bands" -> LongType, "uncertainty" -> StringType,
+    "method_summary" -> StringType, "references" -> StringType,
+    "originator" -> StringType,
+    "lat_min" -> DoubleType, "lat_max" -> DoubleType,
+    "lon_min" -> DoubleType, "lon_max" -> DoubleType,
+    "region_name" -> StringType, "region_zoom" -> LongType,
+    "region_center_lat" -> DoubleType, "region_center_lon" -> DoubleType,
+    "region_style_color" -> StringType, "region_style_weight" -> LongType)
+
+  private def values(e: Entry): Seq[Any] = Seq(
+    e.id, e.title, e.ordering.toLong, e.description,
+    e.status, e.revised, e.resolution, e.resolutionLabel,
+    e.timeGte, e.timeLte, e.timeZero.toLong, e.eraSuffix,
+    nBands(e).toLong, e.uncertainty,
+    e.methodSummary, e.references, e.originator,
+    LatMin, LatMax, LonMin, LonMax,
+    RegionName, RegionZoom.toLong,
+    RegionCenterLat, RegionCenterLon,
+    RegionStyleColor, RegionStyleWeight.toLong)
+
   /** The catalog as a (broadcastable) DataFrame. */
   def table(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    entries.map { e =>
-      (e.id, e.title, e.resolution, e.timeGte, e.timeLte,
-        e.timeZero.toLong, nBands(e).toLong, e.uncertainty,
-        LatMin, LatMax, LonMin, LonMax)
-    }.toDF("dataset_id", "title", "resolution", "time_gte", "time_lte",
-      "time_zero", "n_bands", "uncertainty",
-      "lat_min", "lat_max", "lon_min", "lon_max")
+    val schema = StructType(columns.map { case (n, t) =>
+      StructField(n, t, nullable = false) })
+    val rows = entries.map(e => Row.fromSeq(values(e)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** SQL single-quoted string literal with embedded quotes doubled —
+    * catalog text is free-form prose and may contain apostrophes. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** The same catalog as a DuckDB VALUES list — generated from the SAME
-    * `entries`, so the oracle and the engine share one source of
-    * truth. */
+    * `entries` via the SAME column layout, so the oracle and the engine
+    * share one source of truth. (`references` is a reserved word —
+    * every alias is double-quoted.) */
   def tableSql: String = {
     val rows = entries.map { e =>
-      s"('${e.id}', '${e.title}', '${e.resolution}', '${e.timeGte}', " +
-        s"'${e.timeLte}', CAST(${e.timeZero} AS BIGINT), " +
-        s"CAST(${nBands(e)} AS BIGINT), '${e.uncertainty}', " +
-        s"CAST($LatMin AS DOUBLE), CAST($LatMax AS DOUBLE), " +
-        s"CAST($LonMin AS DOUBLE), CAST($LonMax AS DOUBLE))"
+      values(e).map {
+        case s: String => sqlLit(s)
+        case l: Long => s"CAST($l AS BIGINT)"
+        case d: Double => s"CAST($d AS DOUBLE)"
+        case other => other.toString
+      }.mkString("(", ", ", ")")
     }.mkString(",\n    ")
+    val aliases = columns.map { case (n, _) => "\"" + n + "\"" }
+      .mkString(", ")
     s"""(SELECT * FROM (VALUES
        |    $rows)
-       |  AS t(dataset_id, title, resolution, time_gte, time_lte,
-       |       time_zero, n_bands, uncertainty,
-       |       lat_min, lat_max, lon_min, lon_max))""".stripMargin
+       |  AS t($aliases))""".stripMargin
   }
 }

@@ -68,10 +68,11 @@ object SkopeQueries {
         .agg(countDistinct(col("user_id")).as("n_cells"))), Seq("dataset_id"),
         "left")
       .withColumn("n_cells", coalesce(col("n_cells"), lit(0L)))
-      .select(col("dataset_id"), col("title"), col("resolution"),
-        col("time_gte"), col("time_lte"), col("time_zero"),
-        col("n_bands"), col("n_cells"), col("uncertainty"),
-        col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"))
+      // the FULL catalog document (metadata.yml:1-60 field set — title,
+      // description, methodSummary, references, originator, status,
+      // revised, ordering, resolutionLabel, era suffix, region
+      // name/zoom/center/style/extents) rides through as-is: the
+      // reference serves the yml verbatim (dataset.py load_api_metadata)
       .select(col("*"),
         explode(array(DatasetVariables.map(lit): _*)).as("variable_id"),
         // the synthetic grid has no nodata sentinel; the slot is the
@@ -569,6 +570,11 @@ object SkopeQueries {
        |  UNION ALL SELECT 'centered5', band, zv FROM cent
        |  UNION ALL SELECT 'trailing3', band, zv FROM trail)""".stripMargin
 
+  // skope_yearly_band_index's oracle is only valid under this invariant
+  // (see its comment below).
+  require(Origin.endsWith("-01-01"),
+    s"yearly-band oracle requires a Jan-1 Origin, got $Origin")
+
   val oracles: Map[String, String] = Map(
     "skope_polygon_mask" -> withCube(
       s"""SELECT DISTINCT user_id, x, y FROM cube
@@ -709,10 +715,8 @@ object SkopeQueries {
          |  AND $clipSql
          |GROUP BY band""".stripMargin),
     "skope_metadata" ->
-      s"""SELECT c.dataset_id, c.title, c.resolution,
-         |  c.time_gte, c.time_lte, c.time_zero, c.n_bands,
+      s"""SELECT c.*,
          |  coalesce(d.n_cells, 0) AS n_cells,
-         |  c.uncertainty, c.lat_min, c.lat_max, c.lon_min, c.lon_max,
          |  v.variable_id, CAST(NULL AS DOUBLE) AS fill_value
          |FROM ${Catalog.tableSql} c
          |LEFT JOIN (
@@ -727,6 +731,11 @@ object SkopeQueries {
       batchSelSql("dart", ZonalPolygon.maskSql()),
       batchSelSql("tri", MaskPolygon.maskSql()),
       batchSelSql("pt", s"user_id = $PointCell")).mkString("\nUNION ALL\n")),
+    // Calendar-year oracle arithmetic (year(ts) - year(origin) + 1)
+    // equals the engine's anniversary-clamped relativedelta band ONLY
+    // because Origin is Jan 1 (asserted below at map construction): a
+    // mid-year Origin would make band boundaries fall mid-year on the
+    // engine side while this oracle still cuts at Jan 1.
     "skope_yearly_band_index" ->
       s"""WITH yb AS (
          |  SELECT event_type AS dataset_id,

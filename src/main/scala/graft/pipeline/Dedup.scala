@@ -324,8 +324,14 @@ object Dedup {
     * §5.17). */
   private[pipeline] def minLabelCC(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = 50): Option[DataFrame] = {
-    val edges = pairs
-      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    // self-pairs dropped up front, exactly as twoPhaseCC's canon() does:
+    // the two engines must agree on degenerate input (a node appearing
+    // ONLY in self-pairs is labeled by neither), or the fallback path
+    // would silently change output. Production pair lists are d1 < d2
+    // by construction, so this is a no-op there.
+    val edges = pairs.filter(col("d1") =!= col("d2"))
+      .unionAll(pairs.filter(col("d1") =!= col("d2"))
+        .select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").persist()
     // init = one propagation step already applied (min of self and
     // direct neighbors): near-dup clusters are cliques in practice, so

@@ -96,13 +96,24 @@ class PlanAuditSpec extends SparkSpec {
     // declare a constant key instead (bounded by construction), batch
     // paths a real one — either way the spec must be non-empty
     import org.apache.spark.sql.execution.window.WindowExec
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val unpartitioned = fn(spark, sfDir).queryExecution.sparkPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+    // Queries whose CONSTRUCTION eagerly materializes a session artifact
+    // (iterative CC label table, materialized cube write) are excluded:
+    // auditing them here would turn a plan-only sweep into a heavy
+    // end-to-end run, and their returned plan is a cache/table read —
+    // the only window-bearing code they could hide is the artifact
+    // build itself, which is groupBy/agg + sort-write by construction
+    // and exercised end-to-end by their correctness specs.
+    val eagerlyMaterializing =
+      Set("dedup_clusters", "docs_dedup_apply", "skope_cube_zonal")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => eagerlyMaterializing(q._1))
+      .foreach { case (name, fn) =>
+        val unpartitioned = fn(spark, sfDir).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(unpartitioned.isEmpty,
+          s"$name plans ${unpartitioned.size} unpartitioned Window operator(s)")
       }
-      assert(unpartitioned.isEmpty,
-        s"$name plans ${unpartitioned.size} unpartitioned Window operator(s)")
-    }
   }
 
   test("q5 keeps every dimension join broadcast (regression guard)") {

@@ -130,9 +130,11 @@ class YearArithmeticSpec extends SparkSpec {
     assert(byId.keySet === Catalog.entries.map(_.id).toSet,
       "every catalog dataset must be served")
     val errorRow = byId("error").head
-    assert(errorRow.getLong(7) === 0L, "empty dataset reports n_cells 0")
-    assert(errorRow.getLong(6) === 31L, "declared n_bands survives an empty corpus")
-    assert(byId("click").head.getLong(7) > 0L)
+    assert(errorRow.getAs[Long]("n_cells") === 0L,
+      "empty dataset reports n_cells 0")
+    assert(errorRow.getAs[Long]("n_bands") === 31L,
+      "declared n_bands survives an empty corpus")
+    assert(byId("click").head.getAs[Long]("n_cells") > 0L)
   }
 
   test("timeZero era labels: label = timeZero + band - 1") {
