@@ -79,7 +79,14 @@ object Api {
       series: DataFrame,       // (series, band, value, band_date)
       summaryStats: DataFrame, // (series, mean, median, stdev)
       selection: DataFrame,    // (n_cells, area)
-      timeRange: DataFrame)    // (series, time_gte, time_lte)
+      timeRange: DataFrame,    // (series, time_gte, time_lte, band_gte, band_lte)
+      // response echo slots (timeseries.py:264-274 + services.py:68-77:
+      // the reference carries the request's identifying fields and its
+      // transform / zonal_statistic back to the client verbatim)
+      datasetId: String = "",
+      variableId: String = "value",
+      transform: Transform = NoTransform,
+      zonalStatistic: ZonalStatistic = ZonalMean)
 
   final case class TimeseriesTimeoutError(ms: Long)
     extends RuntimeException(s"timeseries extraction exceeded $ms ms")
@@ -428,10 +435,16 @@ object Api {
           math.min(extractBr._2 - sAdj._2, req.bandRange._2))
       }
       import spark.implicits._
+      // band bounds ride along (APPENDED — positional consumers of
+      // (series, time_gte, time_lte) are unaffected) so the response
+      // serializer can lay out the values axis without re-inverting the
+      // date strings
       rows.toDF("series", "blo", "bhi")
         .select(col("series"),
           EventCube.bandStartString(req.resolution, col("blo")).as("time_gte"),
-          EventCube.bandStartString(req.resolution, col("bhi")).as("time_lte"))
+          EventCube.bandStartString(req.resolution, col("bhi")).as("time_lte"),
+          col("blo").cast("long").as("band_gte"),
+          col("bhi").cast("long").as("band_lte"))
     }
 
     // summary stats per requested series, plus the untransformed
@@ -477,7 +490,9 @@ object Api {
     val seriesOut = series.select(col("series"), col("band"), col("value"),
       EventCube.bandStartString(req.resolution, col("band")).as("band_date"))
 
-    TimeseriesResult(seriesOut, stats, selection, timeRange)
+    TimeseriesResult(seriesOut, stats, selection, timeRange,
+      datasetId = req.datasetId, variableId = req.variableId,
+      transform = req.transform, zonalStatistic = req.zonalStatistic)
   }
 
   // ------------------------------------------------------------------

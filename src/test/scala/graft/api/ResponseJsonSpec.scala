@@ -1,0 +1,153 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkSpec
+import Api._
+
+/** Round-trip wire-format coverage: a reference-shaped request JSON in,
+  * a response JSON out whose shape matches the reference's
+  * TimeseriesResponse model field-for-field (timeseries.py:264-274 +
+  * services.py to_timeseries_response_dict; value/length semantics
+  * replayed from tests/routers/test_datasets.py
+  * test_annual_time_ranges / test_annual_different_smoothers).
+  */
+class ResponseJsonSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def extractJson(reqJson: String) = {
+    val req = RequestJson.parse(reqJson)
+    val res = extractTimeseries(spark, sfDir, req)
+    mapper.readTree(ResponseJson.toJson(req, res))
+  }
+
+  test("response carries the reference model's full field set with echoes") {
+    // request shape straight off the reference wire format
+    val resp = extractJson(
+      """{"dataset_id": "click", "variable_id": "value",
+        |  "selected_area": {"type": "Polygon", "coordinates":
+        |    [[[0.5, 0.5], [6.5, 0.5], [6.5, 6.5], [0.5, 6.5], [0.5, 0.5]]]},
+        |  "zonal_statistic": "median",
+        |  "transform": {"type": "ZScoreMovingInterval", "width": 6},
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-25"}}""".stripMargin)
+    // TimeseriesResponse fields (timeseries.py:264-274)
+    Seq("dataset_id", "variable_id", "area", "n_cells", "summary_stats",
+      "series", "transform", "zonal_statistic").foreach(f =>
+      assert(resp.has(f), s"response missing field $f"))
+    assert(resp.get("dataset_id").asText === "click")
+    assert(resp.get("variable_id").asText === "value")
+    // echoes (services.py:73-74)
+    assert(resp.get("zonal_statistic").asText === "median")
+    assert(resp.get("transform").get("type").asText === "ZScoreMovingInterval")
+    assert(resp.get("transform").get("width").asInt === 6)
+    // geometric selection fields are data-independent positives
+    assert(resp.get("n_cells").asLong === 49L)
+    assert(resp.get("area").asDouble > 0)
+    // transformed request: stats for the series plus "Original"
+    // (timeseries.py:460-469)
+    val statNames = (0 until resp.get("summary_stats").size)
+      .map(i => resp.get("summary_stats").get(i).get("name").asText)
+    assert(statNames === Seq("original", "Original"))
+    val s0 = resp.get("summary_stats").get(0)
+    Seq("name", "mean", "median", "stdev").foreach(f => assert(s0.has(f)))
+  }
+
+  test("series block: options + time_range + dense values axis") {
+    val resp = extractJson(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Polygon", "coordinates":
+        |    [[[0.5, 0.5], [6.5, 0.5], [6.5, 6.5], [0.5, 6.5], [0.5, 0.5]]]},
+        |  "requested_series_options": [
+        |    {"name": "original", "smoother": {"type": "NoSmoother"}},
+        |    {"name": "trailing",
+        |     "smoother": {"type": "MovingAverageSmoother",
+        |                  "method": "trailing", "width": 3}}],
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-25"}}""".stripMargin)
+    val series = resp.get("series")
+    assert(series.size === 2)
+    val original = series.get(0)
+    val trailing = series.get(1)
+    // options echo the request's series options (SeriesOptions model)
+    assert(original.get("options").get("name").asText === "original")
+    assert(original.get("options").get("smoother").get("type").asText
+      === "NoSmoother")
+    assert(trailing.get("options").get("smoother").get("method").asText
+      === "trailing")
+    assert(trailing.get("options").get("smoother").get("width").asInt === 3)
+    // values is the DENSE axis over the series time_range
+    // (test_annual_time_ranges: one value slot per band in range)
+    assert(original.get("time_range").get("gte").asText === "2024-01-05")
+    assert(original.get("time_range").get("lte").asText === "2024-01-25")
+    assert(original.get("values").size === 21)
+    assert(trailing.get("values").size === 21)
+    // the zonal bbox over a dense corpus yields non-null numbers
+    assert((0 until 21).forall(i => original.get("values").get(i).isNumber))
+  }
+
+  test("window-guard-emptied series serializes [] with gte > lte") {
+    // trailing width 3 over bands [1, 3]: no band has a full window —
+    // the reference's data-independent range arithmetic still reports
+    // the series, with an empty values list
+    val resp = extractJson(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "requested_series_options": [
+        |    {"name": "trailing",
+        |     "smoother": {"type": "MovingAverageSmoother",
+        |                  "method": "trailing", "width": 3}}],
+        |  "time_range": {"gte": "2024-01-01", "lte": "2024-01-03"}}""".stripMargin)
+    val s = resp.get("series").get(0)
+    assert(s.get("values").size === 0)
+    assert(s.get("time_range").get("gte").asText >
+      s.get("time_range").get("lte").asText)
+    // no stats rows exist for the emptied series: fields are null, the
+    // name is still reported (nanmean over [] → None in the reference)
+    val stat = resp.get("summary_stats").get(0)
+    assert(stat.get("name").asText === "trailing")
+    assert(stat.get("mean").isNull && stat.get("median").isNull &&
+      stat.get("stdev").isNull)
+  }
+
+  test("sparse point series carries null slots (nan→None conversion)") {
+    // a single cell is sparse at sf0.001 — the dense axis over the
+    // requested range must pad absent bands with JSON null, never skip
+    // them (Series.values: List[Optional[float]])
+    val resp = extractJson(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "time_range": {"gte": "2024-01-01", "lte": "2024-01-31"}}""".stripMargin)
+    val vals = resp.get("series").get(0).get("values")
+    assert(vals.size === 31, "dense axis over the full requested range")
+    val nulls = (0 until 31).count(i => vals.get(i).isNull)
+    val nums = (0 until 31).count(i => vals.get(i).isNumber)
+    assert(nulls + nums === 31)
+    assert(nums > 0, "the cell has some data")
+    assert(nulls > 0, "sf0.001 point series is expected to be sparse " +
+      "(fixture assumption: this cell misses at least one January day)")
+  }
+
+  test("fixed-interval transform echoes its band_range; null range echoes null") {
+    val some = extractJson(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "transform": {"type": "ZScoreFixedInterval", "band_range": [1, 12]},
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-25"}}""".stripMargin)
+    val tr = some.get("transform")
+    assert(tr.get("type").asText === "ZScoreFixedInterval")
+    assert(tr.get("band_range").get(0).asInt === 1)
+    assert(tr.get("band_range").get(1).asInt === 12)
+    val none = extractJson(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "transform": {"type": "ZScoreFixedInterval"},
+        |  "time_range": {"gte": "2024-01-05", "lte": "2024-01-25"}}""".stripMargin)
+    assert(none.get("transform").get("band_range").isNull)
+    // untransformed default echoes NoTransform + mean
+    val plain = extractJson(
+      """{"dataset_id": "click",
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]}}""".stripMargin)
+    assert(plain.get("transform").get("type").asText === "NoTransform")
+    assert(plain.get("zonal_statistic").asText === "mean")
+  }
+}
