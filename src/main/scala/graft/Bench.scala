@@ -21,6 +21,9 @@ object Bench {
     "q15_top_supplier" -> "q15", "q16_parts_suppliers" -> "q16",
     "q17_small_qty" -> "q17", "q18_large_cust" -> "q18",
     "q19_brand_disc" -> "q19", "q22_idle_cust" -> "q22",
+    "q2_min_cost_supp" -> "q2", "q9_product_profit" -> "q9",
+    "q12_ship_class" -> "q12", "q20_excess_supp" -> "q20",
+    "q21_wait_supp" -> "q21",
     // skope core
     "skope_metadata" -> "s_meta", "skope_band_index" -> "s_band",
     "skope_yearly_band_index" -> "s_year", "skope_batch_extract" -> "s_batch",

@@ -41,7 +41,12 @@ object SparkEntry {
     "q13_custdist" -> (TpchQueries.q13 _),
     "q15_top_supplier" -> (TpchQueries.q15 _),
     "q8_market_share" -> (TpchQueries.q8 _),
-    "q17_small_qty" -> (TpchQueries.q17 _)
+    "q17_small_qty" -> (TpchQueries.q17 _),
+    "q2_min_cost_supp" -> (TpchQueries.q2 _),
+    "q9_product_profit" -> (TpchQueries.q9 _),
+    "q12_ship_class" -> (TpchQueries.q12 _),
+    "q20_excess_supp" -> (TpchQueries.q20 _),
+    "q21_wait_supp" -> (TpchQueries.q21 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries ++
     Curation.queries ++ TrainingPrep.queries

@@ -116,6 +116,31 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q21 is one lineitem scan: no cartesian, no self-join fan-out") {
+    // the reference formulation references lineitem three times
+    // (l1 + EXISTS l2 + NOT EXISTS l3); the single-scan rewrite must
+    // keep exactly one lineitem scan and no nested-loop join
+    val plan = formatted(graft.relational.TpchQueries.q21(spark, sfDir))
+    // FormattedMode separates the scan node from its Location line —
+    // count the per-scan Location lines naming lineitem.parquet
+    val scans = plan.split("\n").count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(scans === 1, s"q21 should scan lineitem once, saw $scans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q21 fell into a cartesian/nested-loop join")
+  }
+
+  test("q2's min-cost join-back and dimensions stay broadcast") {
+    // the per-part minima and every dimension are tiny; the only
+    // shuffle should be the (part, supplier) cost aggregation
+    val plan = formatted(graft.relational.TpchQueries.q2(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      "q2's join-back or a dimension fell to sort-merge")
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected >=4 broadcast joins in q2, saw $bhj")
+  }
+
   test("q5 keeps every dimension join broadcast (regression guard)") {
     val plan = formatted(graft.relational.TpchQueries.q5(spark, sfDir))
     val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
