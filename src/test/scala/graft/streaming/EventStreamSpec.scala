@@ -129,6 +129,72 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch attrWindow on closed purchases") {
+    // same real-corpus harness as the zonal parity test: events split
+    // into three ascending-time files, one file per trigger so both
+    // watermarks advance across micro-batches
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    val raw = s.read.schema(EventStream.eventSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val (minNs, maxNs) = {
+      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val cut1 = minNs + (maxNs - minNs) / 2
+    val cut2 = minNs + (maxNs - minNs) * 3 / 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_join").toString
+    new java.io.File(s"$dir/src").mkdirs()
+    Seq(col("ts") < cut1,
+        col("ts") >= cut1 && col("ts") < cut2,
+        col("ts") >= cut2).zipWithIndex.foreach { case (p, i) =>
+      raw.filter(p).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stage_$i")
+      val part = new java.io.File(s"$dir/stage_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/src/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    val stream = s.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.streamingAttrWindow(stream).writeStream
+      .format("memory").queryName("attr_join_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // fold the emitted (purchase, click) pairs to per-purchase
+      // aggregates: matched pairs emit eagerly, so every purchase
+      // PRESENT in the output with clicks is complete after the drain;
+      // null-click rows appear only once the watermark closes them
+      val streamed = s.sql(
+        "SELECT event_id, count(c_ts) AS n, sum(c_value) AS sv " +
+          "FROM attr_join_stream GROUP BY event_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2))).toMap
+      assert(streamed.nonEmpty, "no joined purchases emitted")
+      val batch = graft.pipeline.EventOps.attrWindow(s, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+      // every streamed purchase matches the batch range join exactly
+      streamed.foreach { case (eid, (n, sv)) =>
+        assert(batch.contains(eid), s"purchase $eid absent from batch")
+        val (bn, bsv) = batch(eid)
+        assert(n === bn, s"purchase $eid: $n clicks vs batch $bn")
+        assert(math.abs(graft.Num.roundEpsJvm(sv, 2) - bsv) <= 1e-9,
+          s"purchase $eid: attr value $sv vs batch $bsv")
+      }
+      // the join really exercised both arms: some purchases carry
+      // clicks, and the watermark closed some clickless purchases
+      // (left-outer null rows)
+      assert(streamed.values.exists(_._1 > 0), "no matched pairs")
+      assert(streamed.values.exists(_._1 == 0),
+        "no watermark-closed clickless purchases")
+      // coverage: the drain leaves only the final watermark horizon
+      // open — most of the month's purchases must have closed
+      assert(streamed.size >= batch.size / 2,
+        s"only ${streamed.size} of ${batch.size} purchases closed")
+    } finally q.stop()
+  }
+
   test("checkpointed query resumes exactly-once across a restart") {
     // the fault-tolerance contract at 100 TB: a windowed aggregation
     // stopped mid-stream and restarted from its checkpoint must carry
