@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence data generator: replicate the driver's sf corpus by
+  * an integer factor (`ScaleUp <srcDir> <outDir> <factor>`), so Bench
+  * can be run at 10× the largest provided SF and the per-query scaling
+  * recorded in BASELINE.md (the "survives 100×" evidence the brief
+  * asks for — measured, not asserted).
+  *
+  * Scaling model (TPC-H-like: facts grow, dimensions stay):
+  *  - region/nation/customer/supplier/part copied as-is;
+  *  - orders/lineitem replicated with order keys shifted per replica,
+  *    so each replica is a self-consistent order graph against the
+  *    SHARED dimensions (per-customer and per-part fan-in grows with
+  *    the factor — the realistic join-skew direction);
+  *  - events replicated with shifted event ids on the SAME cell grid
+  *    (cells accumulate factor× more observations; the band axis and
+  *    grid extents — the dataset contract — are unchanged);
+  *  - documents replicated with shifted doc ids and replica-salted
+  *    TOKENS (every word suffixed `~r<i>`), so cross-replica text
+  *    similarity is zero and the near-dup pair structure scales
+  *    linearly with the factor — naive verbatim copies would square
+  *    the candidate-pair count and benchmark a different problem;
+  *  - embeddings replicated with shifted ids and a small deterministic
+  *    per-replica perturbation (no exact-duplicate vectors).
+  *
+  * Everything is a declarative plan over one `spark.range(factor)`
+  * broadcast — no driver-side loops, so generating a genuinely large
+  * corpus on a cluster is the same code.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    // dimensions: verbatim
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(src(t), t, 1))
+
+    val rep = broadcast(spark.range(factor)
+      .select(col("id").cast("long").as("rep")))
+
+    // key shift per replica: one step past the source's max key keeps
+    // every replica's keyspace disjoint
+    def step(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    val orders = src("orders")
+    val orderStep = step(orders, "o_orderkey")
+    write(orders.crossJoin(rep)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * orderStep)
+      .drop("rep"), "orders", 4 * factor)
+
+    val lineitem = src("lineitem")
+    write(lineitem.crossJoin(rep)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * orderStep)
+      .drop("rep"), "lineitem", 8 * factor)
+
+    val events = src("events")
+    val eventStep = step(events, "event_id")
+    // preserve the source's within-file time ordering (range partition +
+    // sort on the raw ns column) so band-range row-group pruning keeps
+    // working at the scaled volume
+    events.crossJoin(rep)
+      .withColumn("event_id", col("event_id") + col("rep") * eventStep)
+      .drop("rep")
+      .repartitionByRange(4 * factor, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val documents = src("documents")
+    val docStep = step(documents, "doc_id")
+    write(documents.crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") + col("rep") * docStep)
+      .withColumn("text",
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("~r"), col("rep"))), " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("rep"), "documents", 2 * factor)
+
+    val embeddings = src("embeddings")
+    val vecStep = step(embeddings, "vec_id")
+    write(embeddings.crossJoin(rep)
+      .withColumn("vec_id", col("vec_id") + col("rep") * vecStep)
+      .withColumn("embedding",
+        transform(col("embedding"),
+          x => (x + col("rep").cast("float") * lit(0.001f)).cast("float")))
+      .drop("rep"), "embeddings", 2 * factor)
+
+    println(s"""{"scaled":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+}

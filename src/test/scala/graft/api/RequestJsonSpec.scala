@@ -241,4 +241,17 @@ class RequestJsonSpec extends SparkSpec {
       extractTimeseries(spark, sfDir, bowtie)
     }
   }
+
+  test("replay test_missing_property: a missing required field names itself") {
+    // the reference returns 422 with detail.loc naming the missing body
+    // field for every required property; this wire format requires
+    // dataset_id and selected_area (the rest carry the reference's own
+    // defaults), and the parse error must NAME the absent field
+    val noDataset = intercept[RequestParseError](parse(
+      """{"selected_area": {"type": "Point", "coordinates": [2.0, 1.0]}}"""))
+    assert(noDataset.getMessage.contains("dataset_id"))
+    val noArea = intercept[RequestParseError](parse(
+      """{"dataset_id": "click"}"""))
+    assert(noArea.getMessage.contains("selected_area"))
+  }
 }

@@ -127,6 +127,40 @@ class ResponseJsonSpec extends SparkSpec {
       "(fixture assumption: this cell misses at least one January day)")
   }
 
+  test("replay test_annual_time_ranges: values == [i*100 for i in band range]") {
+    // The reference's synthetic raster holds value = band·100 at the
+    // probed point, and test_annual_time_ranges asserts the response's
+    // values array equals [i*100 for i in find_band_range(time_range)]
+    // for six time ranges. Same fixture here: cell 12 carries exactly
+    // band·100 at every band, probed through the full wire round trip.
+    val dir = java.nio.file.Files.createTempDirectory("graft-annual").toString
+    val s = spark
+    import s.implicits._
+    (1 to 31).map { b =>
+      (b.toLong, (1704067200L + (b - 1) * 86400L) * 1000000000L,
+        12L, "click", b * 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the reference's six TIME_RANGES on its 5-band annual dataset,
+    // mapped onto this corpus's day resolution
+    val ranges = Seq((1, 3), (1, 5), (2, 4), (3, 4), (3, 5), (3, 3))
+    ranges.foreach { case (lo, hi) =>
+      val req = RequestJson.parse(
+        s"""{"dataset_id": "click",
+           |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+           |  "time_range": {"gte": "2024-01-0$lo", "lte": "2024-01-0$hi"}}"""
+          .stripMargin)
+      val resp = mapper.readTree(
+        ResponseJson.toJson(req, extractTimeseries(spark, dir, req)))
+      val vals = resp.get("series").get(0).get("values")
+      assert(vals.size === hi - lo + 1, s"range [$lo, $hi]")
+      (lo to hi).zipWithIndex.foreach { case (b, i) =>
+        assert(vals.get(i).asDouble === b * 100.0,
+          s"range [$lo, $hi] band $b")
+      }
+    }
+  }
+
   test("fixed-interval transform echoes its band_range; null range echoes null") {
     val some = extractJson(
       """{"dataset_id": "click",
