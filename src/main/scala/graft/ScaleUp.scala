@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   *    similarity is zero and the near-dup pair structure scales
   *    linearly with the factor — naive verbatim copies would square
   *    the candidate-pair count and benchmark a different problem;
-  *  - embeddings replicated with shifted ids and a small deterministic
-  *    per-replica perturbation (no exact-duplicate vectors).
+  *  - embeddings replicated with shifted ids under a per-replica
+  *    deterministic SIGN-FLIP rotation (dimension d negated when
+  *    hash(rep, d) is odd; replica 0 is the identity): a diagonal ±1
+  *    map preserves norms and all within-replica cosines exactly, while
+  *    cross-replica cosines scramble toward 0 — so the cosine-threshold
+  *    pair structure scales linearly with the factor. (An additive
+  *    perturbation keeps replicas of one vector near-identical, which
+  *    squares the qualifying-pair OUTPUT and benchmarks a different,
+  *    output-bound problem.)
   *
   * Everything is a declarative plan over one `spark.range(factor)`
   * broadcast — no driver-side loops, so generating a genuinely large
@@ -104,7 +111,9 @@ object ScaleUp {
       .withColumn("vec_id", col("vec_id") + col("rep") * vecStep)
       .withColumn("embedding",
         transform(col("embedding"),
-          x => (x + col("rep").cast("float") * lit(0.001f)).cast("float")))
+          (x, i) => (x * when(col("rep") === 0, 1.0f)
+            .otherwise((pmod(hash(col("rep"), i), lit(2)) * 2 - 1)
+              .cast("float"))).cast("float")))
       .drop("rep"), "embeddings", 2 * factor)
 
     println(s"""{"scaled":"$outDir","factor":$factor}""")
