@@ -14,6 +14,27 @@ class MonthArithmeticSpec extends SparkSpec {
   private def band(date: String, origin: String): Int =
     EventCube.monthBandOf(LocalDate.parse(date), LocalDate.parse(origin))
 
+  test("replay test_stores.py band-range conversion vectors") {
+    // tests/test_stores.py:22-47 — band ranges are relative to the
+    // DATASET's own availability start, not a global origin. Yearly
+    // dataset available 0007-01-01..0020-01-01: [0007, 0010] → bands
+    // [1, 4]; monthly dataset available 0013-05-01..0023-04-01:
+    // [0015-05, 0023-04] → bands [25, 120]; translate_band_range
+    // inverts band 1 → the availability gte and band 120 → its lte.
+    def yband(d: String, o: String): Int =
+      EventCube.yearBandOf(LocalDate.parse(d), LocalDate.parse(o))
+    assert(yband("0007-01-01", "0007-01-01") === 1)
+    assert(yband("0010-01-01", "0007-01-01") === 4)
+    assert(band("0015-05-01", "0013-05-01") === 25)
+    assert(band("0023-04-01", "0013-05-01") === 120)
+    // the translate-back inverse (dataset.py translate_band_range):
+    // band b starts (b−1) whole units after the availability gte
+    assert(LocalDate.parse("0007-01-01").plusYears(0)
+      === LocalDate.parse("0007-01-01"))
+    assert(LocalDate.parse("0013-05-01").plusMonths(119)
+      === LocalDate.parse("0023-04-01"))
+  }
+
   test("month band indexing matches relativedelta arithmetic") {
     // same month → band 1 (1-based)
     assert(band("2024-01-01", "2024-01-01") === 1)
