@@ -436,15 +436,24 @@ object TpchQueries {
     * twice). */
   def q21(spark: SparkSession, dir: String): DataFrame = {
     val late = col("l_returnflag") === "R"
+    // cascaded aggregation instead of two countDistincts: a multi-
+    // distinct agg plans an Expand (3× every row before the shuffle);
+    // pre-aggregating on (order, supplier) first shuffles raw rows once
+    // with map-side combine, and the order-level rollup then shuffles
+    // only the already-collapsed (order, supplier) pairs
     val perOrder = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir)
           .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1).otherwise(0)).as("is_late"),
+        count(when(late, lit(1))).as("supp_late_rows"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
-        max(when(late, col("l_suppkey"))).as("late_supp"),
-        count(when(late, lit(1))).as("late_rows"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("is_late")).as("n_late_supp"),
+        max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"),
+        sum(when(col("is_late") === 1, col("supp_late_rows"))
+          .otherwise(0L)).as("late_rows"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
     val sup = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)

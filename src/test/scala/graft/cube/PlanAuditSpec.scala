@@ -129,6 +129,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "q21 fell into a cartesian/nested-loop join")
+    // the cascaded (order, supplier) → order aggregation must not plan
+    // a multi-distinct Expand (3× every lineitem row pre-shuffle)
+    assert(!plan.contains("Expand"),
+      "q21 plans a multi-distinct Expand")
   }
 
   test("q2's min-cost join-back and dimensions stay broadcast") {
