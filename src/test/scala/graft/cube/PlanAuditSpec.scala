@@ -90,11 +90,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast joins, saw $bhj")
   }
 
-  test("no query in the inventory plans an unpartitioned window") {
+  test("no query plans an unpartitioned window or a stray Expand") {
     // an empty window partitionSpec moves ALL data to one partition and
     // logs WindowExec's single-partition warning; single-series paths
     // declare a constant key instead (bounded by construction), batch
-    // paths a real one — either way the spec must be non-empty
+    // paths a real one — either way the spec must be non-empty.
+    // The same sweep audits Expand: a multi-distinct aggregate expands
+    // every input row per distinct column BEFORE the shuffle — the
+    // cascaded-aggregation rewrite (q21) is the intended shape. The one
+    // allowed Expand is the grouping-sets rollup, where expansion IS
+    // the operator's semantics.
     import org.apache.spark.sql.execution.window.WindowExec
     // Queries whose CONSTRUCTION eagerly materializes a session artifact
     // (iterative CC label table, materialized cube write) are excluded:
@@ -105,14 +110,19 @@ class PlanAuditSpec extends SparkSpec {
     // and exercised end-to-end by their correctness specs.
     val eagerlyMaterializing =
       Set("dedup_clusters", "docs_dedup_apply", "skope_cube_zonal")
+    val expandAllowed = Set("events_hourly_rollup")
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerlyMaterializing(q._1))
       .foreach { case (name, fn) =>
-        val unpartitioned = fn(spark, sfDir).queryExecution.sparkPlan.collect {
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        val unpartitioned = plan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         assert(unpartitioned.isEmpty,
           s"$name plans ${unpartitioned.size} unpartitioned Window operator(s)")
+        if (!expandAllowed(name))
+          assert(!plan.toString.contains("Expand"),
+            s"$name plans an Expand (multi-distinct aggregate?)")
       }
   }
 
