@@ -153,4 +153,36 @@ object ResponseJson {
     root.put("zonal_statistic", result.zonalStatistic.name)
     root
   }
+
+  /** v1 endpoint response (routers/v1/api.py:20-29): the v1 request's
+    * identifying fields echoed (camelCase, with the GeoJSON boundary
+    * verbatim), start/end as the normalized time range, and the first
+    * series' dense values — v1 requests default to NoSmoother /
+    * NoTransform, so the series' own time_range IS the normalized
+    * request range the reference echoes. */
+  def toV1Json(req: TimeseriesRequest,
+      boundaryGeometry: com.fasterxml.jackson.databind.JsonNode,
+      result: TimeseriesResult): String = {
+    val root = mapper.createObjectNode()
+    root.put("datasetId", result.datasetId)
+    root.put("variableName", result.variableId)
+    root.set[ObjectNode]("boundaryGeometry",
+      boundaryGeometry.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+    val first = req.requestedSeriesOptions.head.name
+    val tr = result.timeRange.collect()
+      .find(_.getString(0) == first)
+      .getOrElse(throw new IllegalStateException(s"series $first missing"))
+    root.put("start", tr.getString(1))
+    root.put("end", tr.getString(2))
+    val byBand = result.series.collect().filter(_.getString(0) == first)
+      .map(r => r.getLong(1) -> optDouble(r, 2)).toMap
+    val vals = root.putArray("values")
+    (tr.getLong(3) to tr.getLong(4)).foreach { b =>
+      byBand.getOrElse(b, None) match {
+        case Some(v) => vals.add(v); ()
+        case None => vals.addNull(); ()
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
 }

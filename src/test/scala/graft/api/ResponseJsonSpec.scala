@@ -161,6 +161,54 @@ class ResponseJsonSpec extends SparkSpec {
     }
   }
 
+  test("v1 response echoes the request and carries the first series' values") {
+    // routers/v1/api.py:20-29: {datasetId, variableName,
+    // boundaryGeometry, start, end, values}
+    val geomJson = """{"type": "Point", "coordinates": [2.0, 1.0]}"""
+    val geom = mapper.readTree(geomJson)
+    val req = v1Request("click", 12L, Some("2024-01-05"), Some("2024-01-10"))
+    val res = extractTimeseries(spark, sfDir, req)
+    val resp = mapper.readTree(ResponseJson.toV1Json(req, geom, res))
+    assert(resp.get("datasetId").asText === "click")
+    assert(resp.get("variableName").asText === "value")
+    assert(resp.get("boundaryGeometry") === geom)
+    assert(resp.get("start").asText === "2024-01-05")
+    assert(resp.get("end").asText === "2024-01-10")
+    assert(resp.get("values").size === 6)
+  }
+
+  test("metadata document list restores the yml nesting") {
+    // routers/v2/api.py:15-17 serves the metadata.yml documents
+    // verbatim; the serialized catalog must carry the yml's nested
+    // shapes (metadata.yml:1-60): region {name, zoom, center, style,
+    // extents [[N, W], [S, E]]}, timespan {resolution, resolutionLabel,
+    // period {timeZero, gte, lte, suffix}}, plus the prose fields
+    val docs = mapper.readTree(MetadataJson.toJson)
+    assert(docs.size === graft.cube.Catalog.entries.size)
+    val d = docs.get(0)
+    Seq("id", "title", "ordering", "description", "type", "status",
+      "revised", "region", "timespan", "uncertainty", "methodSummary",
+      "references", "originator", "variables").foreach(f =>
+      assert(d.has(f), s"metadata document missing $f"))
+    assert(d.get("type").asText === "dataset")
+    val region = d.get("region")
+    assert(region.get("center").size === 2)
+    assert(region.get("style").get("color").asText ===
+      graft.cube.Catalog.RegionStyleColor)
+    val extents = region.get("extents")
+    assert(extents.size === 2 && extents.get(0).size === 2)
+    // [[north, west], [south, east]] corner order like lbda_v2's yml
+    assert(extents.get(0).get(0).asDouble > extents.get(1).get(0).asDouble,
+      "first corner must be the northern latitude")
+    val period = d.get("timespan").get("period")
+    assert(period.get("timeZero").asInt === 2024)
+    assert(period.get("gte").asText === "2024-01-01")
+    assert(period.get("suffix").asText === "CE")
+    // documents are served for every catalog dataset, in catalog order
+    val ids = (0 until docs.size).map(i => docs.get(i).get("id").asText)
+    assert(ids === graft.cube.Catalog.entries.map(_.id))
+  }
+
   test("fixed-interval transform echoes its band_range; null range echoes null") {
     val some = extractJson(
       """{"dataset_id": "click",
