@@ -74,9 +74,20 @@ object RequestJson {
           // a JSON null bound is as absent as a missing key
           // (OptionalTimeRange's Optional[date] admits both) — and
           // NullNode.asText is the STRING "null", so it must be
-          // filtered before it reaches the date parser
+          // filtered before it reaches the date parser. A bound may
+          // also be the YearMonth OBJECT shape {year, month} or a bare
+          // integer year — both appear in the reference's own request
+          // fixtures (data/requests/monthly.json, yearly.json)
           def pt(name: String): Option[String] =
-            Option(tr.get(name)).filterNot(_.isNull).map(_.asText)
+            Option(tr.get(name)).filterNot(_.isNull).map { n =>
+              if (n.isObject) {
+                val y = intBound(n.get("year"), s"time_range.$name.year")
+                val m = Option(n.get("month"))
+                  .map(x => intBound(x, s"time_range.$name.month"))
+                  .getOrElse(1)
+                f"$y%04d-$m%02d"
+              } else n.asText
+            }
           // malformed date strings surface as a parse error at the wire
           // boundary (the reference's pydantic/int() validation layer);
           // containment errors pass through typed
@@ -113,6 +124,40 @@ object RequestJson {
       bandRange = bandRange,
       resolution = resolution,
       maxProcessingTimeMs = maxMs)
+  }
+
+  /** v1 request body (TimeseriesV1Request, timeseries.py:276-325 +
+    * data/requests/timeseriesv1.json): {datasetId, variableName,
+    * boundaryGeometry, start, end} with start/end as integer years or
+    * date strings ("2024" | "2024-02" | "2024-02-03"); absent bounds
+    * normalize to the dataset edges. Returns the typed request plus the
+    * raw geometry node, which the v1 RESPONSE echoes verbatim
+    * (ResponseJson.toV1Json). */
+  def parseV1(json: String): (TimeseriesRequest, JsonNode) = {
+    val root =
+      try mapper.readTree(json)
+      catch { case e: Exception => throw RequestParseError(e.getMessage) }
+    def req(name: String): JsonNode = {
+      val n = root.get(name)
+      if (n == null) throw RequestParseError(s"missing field $name")
+      n
+    }
+    def bound(name: String): Option[String] =
+      Option(root.get(name)).filterNot(_.isNull).map(_.asText)
+    val geom = req("boundaryGeometry")
+    val request = TimeseriesRequest(
+      datasetId = req("datasetId").asText,
+      variableId = Option(root.get("variableName")).map(_.asText)
+        .getOrElse("value"),
+      selectedArea = parseGeometry(geom),
+      bandRange =
+        try (Api.bandForDate(bound("start"), Api.AvailableBands._1),
+          Api.bandForDate(bound("end"), Api.AvailableBands._2))
+        catch {
+          case e @ (_: NumberFormatException | _: java.time.DateTimeException) =>
+            throw RequestParseError(s"bad v1 start/end: ${e.getMessage}")
+        })
+    (request, geom)
   }
 
   /** GeoJSON geometry → SelectedArea (Point / Polygon / Feature /

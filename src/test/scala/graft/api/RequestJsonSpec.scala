@@ -242,6 +242,62 @@ class RequestJsonSpec extends SparkSpec {
     }
   }
 
+  test("replay data/requests fixture shapes: YearMonth objects and integer years") {
+    // data/requests/monthly.json spells time_range bounds as YearMonth
+    // OBJECTS {year, month}
+    val m = parse(
+      """{"resolution": "month", "dataset_id": "click",
+        |  "time_range": {"gte": {"year": 2024, "month": 1},
+        |                 "lte": {"year": 2024, "month": 1}},
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "zonal_statistic": "mean", "transform": {"type": "NoTransform"},
+        |  "requested_series_options": [
+        |    {"name": "original", "smoother": {"type": "NoSmoother"}},
+        |    {"name": "transformed",
+        |     "smoother": {"type": "MovingAverageSmoother",
+        |                  "method": "trailing", "width": 7}}]}""".stripMargin)
+    assert(m.resolution === graft.cube.EventCube.Monthly)
+    assert(m.bandRange === (1, 1))
+    assert(m.requestedSeriesOptions.map(_.name) === Seq("original", "transformed"))
+    // data/requests/yearly.json spells them as bare integer years, and
+    // carries a legacy top-level "transforms" array — pydantic ignores
+    // unknown fields, so this parser must too (transform stays default)
+    val y = parse(
+      """{"resolution": "year", "dataset_id": "click", "variable_id": "value",
+        |  "time_range": {"gte": 2024, "lte": 2024},
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "zonal_statistic": "mean",
+        |  "transforms": [{"type": "MovingAverageSmoother",
+        |                  "method": "centered", "width": 1}]}""".stripMargin)
+    assert(y.resolution === graft.cube.EventCube.Yearly)
+    assert(y.bandRange === (1, 1))
+    assert(y.transform === NoTransform)
+  }
+
+  test("replay data/requests/timeseriesv1.json: v1 body parses and round-trips") {
+    val (req, geom) = RequestJson.parseV1(
+      """{"datasetId": "click", "variableName": "value",
+        |  "boundaryGeometry": {"type": "Point", "coordinates": [2.0, 1.0]},
+        |  "start": 2024, "end": "2024-01-10"}""".stripMargin)
+    // integer start year → Jan 1 (the reference's _to_date_from_y)
+    assert(req.bandRange === (1, 10))
+    assert(req.selectedArea === PointArea(12L))
+    val res = extractTimeseries(spark, sfDir, req)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val resp = mapper.readTree(ResponseJson.toV1Json(req, geom, res))
+    assert(resp.get("datasetId").asText === "click")
+    assert(resp.get("boundaryGeometry").get("type").asText === "Point")
+    assert(resp.get("start").asText === "2024-01-01")
+    assert(resp.get("end").asText === "2024-01-10")
+    assert(resp.get("values").size === 10)
+    // absent bounds normalize to the dataset edges (to_time_range)
+    val (edges, _) = RequestJson.parseV1(
+      """{"datasetId": "click",
+        |  "boundaryGeometry": {"type": "Point", "coordinates": [2.0, 1.0]}}"""
+        .stripMargin)
+    assert(edges.bandRange === Api.AvailableBands)
+  }
+
   test("replay test_missing_property: a missing required field names itself") {
     // the reference returns 422 with detail.loc naming the missing body
     // field for every required property; this wire format requires
