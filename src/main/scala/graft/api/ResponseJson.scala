@@ -50,6 +50,19 @@ object ResponseJson {
       case None => n.putNull(name); ()
     }
 
+  /** Fill `arr` with the dense band axis over [blo, bhi]: a band with
+    * no value (sparse data or NaN) is JSON null; blo > bhi (a window-
+    * guard-emptied series) leaves it empty — the Series.values contract
+    * (timeseries.py:238-241), shared by the v2 and v1 bodies. */
+  private def denseValues(arr: ArrayNode,
+      byBand: Map[Long, Option[Double]], blo: Long, bhi: Long): Unit =
+    (blo to bhi).foreach { b =>
+      byBand.getOrElse(b, None) match {
+        case Some(v) => arr.add(v); ()
+        case None => arr.addNull(); ()
+      }
+    }
+
   private def smootherNode(s: Smoother): ObjectNode = {
     val n = mapper.createObjectNode()
     s match {
@@ -137,16 +150,8 @@ object ResponseJson {
       val tr = n.putObject("time_range")
       tr.put("gte", gte)
       tr.put("lte", lte)
-      val vals: ArrayNode = n.putArray("values")
-      val bySeries = valuesBySeries.getOrElse(so.name, Map.empty)
-      // dense axis over [blo, bhi]; blo > bhi (window-guard-emptied
-      // series) serializes as []
-      (blo to bhi).foreach { b =>
-        bySeries.getOrElse(b, None) match {
-          case Some(v) => vals.add(v); ()
-          case None => vals.addNull(); ()
-        }
-      }
+      denseValues(n.putArray("values"),
+        valuesBySeries.getOrElse(so.name, Map.empty), blo, bhi)
     }
 
     root.set[ObjectNode]("transform", transformNode(result.transform))
@@ -176,13 +181,7 @@ object ResponseJson {
     root.put("end", tr.getString(2))
     val byBand = result.series.collect().filter(_.getString(0) == first)
       .map(r => r.getLong(1) -> optDouble(r, 2)).toMap
-    val vals = root.putArray("values")
-    (tr.getLong(3) to tr.getLong(4)).foreach { b =>
-      byBand.getOrElse(b, None) match {
-        case Some(v) => vals.add(v); ()
-        case None => vals.addNull(); ()
-      }
-    }
+    denseValues(root.putArray("values"), byBand, tr.getLong(3), tr.getLong(4))
     mapper.writeValueAsString(root)
   }
 }

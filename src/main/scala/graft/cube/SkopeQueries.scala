@@ -329,7 +329,16 @@ object SkopeQueries {
     * outside the window makes the engine emit FALSE → hash mismatch →
     * red CORRECTNESS row. The window endpoints themselves are
     * hash-compared as exact values, so the bound computation is
-    * oracle-verified too. */
+    * oracle-verified too.
+    *
+    * Scope: the gate's exact-percentile columns are CORRECTNESS-HARNESS
+    * scaffolding — they intentionally buffer group values, which is
+    * fine at oracle SF and exactly what the sketch avoids in
+    * production. The production bounded-memory path is the sketch
+    * expression alone (or any exact percentile under the session-wide
+    * `spark.graft.approxPercentile` policy — note that policy rewrites
+    * the gate's exact lo/hi too, so the gate is only meaningful with
+    * the flag OFF, which is how the driver's harness runs). */
   val SketchEps = 0.05
 
   /** within_bound gate for one sketch column: exact lo/hi (rounded for

@@ -471,7 +471,7 @@ object TpchQueries {
     "q2_min_cost_supp" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey,
-        |    round((min(l_extendedprice / l_quantity)) + 1e-9, 2) AS cost
+        |    round((min(l_extendedprice / l_quantity)) + 1e-5, 2) AS cost
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN supplier ON l_suppkey = s_suppkey
@@ -479,7 +479,7 @@ object TpchQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE p_size = 7 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
         |  GROUP BY 1, 2)
-        |SELECT round(s_acctbal + 1e-9, 2) AS s_acctbal, s_name, n_name,
+        |SELECT round(s_acctbal + 1e-5, 2) AS s_acctbal, s_name, n_name,
         |  p_partkey, p_name, cost
         |FROM cost
         |JOIN part ON l_partkey = p_partkey

@@ -28,11 +28,20 @@ class MonthArithmeticSpec extends SparkSpec {
     assert(band("0015-05-01", "0013-05-01") === 25)
     assert(band("0023-04-01", "0013-05-01") === 120)
     // the translate-back inverse (dataset.py translate_band_range):
-    // band b starts (b−1) whole units after the availability gte
-    assert(LocalDate.parse("0007-01-01").plusYears(0)
-      === LocalDate.parse("0007-01-01"))
-    assert(LocalDate.parse("0013-05-01").plusMonths(119)
-      === LocalDate.parse("0023-04-01"))
+    // band b starts (b−1) whole units after the availability gte, and
+    // feeding that start date back through the ENGINE's band arithmetic
+    // must recover b — the round-trip property over the vector bands,
+    // driven through monthBandOf/yearBandOf, not the JDK alone
+    Seq(1, 4, 14).foreach { b =>
+      val start = LocalDate.parse("0007-01-01").plusYears(b - 1)
+      assert(yband(start.toString, "0007-01-01") === b,
+        s"year band $b round trip")
+    }
+    Seq(1, 25, 120).foreach { b =>
+      val start = LocalDate.parse("0013-05-01").plusMonths(b - 1)
+      assert(band(start.toString, "0013-05-01") === b,
+        s"month band $b round trip")
+    }
   }
 
   test("month band indexing matches relativedelta arithmetic") {

@@ -76,7 +76,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.contains("GreaterThanOrEqual(band") &&
       pushed.contains("LessThanOrEqual(band"),
       s"band range not at the cube scan: $pushed")
+    // cubeZonal is excluded from the inventory-wide window/Expand sweep
+    // (eager cube write at construction) — this test already pays that
+    // cost, so it carries the same assertions
+    assert(!plan.contains("Window") && !plan.contains("Expand"),
+      "cubeZonal plans a Window/Expand")
   }
+
 
   test("ann_lsh streams the vector table: every join is broadcast, no row_number") {
     val plan = formatted(graft.pipeline.Similarity.annLsh(spark, sfDir))

@@ -207,6 +207,28 @@ class SkewSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("CC engines plan no windows or Expand (dedup_clusters' excluded fragments)") {
+    // dedup_clusters / docs_dedup_apply are excluded from
+    // PlanAuditSpec's inventory-wide window/Expand sweep (their
+    // construction runs the iterative CC end-to-end); audit the loop's
+    // plan fragments directly on a tiny in-memory pair list instead —
+    // one propagation round of each engine is exactly the plan shape
+    // every round replays
+    import org.apache.spark.sql.execution.window.WindowExec
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val minLabel = Dedup.minLabelCC(spark, pairs).get
+    val twoPhase = Dedup.twoPhaseCC(spark, pairs)
+    Seq("minLabelCC" -> minLabel, "twoPhaseCC" -> twoPhase).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.sparkPlan
+        assert(plan.collect { case w: WindowExec => w }.isEmpty,
+          s"$name plans a Window")
+        assert(!plan.toString.contains("Expand"), s"$name plans an Expand")
+    }
+  }
+
   test("minhash LSH over the skewed corpus equals the exhaustive jaccard result") {
     val truth = Dedup.ngramJaccard(spark, skewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
