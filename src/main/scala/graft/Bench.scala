@@ -22,6 +22,7 @@ object Bench {
     "q17_small_qty" -> "q17", "q18_large_cust" -> "q18",
     "q19_brand_disc" -> "q19", "q22_idle_cust" -> "q22",
     "q2_min_cost_supp" -> "q2", "q9_product_profit" -> "q9",
+    "q11_important_stock" -> "q11",
     "q12_ship_class" -> "q12", "q20_excess_supp" -> "q20",
     "q21_wait_supp" -> "q21",
     // skope core

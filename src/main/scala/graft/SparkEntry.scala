@@ -43,6 +43,7 @@ object SparkEntry {
     "q8_market_share" -> (TpchQueries.q8 _),
     "q17_small_qty" -> (TpchQueries.q17 _),
     "q2_min_cost_supp" -> (TpchQueries.q2 _),
+    "q11_important_stock" -> (TpchQueries.q11 _),
     "q9_product_profit" -> (TpchQueries.q9 _),
     "q12_ship_class" -> (TpchQueries.q12 _),
     "q20_excess_supp" -> (TpchQueries.q20 _),

@@ -376,6 +376,34 @@ object TpchQueries {
       .agg(Num.roundEps(sum(profit), 2).as("sum_profit"))
   }
 
+  /** Important-stock identification (Q11 shape): per-part inventory
+    * value from one nation's suppliers, keeping parts above a fraction
+    * of the nation's total (partsupp is absent — shipped value
+    * l_extendedprice·(1−discount) from that nation's lineitems is the
+    * inventory-value proxy; the group-by + scalar-fraction-subquery
+    * shape is Q11's). The nation's supplier set broadcasts; the total
+    * is a 1-row broadcast; both sides of the fraction compare are
+    * rounded (the q20 convention). Completes the 22-query TPC-H sweep. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("part_value"))
+    val threshold = value
+      .agg(Num.roundEps(sum(col("part_value")) * 0.001, 2).as("thr"))
+    value.crossJoin(broadcast(threshold))
+      .filter(Num.roundEps(col("part_value"), 2) > col("thr"))
+      .select(col("l_partkey"),
+        Num.roundEps(col("part_value"), 2).as("part_value"))
+  }
+
   /** Shipping-class priority counts (Q12 shape): conditional two-way
     * counts over the lineitem⋈orders join (the schema has no
     * l_shipmode/commitdate/receiptdate — l_linestatus is the shipping
@@ -499,6 +527,20 @@ object TpchQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%gear%'
         |GROUP BY 1, 2""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS part_value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation
+        |      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+        |  GROUP BY 1)
+        |SELECT l_partkey, round(part_value + 1e-5, 2) AS part_value
+        |FROM pv
+        |WHERE round(pv.part_value + 1e-5, 2) >
+        |  (SELECT round(sum(p2.part_value) * 0.001 + 1e-5, 2) FROM pv p2)"""
+        .stripMargin,
     "q12_ship_class" ->
       """SELECT l_linestatus AS ship_class,
         |count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
