@@ -59,10 +59,24 @@ object MetadataJson {
       d.put("methodSummary", e.methodSummary)
       d.put("references", e.references)
       d.put("originator", e.originator)
+      // full variable documents (metadata.yml:77-93)
       val vars = d.putArray("variables")
-      graft.cube.SkopeQueries.DatasetVariables.foreach { v =>
+      Catalog.variables(e.id).foreach { v =>
         val vn = vars.addObject()
-        vn.put("id", v)
+        vn.put("id", v.id)
+        vn.put("class", v.clazz)
+        vn.put("name", v.name)
+        v.units match {
+          case Some(u) => vn.put("units", u)
+          case None => vn.putNull("units")
+        }
+        vn.put("min", v.min)
+        vn.put("max", v.max)
+        vn.put("visible", v.visible)
+        vn.put("styles", v.styles)
+        vn.put("timeseriesServiceUri",
+          Catalog.timeseriesServiceUri(e.id, v.id))
+        vn.put("description", v.description)
         // the synthetic grid has no nodata sentinel; the slot is the
         // contract (metadata.yml nodata / fill handling)
         vn.putNull("fill_value")

@@ -73,6 +73,52 @@ object Catalog {
         originator = "graft synthetic generator")
     }
 
+  /** One metadata.yml variable document (metadata.yml:77-93 — the
+    * fields a metadata-browser client reads per variable; `units` is
+    * nullable in the yml, `min`/`max` are the display range,
+    * `timeseriesServiceUri` is the dataset/variable route the
+    * timeseries endpoint serves). */
+  final case class Variable(
+      id: String,
+      clazz: String,
+      name: String,
+      units: Option[String],
+      min: Double,
+      max: Double,
+      visible: Boolean,
+      styles: String,
+      description: String)
+
+  /** The two variables every synthetic dataset carries: the raw event
+    * `value` and the props-derived `k` (the second-raster analogue —
+    * see SkopeQueries.DatasetVariables). */
+  def variables(datasetId: String): Seq[Variable] = Seq(
+    Variable(
+      id = "value",
+      clazz = "Synthetic",
+      name = s"Mean $datasetId event value",
+      units = None,
+      min = 0.0, max = 100.0,
+      visible = true,
+      styles = "default",
+      description = s"Per-cell daily mean of the $datasetId events' " +
+        "value field."),
+    Variable(
+      id = "k",
+      clazz = "Synthetic",
+      name = s"Mean $datasetId props k",
+      units = None,
+      min = 0.0, max = 10.0,
+      visible = false,
+      styles = "default",
+      description = s"Per-cell daily mean of the $datasetId events' " +
+        "props-embedded k counter."))
+
+  /** timeseriesServiceUri mirrors the reference's
+    * '<dataset>/<variable>' route template (metadata.yml:86). */
+  def timeseriesServiceUri(datasetId: String, variableId: String): String =
+    s"$datasetId/$variableId"
+
   /** Region fields shared by every dataset (metadata.yml `region`):
     * extents are the documented geo-transform (1° cells from 50°N /
     * −120°E — Geometry.Geo) over the GridWidth × GridHeight cell grid,

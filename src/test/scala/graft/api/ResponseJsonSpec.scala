@@ -207,6 +207,18 @@ class ResponseJsonSpec extends SparkSpec {
     // documents are served for every catalog dataset, in catalog order
     val ids = (0 until docs.size).map(i => docs.get(i).get("id").asText)
     assert(ids === graft.cube.Catalog.entries.map(_.id))
+    // full variable documents (metadata.yml:77-93), consistent with the
+    // query surface's variable set
+    val vars = d.get("variables")
+    val varIds = (0 until vars.size).map(i => vars.get(i).get("id").asText)
+    assert(varIds === graft.cube.SkopeQueries.DatasetVariables)
+    val v0 = vars.get(0)
+    Seq("id", "class", "name", "units", "min", "max", "visible",
+      "styles", "timeseriesServiceUri", "description", "fill_value")
+      .foreach(f => assert(v0.has(f), s"variable document missing $f"))
+    assert(v0.get("timeseriesServiceUri").asText ===
+      s"${d.get("id").asText}/value")
+    assert(v0.get("visible").asBoolean)
   }
 
   test("fixed-interval transform echoes its band_range; null range echoes null") {
