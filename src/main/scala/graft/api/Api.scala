@@ -104,6 +104,11 @@ object Api {
       s"Variable $variableId not found in dataset $datasetId")
   final case class TimeRangeContainmentError(msg: String)
     extends RuntimeException(msg)
+  /** Mirror of the reference's TimeRangeInvalid (exceptions.py:19-27,
+    * raised by the TimeRange model validator, common.py:73, when
+    * gte > lte) — message carried verbatim. */
+  final case class TimeRangeInvalidError()
+    extends RuntimeException("Start time step is greater than end time step")
   final case class SelectedAreaTooLargeError(nCells: Long, maxCells: Long)
     extends RuntimeException(
       s"selected area has $nCells cells, exceeding the $maxCells-cell limit")
@@ -287,8 +292,11 @@ object Api {
     if (!KnownVariables(req.variableId))
       throw VariableNotFoundError(req.variableId, req.datasetId)
     val avail = availableBandsFor(req.resolution)
-    if (req.bandRange._1 > req.bandRange._2 ||
-        req.bandRange._2 < avail._1 || req.bandRange._1 > avail._2)
+    // inverted range is its own error class in the reference (the
+    // TimeRange model validator, common.py:73), distinct from a range
+    // outside the dataset's availability
+    if (req.bandRange._1 > req.bandRange._2) throw TimeRangeInvalidError()
+    if (req.bandRange._2 < avail._1 || req.bandRange._1 > avail._2)
       throw TimeRangeContainmentError(
         s"band range ${req.bandRange} outside available $avail")
     // polygon shapes: validity (geometry.py:160-164) → bounds

@@ -175,9 +175,16 @@ class ApiSpec extends SparkSpec {
     }
   }
 
-  test("inverted band range raises TimeRangeContainmentError") {
-    intercept[TimeRangeContainmentError] {
+  test("inverted band range raises TimeRangeInvalid with the reference message") {
+    // distinct from containment in the reference (exceptions.py:19-27):
+    // the TimeRange model validator fires before any availability check
+    val e = intercept[TimeRangeInvalidError] {
       extractTimeseries(spark, sfDir, baseReq.copy(bandRange = (20, 10)))
+    }
+    assert(e.getMessage === "Start time step is greater than end time step")
+    // a range outside availability (but well-ordered) stays containment
+    intercept[TimeRangeContainmentError] {
+      extractTimeseries(spark, sfDir, baseReq.copy(bandRange = (40, 50)))
     }
   }
 
