@@ -144,8 +144,13 @@ object Bench {
       s"\"" + alias.getOrElse(k, k) + "\":" + fmt(v, if (v >= 10) 0 else 1)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // a both-passes-failed query is EXCLUDED from the headline total
+    // (its time is unknown, not zero) — the "failed" field makes that
+    // unmissable, so a broken build can never read as a speedup
+    val failedField = if (nFailed > 0) s""","failed":$nFailed""" else ""
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedField}""")
     System.out.flush()
     spark.stop()
   }

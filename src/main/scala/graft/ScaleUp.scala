@@ -68,8 +68,12 @@ object ScaleUp {
 
     // key shift per replica: one step past the source's max key keeps
     // every replica's keyspace disjoint
-    def step(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head().getLong(0) + 1L
+    def step(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key))).head()
+      require(!row.isNullAt(0),
+        s"cannot scale an empty source table (no $key values)")
+      row.getLong(0) + 1L
+    }
 
     val orders = src("orders")
     val orderStep = step(orders, "o_orderkey")

@@ -81,10 +81,11 @@ object RequestJson {
           def pt(name: String): Option[String] =
             Option(tr.get(name)).filterNot(_.isNull).map { n =>
               if (n.isObject) {
+                // both fields required: a defaulted month could not be
+                // right for both ends of a range (gte wants 1, lte 12),
+                // and the fixture shape always carries it
                 val y = intBound(n.get("year"), s"time_range.$name.year")
-                val m = Option(n.get("month"))
-                  .map(x => intBound(x, s"time_range.$name.month"))
-                  .getOrElse(1)
+                val m = intBound(n.get("month"), s"time_range.$name.month")
                 f"$y%04d-$m%02d"
               } else n.asText
             }
@@ -147,8 +148,10 @@ object RequestJson {
     val geom = req("boundaryGeometry")
     val request = TimeseriesRequest(
       datasetId = req("datasetId").asText,
-      variableId = Option(root.get("variableName")).map(_.asText)
-        .getOrElse("value"),
+      // a JSON null is as absent as a missing key (and NullNode.asText
+      // is the STRING "null" — it must not reach the variable lookup)
+      variableId = Option(root.get("variableName")).filterNot(_.isNull)
+        .map(_.asText).getOrElse("value"),
       selectedArea = parseGeometry(geom),
       bandRange =
         try (Api.bandForDate(bound("start"), Api.AvailableBands._1),

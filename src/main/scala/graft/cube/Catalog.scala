@@ -181,13 +181,16 @@ object Catalog {
     RegionCenterLat, RegionCenterLon,
     RegionStyleColor, RegionStyleWeight.toLong)
 
-  /** The catalog as a (broadcastable) DataFrame. */
+  /** The catalog as a (broadcastable) DataFrame — built as a
+    * LocalRelation (list overload), NOT an RDD: a LogicalRDD carries
+    * the default (huge) size estimate, so an un-hinted future join
+    * against the 5-row catalog would plan a sort-merge shuffle. */
   def table(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val schema = StructType(columns.map { case (n, t) =>
       StructField(n, t, nullable = false) })
-    val rows = entries.map(e => Row.fromSeq(values(e)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    val rows = entries.map(e => Row.fromSeq(values(e))).asJava
+    spark.createDataFrame(rows, schema)
   }
 
   /** SQL single-quoted string literal with embedded quotes doubled —

@@ -135,13 +135,23 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(spark, dir, HotBucketThreshold)
 
+  /** The prefix-filtered inverted index as (k = shingle hash, doc_id)
+    * postings — private[pipeline] so SkewSpec's fixture-hotness
+    * precondition audits the SAME index the operator joins (a local
+    * copy of the prefix formula could silently drift). */
+  private[pipeline] def prefixPostings(spark: SparkSession,
+      dir: String): DataFrame = {
+    val prefixLen = (size(col("hs")) -
+      ceil(lit(JaccardThreshold) * size(col("hs"))) + 1).cast("int")
+    shingleArrays(spark, dir)
+      .select(explode(slice(col("hs"), lit(1), prefixLen)).as("k"), col("doc_id"))
+  }
+
   /** Test seam: SkewSpec drives the hot-bucket arm with a low threshold
     * (the production granule bound needs a corpus too large for a unit
     * test to reach). */
   private[pipeline] def ngramJaccard(spark: SparkSession, dir: String,
       hotThreshold: Long): DataFrame = {
-    val prefixLen = (size(col("hs")) -
-      ceil(lit(JaccardThreshold) * size(col("hs"))) + 1).cast("int")
     // prefix postings routed through the hot-bucket-hardened pair join
     // (bucketPairs), not a bare self-join: prefix filtering truncates
     // hot posting lists only probabilistically, and a corpus-universal
@@ -149,9 +159,7 @@ object Dedup {
     // otherwise emit its quadratic candidate set through ONE sort-merge
     // partition. Candidate set is identical (pairs sharing a prefix
     // hash, d1 < d2, distinct), so output equality is unconditional.
-    val postings = shingleArrays(spark, dir)
-      .select(explode(slice(col("hs"), lit(1), prefixLen)).as("k"), col("doc_id"))
-    val cand = bucketPairs(spark, postings, hotThreshold)
+    val cand = bucketPairs(spark, prefixPostings(spark, dir), hotThreshold)
       .select(col("d1"), col("d2")).distinct()
     verifiedJaccard(spark, dir, cand)
   }
@@ -329,9 +337,9 @@ object Dedup {
     // ONLY in self-pairs is labeled by neither), or the fallback path
     // would silently change output. Production pair lists are d1 < d2
     // by construction, so this is a no-op there.
-    val edges = pairs.filter(col("d1") =!= col("d2"))
-      .unionAll(pairs.filter(col("d1") =!= col("d2"))
-        .select(col("d2").as("d1"), col("d1").as("d2")))
+    val nonSelf = pairs.filter(col("d1") =!= col("d2"))
+    val edges = nonSelf
+      .unionAll(nonSelf.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").persist()
     // init = one propagation step already applied (min of self and
     // direct neighbors): near-dup clusters are cliques in practice, so

@@ -272,6 +272,15 @@ class RequestJsonSpec extends SparkSpec {
     assert(y.resolution === graft.cube.EventCube.Yearly)
     assert(y.bandRange === (1, 1))
     assert(y.transform === NoTransform)
+    // an object bound must carry BOTH fields — a defaulted month could
+    // not be right for both ends of a range
+    val e = intercept[RequestParseError](parse(
+      """{"resolution": "month", "dataset_id": "click",
+        |  "time_range": {"gte": {"year": 2024, "month": 1},
+        |                 "lte": {"year": 2024}},
+        |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]}}"""
+        .stripMargin))
+    assert(e.getMessage.contains("month"))
   }
 
   test("replay data/requests/timeseriesv1.json: v1 body parses and round-trips") {
@@ -290,12 +299,14 @@ class RequestJsonSpec extends SparkSpec {
     assert(resp.get("start").asText === "2024-01-01")
     assert(resp.get("end").asText === "2024-01-10")
     assert(resp.get("values").size === 10)
-    // absent bounds normalize to the dataset edges (to_time_range)
+    // absent bounds normalize to the dataset edges (to_time_range),
+    // and a JSON-null variableName is as absent as a missing key
     val (edges, _) = RequestJson.parseV1(
-      """{"datasetId": "click",
+      """{"datasetId": "click", "variableName": null,
         |  "boundaryGeometry": {"type": "Point", "coordinates": [2.0, 1.0]}}"""
         .stripMargin)
     assert(edges.bandRange === Api.AvailableBands)
+    assert(edges.variableId === "value")
   }
 
   test("replay test_missing_property: a missing required field names itself") {

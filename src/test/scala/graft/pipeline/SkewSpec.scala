@@ -176,15 +176,10 @@ class SkewSpec extends SparkSpec {
     // its shared shingle hashes survive prefix filtering into ~200-deep
     // posting buckets — the corpus-universal-boilerplate hazard the
     // bucketPairs routing exists for. First prove the fixture really
-    // trips the (test-scale) hot threshold on the PREFIX index:
-    import graft.functions.HashFunctions.shingle3_sorted_hashes
-    val hs = graft.Tables.documents(spark, skewDir)
-      .select(col("doc_id"), shingle3_sorted_hashes(split(col("text"), " ")).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val prefixLen = (size(col("hs")) -
-      ceil(lit(Dedup.JaccardThreshold) * size(col("hs"))) + 1).cast("int")
-    val maxBucket = hs
-      .select(explode(slice(col("hs"), lit(1), prefixLen)).as("k"))
+    // trips the (test-scale) hot threshold on the SAME prefix index the
+    // operator joins (Dedup.prefixPostings, not a local copy of the
+    // formula that could drift):
+    val maxBucket = Dedup.prefixPostings(spark, skewDir)
       .groupBy(col("k")).count().agg(max("count")).head().getLong(0)
     assert(maxBucket >= 32L,
       s"fixture's prefix index not hot enough: max bucket $maxBucket")
