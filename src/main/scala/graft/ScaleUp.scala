@@ -41,8 +41,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
-    val factor = factorStr.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,6 +50,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, factorStr.toInt)
+    println(s"""{"scaled":"$outDir","factor":$factorStr}""")
+    spark.stop()
+  }
+
+  /** The generator proper, session supplied by the caller (the spec
+    * drives it on the shared test session; `main` owns its own). */
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
 
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
@@ -119,8 +127,5 @@ object ScaleUp {
             .otherwise((pmod(hash(col("rep"), i), lit(2)) * 2 - 1)
               .cast("float"))).cast("float")))
       .drop("rep"), "embeddings", 2 * factor)
-
-    println(s"""{"scaled":"$outDir","factor":$factor}""")
-    spark.stop()
   }
 }
