@@ -42,6 +42,7 @@ object Bench {
     "skope_polygon_mask" -> "s_pmask", "skope_polygon_zonal" -> "s_pzon",
     "skope_polygon_hole" -> "s_phole", "skope_feature_union" -> "s_funi",
     "skope_geodesic_area" -> "s_geo", "skope_gap_fill" -> "s_gap",
+    "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gtif",
     // text analysis
     "text_fingerprint" -> "t_fp", "text_langid" -> "t_lang",
     "text_pii_scrub" -> "t_pii", "text_quality" -> "t_qual",

@@ -689,4 +689,57 @@ object Api {
     materializeWithTimeout(spark, req.maxProcessingTimeMs) {
       extractTimeseries(spark, dir, req).series.collect()
     }
+
+  /** The engine's effective configuration — the reference's
+    * `GET /settings` introspection endpoint (main.py:41-45 returns
+    * `settings.__dict__`; the fields are config.py:27-35's Settings).
+    * The engine analog reports the same governance knobs
+    * (max_processing_time / default_max_cells / name / environment /
+    * base_uri) plus the grid geo-transform and band resolutions the
+    * cube contract is documented under (Geometry.Geo, EventCube
+    * .Resolution) — everything a client needs to know what limits and
+    * coordinate frame its requests run against. Static literals by
+    * design, like the reference's cached Settings singleton. */
+  object EngineSettings {
+    val Name = "graft timeseries engine"
+    val Environment = "dev"
+    val BaseUri = "timeseries"
+    val Resolutions: Seq[String] =
+      Seq(EventCube.Daily, EventCube.Hourly, EventCube.Monthly,
+        EventCube.Yearly).map(_.name)
+  }
+
+  /** `/settings` as a 1-row frame (the queryable form). */
+  def settings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((EngineSettings.Name, EngineSettings.Environment,
+        EngineSettings.BaseUri, MaxProcessingTimeMs, MaxCells,
+        Geometry.Geo.UlLat, Geometry.Geo.UlLon,
+        EventCube.GridWidth.toLong, Geometry.GridHeight.toLong, 1.0,
+        EngineSettings.Resolutions.mkString(",")))
+      .toDF("name", "environment", "base_uri", "max_processing_time",
+        "default_max_cells", "grid_ul_lat", "grid_ul_lon", "grid_width",
+        "grid_height", "cell_size_deg", "resolutions")
+  }
+
+  /** `/settings` as the reference's JSON body (a flat settings map). */
+  def settingsJson(spark: SparkSession): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val row = settings(spark).head()
+    root.put("name", row.getString(0))
+    root.put("environment", row.getString(1))
+    root.put("base_uri", row.getString(2))
+    root.put("max_processing_time", row.getLong(3))
+    root.put("default_max_cells", row.getLong(4))
+    val grid = root.putObject("grid")
+    grid.put("ul_lat", row.getDouble(5))
+    grid.put("ul_lon", row.getDouble(6))
+    grid.put("width", row.getLong(7))
+    grid.put("height", row.getLong(8))
+    grid.put("cell_size_deg", row.getDouble(9))
+    val res = root.putArray("resolutions")
+    EngineSettings.Resolutions.foreach(res.add)
+    mapper.writeValueAsString(root)
+  }
 }

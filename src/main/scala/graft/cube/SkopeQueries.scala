@@ -723,6 +723,36 @@ object SkopeQueries {
          |  AND y BETWEEN ${DefaultBBox.y0} AND ${DefaultBBox.y1}
          |  AND $clipSql
          |GROUP BY band""".stripMargin),
+    // the GeoTIFF fixture's closed-form content (float32 arithmetic
+    // forced via REAL so both engines round identically; the engine
+    // side reads the actual file bytes)
+    "skope_geotiff_ingest" ->
+      """SELECT CAST(b AS BIGINT) AS band, CAST(c AS BIGINT) AS x,
+        |  CAST(r AS BIGINT) AS y,
+        |  CAST(-123 + c + 0.5 AS DOUBLE) AS lon,
+        |  CAST(45 - r - 0.5 AS DOUBLE) AS lat,
+        |  CASE WHEN (r = 3 AND c = 4) OR (b = 3 AND r = 2 AND c = 4)
+        |       THEN NULL
+        |       ELSE round(CAST(CAST(100 AS DOUBLE) * b
+        |         + CAST(10 AS DOUBLE) * r
+        |         + CAST(1.1 AS DOUBLE) * c AS REAL) + 1e-9, 6) END AS value
+        |FROM range(1, 6) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
+        .stripMargin,
+    // /settings introspection (main.py:41-45): pure literals on both
+    // sides, built from the SAME Scala constants so they cannot drift.
+    "skope_settings" -> {
+      import graft.api.Api.{EngineSettings => ES, MaxCells, MaxProcessingTimeMs}
+      s"""SELECT '${ES.Name}' AS name, '${ES.Environment}' AS environment,
+         |  '${ES.BaseUri}' AS base_uri,
+         |  CAST($MaxProcessingTimeMs AS BIGINT) AS max_processing_time,
+         |  CAST($MaxCells AS BIGINT) AS default_max_cells,
+         |  CAST(${Geometry.Geo.UlLat} AS DOUBLE) AS grid_ul_lat,
+         |  CAST(${Geometry.Geo.UlLon} AS DOUBLE) AS grid_ul_lon,
+         |  CAST(${EventCube.GridWidth} AS BIGINT) AS grid_width,
+         |  CAST(${Geometry.GridHeight} AS BIGINT) AS grid_height,
+         |  CAST(1.0 AS DOUBLE) AS cell_size_deg,
+         |  '${ES.Resolutions.mkString(",")}' AS resolutions""".stripMargin
+    },
     "skope_metadata" ->
       s"""SELECT c.*,
          |  coalesce(d.n_cells, 0) AS n_cells,
@@ -811,7 +841,28 @@ object SkopeQueries {
          |FROM cube WHERE user_id = $PointCell""".stripMargin)
   )
 
+  /** The reference's own on-disk archive format, end-to-end: its
+    * annual_5x5x5 float32 GeoTIFF fixture (the file rasterio opens in
+    * core/services.py:150-152) ingested into the long-format cube by
+    * the pure-JVM reader (sources/GeoTiff.scala). Hash-gated against a
+    * closed-form oracle: the fixture's values are
+    * float32(100·b + 10·r + 1.1·c) with nodata at (row 3, col 4) every
+    * band and (row 2, col 4) band 3 (verified byte-exact against the
+    * file; test_datasets.py:test_annual_time_ranges asserts the same
+    * pattern through the reference API). */
+  def geotiffIngest(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark,
+      "/root/reference/timeseries/data/annual_5x5x5_dataset_float32_variable.tif")
+      .select(col("band").cast("long").as("band"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        col("lon"), col("lat"),
+        Num.roundEps(col("v"), 6).as("value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skope_geotiff_ingest" -> (geotiffIngest _),
+    "skope_settings" ->
+      ((s: SparkSession, _: String) => graft.api.Api.settings(s)),
     "skope_metadata" -> (metadata _),
     "skope_band_index" -> (bandIndex _),
     "skope_yearly_band_index" -> (yearlyBandIndex _),

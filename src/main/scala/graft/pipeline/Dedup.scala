@@ -434,10 +434,16 @@ object Dedup {
           .select(col("b").as("a"), col("m").as("b"))
           .unionAll(minsS.select(col("a"), col("m").as("b"))))
         .localCheckpoint()
-      // exact set equality with the PREVIOUS round's edges — both sides
-      // deduped, so count match + empty difference ⟺ same set
-      converged = small.count() == edges.count() &&
-        small.except(edges).count() == 0
+      // exact set equality with the PREVIOUS round's edges in ONE Spark
+      // action: tag each side ±1, partial-agg the tags per edge — both
+      // sides deduped, so every per-edge sum is 0 ⟺ same set (a lone
+      // +1/-1 survives the map-side combine only for a genuine
+      // symmetric-difference edge)
+      converged = small.select(col("a"), col("b"), lit(1L).as("t"))
+        .unionAll(edges.select(col("a"), col("b"), lit(-1L).as("t")))
+        .groupBy(col("a"), col("b")).agg(sum(col("t")).as("t"))
+        .filter(col("t") =!= 0L)
+        .isEmpty
       edges.unpersist()
       edges = small
       rounds += 1

@@ -1,0 +1,373 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM GeoTIFF → long-format cube ingestion.
+  *
+  * The reference's actual storage format is multi-band GeoTIFF read
+  * with rasterio (core/services.py:150-152 opens
+  * `settings.get_dataset_path(...)`; config.py:16-19's Store templates
+  * point at `{dataset_id}_{variable_id}.tif`), one band per time step.
+  * This engine's cube layout is long-format parquet — the right 100 TB
+  * shape — so a real SKOPE migration needs exactly one bridge: read
+  * the existing GeoTIFF archives into `(band, x, y, lon, lat, v)`
+  * rows. This module is that bridge, with no native (GDAL/rasterio)
+  * dependency: a baseline-TIFF subset parser covering everything GDAL
+  * writes for cubes like the reference fixtures (the .tif files under
+  * timeseries/data/) and the common archive variations —
+  *
+  *  - classic TIFF, either byte order (BigTIFF rejected with a clear
+  *    error — none of the reference archives are >4 GiB per file);
+  *  - strip AND tile organization, chunky (PlanarConfiguration=1) and
+  *    band-sequential (=2) layouts, multi-IFD (band-per-page) files;
+  *  - uncompressed and Deflate/zlib (Compression 8 / 32946) payloads —
+  *    the GDAL defaults for archived rasters;
+  *  - samples of uint8/16/32, int8/16/32, float32/64 (SampleFormat +
+  *    BitsPerSample, per-sample);
+  *  - GDAL_NODATA (tag 42113, incl. the "nan" spelling) → null cells,
+  *    matching rasterio's masked-array semantics the reference relies
+  *    on (geometry.py's zonal stats skip masked cells);
+  *  - ModelPixelScale + ModelTiepoint (tags 33550/33922) → the affine
+  *    geo-transform; cell centers are emitted as lon/lat alongside the
+  *    raw (x, y) grid indices.
+  *
+  * Distribution model: `spark.read.format("binaryFile")` lists and
+  * reads files across executors; each file decodes inside one task via
+  * `flatMap` (whole-file decode is the right granule — raster archives
+  * shard into many files of tile-ish size, so a 100 TB archive is
+  * ~10⁵-10⁶ independent decode tasks; Spark's file listing + locality
+  * scheduling handles the fan-out). Nothing touches the driver. A
+  * strip-level DataSource V2 split would only help for single huge
+  * files, which GDAL archives avoid on purpose.
+  */
+object GeoTiff {
+
+  /** One decoded raster: band-major cell values (NaN where the file
+    * says nodata), plus the geo-transform when the file carries one. */
+  final case class Raster(
+      width: Int, height: Int, bands: Int,
+      ulLon: Double, ulLat: Double, pxW: Double, pxH: Double,
+      hasGeo: Boolean,
+      values: Array[Array[Double]]) {
+
+    def value(band: Int, y: Int, x: Int): Double =
+      values(band - 1)(y * width + x)
+
+    /** lon/lat of the CENTER of cell (x, y). */
+    def cellLon(x: Int): Double = ulLon + (x + 0.5) * pxW
+    def cellLat(y: Int): Double = ulLat - (y + 0.5) * pxH
+
+    /** Point → containing cell, rasterio `index()` semantics (floor on
+      * the affine inverse; the UL corner belongs to cell (0,0)) —
+      * how the reference resolves SkopePointModel(-123, 45) to a
+      * pixel (test_datasets.py:build_timeseries_query). */
+    def cellOf(lon: Double, lat: Double): (Int, Int) =
+      (math.floor((lon - ulLon) / pxW).toInt,
+        math.floor((ulLat - lat) / pxH).toInt)
+  }
+
+  // TIFF field types we need: size in bytes per element
+  private def typeSize(t: Int): Int = t match {
+    case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEF
+    case 3 | 8 => 2 // SHORT/SSHORT
+    case 4 | 9 | 11 => 4 // LONG/SLONG/FLOAT
+    case 5 | 10 | 12 => 8 // RATIONAL/SRATIONAL/DOUBLE
+    case other => throw new IllegalArgumentException(
+      s"unsupported TIFF field type $other")
+  }
+
+  private final case class Entry(tag: Int, typ: Int, count: Int,
+      valueOffset: Long, inline: Array[Byte])
+
+  private final class Ifd(buf: ByteBuffer, entries: Map[Int, Entry]) {
+    def has(tag: Int): Boolean = entries.contains(tag)
+
+    private def bytesOf(e: Entry): ByteBuffer = {
+      val size = typeSize(e.typ) * e.count
+      val bb =
+        if (size <= 4) ByteBuffer.wrap(e.inline)
+        else buf.duplicate().position(e.valueOffset.toInt)
+          .asInstanceOf[ByteBuffer]
+      bb.order(buf.order())
+      bb
+    }
+
+    /** Tag values widened to Long (integer types only). */
+    def longs(tag: Int): Array[Long] = {
+      val e = entries(tag)
+      val bb = bytesOf(e)
+      Array.tabulate(e.count) { _ =>
+        e.typ match {
+          case 1 | 7 => (bb.get() & 0xff).toLong
+          case 6 => bb.get().toLong
+          case 3 => (bb.getShort() & 0xffff).toLong
+          case 8 => bb.getShort().toLong
+          case 4 => bb.getInt() & 0xffffffffL
+          case 9 => bb.getInt().toLong
+          case other => throw new IllegalArgumentException(
+            s"tag $tag: expected integer type, got $other")
+        }
+      }
+    }
+
+    def doubles(tag: Int): Array[Double] = {
+      val e = entries(tag)
+      val bb = bytesOf(e)
+      Array.tabulate(e.count)(_ => e.typ match {
+        case 11 => bb.getFloat().toDouble
+        case 12 => bb.getDouble()
+        case _ => throw new IllegalArgumentException(
+          s"tag $tag: expected FLOAT/DOUBLE")
+      })
+    }
+
+    def ascii(tag: Int): String = {
+      val e = entries(tag)
+      val bb = bytesOf(e)
+      val bytes = Array.fill[Byte](e.count)(bb.get())
+      new String(bytes.takeWhile(_ != 0), "US-ASCII")
+    }
+
+    def long1(tag: Int, default: Long = -1L): Long =
+      if (has(tag)) longs(tag)(0)
+      else if (default >= 0) default
+      else throw new IllegalArgumentException(s"missing required TIFF tag $tag")
+  }
+
+  private val TagWidth = 256
+  private val TagHeight = 257
+  private val TagBits = 258
+  private val TagCompression = 259
+  private val TagStripOffsets = 273
+  private val TagSamplesPerPixel = 277
+  private val TagRowsPerStrip = 278
+  private val TagStripByteCounts = 279
+  private val TagPlanarConfig = 284
+  private val TagTileWidth = 322
+  private val TagTileLength = 323
+  private val TagTileOffsets = 324
+  private val TagTileByteCounts = 325
+  private val TagSampleFormat = 339
+  private val TagModelPixelScale = 33550
+  private val TagModelTiepoint = 33922
+  private val TagGdalNodata = 42113
+
+  /** Parse a whole GeoTIFF file held in memory (the binaryFile row's
+    * `content`). Multi-IFD files append each page's bands. */
+  def parse(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 8, "not a TIFF: shorter than the header")
+    val order = (bytes(0), bytes(1)) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException(
+        "not a TIFF: bad byte-order mark")
+    }
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    val magic = buf.getShort(2) & 0xffff
+    if (magic == 43) throw new IllegalArgumentException(
+      "BigTIFF is not supported (classic TIFF expected)")
+    require(magic == 42, s"not a TIFF: magic $magic")
+
+    var ifdOff = buf.getInt(4) & 0xffffffffL
+    var pages = Vector.empty[Ifd]
+    while (ifdOff != 0) {
+      val n = buf.getShort(ifdOff.toInt) & 0xffff
+      val entries = (0 until n).map { i =>
+        val off = ifdOff.toInt + 2 + i * 12
+        val tag = buf.getShort(off) & 0xffff
+        val typ = buf.getShort(off + 2) & 0xffff
+        val count = buf.getInt(off + 4)
+        val inline = java.util.Arrays.copyOfRange(bytes, off + 8, off + 12)
+        val vOff = buf.getInt(off + 8) & 0xffffffffL
+        tag -> Entry(tag, typ, count, vOff, inline)
+      }.toMap
+      pages = pages :+ new Ifd(buf, entries)
+      ifdOff = buf.getInt(ifdOff.toInt + 2 + n * 12) & 0xffffffffL
+    }
+    require(pages.nonEmpty, "TIFF has no IFD")
+
+    val first = pages.head
+    val width = first.long1(TagWidth).toInt
+    val height = first.long1(TagHeight).toInt
+    val perPage = pages.map(decodePage(buf, bytes, _, width, height))
+    val nodata = gdalNodata(first)
+    val values = perPage.flatten.toArray
+    nodata.foreach { nd =>
+      values.foreach { band =>
+        var i = 0
+        while (i < band.length) {
+          if (band(i) == nd) band(i) = Double.NaN
+          i += 1
+        }
+      }
+    }
+
+    val (ulLon, ulLat, pxW, pxH, hasGeo) =
+      if (first.has(TagModelPixelScale) && first.has(TagModelTiepoint)) {
+        val scale = first.doubles(TagModelPixelScale)
+        val tie = first.doubles(TagModelTiepoint)
+        // tiepoint (i, j, k) -> (x, y, z): raster (i, j) pins geo (x, y)
+        (tie(3) - tie(0) * scale(0), tie(4) + tie(1) * scale(1),
+          scale(0), scale(1), true)
+      } else (0.0, 0.0, 1.0, 1.0, false)
+
+    Raster(width, height, values.length, ulLon, ulLat, pxW, pxH,
+      hasGeo, values)
+  }
+
+  /** GDAL_NODATA is ASCII; "nan" means float NaN (which needs no
+    * rewrite — NaN cells already read back as NaN). */
+  private def gdalNodata(ifd: Ifd): Option[Double] =
+    if (!ifd.has(TagGdalNodata)) None
+    else ifd.ascii(TagGdalNodata).trim.toLowerCase match {
+      case "" | "nan" => None
+      case s => Some(s.toDouble)
+    }
+
+  /** Decode one IFD page to band-major double arrays. */
+  private def decodePage(buf: ByteBuffer, bytes: Array[Byte], ifd: Ifd,
+      width: Int, height: Int): Seq[Array[Double]] = {
+    require(ifd.long1(TagWidth).toInt == width &&
+      ifd.long1(TagHeight).toInt == height,
+      "multi-page TIFF with mismatched page dimensions")
+    val samples = ifd.long1(TagSamplesPerPixel, default = 1L).toInt
+    val planar = ifd.long1(TagPlanarConfig, default = 1L).toInt
+    val compression = ifd.long1(TagCompression, default = 1L).toInt
+    val bits = ifd.longs(TagBits).map(_.toInt)
+    val formats =
+      if (ifd.has(TagSampleFormat)) ifd.longs(TagSampleFormat).map(_.toInt)
+      else Array.fill(samples)(1)
+    require(bits.distinct.length == 1,
+      "heterogeneous BitsPerSample across samples is not supported")
+    val bpp = bits(0) / 8
+
+    val out = Array.fill(samples)(new Array[Double](width * height))
+
+    def inflate(raw: Array[Byte], expected: Int): Array[Byte] =
+      compression match {
+        case 1 => raw
+        case 8 | 32946 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(raw)
+          val dst = new Array[Byte](expected)
+          var got = 0
+          while (got < expected && !inf.finished())
+            got += inf.inflate(dst, got, expected - got)
+          inf.end()
+          require(got == expected,
+            s"deflate segment: expected $expected bytes, got $got")
+          dst
+        case other => throw new IllegalArgumentException(
+          s"unsupported TIFF compression $other (none/deflate supported)")
+      }
+
+    def readVal(bb: ByteBuffer, sample: Int): Double =
+      (bits(sample), formats(sample)) match {
+        case (8, 1) => (bb.get() & 0xff).toDouble
+        case (8, 2) => bb.get().toDouble
+        case (16, 1) => (bb.getShort() & 0xffff).toDouble
+        case (16, 2) => bb.getShort().toDouble
+        case (32, 1) => (bb.getInt() & 0xffffffffL).toDouble
+        case (32, 2) => bb.getInt().toDouble
+        case (32, 3) => bb.getFloat().toDouble
+        case (64, 3) => bb.getDouble()
+        case (b, f) => throw new IllegalArgumentException(
+          s"unsupported sample type: $b bits, SampleFormat $f")
+      }
+
+    // one decoded segment (strip or tile) of `rows`×`cols` pixels whose
+    // top-left pixel is (row0, col0), carrying `segSamples` interleaved
+    // samples starting at band `band0`
+    def fill(seg: Array[Byte], row0: Int, col0: Int, rows: Int, cols: Int,
+        band0: Int, segSamples: Int): Unit = {
+      val bb = ByteBuffer.wrap(seg).order(buf.order())
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < cols) {
+          var s = 0
+          while (s < segSamples) {
+            val v = readVal(bb, band0 + s)
+            val y = row0 + r
+            val x = col0 + c
+            if (y < height && x < width)
+              out(band0 + s)(y * width + x) = v
+            s += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+    }
+
+    if (ifd.has(TagTileOffsets)) {
+      val tw = ifd.long1(TagTileWidth).toInt
+      val th = ifd.long1(TagTileLength).toInt
+      val offs = ifd.longs(TagTileOffsets)
+      val counts = ifd.longs(TagTileByteCounts)
+      val tilesAcross = (width + tw - 1) / tw
+      val tilesDown = (height + th - 1) / th
+      val perPlane = tilesAcross * tilesDown
+      val planes = if (planar == 2) samples else 1
+      val segSamples = if (planar == 2) 1 else samples
+      for (p <- 0 until planes; t <- 0 until perPlane) {
+        val i = p * perPlane + t
+        val raw = java.util.Arrays.copyOfRange(bytes, offs(i).toInt,
+          offs(i).toInt + counts(i).toInt)
+        val seg = inflate(raw, tw * th * segSamples * bpp)
+        fill(seg, (t / tilesAcross) * th, (t % tilesAcross) * tw, th, tw,
+          if (planar == 2) p else 0, segSamples)
+      }
+    } else {
+      val rps = ifd.long1(TagRowsPerStrip, default = height.toLong).toInt
+      val offs = ifd.longs(TagStripOffsets)
+      val counts = ifd.longs(TagStripByteCounts)
+      val stripsPerPlane = (height + rps - 1) / rps
+      val planes = if (planar == 2) samples else 1
+      val segSamples = if (planar == 2) 1 else samples
+      for (p <- 0 until planes; s <- 0 until stripsPerPlane) {
+        val i = p * stripsPerPlane + s
+        val rows = math.min(rps, height - s * rps)
+        val raw = java.util.Arrays.copyOfRange(bytes, offs(i).toInt,
+          offs(i).toInt + counts(i).toInt)
+        val seg = inflate(raw, rows * width * segSamples * bpp)
+        fill(seg, s * rps, 0, rows, width,
+          if (planar == 2) p else 0, segSamples)
+      }
+    }
+    out.toSeq
+  }
+
+  /** One ingested cell; `lon`/`lat` are cell centers (null when the
+    * file has no geo-transform), `v` null where the file says nodata. */
+  final case class Cell(path: String, band: Int, x: Int, y: Int,
+      lon: java.lang.Double, lat: java.lang.Double, v: java.lang.Double)
+
+  /** Distributed ingestion: every file matching `pathGlob` decoded on
+    * executors into long-format cube rows. Bands are 1-based, matching
+    * both rasterio and the engine's band axis. */
+  def readCube(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val r = parse(content)
+        for {
+          b <- 1 to r.bands
+          y <- 0 until r.height
+          x <- 0 until r.width
+        } yield {
+          val v = r.value(b, y, x)
+          Cell(path, b, x, y,
+            if (r.hasGeo) Double.box(r.cellLon(x)) else null,
+            if (r.hasGeo) Double.box(r.cellLat(y)) else null,
+            if (v.isNaN) null else Double.box(v))
+        }
+      }
+      .toDF()
+  }
+}

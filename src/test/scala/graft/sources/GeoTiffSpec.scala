@@ -1,0 +1,257 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** GeoTIFF ingestion against the REFERENCE'S OWN fixtures (the .tif
+  * files under timeseries/data/) — the files its test suite reads with
+  * rasterio — plus synthetic TIFFs covering the layout variations the
+  * parser claims (big-endian, multi-strip, tiled, planar, deflate,
+  * multi-page).
+  *
+  * Fixture ground truth (decoded independently, and asserted by the
+  * reference's tests): value(band b, row r, col c) =
+  * float32(100·b + 10·r + 1.1·c) for the float32 variables
+  * (100·b + 10·r + c for the integer ones), UL corner (-123, 45),
+  * 1°×1° cells — EXCEPT the deliberate nodata cells: (row 3, col 4)
+  * in every band plus (row 2, col 4) in band 3 for the annual
+  * variables, and (row 3, col 4) in every band for monthly float32.
+  * tests/routers/test_datasets.py:test_annual_time_ranges asserts the
+  * point series at (-123, 45) is [i·100 for i in bands].
+  */
+class GeoTiffSpec extends SparkSpec {
+
+  val DataDir = "/root/reference/timeseries/data"
+
+  /** The annual fixtures' nodata cells as (band, row, col). */
+  private def annualNodata(b: Int, y: Int, x: Int): Boolean =
+    (y == 3 && x == 4) || (b == 3 && y == 2 && x == 4)
+
+  test("annual float32 fixture: dims, geo-transform, values") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/annual_5x5x5_dataset_float32_variable.tif"))
+    val r = GeoTiff.parse(bytes)
+    assert((r.width, r.height, r.bands) === (5, 5, 5))
+    assert(r.hasGeo)
+    assert((r.ulLon, r.ulLat, r.pxW, r.pxH) === (-123.0, 45.0, 1.0, 1.0))
+    for (b <- 1 to 5; y <- 0 until 5; x <- 0 until 5)
+      if (annualNodata(b, y, x))
+        assert(r.value(b, y, x).isNaN, s"nodata band $b cell ($x,$y)")
+      else
+        assert(r.value(b, y, x) ===
+          (100.0 * b + 10.0 * y + 1.1 * x).toFloat.toDouble,
+          s"band $b cell ($x,$y)")
+  }
+
+  test("point (-123,45) series reproduces test_annual_time_ranges: [i*100]") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/annual_5x5x5_dataset_float32_variable.tif"))
+    val r = GeoTiff.parse(bytes)
+    val (cx, cy) = r.cellOf(-123.0, 45.0)
+    assert((cx, cy) === (0, 0))
+    assert((1 to 5).map(b => r.value(b, cy, cx)) ===
+      (1 to 5).map(_ * 100.0))
+  }
+
+  test("integer fixtures decode with their declared sample formats") {
+    def load(name: String) = GeoTiff.parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/$name")))
+    val u16 = load("annual_5x5x5_dataset_uint16_variable.tif")
+    for (b <- 1 to 5; y <- 0 until 5; x <- 0 until 5)
+      if (annualNodata(b, y, x)) // nodata "65535" -> NaN
+        assert(u16.value(b, y, x).isNaN)
+      else
+        assert(u16.value(b, y, x) === (100 * b + 10 * y + x).toDouble)
+    val i16 = load("monthly_5x5x60_dataset_int16_variable.tif")
+    assert(i16.bands === 60)
+    assert(i16.value(60, 4, 4) === (6000 + 40 + 4).toDouble)
+    // monthly float32 declares nodata -9999; cell (row 3, col 4)
+    // carries it in every band
+    val f32 = load("monthly_5x5x60_dataset_float32_variable.tif")
+    for (b <- 1 to 60; y <- 0 until 5; x <- 0 until 5)
+      assert(f32.value(b, y, x).isNaN === (y == 3 && x == 4),
+        s"band $b cell ($x,$y)")
+  }
+
+  test("readCube: distributed ingestion matches the in-JVM parse") {
+    val df = GeoTiff.readCube(spark,
+      s"$DataDir/annual_5x5x5_dataset_float32_variable.tif")
+    assert(df.count() === 125)
+    // exactly the fixture's 6 nodata cells come back null
+    assert(df.filter(col("v").isNull).count() === 6)
+    val row = df.filter(col("band") === 3 && col("x") === 2 && col("y") === 1)
+      .select(col("v"), col("lon"), col("lat")).head()
+    assert(row.getDouble(0) === (300.0 + 10.0 + 2.2).toFloat.toDouble)
+    assert(row.getDouble(1) === -120.5) // center of col 2
+    assert(row.getDouble(2) === 43.5) // center of row 1
+    // per-band zonal mean (nulls skipped, rasterio masked-array
+    // semantics) == mean of the closed form over the live cells
+    val means = df.groupBy(col("band")).agg(avg(col("v")).as("m"))
+      .orderBy(col("band")).collect().map(_.getDouble(1))
+    val expected = (1 to 5).map { b =>
+      val live = for {
+        y <- 0 until 5; x <- 0 until 5 if !annualNodata(b, y, x)
+      } yield (100.0 * b + 10.0 * y + 1.1 * x).toFloat.toDouble
+      live.sum / live.length
+    }
+    means.zip(expected).foreach { case (m, e) =>
+      assert(math.abs(m - e) < 1e-9) }
+  }
+
+  // ---- synthetic layout variations -------------------------------
+
+  /** Minimal TIFF writer for the layouts the fixtures don't exercise.
+    * Always float32; geo tags omitted (that path is fixture-covered). */
+  private def makeTiff(order: ByteOrder, width: Int, height: Int,
+      bands: Int, planar: Int, tiled: Boolean, deflate: Boolean,
+      rowsPerStrip: Int = 2, tileW: Int = 16, tileH: Int = 16,
+      value: (Int, Int, Int) => Float = (b, y, x) =>
+        (100f * b + 10f * y + 1.1f * x)): Array[Byte] = {
+
+    def compress(seg: Array[Byte]): Array[Byte] =
+      if (!deflate) seg
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(seg); d.finish()
+        val out = new ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        out.toByteArray
+      }
+
+    // segments in file order: per plane (planar=2) or all samples
+    // interleaved (planar=1)
+    val planes = if (planar == 2) bands else 1
+    val segSamples = if (planar == 2) 1 else bands
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    if (tiled) {
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileH - 1) / tileH
+      for (p <- 0 until planes; ty <- 0 until down; tx <- 0 until across) {
+        val bb = ByteBuffer.allocate(tileW * tileH * segSamples * 4)
+          .order(order)
+        for (r <- 0 until tileH; c <- 0 until tileW; s <- 0 until segSamples) {
+          val y = ty * tileH + r
+          val x = tx * tileW + c
+          val b = (if (planar == 2) p else s) + 1
+          bb.putFloat(if (y < height && x < width) value(b, y, x) else 0f)
+        }
+        segs += compress(bb.array())
+      }
+    } else {
+      val strips = (height + rowsPerStrip - 1) / rowsPerStrip
+      for (p <- 0 until planes; s <- 0 until strips) {
+        val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+        val bb = ByteBuffer.allocate(rows * width * segSamples * 4)
+          .order(order)
+        for (r <- 0 until rows; c <- 0 until width; k <- 0 until segSamples) {
+          val b = (if (planar == 2) p else k) + 1
+          bb.putFloat(value(b, s * rowsPerStrip + r, c))
+        }
+        segs += compress(bb.array())
+      }
+    }
+
+    // layout: header(8) | IFD | tag arrays | segment data
+    final case class Tag(id: Int, typ: Int, values: Array[Long])
+    val nSegs = segs.length
+    val headerAndIfdGuess = 8 + 2 + 20 * 12 + 4
+    // reserve generous space for out-of-line arrays
+    var arrOff = headerAndIfdGuess + 512
+    val segOffsets = new Array[Long](nSegs)
+    var dataOff = arrOff + 1024
+    for (i <- 0 until nSegs) {
+      segOffsets(i) = dataOff
+      dataOff += segs(i).length
+    }
+
+    var tags = Vector(
+      Tag(256, 4, Array(width.toLong)), Tag(257, 4, Array(height.toLong)),
+      Tag(258, 3, Array.fill(bands)(32L)),
+      Tag(259, 3, Array(if (deflate) 8L else 1L)),
+      Tag(262, 3, Array(1L)),
+      Tag(277, 3, Array(bands.toLong)),
+      Tag(284, 3, Array(planar.toLong)),
+      Tag(339, 3, Array.fill(bands)(3L)))
+    tags = tags ++ (if (tiled) Vector(
+      Tag(322, 3, Array(tileW.toLong)), Tag(323, 3, Array(tileH.toLong)),
+      Tag(324, 4, segOffsets), Tag(325, 4, segs.map(_.length.toLong).toArray))
+    else Vector(
+      Tag(273, 4, segOffsets), Tag(278, 3, Array(rowsPerStrip.toLong)),
+      Tag(279, 4, segs.map(_.length.toLong).toArray)))
+    tags = tags.sortBy(_.id)
+
+    val total = dataOff
+    val bb = ByteBuffer.allocate(total.toInt).order(order)
+    bb.put((if (order == ByteOrder.LITTLE_ENDIAN) "II" else "MM")
+      .getBytes("US-ASCII"))
+    bb.putShort(42)
+    bb.putInt(8)
+    bb.putShort(tags.length.toShort)
+    var cursor = arrOff
+    tags.foreach { t =>
+      bb.putShort(t.id.toShort)
+      bb.putShort(t.typ.toShort)
+      bb.putInt(t.values.length)
+      val elemSize = if (t.typ == 3) 2 else 4
+      if (t.values.length * elemSize <= 4) {
+        val mark = bb.position()
+        t.values.foreach(v =>
+          if (t.typ == 3) bb.putShort(v.toShort) else bb.putInt(v.toInt))
+        bb.position(mark + 4)
+      } else {
+        bb.putInt(cursor.toInt)
+        val mark = bb.position()
+        bb.position(cursor.toInt)
+        t.values.foreach(v =>
+          if (t.typ == 3) bb.putShort(v.toShort) else bb.putInt(v.toInt))
+        cursor = bb.position()
+        bb.position(mark)
+      }
+    }
+    bb.putInt(0) // no next IFD
+    for (i <- 0 until nSegs) {
+      bb.position(segOffsets(i).toInt)
+      bb.put(segs(i))
+    }
+    bb.array()
+  }
+
+  private def assertGrid(bytes: Array[Byte], width: Int, height: Int,
+      bands: Int): Unit = {
+    val r = GeoTiff.parse(bytes)
+    assert((r.width, r.height, r.bands) === (width, height, bands))
+    for (b <- 1 to bands; y <- 0 until height; x <- 0 until width)
+      assert(r.value(b, y, x) === (100f * b + 10f * y + 1.1f * x).toDouble,
+        s"band $b cell ($x,$y)")
+  }
+
+  test("big-endian multi-strip chunky") {
+    assertGrid(makeTiff(ByteOrder.BIG_ENDIAN, 7, 5, 3,
+      planar = 1, tiled = false, deflate = false), 7, 5, 3)
+  }
+
+  test("planar (band-sequential) strips") {
+    assertGrid(makeTiff(ByteOrder.LITTLE_ENDIAN, 6, 9, 4,
+      planar = 2, tiled = false, deflate = false, rowsPerStrip = 4), 6, 9, 4)
+  }
+
+  test("tiled chunky with edge padding") {
+    assertGrid(makeTiff(ByteOrder.LITTLE_ENDIAN, 21, 10, 2,
+      planar = 1, tiled = true, deflate = false), 21, 10, 2)
+  }
+
+  test("tiled planar deflate") {
+    assertGrid(makeTiff(ByteOrder.BIG_ENDIAN, 18, 19, 3,
+      planar = 2, tiled = true, deflate = true), 18, 19, 3)
+  }
+
+  test("deflate strips") {
+    assertGrid(makeTiff(ByteOrder.LITTLE_ENDIAN, 5, 5, 5,
+      planar = 1, tiled = false, deflate = true, rowsPerStrip = 5), 5, 5, 5)
+  }
+}
