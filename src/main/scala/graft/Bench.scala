@@ -89,7 +89,18 @@ object Bench {
     // reflect steady state, not session startup
     try SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_SKIP (comma-separated names or aliases): exclude
+    // queries from a scale run — used for the sf10 (100×) point where
+    // the documented quadratic-by-design exhaustive cosine baseline
+    // (dedup_embedding) would pay 10,000× its sf0.1 pair count by
+    // definition of the operator (BASELINE.md scale-evidence protocol).
+    // Unset for driver rounds: the full inventory runs.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    val named = SparkEntry.queries.toSeq
+      .filter { case (n, _) =>
+        !skip.contains(n) && !skip.contains(alias.getOrElse(n, n)) }
+      .sortBy(_._1)
     // A failed pass records +Infinity (never its elapsed time), so
     // min-of-two can only select a SUCCESSFUL pass's timing — a query
     // that runs slowly once and fails fast once must not report the

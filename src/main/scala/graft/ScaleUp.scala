@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-evidence data generator: replicate the driver's sf corpus by
@@ -40,7 +40,12 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorStr) = args
+    val (srcDir, outDir, factorStr, skew) = args match {
+      case Array(s, o, f) => (s, o, f, false)
+      case Array(s, o, f, "skew") => (s, o, f, true)
+      case _ => throw new IllegalArgumentException(
+        "usage: ScaleUp <srcDir> <outDir> <factor> [skew]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,15 +55,26 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, srcDir, outDir, factorStr.toInt)
-    println(s"""{"scaled":"$outDir","factor":$factorStr}""")
+    run(spark, srcDir, outDir, factorStr.toInt, skew)
+    println(s"""{"scaled":"$outDir","factor":$factorStr,"skew":$skew}""")
     spark.stop()
   }
 
   /** The generator proper, session supplied by the caller (the spec
-    * drives it on the shared test session; `main` owns its own). */
+    * drives it on the shared test session; `main` owns its own).
+    *
+    * `skew = true` additionally concentrates ~20% of each TPC-H fact
+    * table onto ONE hot key — o_custkey (one customer owns a fifth of
+    * all orders), l_orderkey (one order owns a fifth of all line
+    * items) and l_suppkey (one supplier ships a fifth of them) — the
+    * data-lake reality the uniform replicator can't produce. Row
+    * selection is a deterministic hash of the row's own keys, so the
+    * skewed corpus is reproducible and its row counts equal the
+    * uniform corpus's exactly (same replication, different key
+    * distribution). The hot keys are each table's minimum key, which
+    * survives replication (replica 0 is unshifted). */
   def run(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, skew: Boolean = false): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
 
     def src(name: String): DataFrame =
@@ -85,14 +101,43 @@ object ScaleUp {
 
     val orders = src("orders")
     val orderStep = step(orders, "o_orderkey")
-    write(orders.crossJoin(rep)
+    // hot keys for skew mode: the minima survive replication unshifted
+    def minKey(df: DataFrame, key: String): Long =
+      df.agg(min(col(key))).head().getLong(0)
+    // a row joins the hot 20% when a hash of its own keys lands in one
+    // of five residue classes — deterministic, uniform, reproducible
+    def hot(keys: Column*): Column = pmod(hash(keys: _*), lit(5)) === 0
+
+    val ordersScaled = orders.crossJoin(rep)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * orderStep)
-      .drop("rep"), "orders", 4 * factor)
+      .drop("rep")
+    write(
+      if (!skew) ordersScaled
+      else {
+        val hotCust = minKey(src("customer"), "c_custkey")
+        ordersScaled.withColumn("o_custkey",
+          when(hot(col("o_orderkey")), lit(hotCust))
+            .otherwise(col("o_custkey")))
+      }, "orders", 4 * factor)
 
     val lineitem = src("lineitem")
-    write(lineitem.crossJoin(rep)
+    val lineitemScaled = lineitem.crossJoin(rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * orderStep)
-      .drop("rep"), "lineitem", 8 * factor)
+      .drop("rep")
+    write(
+      if (!skew) lineitemScaled
+      else {
+        val hotOrder = minKey(orders, "o_orderkey")
+        val hotSupp = minKey(src("supplier"), "s_suppkey")
+        lineitemScaled
+          .withColumn("l_orderkey",
+            when(hot(col("l_orderkey"), col("l_linenumber")),
+              lit(hotOrder)).otherwise(col("l_orderkey")))
+          .withColumn("l_suppkey",
+            when(hot(col("l_suppkey"), col("l_orderkey"),
+              col("l_linenumber")), lit(hotSupp))
+              .otherwise(col("l_suppkey")))
+      }, "lineitem", 8 * factor)
 
     val events = src("events")
     val eventStep = step(events, "event_id")

@@ -103,4 +103,42 @@ class ScaleUpSpec extends SparkSpec {
         s"pair $k cosine changed under rotation")
     }
   }
+
+  test("skew mode concentrates ~20% of facts on one hot key, counts unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    ScaleUp.run(spark, sfDir, dir, 2, skew = true)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    // row counts equal the uniform factor-2 corpus exactly
+    assert(li.count() ===
+      2 * spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    assert(ord.count() ===
+      2 * spark.read.parquet(s"$sfDir/orders.parquet").count())
+    // the hot keys own ~20% of their fact table (hash residue 1-of-5;
+    // binomial noise at sf0.001×2 is a few points)
+    def topShare(df: DataFrame, key: String): (Long, Double) = {
+      val total = df.count().toDouble
+      val top = df.groupBy(col(key)).count()
+        .orderBy(col("count").desc).head()
+      (top.getLong(0), top.getLong(1) / total)
+    }
+    val (hotOrd, ordShare) = topShare(li, "l_orderkey")
+    assert(math.abs(ordShare - 0.2) < 0.05,
+      s"hot order $hotOrd owns ${ordShare * 100}%")
+    // the supplier dimension is 10 keys at this SF, so the hot one
+    // keeps its ~8% uniform share on top of the remapped 20%
+    val (hotSupp, suppShare) = topShare(li, "l_suppkey")
+    assert(suppShare > 0.2 && suppShare < 0.35,
+      s"hot supplier $hotSupp owns ${suppShare * 100}%")
+    val (hotCust, custShare) = topShare(ord, "o_custkey")
+    assert(math.abs(custShare - 0.2) < 0.05,
+      s"hot customer $hotCust owns ${custShare * 100}%")
+    // hot keys still reference real dimension/parent rows
+    assert(spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") === hotOrd).count() === 1)
+    assert(spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_suppkey") === hotSupp).count() === 1)
+    assert(spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") === hotCust).count() === 1)
+  }
 }

@@ -48,6 +48,46 @@ class BatchExtractionSpec extends SparkSpec {
     }
   }
 
+  test("N=1000 selections stay one scan; window parallelism scales with selection_id") {
+    val sels = graft.BatchBench.selections(1000)
+    val df = extractTimeseriesBatch(spark, sfDir, "click", sels,
+      transform = ZScoreMovingInterval(6),
+      smoother = MovingAverageSmoother(centered = true, 5),
+      bandRange = (5, 25))
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // ONE source scan feeds all 1000 selections (the reference pays
+    // 1000 independent rasterio reads for the same workload)
+    val scans = plan.split("\n").count(_.matches("^\\(\\d+\\) Scan parquet.*"))
+    assert(scans === 1, s"expected one cube scan for the batch, got $scans")
+    // every window is keyed by selection_id, so the window stage's
+    // partition count is #selections (×#shuffle-partition spread), not 1
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("selection_id")))
+    // The series frame is SPARSE by contract (null-padding to the full
+    // band axis is the response serializer's job, ResponseJson), so a
+    // selection over cells with no click data legitimately yields zero
+    // rows — at this SF only ~15 of 150 cells carry clicks. What the
+    // batch must NOT do is lose selections to the fan-out itself:
+    // batching is split-invariant — the N=1000 batch's row set equals
+    // the union of two N=500 halves (whose base case, batch == the
+    // per-request path, is proven at N=4 above).
+    def rows(ss: Seq[BatchSelection]) =
+      extractTimeseriesBatch(spark, sfDir, "click", ss,
+        transform = ZScoreMovingInterval(6),
+        smoother = MovingAverageSmoother(centered = true, 5),
+        bandRange = (5, 25))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = rows(sels)
+    assert(full === rows(sels.take(500)) ++ rows(sels.drop(500)),
+      "N=1000 batch diverges from the union of its two N=500 halves")
+    // the answered set is non-trivial and spans all three shape kinds
+    val answered = full.keySet.map(_._1)
+    Seq("pt_", "bb_", "tri_").foreach(p =>
+      assert(answered.exists(_.startsWith(p)), s"no $p* selection answered"))
+  }
+
   test("batch fixed z-score matches the per-request fixed z-score") {
     val batch = extractTimeseriesBatch(spark, sfDir, "click",
       selections.take(2), transform = ZScoreFixedInterval(None),

@@ -1,0 +1,113 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** The 100× question, asserted mechanically: the plan SHAPES the
+  * engine pins at sf0.001 (PlanAuditSpec) must hold unchanged on the
+  * sf10 corpus (100× the bench SF, ~60M lineitem / ~2M docs from
+  * graft.ScaleUp). Catalyst picks join strategies from SIZE estimates,
+  * so "works at test SF" does not imply "same plan at scale" — a
+  * dimension drifting past the broadcast threshold or a stats change
+  * flipping a join to sort-merge is exactly the regression this spec
+  * exists to catch. Plan-shape-only (explain, no execution), so it
+  * costs seconds even against the 100× corpus.
+  *
+  * Runs only when the scale corpus exists (generate with
+  * `runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf10 100`);
+  * cancelled (not silently passed) otherwise.
+  */
+class ScalePlanSpec extends SparkSpec {
+
+  private val dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
+
+  private def whenCorpus(): Unit =
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists(),
+      s"scale corpus $dir not generated on this box")
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("sf10: dimension joins stay broadcast (q2, q5, q9)") {
+    whenCorpus()
+    // ScaleUp scales FACTS only (dimensions are written verbatim), so
+    // the plan the engine wants at 100×: every dimension join still
+    // broadcast, and at most the ONE fact–fact join (orders⋈lineitem)
+    // sort-merged — that flip is correct at scale, not a regression.
+    // q2 touches no fact–fact pair, so it must stay all-broadcast.
+    Seq(
+      ("q2", graft.relational.TpchQueries.q2(spark, dir), 0),
+      ("q5", graft.relational.TpchQueries.q5(spark, dir), 1),
+      ("q9", graft.relational.TpchQueries.q9(spark, dir), 1)
+    ).foreach { case (name, df, factJoins) =>
+      val plan = formatted(df)
+      val smj = plan.split("\n")
+        .count(_.matches("^\\(\\d+\\) SortMergeJoin.*"))
+      assert(smj <= factJoins,
+        s"$name has $smj sort-merge joins at sf10 (allowed: the " +
+          s"$factJoins fact-fact), a dimension join lost its broadcast")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast joins at sf10")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name degenerated to a nested-loop/cartesian join at sf10")
+    }
+  }
+
+  test("sf10: q21 keeps the single-scan cascaded shape") {
+    whenCorpus()
+    val plan = formatted(graft.relational.TpchQueries.q21(spark, dir))
+    val scans = plan.split("\n").count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(scans === 1, s"q21 re-grew to $scans lineitem scans at sf10")
+    assert(!plan.contains("Expand") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sf10: band clip still reaches the events scan pushed") {
+    whenCorpus()
+    val plan = formatted(graft.cube.SkopeQueries.zonalMean(spark, dir))
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"),
+      s"ts range bound lost from pushed filters at sf10: $pushed")
+  }
+
+  test("sf10: ann_lsh still streams the vector table (all joins broadcast)") {
+    whenCorpus()
+    val plan = formatted(graft.pipeline.Similarity.annLsh(spark, dir))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "ann_lsh started shuffling the vector table at sf10")
+  }
+
+  test("sf10: no lazily-planned query grows an unpartitioned window or Expand") {
+    whenCorpus()
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the lazily-planned subset of the inventory (same exclusions as
+    // PlanAuditSpec's sweep, plus the artifact-backed dedup/ANN family
+    // whose CONSTRUCTION pays a scale-dependent job — their shapes are
+    // pinned by SkewSpec/AnnRecallSpec end-to-end instead)
+    val excluded = Set(
+      "dedup_clusters", "docs_dedup_apply", "skope_cube_zonal",
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_embedding", "dedup_substring", "dedup_exact",
+      "ann_ivf", "ann_lsh", "ann_topk", "ann_recall",
+      "skope_geotiff_ingest", "skope_settings")
+    val expandAllowed = Set("events_hourly_rollup")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => excluded(q._1))
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val unpartitioned = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(unpartitioned.isEmpty,
+          s"$name plans an unpartitioned Window at sf10")
+        if (!expandAllowed(name))
+          assert(!plan.toString.contains("Expand"),
+            s"$name plans an Expand at sf10")
+      }
+  }
+}

@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 
 class EventStreamSpec extends SparkSpec {
 
+  /** Run `body` under the chosen state store provider. The stateful
+    * operators must not depend on in-memory (HDFSBackedStateStore)
+    * semantics: the 100 TB deployment setting is RocksDB (state larger
+    * than executor heap, changelog checkpointing), so every bounded-
+    * state suite below runs under BOTH providers. The provider is
+    * resolved from the session conf at query START, so setting it
+    * around `start()` scopes it to that query. */
+  private def withStateStore[A](rocksdb: Boolean)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    if (rocksdb) spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val StateStoreVariants = Seq("hdfs" -> false, "rocksdb" -> true)
+
   test("daily zonal mean emits closed windows once the watermark passes") {
     val s = spark
     import s.implicits._
@@ -129,7 +150,7 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stream-stream interval join matches batch attrWindow on closed purchases") {
+  private def checkIntervalJoin(tag: String): Unit = {
     // same real-corpus harness as the zonal parity test: events split
     // into three ascending-time files, one file per trigger so both
     // watermarks advance across micro-batches
@@ -159,7 +180,8 @@ class EventStreamSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = EventStream.streamingAttrWindow(stream).writeStream
-      .format("memory").queryName("attr_join_stream").outputMode("append").start()
+      .format("memory").queryName(s"attr_join_stream_$tag")
+      .outputMode("append").start()
     try {
       q.processAllAvailable()
       // fold the emitted (purchase, click) pairs to per-purchase
@@ -167,8 +189,8 @@ class EventStreamSpec extends SparkSpec {
       // PRESENT in the output with clicks is complete after the drain;
       // null-click rows appear only once the watermark closes them
       val streamed = s.sql(
-        "SELECT event_id, count(c_ts) AS n, sum(c_value) AS sv " +
-          "FROM attr_join_stream GROUP BY event_id").collect()
+        s"SELECT event_id, count(c_ts) AS n, sum(c_value) AS sv " +
+          s"FROM attr_join_stream_$tag GROUP BY event_id").collect()
         .map(r => r.getLong(0) -> (r.getLong(1),
           if (r.isNullAt(2)) 0.0 else r.getDouble(2))).toMap
       assert(streamed.nonEmpty, "no joined purchases emitted")
@@ -193,6 +215,13 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed.size >= batch.size / 2,
         s"only ${streamed.size} of ${batch.size} purchases closed")
     } finally q.stop()
+  }
+
+  StateStoreVariants.foreach { case (tag, rocks) =>
+    test("stream-stream interval join matches batch attrWindow " +
+        s"on closed purchases [$tag]") {
+      withStateStore(rocks)(checkIntervalJoin(tag))
+    }
   }
 
   test("checkpointed query resumes exactly-once across a restart") {
@@ -300,7 +329,7 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming dedup suppresses replayed ids within the watermark") {
+  private def checkDedupStream(tag: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -309,7 +338,8 @@ class EventStreamSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = EventStream.dedupStream(events).writeStream
-      .format("memory").queryName("dedup_stream").outputMode("append").start()
+      .format("memory").queryName(s"dedup_stream_$tag")
+      .outputMode("append").start()
     try {
       def ns(h: Int) = (1704067200L + h * 3600L) * 1000000000L
       input.addData((1L, ns(0), 1L, "click", 1.0, "{}"),
@@ -319,13 +349,13 @@ class EventStreamSpec extends SparkSpec {
       input.addData((1L, ns(1), 1L, "click", 1.0, "{}"),
         (3L, ns(1), 3L, "click", 3.0, "{}"))
       q.processAllAvailable()
-      val ids = s.sql("SELECT event_id FROM dedup_stream").collect()
+      val ids = s.sql(s"SELECT event_id FROM dedup_stream_$tag").collect()
         .map(_.getLong(0)).toSeq
       assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
     } finally q.stop()
   }
 
-  test("stateful sessionizer closes a session when the gap elapses") {
+  private def checkSessionize(tag: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -336,7 +366,8 @@ class EventStreamSpec extends SparkSpec {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
     val q = EventStream.streamingSessionize(events).writeStream
-      .format("memory").queryName("sess_stream").outputMode("append").start()
+      .format("memory").queryName(s"sess_stream_$tag")
+      .outputMode("append").start()
     try {
       val base = 1704067200L * 1000000000L
       // three events inside one session, then one 2h later -> closes it
@@ -348,11 +379,20 @@ class EventStreamSpec extends SparkSpec {
       input.addData((4L, base + 7200L * 1000000000L, 7L, "click", 9.0, "{}"))
       q.processAllAvailable()
       val out = s.sql(
-        "SELECT user_id, n_events, total_value FROM sess_stream").collect()
+        s"SELECT user_id, n_events, total_value FROM sess_stream_$tag").collect()
       assert(out.length == 1)
       assert(out.head.getLong(0) == 7L && out.head.getLong(1) == 3L &&
         out.head.getDouble(2) == 6.0)
     } finally q.stop()
+  }
+
+  StateStoreVariants.foreach { case (tag, rocks) =>
+    test(s"streaming dedup suppresses replayed ids within the watermark [$tag]") {
+      withStateStore(rocks)(checkDedupStream(tag))
+    }
+    test(s"stateful sessionizer closes a session when the gap elapses [$tag]") {
+      withStateStore(rocks)(checkSessionize(tag))
+    }
   }
 
   test("running stats maintain per-dataset counts in update mode") {
@@ -415,7 +455,7 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("bounded-state heavy hitters bracket the true counts (Misra-Gries)") {
+  private def checkHeavyHitters(tag: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -424,7 +464,7 @@ class EventStreamSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = EventStream.streamingHeavyHitters(events, capacity = 4, topK = 3)
-      .writeStream.format("memory").queryName("hh_stream")
+      .writeStream.format("memory").queryName(s"hh_stream_$tag")
       .outputMode("update").start()
     try {
       // skewed stream over 20 distinct users: user 1 dominates (40
@@ -442,8 +482,8 @@ class EventStreamSpec extends SparkSpec {
       input.addData(batch: _*)
       q.processAllAvailable()
       val out = s.sql(
-        """SELECT user_id, min_count, max_count FROM hh_stream
-          |WHERE dataset_id = 'click'""".stripMargin)
+        s"""SELECT user_id, min_count, max_count FROM hh_stream_$tag
+           |WHERE dataset_id = 'click'""".stripMargin)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val byUser = out.map(t => t._1 -> (t._2, t._3)).toMap
       val truth = Map(1L -> 40L, 2L -> 20L, 3L -> 10L)
@@ -457,5 +497,11 @@ class EventStreamSpec extends SparkSpec {
       // state is bounded: at most `capacity` users ever reported at once
       assert(out.length <= 4)
     } finally q.stop()
+  }
+
+  StateStoreVariants.foreach { case (tag, rocks) =>
+    test(s"bounded-state heavy hitters bracket the true counts (Misra-Gries) [$tag]") {
+      withStateStore(rocks)(checkHeavyHitters(tag))
+    }
   }
 }
