@@ -39,9 +39,22 @@ object Dedup {
   /** Jaccard threshold for near-dup pairs (calibrated: real pairs in the
     * synthetic corpus all sit at J ≥ 0.8, noise below 0.1). */
   val JaccardThreshold = 0.5
-  /** SimHash near-dup hamming radius (must stay ≤ 7 so the 8-chunk
-    * pigeonhole candidate join is lossless). */
+  /** SimHash near-dup hamming radius (must stay ≤ 7 so the 10-chunk
+    * triple pigeonhole candidate join is lossless — ≥ 3 intact chunks;
+    * HashKernels.simhashCanonicalTriple hardcodes the same geometry). */
   val HammingRadius = 7
+
+  /** Verification-side broadcast bound: below this many documents the
+    * shingle-array table (~52 hashes × 8 B + row overhead ≈ 0.5 KB per
+    * doc → ≤ 0.5 GB at the bound) is broadcast to both pair lookups, so
+    * the candidate stream — tens of millions of (d1, d2) rows at the
+    * sf10 point — flows through verification WITHOUT ever shuffling
+    * array payload. Above it, verification falls back to shuffle_hash
+    * joins (the shape that works at any corpus size; the array shuffle
+    * is then linear in candidates, the documented cost of the
+    * exhaustive-exact operator whose 100 TB production path is
+    * minhash-LSH). */
+  val BroadcastVerifyDocs = 1000000L
 
   /** MinHash permutations / LSH layout. r=3 keeps recall ≈ 0.986 at
     * the J = 0.5 threshold (≈ 1 at the J ≥ 0.8 the corpus contains)
@@ -109,7 +122,25 @@ object Dedup {
   private def verifiedJaccard(spark: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
     import graft.functions.HashFunctions.sorted_intersect_count
-    val arr = shingleArrays(spark, dir)
+    // Plan-time join-strategy pick, same pattern as bucketPairs' hot
+    // gate: one driver action on the cached array table decides what
+    // the planner cannot (its estimate of a kernel-derived cache is a
+    // guess, and the real sizes only exist at runtime).
+    //  - Bounded corpus (≤ BroadcastVerifyDocs): BROADCAST the array
+    //    table into both lookups. The candidate stream then never
+    //    shuffles — at the sf10 point the previous shape re-shuffled
+    //    56.8 M candidates carrying ~420 B arrays between the two
+    //    joins (~48 GB of spill, the single 156 s stage that also blew
+    //    the disk); broadcasting the 0.2 GB doc-linear side deletes
+    //    that entire exchange.
+    //  - Beyond the bound: shuffle_hash, not the default sort-merge —
+    //    hash-building the small array side probes the fat candidate
+    //    stream straight through without ever sorting it (sort-merge
+    //    SORTED the candidates: 114 of 139 s at sf10 before this).
+    val base = shingleArrays(spark, dir)
+    val arr =
+      if (base.count() <= BroadcastVerifyDocs) broadcast(base)
+      else base.hint("shuffle_hash")
     cand
       .join(arr.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
       .join(arr.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
@@ -140,7 +171,12 @@ object Dedup {
     * precondition audits the SAME index the operator joins (a local
     * copy of the prefix formula could silently drift). */
   private[pipeline] def prefixPostings(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = cached(spark, s"prefix-postings:$dir") {
+    // cached like the minhash/simhash postings: bucketPairs consults
+    // the posting table several times (hot-bucket existence check,
+    // bucket counts, both join sides), and re-exploding the prefix of
+    // every shingle array on each consumption re-pays the dominant
+    // build cost per scan at the sf10 (100×) point
     val prefixLen = (size(col("hs")) -
       ceil(lit(JaccardThreshold) * size(col("hs"))) + 1).cast("int")
     shingleArrays(spark, dir)
@@ -206,24 +242,41 @@ object Dedup {
     val hotKeys = postings.groupBy(col("k"))
       .agg(count(lit(1)).as("n")).filter(col("n") > hotThreshold)
       .select(col("k"))
-    val cold = postings.join(broadcast(hotKeys), Seq("k"), "left_anti")
-    val coldPairs = sides(cold.alias("a").join(cold.alias("b"),
-      col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id")))
-    // one-sided salted join (the AQE skew-join shape, applied manually
-    // because the skew here is in the JOIN OUTPUT, which size-based
-    // planning cannot see): the probe side keeps its own salt, the
-    // build side is replicated to every salt, and the (k, salt) key
-    // splits a hot bucket's quadratic emission across S partitions
-    // under sort-merge/shuffled-hash. Each unordered pair is emitted
-    // exactly once — at the probe row's own salt — by the d1 < d2
-    // predicate.
-    val hot = postings.join(broadcast(hotKeys), Seq("k"))
-    val probe = hot.withColumn("salt", (col("doc_id") % s).cast("int"))
-    val build = hot.withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
-    val hotPairs = sides(probe.alias("a").join(build.alias("b"),
-      col("a.k") === col("b.k") && col("a.salt") === col("b.salt") &&
-        col("a.doc_id") < col("b.doc_id")))
-    coldPairs.unionAll(hotPairs)
+    // Plan-time adaptivity, decided by ONE tiny driver action on the
+    // (cached) posting table: when no bucket exceeds the threshold —
+    // the designed-for common case; the LSH key spaces are sized so
+    // evenly-loaded corpora never produce one — return the plain
+    // self-join and skip the hot machinery entirely. The hot branch is
+    // not free even when it matches nothing: its probe and build arms
+    // each rescan the full posting table through a broadcast join, and
+    // the union blocks exchange reuse between the arms — measured at
+    // the sf10 (100×) point as +60% wall on the simhash pair join.
+    // AQE cannot make this call: the skew is in the JOIN OUTPUT
+    // (quadratic per-bucket emission), invisible to size-based
+    // replanning until the stage is already stuck.
+    if (hotKeys.isEmpty) {
+      sides(postings.alias("a").join(postings.alias("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id")))
+    } else {
+      val cold = postings.join(broadcast(hotKeys), Seq("k"), "left_anti")
+      val coldPairs = sides(cold.alias("a").join(cold.alias("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id")))
+      // one-sided salted join (the AQE skew-join shape, applied manually
+      // because the skew here is in the JOIN OUTPUT, which size-based
+      // planning cannot see): the probe side keeps its own salt, the
+      // build side is replicated to every salt, and the (k, salt) key
+      // splits a hot bucket's quadratic emission across S partitions
+      // under sort-merge/shuffled-hash. Each unordered pair is emitted
+      // exactly once — at the probe row's own salt — by the d1 < d2
+      // predicate.
+      val hot = postings.join(broadcast(hotKeys), Seq("k"))
+      val probe = hot.withColumn("salt", (col("doc_id") % s).cast("int"))
+      val build = hot.withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+      val hotPairs = sides(probe.alias("a").join(build.alias("b"),
+        col("a.k") === col("b.k") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id")))
+      coldPairs.unionAll(hotPairs)
+    }
   }
 
   /** MinHash+LSH: same verified output as ngramJaccard, but candidates
@@ -249,25 +302,70 @@ object Dedup {
 
   /** 60-bit SimHash over word tokens (md5-derived bit hashes — portable
     * across engines, computed in one kernel pass per document), pairs
-    * within hamming ≤ 7 via the lossless chunk join (8×8-bit
-    * pigeonhole), hot-bucket hardened (bucketPairs). */
+    * within hamming ≤ 7 via a lossless chunk-TRIPLE join, hot-bucket
+    * hardened (bucketPairs).
+    *
+    * Bucketing scheme (the 100 TB-critical choice): the signature is
+    * split into 10 chunks of 6 bits. ≤ 7 flipped bits touch ≤ 7
+    * chunks, so ≥ 3 chunks survive intact — every qualifying pair
+    * matches EXACTLY on at least one of the C(10,3) = 120 chunk
+    * triples (pigeonhole; and since the intact set can be any
+    * 3-subset, all 120 triples are required for losslessness). Keys
+    * are 18-bit triple values, so random-fingerprint collisions are
+    * n²·120/2¹⁸ ≈ n²/4369 — 68× below the single-chunk 8×8 pigeonhole
+    * (n²·8/2⁹ = n²/64), whose FIXED 256-value buckets grow linearly
+    * in corpus size and turned the candidate stream quadratic at the
+    * sf10 (100×) scale point (65 s; Manku et al., WWW'07 make the
+    * same table-count-for-key-width trade). The 120-key posting
+    * explosion is linear (15× rows vs 8 keys) — shuffle-cheap, paid
+    * once, exactly the scale-friendly direction. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
-    // bucket key packed exactly into one long: chunk index (0..7) in
-    // the high bits, 8-bit chunk value in the low bits
-    val chunkKeys = (0 until 8).map { c =>
-      expr(s"${c.toLong * 256L}L + (shiftright(sim, ${8 * c}) & 255)")
+    // bucket key packed exactly into one long: triple id (0..119) in
+    // the high bits, the three 6-bit chunk values below it
+    val chunkKeys = (0 until 10).combinations(3).toSeq.zipWithIndex.map {
+      case (Seq(a, b, c), t) =>
+        expr(s"${t.toLong << 18}L" +
+          s" + shiftleft(shiftright(sim, ${6 * a}) & 63, 12)" +
+          s" + shiftleft(shiftright(sim, ${6 * b}) & 63, 6)" +
+          s" + (shiftright(sim, ${6 * c}) & 63)")
     }
-    val postings = sigs
-      .select(col("doc_id"), col("sim"), explode(array(chunkKeys: _*)).as("k"))
-      .select(col("k"), col("doc_id"), col("sim"))
+    // cached like the minhash postings: bucketPairs consults the
+    // posting table several times (bucket counts, cold side, hot
+    // probe/build), and re-exploding 120 keys per document on every
+    // consumption dominated the sf10 wall clock. One narrow (k,
+    // doc_id, sim, t) table — the LSH index artifact an ingestion job
+    // would persist next to the corpus.
+    val postings = cached(spark, s"simhash-postings:$dir") {
+      sigs
+        .select(col("doc_id"), col("sim"), explode(array(chunkKeys: _*)).as("k"))
+        // the triple id rides as payload (bucketPairs strips the join
+        // key itself) — the canonical-emission filter below needs it
+        .select(col("k"), col("doc_id"), col("sim"),
+          expr("shiftright(k, 18)").as("t"))
+    }
     // sim rides through the pair join as payload: the hamming filter
     // runs straight off the join output and crushes the candidate
-    // stream BEFORE the distinct hash-agg sees it
+    // stream BEFORE the distinct hash-agg sees it.
+    //
+    // Canonical-triple dedup, the other half of the scheme: a CLOSE
+    // pair (hamming 0–2) matches ~C(9,3) ≈ 100 of the 120 triples, so
+    // on a corpus of dense near-dup families the raw join emits ~100
+    // rows per true pair (measured ~1 G rows into the distinct at
+    // sf10). Keeping a row only when its OWN triple is the
+    // lexicographically first all-intact triple of the pair emits
+    // every qualifying pair EXACTLY once, from exactly one table,
+    // before any shuffle sees the duplicates. The check is ONE native
+    // kernel call (HashKernels.simhashCanonicalTriple) — filter
+    // pushdown lands it inside the pair-join condition, where a
+    // column-arithmetic spelling of the same mask/ctz/rank chain was
+    // measured (sf10) to inline into an ~800-node per-pair tree that
+    // stalled the 13 s join for minutes.
+    import graft.functions.HashFunctions.simhash_canonical_triple
     bucketPairs(spark, postings)
-      .select(col("d1"), col("d2"),
-        expr("bit_count(sim_1 ^ sim_2)").as("hamming"))
-      .filter(col("hamming") <= HammingRadius)
+      .withColumn("x", expr("sim_1 ^ sim_2"))
+      .filter(simhash_canonical_triple(col("x"), col("t_1")))
+      .select(col("d1"), col("d2"), expr("bit_count(x)").as("hamming"))
       .distinct()
   }
 

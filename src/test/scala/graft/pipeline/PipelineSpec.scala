@@ -18,13 +18,40 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("simhash chunk join is lossless for hamming <= radius") {
-    // pigeonhole: 8 chunks of 8 bits; any pair with hamming <= 7 shares
-    // a chunk, so the bucketed join must equal brute force. Verified
-    // against the DuckDB brute-force oracle too; here: sanity on size.
+    // pigeonhole: 10 chunks of 6 bits; any pair with hamming <= 7 keeps
+    // >= 3 chunks intact, so it matches exactly on its lex-first intact
+    // chunk TRIPLE and the bucketed join must equal brute force —
+    // asserted literally here (and against the DuckDB oracle).
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashFunctions
+    val sigs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), HashFunctions.simhash60(split(col("text"), " ")).as("sim"))
+    val brute = sigs.alias("a").join(sigs.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"bit_count(a.sim ^ b.sim) <= ${Dedup.HammingRadius}"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
     val df = Dedup.simhash(spark, sfDir)
-    val n = df.count()
-    assert(n > 0)
-    assert(df.filter("hamming > 7").count() == 0)
+    assert(df.count() > 0)
+    assert(df.filter(s"hamming > ${Dedup.HammingRadius}").count() == 0)
+    assert(pairs(df) == pairs(brute))
+  }
+
+  test("canonical-triple kernel rank matches the combinations(10,3) enumeration") {
+    import graft.functions.HashKernels
+    val combos = (0 until 10).combinations(3).toSeq
+    for ((Seq(a, b, c), t) <- combos.zipWithIndex) {
+      // x flips one bit in every chunk EXCEPT a, b, c: hamming 7
+      // (qualifying), intact set exactly {a, b, c} — so the kernel must
+      // accept exactly the rank t and reject the other 119
+      var x = 0L
+      for (i <- 0 until 10 if i != a && i != b && i != c) x |= 1L << (6 * i)
+      assert(HashKernels.simhashCanonicalTriple(x, t.toLong), s"accept ($a,$b,$c)")
+      for (t2 <- combos.indices if t2 != t)
+        assert(!HashKernels.simhashCanonicalTriple(x, t2.toLong), s"reject $t2 for ($a,$b,$c)")
+    }
+    // 8 disturbed chunks = hamming 8 > radius: rejected for every rank
+    val x8 = (0 until 8).map(i => 1L << (6 * i)).reduce(_ | _)
+    assert(combos.indices.forall(t => !HashKernels.simhashCanonicalTriple(x8, t.toLong)))
   }
 
   test("prefix-filtered jaccard equals the unfiltered inverted-index result") {
