@@ -722,22 +722,25 @@ object Api {
         "grid_height", "cell_size_deg", "resolutions")
   }
 
-  /** `/settings` as the reference's JSON body (a flat settings map). */
-  def settingsJson(spark: SparkSession): String = {
+  /** `/settings` as the reference's JSON body (a flat settings map).
+    * Built straight from the constants — the values are compile-time
+    * literals, so serializing them must not schedule a Spark job (and
+    * positional Row reads would silently desync if `settings` ever
+    * grew a column). */
+  def settingsJson(): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
-    val row = settings(spark).head()
-    root.put("name", row.getString(0))
-    root.put("environment", row.getString(1))
-    root.put("base_uri", row.getString(2))
-    root.put("max_processing_time", row.getLong(3))
-    root.put("default_max_cells", row.getLong(4))
+    root.put("name", EngineSettings.Name)
+    root.put("environment", EngineSettings.Environment)
+    root.put("base_uri", EngineSettings.BaseUri)
+    root.put("max_processing_time", MaxProcessingTimeMs)
+    root.put("default_max_cells", MaxCells)
     val grid = root.putObject("grid")
-    grid.put("ul_lat", row.getDouble(5))
-    grid.put("ul_lon", row.getDouble(6))
-    grid.put("width", row.getLong(7))
-    grid.put("height", row.getLong(8))
-    grid.put("cell_size_deg", row.getDouble(9))
+    grid.put("ul_lat", Geometry.Geo.UlLat)
+    grid.put("ul_lon", Geometry.Geo.UlLon)
+    grid.put("width", EventCube.GridWidth.toLong)
+    grid.put("height", Geometry.GridHeight.toLong)
+    grid.put("cell_size_deg", 1.0)
     val res = root.putArray("resolutions")
     EngineSettings.Resolutions.foreach(res.add)
     mapper.writeValueAsString(root)

@@ -850,9 +850,16 @@ object SkopeQueries {
     * band and (row 2, col 4) band 3 (verified byte-exact against the
     * file; test_datasets.py:test_annual_time_ranges asserts the same
     * pattern through the reference API). */
-  def geotiffIngest(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.GeoTiff.readCube(spark,
+  /** Fixture location is env-overridable (SPARK_GRAFT_GEOTIFF): the
+    * default points at the reference checkout this sandbox carries;
+    * any box without it can aim the query at its own archive instead
+    * of failing the whole inventory on a hardcoded absolute path. */
+  private def geotiffFixture: String =
+    sys.env.getOrElse("SPARK_GRAFT_GEOTIFF",
       "/root/reference/timeseries/data/annual_5x5x5_dataset_float32_variable.tif")
+
+  def geotiffIngest(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark, geotiffFixture)
       .select(col("band").cast("long").as("band"),
         col("x").cast("long").as("x"),
         col("y").cast("long").as("y"),

@@ -44,17 +44,20 @@ object Dedup {
     * HashKernels.simhashCanonicalTriple hardcodes the same geometry). */
   val HammingRadius = 7
 
-  /** Verification-side broadcast bound: below this many documents the
-    * shingle-array table (~52 hashes × 8 B + row overhead ≈ 0.5 KB per
-    * doc → ≤ 0.5 GB at the bound) is broadcast to both pair lookups, so
-    * the candidate stream — tens of millions of (d1, d2) rows at the
-    * sf10 point — flows through verification WITHOUT ever shuffling
-    * array payload. Above it, verification falls back to shuffle_hash
-    * joins (the shape that works at any corpus size; the array shuffle
-    * is then linear in candidates, the documented cost of the
+  /** Verification-side broadcast bound in ESTIMATED BYTES (8 B per
+    * shingle hash + ~48 B row overhead, computed from the actual
+    * corpus — a doc-count bound would silently force a multi-GB
+    * broadcast on a long-document corpus). Under the bound the
+    * shingle-array table is broadcast to both pair lookups, so the
+    * candidate stream — tens of millions of (d1, d2) rows at the sf10
+    * point — flows through verification WITHOUT ever shuffling array
+    * payload. Above it, verification falls back to shuffle_hash joins
+    * (the shape that works at any corpus size; the array shuffle is
+    * then linear in candidates, the documented cost of the
     * exhaustive-exact operator whose 100 TB production path is
-    * minhash-LSH). */
-  val BroadcastVerifyDocs = 1000000L
+    * minhash-LSH). 512 MB: comfortably under Spark's 8 GB broadcast
+    * hard cap and an ordinary executor-memory slice. */
+  val BroadcastVerifyBytes = 512L << 20
 
   /** MinHash permutations / LSH layout. r=3 keeps recall ≈ 0.986 at
     * the J = 0.5 threshold (≈ 1 at the J ≥ 0.8 the corpus contains)
@@ -138,8 +141,13 @@ object Dedup {
     //    stream straight through without ever sorting it (sort-merge
     //    SORTED the candidates: 114 of 139 s at sf10 before this).
     val base = shingleArrays(spark, dir)
+    val est = base
+      .agg(sum(size(col("hs"))).cast("long").as("elems"),
+        count(lit(1)).as("docs"))
+      .head()
+    val estBytes = est.getLong(0) * 8L + est.getLong(1) * 48L
     val arr =
-      if (base.count() <= BroadcastVerifyDocs) broadcast(base)
+      if (estBytes <= BroadcastVerifyBytes) broadcast(base)
       else base.hint("shuffle_hash")
     cand
       .join(arr.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")

@@ -82,6 +82,17 @@ object GeoTiff {
   private final case class Entry(tag: Int, typ: Int, count: Int,
       valueOffset: Long, inline: Array[Byte])
 
+  /** Classic-TIFF offsets are unsigned 32-bit (valid to 4 GiB), but a
+    * file held in one JVM byte array is capped at 2 GiB — reject the
+    * 2–4 GiB range with a named error instead of the negative-index
+    * crash a bare .toInt would produce deep in copyOfRange. */
+  private def idx(off: Long, what: String): Int = {
+    require(off >= 0 && off <= Int.MaxValue,
+      s"$what offset $off is beyond the 2 GiB single-buffer bound " +
+        "(classic TIFF allows 4 GiB; split such archives per band)")
+    off.toInt
+  }
+
   private final class Ifd(buf: ByteBuffer, entries: Map[Int, Entry]) {
     def has(tag: Int): Boolean = entries.contains(tag)
 
@@ -89,7 +100,7 @@ object GeoTiff {
       val size = typeSize(e.typ) * e.count
       val bb =
         if (size <= 4) ByteBuffer.wrap(e.inline)
-        else buf.duplicate().position(e.valueOffset.toInt)
+        else buf.duplicate().position(idx(e.valueOffset, s"tag ${e.tag} value"))
           .asInstanceOf[ByteBuffer]
       bb.order(buf.order())
       bb
@@ -174,9 +185,9 @@ object GeoTiff {
     var ifdOff = buf.getInt(4) & 0xffffffffL
     var pages = Vector.empty[Ifd]
     while (ifdOff != 0) {
-      val n = buf.getShort(ifdOff.toInt) & 0xffff
+      val n = buf.getShort(idx(ifdOff, "IFD")) & 0xffff
       val entries = (0 until n).map { i =>
-        val off = ifdOff.toInt + 2 + i * 12
+        val off = idx(ifdOff, "IFD") + 2 + i * 12
         val tag = buf.getShort(off) & 0xffff
         val typ = buf.getShort(off + 2) & 0xffff
         val count = buf.getInt(off + 4)
@@ -185,25 +196,22 @@ object GeoTiff {
         tag -> Entry(tag, typ, count, vOff, inline)
       }.toMap
       pages = pages :+ new Ifd(buf, entries)
-      ifdOff = buf.getInt(ifdOff.toInt + 2 + n * 12) & 0xffffffffL
+      ifdOff = buf.getInt(idx(ifdOff, "IFD") + 2 + n * 12) & 0xffffffffL
     }
     require(pages.nonEmpty, "TIFF has no IFD")
 
     val first = pages.head
     val width = first.long1(TagWidth).toInt
     val height = first.long1(TagHeight).toInt
-    val perPage = pages.map(decodePage(buf, bytes, _, width, height))
-    val nodata = gdalNodata(first)
+    // nodata resolves PER PAGE (a band-per-page writer tags each page;
+    // pages without their own tag inherit the first page's — the
+    // single-tag layout GDAL also accepts), applied inside decodePage
+    // at the page's own sample precision
+    val fallbackNodata = gdalNodata(first)
+    val perPage = pages.map(p =>
+      decodePage(buf, bytes, p, width, height,
+        gdalNodata(p).orElse(fallbackNodata)))
     val values = perPage.flatten.toArray
-    nodata.foreach { nd =>
-      values.foreach { band =>
-        var i = 0
-        while (i < band.length) {
-          if (band(i) == nd) band(i) = Double.NaN
-          i += 1
-        }
-      }
-    }
 
     val (ulLon, ulLat, pxW, pxH, hasGeo) =
       if (first.has(TagModelPixelScale) && first.has(TagModelTiepoint)) {
@@ -227,9 +235,10 @@ object GeoTiff {
       case s => Some(s.toDouble)
     }
 
-  /** Decode one IFD page to band-major double arrays. */
+  /** Decode one IFD page to band-major double arrays; `nodata` cells
+    * become NaN. */
   private def decodePage(buf: ByteBuffer, bytes: Array[Byte], ifd: Ifd,
-      width: Int, height: Int): Seq[Array[Double]] = {
+      width: Int, height: Int, nodata: Option[Double]): Seq[Array[Double]] = {
     require(ifd.long1(TagWidth).toInt == width &&
       ifd.long1(TagHeight).toInt == height,
       "multi-page TIFF with mismatched page dimensions")
@@ -254,11 +263,18 @@ object GeoTiff {
           inf.setInput(raw)
           val dst = new Array[Byte](expected)
           var got = 0
-          while (got < expected && !inf.finished())
-            got += inf.inflate(dst, got, expected - got)
+          var step = 1
+          // a truncated/corrupt segment makes inflate() return 0 with
+          // finished() still false — bail to the require below instead
+          // of spinning this loop forever inside an executor task
+          while (got < expected && !inf.finished() && step > 0) {
+            step = inf.inflate(dst, got, expected - got)
+            got += step
+          }
           inf.end()
           require(got == expected,
-            s"deflate segment: expected $expected bytes, got $got")
+            s"deflate segment: expected $expected bytes, got $got " +
+              "(truncated or corrupt compressed data)")
           dst
         case other => throw new IllegalArgumentException(
           s"unsupported TIFF compression $other (none/deflate supported)")
@@ -315,8 +331,8 @@ object GeoTiff {
       val segSamples = if (planar == 2) 1 else samples
       for (p <- 0 until planes; t <- 0 until perPlane) {
         val i = p * perPlane + t
-        val raw = java.util.Arrays.copyOfRange(bytes, offs(i).toInt,
-          offs(i).toInt + counts(i).toInt)
+        val o = idx(offs(i), "tile")
+        val raw = java.util.Arrays.copyOfRange(bytes, o, o + counts(i).toInt)
         val seg = inflate(raw, tw * th * segSamples * bpp)
         fill(seg, (t / tilesAcross) * th, (t % tilesAcross) * tw, th, tw,
           if (planar == 2) p else 0, segSamples)
@@ -331,11 +347,29 @@ object GeoTiff {
       for (p <- 0 until planes; s <- 0 until stripsPerPlane) {
         val i = p * stripsPerPlane + s
         val rows = math.min(rps, height - s * rps)
-        val raw = java.util.Arrays.copyOfRange(bytes, offs(i).toInt,
-          offs(i).toInt + counts(i).toInt)
+        val o = idx(offs(i), "strip")
+        val raw = java.util.Arrays.copyOfRange(bytes, o, o + counts(i).toInt)
         val seg = inflate(raw, rows * width * segSamples * bpp)
         fill(seg, s * rps, 0, rows, width,
           if (planar == 2) p else 0, segSamples)
+      }
+    }
+    nodata.foreach { nd =>
+      var s = 0
+      while (s < samples) {
+        // compare at the sample's own precision: a float32 band widens
+        // -9999.9 to -9999.900390625, which a double-spelled sentinel
+        // would never equal — cast the sentinel the same way the data
+        // came (integer formats read back exactly; doubles need none)
+        val ndCast =
+          if (bits(s) == 32 && formats(s) == 3) nd.toFloat.toDouble else nd
+        val band = out(s)
+        var i = 0
+        while (i < band.length) {
+          if (band(i) == ndCast) band(i) = Double.NaN
+          i += 1
+        }
+        s += 1
       }
     }
     out.toSeq
@@ -356,16 +390,20 @@ object GeoTiff {
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         val r = parse(content)
-        for {
-          b <- 1 to r.bands
-          y <- 0 until r.height
-          x <- 0 until r.width
-        } yield {
-          val v = r.value(b, y, x)
-          Cell(path, b, x, y,
-            if (r.hasGeo) Double.box(r.cellLon(x)) else null,
-            if (r.hasGeo) Double.box(r.cellLat(y)) else null,
-            if (v.isNaN) null else Double.box(v))
+        // an ITERATOR, not a strict yield: per-task memory stays at the
+        // decoded raster (bands × w × h doubles), never width*height*
+        // bands boxed Cell objects at once — a 10k×10k 10-band archive
+        // granule is 1e9 cells, which must stream out, not materialize
+        (1 to r.bands).iterator.flatMap { b =>
+          (0 until r.height).iterator.flatMap { y =>
+            (0 until r.width).iterator.map { x =>
+              val v = r.value(b, y, x)
+              Cell(path, b, x, y,
+                if (r.hasGeo) Double.box(r.cellLon(x)) else null,
+                if (r.hasGeo) Double.box(r.cellLat(y)) else null,
+                if (v.isNaN) null else Double.box(v))
+            }
+          }
         }
       }
       .toDF()

@@ -276,4 +276,21 @@ class ApiSpec extends SparkSpec {
       (0 until (n - 10).toInt).map(_ => Geo.cellAreaM2(1)).sum
     assert(math.abs(sel.getDouble(1) - expected) < 1e-3)
   }
+
+  test("settings JSON body matches the constants and the queryable frame") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val json = mapper.readTree(settingsJson())
+    assert(json.get("name").asText() == EngineSettings.Name)
+    assert(json.get("max_processing_time").asLong() == MaxProcessingTimeMs)
+    assert(json.get("default_max_cells").asLong() == MaxCells)
+    assert(json.get("grid").get("width").asLong() ==
+      graft.cube.EventCube.GridWidth.toLong)
+    assert(json.get("resolutions").size() == EngineSettings.Resolutions.size)
+    // the 1-row queryable form carries the same values under the same
+    // field names (flat columns; the JSON nests the grid block)
+    val row = settings(spark).collect().head
+    assert(row.getAs[String]("name") == EngineSettings.Name)
+    assert(row.getAs[Long]("max_processing_time") == MaxProcessingTimeMs)
+    assert(row.getAs[Long]("grid_width") == json.get("grid").get("width").asLong())
+  }
 }

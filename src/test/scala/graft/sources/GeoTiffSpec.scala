@@ -108,6 +108,7 @@ class GeoTiffSpec extends SparkSpec {
   private def makeTiff(order: ByteOrder, width: Int, height: Int,
       bands: Int, planar: Int, tiled: Boolean, deflate: Boolean,
       rowsPerStrip: Int = 2, tileW: Int = 16, tileH: Int = 16,
+      nodata: Option[String] = None,
       value: (Int, Int, Int) => Float = (b, y, x) =>
         (100f * b + 10f * y + 1.1f * x)): Array[Byte] = {
 
@@ -183,6 +184,9 @@ class GeoTiffSpec extends SparkSpec {
     else Vector(
       Tag(273, 4, segOffsets), Tag(278, 3, Array(rowsPerStrip.toLong)),
       Tag(279, 4, segs.map(_.length.toLong).toArray)))
+    // GDAL_NODATA is ASCII (type 2), one byte per char, NUL-terminated
+    nodata.foreach(s => tags = tags :+
+      Tag(42113, 2, (s.getBytes("US-ASCII") :+ 0.toByte).map(_.toLong)))
     tags = tags.sortBy(_.id)
 
     val total = dataOff
@@ -197,18 +201,21 @@ class GeoTiffSpec extends SparkSpec {
       bb.putShort(t.id.toShort)
       bb.putShort(t.typ.toShort)
       bb.putInt(t.values.length)
-      val elemSize = if (t.typ == 3) 2 else 4
+      val elemSize = t.typ match { case 2 => 1; case 3 => 2; case _ => 4 }
+      def putVal(v: Long): Unit = t.typ match {
+        case 2 => bb.put(v.toByte)
+        case 3 => bb.putShort(v.toShort)
+        case _ => bb.putInt(v.toInt)
+      }
       if (t.values.length * elemSize <= 4) {
         val mark = bb.position()
-        t.values.foreach(v =>
-          if (t.typ == 3) bb.putShort(v.toShort) else bb.putInt(v.toInt))
+        t.values.foreach(putVal)
         bb.position(mark + 4)
       } else {
         bb.putInt(cursor.toInt)
         val mark = bb.position()
         bb.position(cursor.toInt)
-        t.values.foreach(v =>
-          if (t.typ == 3) bb.putShort(v.toShort) else bb.putInt(v.toInt))
+        t.values.foreach(putVal)
         cursor = bb.position()
         bb.position(mark)
       }
@@ -253,5 +260,22 @@ class GeoTiffSpec extends SparkSpec {
   test("deflate strips") {
     assertGrid(makeTiff(ByteOrder.LITTLE_ENDIAN, 5, 5, 5,
       planar = 1, tiled = false, deflate = true, rowsPerStrip = 5), 5, 5, 5)
+  }
+
+  test("float32 nodata sentinel matches at sample precision") {
+    // -9999.9 is NOT float32-representable: the cell holds
+    // float32(-9999.9) = -9999.900390625, which a double-spelled
+    // comparison of the ASCII tag value would never equal — the parser
+    // must cast the sentinel through the sample type before comparing
+    val bytes = makeTiff(ByteOrder.LITTLE_ENDIAN, 4, 3, 2,
+      planar = 1, tiled = false, deflate = false,
+      nodata = Some("-9999.9"),
+      value = (b, y, x) => if (y == 1 && x == 2) -9999.9f
+        else 100f * b + 10f * y + 1.1f * x)
+    val r = GeoTiff.parse(bytes)
+    for (b <- 1 to 2) {
+      assert(r.value(b, 1, 2).isNaN, s"band $b sentinel cell not nulled")
+      assert(!r.value(b, 0, 0).isNaN)
+    }
   }
 }
