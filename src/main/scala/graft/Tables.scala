@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, lit}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central loader for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -51,13 +51,48 @@ object Tables {
           df.filter(col("ts") >= lo && col("ts") < hi)
         }
         bounded.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        nanos.fold(df) { case (lo, hi) =>
-          df.filter(col("ts") >= lit(java.time.Instant.EPOCH.plusNanos(lo)) &&
-            col("ts") < lit(java.time.Instant.EPOCH.plusNanos(hi)))
+      case TimestampNTZType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet. Bound with
+        // LocalDateTime (NTZ) literals so the predicate stays on the
+        // physical column and reaches PushedFilters — an Instant literal
+        // here makes the analyzer cast the COLUMN, which floats the
+        // predicate above the scan and kills row-group pruning. Then cast
+        // to TimestampType (session tz is UTC ⇒ same instants as the old
+        // nanos path) so downstream unix_seconds/unix_micros analyze.
+        val bounded = nanos.fold(df) { case (lo, hi) =>
+          df.filter(col("ts") >= lit(ntzMicros(ceilDivNanos(lo))) &&
+            col("ts") < lit(ntzMicros(ceilDivNanos(hi))))
         }
+        bounded.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=true): Instant literals match
+        // the column type natively, so the bound pushes down as-is.
+        nanos.fold(df) { case (lo, hi) =>
+          df.filter(
+            col("ts") >= lit(instantMicros(ceilDivNanos(lo))) &&
+            col("ts") < lit(instantMicros(ceilDivNanos(hi))))
+        }
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported storage type $other; expected " +
+            "int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
+
+  /** ns → µs with ceiling semantics: the stored column is µs-aligned, so
+    * for both `ts >= lo` and `ts < hi` the equivalent µs bound is
+    * ceil(bound/1000) (truncation would admit rows just below `lo`).
+    */
+  private def ceilDivNanos(n: Long): Long = math.floorDiv(n + 999L, 1000L)
+
+  private def ntzMicros(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      math.floorDiv(us, 1000000L), (math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
+  private def instantMicros(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(
+      math.floorDiv(us, 1000000L), math.floorMod(us, 1000000L) * 1000L)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

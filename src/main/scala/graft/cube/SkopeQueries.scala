@@ -738,6 +738,28 @@ object SkopeQueries {
         |         + CAST(1.1 AS DOUBLE) * c AS REAL) + 1e-9, 6) END AS value
         |FROM range(1, 6) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
         .stripMargin,
+    // paired value+uncertainty fixtures, both closed-form (value raster
+    // has the nodata holes; uncertainty raster is hole-free). avg runs
+    // over float32-widened doubles in both engines; round(…+1e-9, 6)
+    // absorbs summation-order noise exactly like the zonal means do.
+    "skope_uncertainty_series" ->
+      """WITH v AS (
+        |  SELECT b AS band, count(val) AS n, avg(val) AS vm FROM (
+        |    SELECT b, CASE WHEN (r = 3 AND c = 4) OR (b = 3 AND r = 2 AND c = 4)
+        |      THEN NULL
+        |      ELSE CAST(CAST(100 AS DOUBLE) * b + CAST(10 AS DOUBLE) * r
+        |        + CAST(1.1 AS DOUBLE) * c AS REAL) END AS val
+        |    FROM range(1, 6) tb(b), range(0, 5) tr(r), range(0, 5) tc(c))
+        |  GROUP BY b),
+        |u AS (
+        |  SELECT b AS band,
+        |    avg(CAST(CAST(10 AS DOUBLE) * b + CAST(1 AS DOUBLE) * r
+        |      + CAST(0.1 AS DOUBLE) * c AS REAL)) AS um
+        |  FROM range(1, 6) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)
+        |  GROUP BY b)
+        |SELECT v.band, v.n, round(vm + 1e-9, 6) AS value,
+        |  round(um + 1e-9, 6) AS uncertainty
+        |FROM v JOIN u ON v.band = u.band""".stripMargin,
     // /settings introspection (main.py:41-45): pure literals on both
     // sides, built from the SAME Scala constants so they cannot drift.
     "skope_settings" -> {
@@ -866,8 +888,44 @@ object SkopeQueries {
         col("lon"), col("lat"),
         Num.roundEps(col("v"), 6).as("value"))
 
+  /** The reference pairs a variable with its uncertainty layer via
+    * `uncertainty_template` (app/config.py:82-87,
+    * `{dataset_id}_{variable_id}_uncertainty.tif` next to the value
+    * raster; fixture annual_5x5x5_dataset_float32_variable_uncertainty
+    * .tif = float32(10·b + r + 0.1·c), no nodata — aux.xml band means
+    * 12.2/22.2/…/52.2 confirm). */
+  private def uncertaintyFixture: String =
+    sys.env.getOrElse("SPARK_GRAFT_GEOTIFF_UNC",
+      "/root/reference/timeseries/data/" +
+        "annual_5x5x5_dataset_float32_variable_uncertainty.tif")
+
+  /** Paired value+uncertainty series over the full raster: per-band
+    * zonal mean of the variable AND of its uncertainty layer, plus the
+    * valid-cell count (the value raster has nodata holes the
+    * uncertainty raster doesn't — `n` exposes the asymmetry).
+    *
+    * Scale shape: each cube is aggregated to per-band stats FIRST
+    * (map-side partial agg over the scan, one tiny row per band), then
+    * the two band-indexed series join. At a 100 TB archive this never
+    * shuffles cells — the alternative cell-level (band,y,x) equi-join
+    * would move both cubes through a full shuffle to produce the same
+    * 1-row-per-band output. */
+  def uncertaintySeries(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.sources.GeoTiff.readCube(spark, geotiffFixture)
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(col("v")).as("n"), avg(col("v")).as("vm"))
+    val u = graft.sources.GeoTiff.readCube(spark, uncertaintyFixture)
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(avg(col("v")).as("um"))
+    v.join(broadcast(u), Seq("band"))
+      .select(col("band"), col("n"),
+        Num.roundEps(col("vm"), 6).as("value"),
+        Num.roundEps(col("um"), 6).as("uncertainty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skope_geotiff_ingest" -> (geotiffIngest _),
+    "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->
       ((s: SparkSession, _: String) => graft.api.Api.settings(s)),
     "skope_metadata" -> (metadata _),

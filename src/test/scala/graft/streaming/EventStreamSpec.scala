@@ -27,6 +27,20 @@ class EventStreamSpec extends SparkSpec {
 
   private val StateStoreVariants = Seq("hdfs" -> false, "rocksdb" -> true)
 
+  /** events.parquet in the driver's raw storage type (ts = NTZ µs since
+    * round 7; see EventStream.eventSchema). Splits below cut on epoch-µs
+    * derived from the raw column, so the staged files keep the original
+    * storage type and the streaming read exercises the same
+    * normalizeTs path production uses. */
+  private def loadRaw(): org.apache.spark.sql.DataFrame =
+    spark.read.schema(EventStream.eventSchema).parquet(s"$sfDir/events.parquet")
+  private def tsMicros: org.apache.spark.sql.Column =
+    unix_micros(col("ts").cast("timestamp"))
+  private def microBounds(raw: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = raw.agg(min(tsMicros), max(tsMicros)).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   test("daily zonal mean emits closed windows once the watermark passes") {
     val s = spark
     import s.implicits._
@@ -92,18 +106,15 @@ class EventStreamSpec extends SparkSpec {
     // the batch answer for every window it closes
     val s = spark
     implicit val sqlCtx = s.sqlContext
-    val raw = s.read.schema(EventStream.eventSchema)
-      .parquet(s"$sfDir/events.parquet")
-    val (minNs, maxNs) = {
-      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
-    }
-    val cut1 = minNs + (maxNs - minNs) / 2
-    val cut2 = minNs + (maxNs - minNs) * 3 / 4
+    val raw = loadRaw()
+    val (minUs, maxUs) = microBounds(raw)
+    val cut1 = minUs + (maxUs - minUs) / 2
+    val cut2 = minUs + (maxUs - minUs) * 3 / 4
     val dir = java.nio.file.Files.createTempDirectory("graft_parity").toString
     new java.io.File(s"$dir/src").mkdirs()
-    Seq(col("ts") < cut1,
-        col("ts") >= cut1 && col("ts") < cut2,
-        col("ts") >= cut2).zipWithIndex.foreach { case (p, i) =>
+    Seq(tsMicros < cut1,
+        tsMicros >= cut1 && tsMicros < cut2,
+        tsMicros >= cut2).zipWithIndex.foreach { case (p, i) =>
       raw.filter(p).coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/stage_$i")
       val part = new java.io.File(s"$dir/stage_$i").listFiles()
@@ -113,9 +124,9 @@ class EventStreamSpec extends SparkSpec {
       // oldest-first processing order comes from modification time
       assert(dst.setLastModified(1000000L * (i + 1)))
     }
-    val stream = s.readStream.schema(EventStream.eventSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = EventStream.normalizeTs(
+      s.readStream.schema(EventStream.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/src"))
     val q = EventStream.dailyZonalMean(stream).writeStream
       .format("memory").queryName("parity_stream").outputMode("append").start()
     try {
@@ -125,8 +136,7 @@ class EventStreamSpec extends SparkSpec {
         .collect()
         .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
           (r.getDouble(2), r.getLong(3))).toMap
-      val batch = EventStream.dailyZonalMean(
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      val batch = EventStream.dailyZonalMean(EventStream.normalizeTs(raw))
         .collect()
         .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
           (r.getDouble(2), r.getLong(3))).toMap
@@ -156,18 +166,15 @@ class EventStreamSpec extends SparkSpec {
     // watermarks advance across micro-batches
     val s = spark
     implicit val sqlCtx = s.sqlContext
-    val raw = s.read.schema(EventStream.eventSchema)
-      .parquet(s"$sfDir/events.parquet")
-    val (minNs, maxNs) = {
-      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
-    }
-    val cut1 = minNs + (maxNs - minNs) / 2
-    val cut2 = minNs + (maxNs - minNs) * 3 / 4
+    val raw = loadRaw()
+    val (minUs, maxUs) = microBounds(raw)
+    val cut1 = minUs + (maxUs - minUs) / 2
+    val cut2 = minUs + (maxUs - minUs) * 3 / 4
     val dir = java.nio.file.Files.createTempDirectory("graft_attr_join").toString
     new java.io.File(s"$dir/src").mkdirs()
-    Seq(col("ts") < cut1,
-        col("ts") >= cut1 && col("ts") < cut2,
-        col("ts") >= cut2).zipWithIndex.foreach { case (p, i) =>
+    Seq(tsMicros < cut1,
+        tsMicros >= cut1 && tsMicros < cut2,
+        tsMicros >= cut2).zipWithIndex.foreach { case (p, i) =>
       raw.filter(p).coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/stage_$i")
       val part = new java.io.File(s"$dir/stage_$i").listFiles()
@@ -176,9 +183,9 @@ class EventStreamSpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       assert(dst.setLastModified(1000000L * (i + 1)))
     }
-    val stream = s.readStream.schema(EventStream.eventSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = EventStream.normalizeTs(
+      s.readStream.schema(EventStream.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/src"))
     val q = EventStream.streamingAttrWindow(stream).writeStream
       .format("memory").queryName(s"attr_join_stream_$tag")
       .outputMode("append").start()
@@ -232,13 +239,10 @@ class EventStreamSpec extends SparkSpec {
     // batch answer on every key
     val s = spark
     implicit val sqlCtx = s.sqlContext
-    val raw = s.read.schema(EventStream.eventSchema)
-      .parquet(s"$sfDir/events.parquet")
-    val (minNs, maxNs) = {
-      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
-    }
-    val cut1 = minNs + (maxNs - minNs) / 3
-    val cut2 = minNs + (maxNs - minNs) * 2 / 3
+    val raw = loadRaw()
+    val (minUs, maxUs) = microBounds(raw)
+    val cut1 = minUs + (maxUs - minUs) / 3
+    val cut2 = minUs + (maxUs - minUs) * 2 / 3
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     new java.io.File(s"$dir/src").mkdirs()
     def land(name: String, p: org.apache.spark.sql.Column, mtime: Long): Unit = {
@@ -253,9 +257,9 @@ class EventStreamSpec extends SparkSpec {
     // commit log is what makes output exactly-once across restarts;
     // the memory sink refuses checkpoint recovery outright)
     def start() = {
-      val stream = s.readStream.schema(EventStream.eventSchema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = EventStream.normalizeTs(
+        s.readStream.schema(EventStream.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/src"))
       EventStream.dailyZonalMean(stream).writeStream
         .format("parquet").option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
@@ -265,13 +269,13 @@ class EventStreamSpec extends SparkSpec {
         .select("dataset_id", "day", "zonal_mean", "n_cells_seen").collect()
         .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
           (r.getDouble(2), r.getLong(3))).toSeq
-    land("f0", col("ts") < cut1, 1000000L)
-    land("f1", col("ts") >= cut1 && col("ts") < cut2, 2000000L)
+    land("f0", tsMicros < cut1, 1000000L)
+    land("f1", tsMicros >= cut1 && tsMicros < cut2, 2000000L)
     val q1 = start()
     val run1 = try { q1.processAllAvailable(); emitted() } finally q1.stop()
     assert(run1.nonEmpty, "run 1 closed no windows before the stop")
     // crash/restart: new query instance, same checkpoint, more data
-    land("f2", col("ts") >= cut2, 3000000L)
+    land("f2", tsMicros >= cut2, 3000000L)
     val q2 = start()
     val all = try { q2.processAllAvailable(); emitted() } finally q2.stop()
     assert(all.size > run1.size, "restart emitted no new windows")
@@ -281,8 +285,7 @@ class EventStreamSpec extends SparkSpec {
     val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"windows duplicated across restart: $dups")
     // and the union matches the batch answer on every emitted key
-    val batch = EventStream.dailyZonalMean(
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val batch = EventStream.dailyZonalMean(EventStream.normalizeTs(raw))
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
         (r.getDouble(2), r.getLong(3))).toMap
