@@ -210,6 +210,47 @@ object HashKernels {
     * into a stalled stage. As a static call it is one xor + ~30
     * primitive ops in both codegen and interpreted paths.
     */
+  /** (a, b, c) chunk indices per triple id, in the same
+    * (0 until 10).combinations(3) enumeration simhashCanonicalTriple
+    * ranks against — the two tables must never drift apart. */
+  private val TripleChunks: Array[Int] = {
+    val out = new Array[Int](360)
+    var t = 0
+    (0 until 10).combinations(3).foreach { c =>
+      out(3 * t) = c(0); out(3 * t + 1) = c(1); out(3 * t + 2) = c(2)
+      t += 1
+    }
+    out
+  }
+
+  /** All 120 chunk-triple posting keys of one 60-bit signature: triple
+    * id in bits 18+, the three 6-bit chunk values packed below —
+    * bit-identical to the column-arithmetic spelling
+    * (t<<18) + (chunk_a<<12) + (chunk_b<<6) + chunk_c.
+    *
+    * ONE kernel for the same reason as simhashCanonicalTriple: an
+    * array() of 120 shift/mask expressions is a ~1300-node tree whose
+    * whole-stage-codegen compile alone was measured at ~2 s per fresh
+    * session (sf0.1, round 8) — a fixed constant every cold query paid.
+    * Here the chunks are extracted once and the 120 keys come from a
+    * static index table. */
+  def simhashTripleKeys(sim: Long): ArrayData = {
+    val ch = new Array[Long](10)
+    var i = 0
+    while (i < 10) {
+      ch(i) = (sim >>> (6 * i)) & 63L
+      i += 1
+    }
+    val out = new Array[Long](120)
+    var t = 0
+    while (t < 120) {
+      out(t) = (t.toLong << 18) + (ch(TripleChunks(3 * t)) << 12) +
+        (ch(TripleChunks(3 * t + 1)) << 6) + ch(TripleChunks(3 * t + 2))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhashCanonicalTriple(x: Long, t: Long): Boolean =
     java.lang.Long.bitCount(x) <= 7 && {
       var m = 0
@@ -242,6 +283,20 @@ case class MinHashBands(child: Expression) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.HashKernels.minhashBands($a);")
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+case class SimhashTripleKeys(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_triple_keys"
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.simhashTripleKeys(a.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.simhashTripleKeys($a);")
+  override protected def withNewChildInternal(newChild: Expression): SimhashTripleKeys =
     copy(child = newChild)
 }
 
@@ -334,6 +389,8 @@ object HashFunctions {
     ColumnBridge.column(SimHash60(ColumnBridge.expression(ws)))
   def fingerprint31(s: Column): Column =
     ColumnBridge.column(Fingerprint31(ColumnBridge.expression(s)))
+  def simhash_triple_keys(sim: Column): Column =
+    ColumnBridge.column(SimhashTripleKeys(ColumnBridge.expression(sim)))
   def simhash_canonical_triple(x: Column, t: Column): Column =
     ColumnBridge.column(SimhashCanonicalTriple(ColumnBridge.expression(x),
       ColumnBridge.expression(t)))

@@ -329,24 +329,22 @@ object Dedup {
     * once, exactly the scale-friendly direction. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
-    // bucket key packed exactly into one long: triple id (0..119) in
-    // the high bits, the three 6-bit chunk values below it
-    val chunkKeys = (0 until 10).combinations(3).toSeq.zipWithIndex.map {
-      case (Seq(a, b, c), t) =>
-        expr(s"${t.toLong << 18}L" +
-          s" + shiftleft(shiftright(sim, ${6 * a}) & 63, 12)" +
-          s" + shiftleft(shiftright(sim, ${6 * b}) & 63, 6)" +
-          s" + (shiftright(sim, ${6 * c}) & 63)")
-    }
     // cached like the minhash postings: bucketPairs consults the
     // posting table several times (bucket counts, cold side, hot
     // probe/build), and re-exploding 120 keys per document on every
     // consumption dominated the sf10 wall clock. One narrow (k,
     // doc_id, sim, t) table — the LSH index artifact an ingestion job
     // would persist next to the corpus.
+    // bucket key packed into one long — triple id (0..119) in bits 18+,
+    // the three 6-bit chunk values below — by ONE kernel call
+    // (HashKernels.simhashTripleKeys): the earlier array() of 120
+    // shift/mask expressions cost ~2 s of whole-stage-codegen compile
+    // per fresh session, the dominant term of the cold query at sf0.1
     val postings = cached(spark, s"simhash-postings:$dir") {
+      import graft.functions.HashFunctions.simhash_triple_keys
       sigs
-        .select(col("doc_id"), col("sim"), explode(array(chunkKeys: _*)).as("k"))
+        .select(col("doc_id"), col("sim"),
+          explode(simhash_triple_keys(col("sim"))).as("k"))
         // the triple id rides as payload (bucketPairs strips the join
         // key itself) — the canonical-emission filter below needs it
         .select(col("k"), col("doc_id"), col("sim"),

@@ -46,6 +46,40 @@ object Scratch {
           }
           labels = prop
         }
+      case "sh" :: Nil =>
+        // stage split for dedup_simhash: signature MD5s vs 120-key
+        // posting explode vs the bucket self-join + verification
+        import org.apache.spark.sql.functions._
+        import graft.functions.HashFunctions.simhash60
+        time("warmup q1")(SparkEntry.queries("q1_pricing")(spark, dir).count())
+        val sigs = time("sigs build") {
+          val s = Tables.documents(spark, dir)
+            .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
+            .persist()
+          s.count(); s
+        }
+        val chunkKeys = (0 until 10).combinations(3).toSeq.zipWithIndex.map {
+          case (Seq(a, b, c), t) =>
+            expr(s"${t.toLong << 18}L" +
+              s" + shiftleft(shiftright(sim, ${6 * a}) & 63, 12)" +
+              s" + shiftleft(shiftright(sim, ${6 * b}) & 63, 6)" +
+              s" + (shiftright(sim, ${6 * c}) & 63)")
+        }
+        val postings = time("postings build") {
+          val p = sigs
+            .select(col("doc_id"), col("sim"),
+              explode(array(chunkKeys: _*)).as("k"))
+            .select(col("k"), col("doc_id"), col("sim"),
+              expr("shiftright(k, 18)").as("t")).persist()
+          p.count(); p
+        }
+        println("postings rows=" + postings.count())
+        println("multi-buckets=" + postings.groupBy("k").count()
+          .filter(col("count") > 1).count())
+        graft.pipeline.ArtifactCache.clear()
+        time("d_sh cold")(graft.pipeline.Dedup.simhash(spark, dir).count())
+        time("d_sh warm-artifacts")(
+          graft.pipeline.Dedup.simhash(spark, dir).count())
       case "dump" :: q :: out :: Nil =>
         // one-query Verify: parquet dump + its oracle SQL, for fast
         // local DuckDB iteration without the full 82-query pass

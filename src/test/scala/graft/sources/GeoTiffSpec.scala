@@ -262,6 +262,50 @@ class GeoTiffSpec extends SparkSpec {
       planar = 1, tiled = false, deflate = true, rowsPerStrip = 5), 5, 5, 5)
   }
 
+  test("many-file ingest: 64 granules decode in parallel, partitions scale with files") {
+    // the 100 TB archive shape: one .tif granule per (dataset, tile) —
+    // ingestion parallelism must come from FILE COUNT (binaryFile scan
+    // splits, each granule decoded whole on an executor), never from a
+    // single-file driver loop
+    val dir = java.nio.file.Files.createTempDirectory("gt_many")
+    dir.toFile.deleteOnExit()
+    (0 until 64).foreach { i =>
+      val bytes = makeTiff(ByteOrder.LITTLE_ENDIAN, 8, 8, 4,
+        planar = 1, tiled = false, deflate = false, rowsPerStrip = 4,
+        value = (b, y, x) => 1000f * i + 100f * b + 10f * y + x)
+      java.nio.file.Files.write(dir.resolve(f"granule_$i%02d.tif"), bytes)
+    }
+    val df = GeoTiff.readCube(spark, s"$dir/*.tif").cache()
+    try {
+      assert(df.count() === 64L * 4 * 8 * 8)
+      // every granule decoded with its own content (no cross-file mixup)
+      val perFile = df.filter(col("band") === 1 && col("x") === 0 && col("y") === 0)
+        .select(col("path"), col("v")).collect()
+        .map(r => r.getString(0).split("granule_").last -> r.getDouble(1)).toMap
+      assert(perFile.size === 64)
+      (0 until 64).foreach { i =>
+        assert(perFile(f"$i%02d.tif") === 1000.0 * i + 100.0)
+      }
+      // default conf: the scan fans out across every core — a
+      // single-partition plan would serialize 64 decodes
+      val parts = df.rdd.getNumPartitions
+      assert(parts >= spark.sparkContext.defaultParallelism,
+        s"only $parts scan partitions for 64 granules")
+    } finally df.unpersist()
+    // shrink the packing budget to the granule scale: partition count
+    // must now track FILE count (the scale lever a 100 TB ingest turns
+    // via maxPartitionBytes so one task ≈ one granule)
+    val mpb = "spark.sql.files.maxPartitionBytes"
+    val oc = "spark.sql.files.openCostInBytes"
+    val (prevM, prevO) = (spark.conf.get(mpb), spark.conf.get(oc))
+    try {
+      spark.conf.set(mpb, "16384"); spark.conf.set(oc, "16384")
+      val partsSmall = GeoTiff.readCube(spark, s"$dir/*.tif").rdd.getNumPartitions
+      assert(partsSmall >= 32,
+        s"partition count $partsSmall does not scale with 64 granules")
+    } finally { spark.conf.set(mpb, prevM); spark.conf.set(oc, prevO) }
+  }
+
   test("float32 nodata sentinel matches at sample precision") {
     // -9999.9 is NOT float32-representable: the cell holds
     // float32(-9999.9) = -9999.900390625, which a double-spelled
