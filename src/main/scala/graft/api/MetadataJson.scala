@@ -23,7 +23,7 @@ object MetadataJson {
 
   private[api] def tree: ArrayNode = {
     val arr = mapper.createArrayNode()
-    Catalog.entries.foreach { e =>
+    Catalog.activeEntries.foreach { e =>
       val d = arr.addObject()
       d.put("id", e.id)
       d.put("title", e.title)
@@ -61,7 +61,7 @@ object MetadataJson {
       d.put("originator", e.originator)
       // full variable documents (metadata.yml:77-93)
       val vars = d.putArray("variables")
-      Catalog.variables(e.id).foreach { v =>
+      Catalog.activeVariables(e.id).foreach { v =>
         val vn = vars.addObject()
         vn.put("id", v.id)
         vn.put("class", v.clazz)

@@ -119,6 +119,27 @@ object Catalog {
   def timeseriesServiceUri(datasetId: String, variableId: String): String =
     s"$datasetId/$variableId"
 
+  /** Runtime catalog: the reference loads `metadata.yml` at startup
+    * (app/main.py); here `SPARK_GRAFT_CATALOG` names a yml file to
+    * serve instead of the static synthetic catalog — adding a dataset
+    * becomes a yml edit, not a recompile. Resolved once per JVM; the
+    * engine frame, the DuckDB oracle VALUES, AND the /metadata JSON all
+    * derive from the SAME loaded entries, so an override cannot drift
+    * the correctness gate. */
+  private lazy val runtime: Option[(Seq[Entry], Map[String, Seq[Variable]])] =
+    sys.env.get("SPARK_GRAFT_CATALOG").map(CatalogYaml.load)
+
+  /** The catalog in effect (yml-loaded or static). */
+  def activeEntries: Seq[Entry] = runtime.map(_._1).getOrElse(entries)
+
+  /** Variables of the catalog in effect: a yml catalog serves ONLY its
+    * own declared variables (absent list → none, like the reference's
+    * Dataset model); the static catalog keeps its synthetic pair. */
+  def activeVariables(datasetId: String): Seq[Variable] = runtime match {
+    case Some((_, vs)) => vs.getOrElse(datasetId, Seq.empty)
+    case None => variables(datasetId)
+  }
+
   /** Region fields shared by every dataset (metadata.yml `region`):
     * extents are the documented geo-transform (1° cells from 50°N /
     * −120°E — Geometry.Geo) over the GridWidth × GridHeight cell grid,
@@ -189,7 +210,7 @@ object Catalog {
     import scala.jdk.CollectionConverters._
     val schema = StructType(columns.map { case (n, t) =>
       StructField(n, t, nullable = false) })
-    val rows = entries.map(e => Row.fromSeq(values(e))).asJava
+    val rows = activeEntries.map(e => Row.fromSeq(values(e))).asJava
     spark.createDataFrame(rows, schema)
   }
 
@@ -202,7 +223,7 @@ object Catalog {
     * share one source of truth. (`references` is a reserved word —
     * every alias is double-quoted.) */
   def tableSql: String = {
-    val rows = entries.map { e =>
+    val rows = activeEntries.map { e =>
       values(e).map {
         case s: String => sqlLit(s)
         case l: Long => s"CAST($l AS BIGINT)"

