@@ -738,6 +738,19 @@ object SkopeQueries {
         |         + CAST(1.1 AS DOUBLE) * c AS REAL) + 1e-9, 6) END AS value
         |FROM range(1, 6) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
         .stripMargin,
+    // the monthly 60-band fixture's closed-form content (same float32
+    // formula as the annual, nodata only at (row 3, col 4) per band)
+    "skope_geotiff_monthly" ->
+      """SELECT CAST(b AS BIGINT) AS band, CAST(c AS BIGINT) AS x,
+        |  CAST(r AS BIGINT) AS y,
+        |  CAST(-123 + c + 0.5 AS DOUBLE) AS lon,
+        |  CAST(45 - r - 0.5 AS DOUBLE) AS lat,
+        |  CASE WHEN r = 3 AND c = 4 THEN NULL
+        |       ELSE round(CAST(CAST(100 AS DOUBLE) * b
+        |         + CAST(10 AS DOUBLE) * r
+        |         + CAST(1.1 AS DOUBLE) * c AS REAL) + 1e-9, 6) END AS value
+        |FROM range(1, 61) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
+        .stripMargin,
     // paired value+uncertainty fixtures, both closed-form (value raster
     // has the nodata holes; uncertainty raster is hole-free). avg runs
     // over float32-widened doubles in both engines; round(…+1e-9, 6)
@@ -888,6 +901,23 @@ object SkopeQueries {
         col("lon"), col("lat"),
         Num.roundEps(col("v"), 6).as("value"))
 
+  /** The 60-band MONTHLY fixture (monthly_5x5x60_dataset_float32
+    * _variable.tif — the layout the reference's month-resolution
+    * datasets ship): same closed form as the annual fixture but 12×
+    * the band axis and a -9999 nodata sentinel at (row 3, col 4) in
+    * every band. A second hash-gated layout point for the reader. */
+  private def geotiffMonthlyFixture: String =
+    sys.env.getOrElse("SPARK_GRAFT_GEOTIFF_MONTHLY",
+      "/root/reference/timeseries/data/monthly_5x5x60_dataset_float32_variable.tif")
+
+  def geotiffMonthly(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark, geotiffMonthlyFixture)
+      .select(col("band").cast("long").as("band"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        col("lon"), col("lat"),
+        Num.roundEps(col("v"), 6).as("value"))
+
   /** The reference pairs a variable with its uncertainty layer via
     * `uncertainty_template` (app/config.py:82-87,
     * `{dataset_id}_{variable_id}_uncertainty.tif` next to the value
@@ -925,6 +955,7 @@ object SkopeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skope_geotiff_ingest" -> (geotiffIngest _),
+    "skope_geotiff_monthly" -> (geotiffMonthly _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->
       ((s: SparkSession, _: String) => graft.api.Api.settings(s)),

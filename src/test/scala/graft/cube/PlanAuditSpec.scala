@@ -216,4 +216,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(plan) === exchanges(bboxPlan),
       s"polygon zonal should shuffle like a bbox: ${exchanges(plan)} vs ${exchanges(bboxPlan)}")
   }
+
+  test("uncertainty pairing joins per-band AGGREGATES, never cells") {
+    // each raster reduces to one row per band before the pairing join
+    // (map-side partial agg over its own scan); the join itself is a
+    // broadcast on the tiny band series — a cell-level (band,y,x)
+    // equi-join would shuffle both cubes to produce the same rows
+    val plan = formatted(SkopeQueries.uncertaintySeries(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"band pairing lost its broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "uncertainty pairing degraded to a cell-level shuffle join")
+    // two independent partial-agg pyramids: ≥2 HashAggregate pairs
+    val hashAggs = plan.split("\n").count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4,
+      s"expected two partial+final aggregate pyramids, saw $hashAggs HashAggregate nodes")
+  }
 }
