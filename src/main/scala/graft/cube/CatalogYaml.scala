@@ -51,38 +51,22 @@ object CatalogYaml {
     val docs = root.elements.asScala.toSeq
     val loadable = docs.filter { d =>
       val ts = d.get("timespan")
+      // bandable = resolution + BOTH period bounds: a document missing
+      // any of these is a map layer, not a timeseries dataset
       ts != null && text(ts, "resolution").nonEmpty &&
-        ts.get("period") != null
+        ts.get("period") != null &&
+        text(ts.get("period"), "gte").nonEmpty &&
+        text(ts.get("period"), "lte").nonEmpty
     }
 
     val entries = loadable.map { d =>
-      val ts = d.get("timespan")
-      val period = ts.get("period")
-      val gte = isoDate(text(period, "gte"))
-      Catalog.Entry(
-        id = text(d, "id"),
-        title = text(d, "title"),
-        resolution = text(ts, "resolution"),
-        timeGte = gte,
-        timeLte = isoDate(text(period, "lte")),
-        // absent timeZero (non-era datasets) anchors the era at the
-        // period start, making band 1's label the gte year — the same
-        // default the synthetic catalog uses
-        timeZero = num(period, "timeZero",
-          java.time.LocalDate.parse(gte).getYear),
-        uncertainty = text(d, "uncertainty",
-          "No uncertainty estimates available."),
-        ordering = num(d, "ordering", 0),
-        description = text(d, "description"),
-        status = text(d, "status", "Published"),
-        revised = text(d, "revised"),
-        resolutionLabel = text(ts, "resolutionLabel"),
-        eraSuffix = text(period, "suffix", "CE"),
-        methodSummary = text(d, "methodSummary"),
-        references = text(d, "references"),
-        originator = text(d, "originator"))
+      try entry(d)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"catalog $path: dataset '${text(d, "id", "<no id>")}': " +
+            e.getMessage, e)
+      }
     }
-
     val vars = loadable.map { d =>
       val id = text(d, "id")
       val vs = Option(d.get("variables")).filter(_.isArray)
@@ -104,5 +88,35 @@ object CatalogYaml {
     }.toMap
 
     (entries, vars)
+  }
+
+  private def entry(d: JsonNode): Catalog.Entry = {
+    val ts = d.get("timespan")
+    val period = ts.get("period")
+    val gte = isoDate(text(period, "gte"))
+    Catalog.Entry(
+      id = text(d, "id"),
+      title = text(d, "title"),
+      resolution = text(ts, "resolution"),
+      timeGte = gte,
+      timeLte = isoDate(text(period, "lte")),
+      // absent timeZero (non-era datasets) anchors the era at the
+      // period start, making band 1's label the gte year — the same
+      // default the synthetic catalog uses. Resolved lazily so a
+      // present timeZero never depends on gte parsing.
+      timeZero = Option(period.get("timeZero")).filterNot(_.isNull)
+        .map(_.asInt)
+        .getOrElse(java.time.LocalDate.parse(gte).getYear),
+      uncertainty = text(d, "uncertainty",
+        "No uncertainty estimates available."),
+      ordering = num(d, "ordering", 0),
+      description = text(d, "description"),
+      status = text(d, "status", "Published"),
+      revised = text(d, "revised"),
+      resolutionLabel = text(ts, "resolutionLabel"),
+      eraSuffix = text(period, "suffix", "CE"),
+      methodSummary = text(d, "methodSummary"),
+      references = text(d, "references"),
+      originator = text(d, "originator"))
   }
 }

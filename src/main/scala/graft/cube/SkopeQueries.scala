@@ -46,14 +46,15 @@ object SkopeQueries {
     * props-derived `k`) plus a fill value slot, mirroring the
     * multi-variable catalog the DatasetManager serves.
     *
-    * Served fields come from the STATIC catalog (Catalog — the
-    * metadata.yml model): title, resolution, timespan, timeZero era
+    * Served fields come from the catalog IN EFFECT (Catalog.active* —
+    * the static synthetic catalog, or a metadata.yml loaded via
+    * SPARK_GRAFT_CATALOG): title, resolution, timespan, timeZero era
     * label, region extents, uncertainty slot, and the
     * timespan-DERIVED n_bands (dataset.py:34-41 builds the band extent
     * from the yml, not from scanning the rasters — a dataset with
     * absent bands still reports its declared extent). Only n_cells is
-    * corpus-derived (the raster-shape analogue). Catalog is 5 rows —
-    * broadcast, never a shuffle. */
+    * corpus-derived (the raster-shape analogue). The catalog is a few
+    * rows — broadcast, never a shuffle. */
   val DatasetVariables: Seq[String] = Seq("value", "k")
   def metadata(spark: SparkSession, dir: String): DataFrame =
     // catalog-LEFT join: a catalog dataset with zero events still
@@ -73,11 +74,24 @@ object SkopeQueries {
       // revised, ordering, resolutionLabel, era suffix, region
       // name/zoom/center/style/extents) rides through as-is: the
       // reference serves the yml verbatim (dataset.py load_api_metadata)
+      // per-dataset variable ids from the ACTIVE catalog (yml-loaded
+      // or static), so this frame and MetadataJson can never disagree
+      // on a dataset's variable inventory; the oracle generates its
+      // VALUES list from the same source
+      .join(broadcast(activeVariablePairs(spark)), Seq("dataset_id"))
       .select(col("*"),
-        explode(array(DatasetVariables.map(lit): _*)).as("variable_id"),
         // the synthetic grid has no nodata sentinel; the slot is the
         // contract (metadata.yml nodata / fill handling)
         lit(null).cast("double").as("fill_value"))
+
+  /** (dataset_id, variable_id) pairs of the catalog in effect, as a
+    * broadcastable local relation. */
+  private def activeVariablePairs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Catalog.activeEntries
+      .flatMap(e => Catalog.activeVariables(e.id).map(v => (e.id, v.id)))
+      .toDF("dataset_id", "variable_id")
+  }
 
   /** Year-resolution band axis with era labels (dataset.py:69-71's year
     * branch — the reference's PRIMARY resolution — plus metadata.yml's
@@ -797,7 +811,12 @@ object SkopeQueries {
          |  SELECT event_type AS dataset_id,
          |    count(DISTINCT user_id) AS n_cells
          |  FROM events GROUP BY event_type) d USING (dataset_id)
-         |CROSS JOIN (SELECT unnest(['value', 'k']) AS variable_id) v""".stripMargin,
+         |JOIN (SELECT * FROM (VALUES
+         |  ${Catalog.activeEntries.flatMap(e =>
+              Catalog.activeVariables(e.id).map(v =>
+                s"('${e.id.replace("'", "''")}', '${v.id.replace("'", "''")}')"))
+              .mkString(",\n  ")})
+         |  AS t(dataset_id, variable_id)) v USING (dataset_id)""".stripMargin,
     "skope_batch_extract" -> withCube(Seq(
       batchSelSql("bbox",
         s"x BETWEEN ${DefaultBBox.x0} AND ${DefaultBBox.x1} " +

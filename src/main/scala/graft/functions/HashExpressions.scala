@@ -193,23 +193,6 @@ object HashKernels {
     sim
   }
 
-  /** Canonical-emission predicate for the 10×6-bit SimHash chunk-triple
-    * LSH (Dedup.simhash): true iff the pair qualifies — hamming(x) ≤ 7
-    * for x = sig1 ^ sig2 — AND `t` is the lex rank of the pair's FIRST
-    * all-intact chunk triple, i.e. the single posting table allowed to
-    * emit it. The constants (10 chunks × 6 bits, 3-subsets, radius 7 =
-    * Dedup.HammingRadius) are one inseparable geometry: ≤ 7 flipped
-    * bits touch ≤ 7 chunks, leaving ≥ 3 intact, so the lex-first
-    * intact triple always exists for a qualifying pair.
-    *
-    * ONE kernel on purpose: spelled as Catalyst column arithmetic, the
-    * alias chain (intact mask → ctz ranks → lex-rank polynomial) is
-    * inlined into the pair-join condition during filter pushdown with
-    * no common-subexpression elimination — an ~800-node tree evaluated
-    * per candidate pair, measured at sf10 to turn the 13 s pair join
-    * into a stalled stage. As a static call it is one xor + ~30
-    * primitive ops in both codegen and interpreted paths.
-    */
   /** (a, b, c) chunk indices per triple id, in the same
     * (0 until 10).combinations(3) enumeration simhashCanonicalTriple
     * ranks against — the two tables must never drift apart. */
@@ -251,6 +234,23 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Canonical-emission predicate for the 10×6-bit SimHash chunk-triple
+    * LSH (Dedup.simhash): true iff the pair qualifies — hamming(x) ≤ 7
+    * for x = sig1 ^ sig2 — AND `t` is the lex rank of the pair's FIRST
+    * all-intact chunk triple, i.e. the single posting table allowed to
+    * emit it. The constants (10 chunks × 6 bits, 3-subsets, radius 7 =
+    * Dedup.HammingRadius) are one inseparable geometry: ≤ 7 flipped
+    * bits touch ≤ 7 chunks, leaving ≥ 3 intact, so the lex-first
+    * intact triple always exists for a qualifying pair.
+    *
+    * ONE kernel on purpose: spelled as Catalyst column arithmetic, the
+    * alias chain (intact mask → ctz ranks → lex-rank polynomial) is
+    * inlined into the pair-join condition during filter pushdown with
+    * no common-subexpression elimination — an ~800-node tree evaluated
+    * per candidate pair, measured at sf10 to turn the 13 s pair join
+    * into a stalled stage. As a static call it is one xor + ~30
+    * primitive ops in both codegen and interpreted paths.
+    */
   def simhashCanonicalTriple(x: Long, t: Long): Boolean =
     java.lang.Long.bitCount(x) <= 7 && {
       var m = 0

@@ -65,13 +65,20 @@ object Scratch {
               s" + shiftleft(shiftright(sim, ${6 * b}) & 63, 6)" +
               s" + (shiftright(sim, ${6 * c}) & 63)")
         }
-        val postings = time("postings build") {
+        // A/B: the retired 120-expression spelling (kept here ONLY to
+        // measure its codegen-compile constant) vs the production kernel
+        val postings = time("postings build (expr spelling, retired)") {
           val p = sigs
             .select(col("doc_id"), col("sim"),
               explode(array(chunkKeys: _*)).as("k"))
             .select(col("k"), col("doc_id"), col("sim"),
               expr("shiftright(k, 18)").as("t")).persist()
           p.count(); p
+        }
+        time("postings build (production kernel)") {
+          import graft.functions.HashFunctions.simhash_triple_keys
+          sigs.select(col("doc_id"), col("sim"),
+            explode(simhash_triple_keys(col("sim"))).as("k")).count()
         }
         println("postings rows=" + postings.count())
         println("multi-buckets=" + postings.groupBy("k").count()

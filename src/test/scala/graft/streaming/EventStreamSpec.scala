@@ -298,6 +298,31 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("readEvents streams a legacy int64-nanos archive via schema inference") {
+    // pre-round-7 archives store ts as TIMESTAMP(NANOS) → int64; a
+    // schema pinned to the CURRENT storage type would refuse them at
+    // read, so readEvents infers from the files present and normalizes
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    def ns(day: Int) = (1704067200L + day * 86400L) * 1000000000L
+    Seq((1L, ns(0), 1L, "click", 10.0, "{}"),
+        (2L, ns(0), 2L, "click", 30.0, "{}"),
+        (3L, ns(5), 3L, "click", 40.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/src")
+    val q = EventStream.dailyZonalMean(EventStream.readEvents(s, s"$dir/src"))
+      .writeStream.format("memory").queryName("legacy_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = s.sql("SELECT zonal_mean FROM legacy_stream").collect()
+      assert(out.length == 1 && out.head.getDouble(0) == 20.0,
+        s"legacy archive window wrong: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowed quantile sketch aggregates across micro-batches") {
     val s = spark
     import s.implicits._
