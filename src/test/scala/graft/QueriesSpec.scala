@@ -21,4 +21,12 @@ class QueriesSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("every query has an oracle (no silent rows-only downgrades)") {
+    // the driver records a weaker rows-only check for a query without
+    // oracle SQL; the whole inventory is oracle-checked today and a new
+    // operator must not silently ship below that bar
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
 }
