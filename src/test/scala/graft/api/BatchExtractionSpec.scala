@@ -88,6 +88,24 @@ class BatchExtractionSpec extends SparkSpec {
       assert(answered.exists(_.startsWith(p)), s"no $p* selection answered"))
   }
 
+  test("batch extraction's one scan keeps the band clip in PushedFilters") {
+    // the 100x guard: the widened band range must prune row groups on
+    // the physical ts column (NTZ literals — lesson 24), or a batch of
+    // 1000 selections degenerates to a full-archive scan
+    val df = Api.extractTimeseriesBatch(spark, sfDir, "click",
+      graft.BatchBench.selections(12),
+      transform = Api.NoTransform, smoother = Api.NoSmoother,
+      bandRange = (5, 25))
+    val plan = df.queryExecution.explainString(FormattedMode)
+    val scans = plan.split("\n").count(_.matches("^\\(\\d+\\) Scan parquet.*"))
+    assert(scans === 1, s"expected ONE events scan, got $scans")
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"), s"band clip not pushed: $pushed")
+    assert(pushed.contains("EqualTo(event_type,click)"),
+      s"dataset filter not pushed: $pushed")
+  }
+
   test("batch fixed z-score matches the per-request fixed z-score") {
     val batch = extractTimeseriesBatch(spark, sfDir, "click",
       selections.take(2), transform = ZScoreFixedInterval(None),
