@@ -181,6 +181,41 @@ object Geometry {
       holeRings.indices.foldLeft(ext)((acc, h) => acc && !insideHole(h, x, y))
     }
 
+    /** All-touched covered cells of the grid — the SCALAR twin of
+      * [[mask]], same SAT double arithmetic in the same association
+      * order (CellEnumerationSpec pins column/scalar agreement on the
+      * full grid). Iterates only the polygon's bbox ∩ grid, so the
+      * cost is O(bbox cells), the reference's own per-request bound
+      * (default_max_cells). Purpose: a BATCH of N selections becomes a
+      * (selection, cell) JOIN against the cube instead of an N-wide
+      * mask expression fan whose analysis+codegen constant dominated
+      * the N=1000 batch (SURVEY §5 lesson 25 applied to plans). */
+    def coveredCells(width: Int = EventCube.GridWidth,
+        height: Int = GridHeight): Seq[(Long, Long)] = {
+      // x+1 >= tMin admits x = floor(min)-1 when tMin is integral —
+      // the bbox must include that boundary-touching column/row
+      val x0 = math.max(0, math.floor(vertices.map(_.x).min).toInt - 1)
+      val x1 = math.min(width - 1, math.floor(vertices.map(_.x).max).toInt)
+      val y0 = math.max(0, math.floor(vertices.map(_.y).min).toInt - 1)
+      val y1 = math.min(height - 1, math.floor(vertices.map(_.y).max).toInt)
+      for {
+        y <- y0 to y1
+        x <- x0 to x1
+        if maskScalar(x.toDouble, y.toDouble)
+      } yield (x.toLong, y.toLong)
+    }
+
+    private def maskScalar(x: Double, y: Double): Boolean =
+      triangles.exists(t => Sat.scalar(t, x, y)) &&
+        holeRings.indices.forall(h => !insideHoleScalar(h, x, y))
+
+    private def insideHoleScalar(h: Int, x: Double, y: Double): Boolean = {
+      val ringH = holeRings(h)
+      holeTriangles(h).exists(t => Sat.pointInTriangleScalar(t, x, y)) &&
+        ringH.indices.forall(i =>
+          !Sat.segmentScalar(ringH(i), ringH((i + 1) % ringH.length), x, y))
+    }
+
     /** The same mask, same double arithmetic, in DuckDB SQL over cell
       * columns `x`/`y`. */
     def maskSql(x: String = "x", y: String = "y"): String = {
@@ -291,6 +326,10 @@ object Geometry {
       shapes.map(_.mask(x, y)).reduce(_ || _)
     def maskSql(x: String = "x", y: String = "y"): String =
       shapes.map(_.maskSql(x, y)).mkString("(", " OR ", ")")
+    /** Union of the member polygons' cells (scalar twin of [[mask]]). */
+    def coveredCells(width: Int = EventCube.GridWidth,
+        height: Int = GridHeight): Seq[(Long, Long)] =
+      shapes.flatMap(_.coveredCells(width, height)).distinct
   }
 
   // ------------------------------------------------------------------
@@ -330,6 +369,20 @@ object Geometry {
         val proj = lit(e.nx) * xd + lit(e.ny) * yd
         acc && (proj + lit(e.cMax) >= lit(e.tMin)) &&
           (proj + lit(e.cMin) <= lit(e.tMax))
+      }
+    }
+
+    /** Scalar twin of [[column]] — IDENTICAL double arithmetic in the
+      * same association order, so a driver/executor-side cell
+      * enumeration and the Column mask can never disagree
+      * (CellEnumerationSpec asserts equality over the whole grid). */
+    def scalar(t: (Pt, Pt, Pt), x: Double, y: Double): Boolean = {
+      val (ax, ay, edges) = axes(t)
+      x <= ax.tMax && x + 1.0 >= ax.tMin &&
+      y <= ay.tMax && y + 1.0 >= ay.tMin &&
+      edges.forall { e =>
+        val proj = e.nx * x + e.ny * y
+        proj + e.cMax >= e.tMin && proj + e.cMin <= e.tMax
       }
     }
 
@@ -380,6 +433,12 @@ object Geometry {
       }.reduce(_ && _)
     }
 
+    def segmentScalar(a: Pt, b: Pt, x: Double, y: Double): Boolean =
+      segAxes(a, b).forall { e =>
+        val proj = e.nx * x + e.ny * y
+        proj + e.cMax >= e.tMin && proj + e.cMin <= e.tMax
+      }
+
     def segmentSql(a: Pt, b: Pt, x: String, y: String): String = {
       val xd = s"CAST($x AS DOUBLE)"; val yd = s"CAST($y AS DOUBLE)"
       segAxes(a, b).flatMap { e =>
@@ -408,6 +467,11 @@ object Geometry {
         lit(k1) * xd + lit(k2) * yd + lit(k3) >= lit(0.0)
       }.reduce(_ && _)
     }
+
+    def pointInTriangleScalar(t: (Pt, Pt, Pt), x: Double, y: Double): Boolean =
+      halfPlanes(t).forall { case (k1, k2, k3) =>
+        k1 * x + k2 * y + k3 >= 0.0
+      }
 
     def pointInTriangleSql(t: (Pt, Pt, Pt), x: String, y: String): String = {
       val xd = s"CAST($x AS DOUBLE)"; val yd = s"CAST($y AS DOUBLE)"
