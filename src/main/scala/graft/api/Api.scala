@@ -512,8 +512,8 @@ object Api {
   /** Extract one timeseries per selection in a single plan — the shape
     * a real cluster workload has (thousands of polygons against one
     * dataset). The reference loops requests; here the cube is scanned
-    * once, every mask is evaluated map-side (explode over per-selection
-    * predicates), and ALL window work (smoothers/transforms) is
+    * once, joined against the (selection, cell) table (NOT an N-wide
+    * mask expression fan), and ALL window work (smoothers/transforms) is
     * partitioned by `selection_id` — so a batch of N selections
     * parallelizes across executors instead of serializing into the
     * single-partition window the per-request path would give N times.

@@ -492,9 +492,9 @@ object SkopeQueries {
   /** Batched multi-selection extraction as a CHECKED query: four
     * selections (bbox, non-convex polygon, triangle, point) of one
     * dataset with a trailing smoother, in ONE plan — a single cube
-    * scan with map-side mask tagging, every window partitioned by
-    * selection_id (Api.extractTimeseriesBatch; BatchExtractionSpec
-    * asserts the plan). This is the cluster workload shape (thousands
+    * scan joined against the (selection, cell) table, every window
+    * partitioned by selection_id (Api.extractTimeseriesBatch;
+    * BatchExtractionSpec asserts the plan). This is the cluster workload shape (thousands
     * of polygons against one dataset) the reference serves as a
     * request loop; the oracle is the per-selection union of the
     * single-request semantics. */
