@@ -765,6 +765,17 @@ object SkopeQueries {
         |         + CAST(1.1 AS DOUBLE) * c AS REAL) + 1e-9, 6) END AS value
         |FROM range(1, 61) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
         .stripMargin,
+    // the reference request path over its own archive format: bbox
+    // away from the nodata holes, so the closed form is NULL-free
+    "skope_raster_series" ->
+      s"""WITH zonal AS (
+         |  SELECT b AS band, avg(val) AS zv FROM (
+         |    SELECT b, CAST(CAST(100 AS DOUBLE) * b + CAST(10 AS DOUBLE) * r
+         |      + CAST(1.1 AS DOUBLE) * c AS REAL) AS val
+         |    FROM range(1, 6) tb(b), range(0, 3) tr(r), range(1, 4) tc(c))
+         |  GROUP BY b)
+         |SELECT band, round(zv + 1e-9, 6) AS value
+         |FROM (${Smoothers.maTrailingSql(2)}) s""".stripMargin,
     // paired value+uncertainty fixtures, both closed-form (value raster
     // has the nodata holes; uncertainty raster is hole-free). avg runs
     // over float32-widened doubles in both engines; round(…+1e-9, 6)
@@ -937,6 +948,21 @@ object SkopeQueries {
         col("lon"), col("lat"),
         Num.roundEps(col("v"), 6).as("value"))
 
+  /** The COMPLETE reference request path over the reference's ACTUAL
+    * archive format in one plan: GeoTIFF cube → bbox selection →
+    * per-band zonal mean → trailing smoother (services.py's
+    * read → mask → reduce → smooth, but distributed end-to-end).
+    * Selection = cells x∈[1,3], y∈[0,2] (away from the fixture's
+    * nodata holes so the closed-form oracle stays NULL-free); trailing
+    * width 2 emits bands 3..5 under the full-window guard. */
+  def rasterSeries(spark: SparkSession, dir: String): DataFrame = {
+    val zonal = graft.sources.GeoTiff.readCube(spark, geotiffFixture)
+      .filter(col("x").between(1, 3) && col("y").between(0, 2))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(avg(col("v")).as("zv"))
+    r6(Smoothers.maTrailing(zonal, 2))
+  }
+
   /** The reference pairs a variable with its uncertainty layer via
     * `uncertainty_template` (app/config.py:82-87,
     * `{dataset_id}_{variable_id}_uncertainty.tif` next to the value
@@ -975,6 +1001,7 @@ object SkopeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skope_geotiff_ingest" -> (geotiffIngest _),
     "skope_geotiff_monthly" -> (geotiffMonthly _),
+    "skope_raster_series" -> (rasterSeries _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->
       ((s: SparkSession, _: String) => graft.api.Api.settings(s)),
