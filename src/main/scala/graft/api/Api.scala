@@ -576,17 +576,24 @@ object Api {
         if ((x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong > MaxCells)
           throw SelectedAreaTooLargeError(
             (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong, MaxCells)
+        // y is NOT clipped to the declared grid: the per-request mask
+        // evaluates on whatever cells the cube holds (user_id / W is
+        // unbounded above), and batch must agree with it cell-for-cell
+        // on boundary-crossing selections. x IS clipped — x = user_id
+        // % W < W by construction, so no cell beyond it can exist.
+        // Enumeration stays MaxCells-bounded by the checks above.
         for {
-          y <- math.max(y0, 0).toLong to math.min(y1, Geometry.GridHeight - 1).toLong
+          y <- math.max(y0, 0).toLong to y1.toLong
           x <- math.max(x0, 0).toLong to math.min(x1, EventCube.GridWidth - 1).toLong
         } yield y * EventCube.GridWidth + x
       case PolygonArea(ring, holes) =>
-        validatedPoly(ring, holes).coveredCells()
+        validatedPoly(ring, holes)
+          .coveredCells(height = Int.MaxValue)
           .map { case (x, y) => y * EventCube.GridWidth + x }
       case FeatureCollectionArea(fs) =>
         Geometry.GridFeatureCollection(
           fs.map(p => validatedPoly(p.ring, p.holes)))
-          .coveredCells()
+          .coveredCells(height = Int.MaxValue)
           .map { case (x, y) => y * EventCube.GridWidth + x }
     }
 

@@ -193,27 +193,36 @@ object Geometry {
     def coveredCells(width: Int = EventCube.GridWidth,
         height: Int = GridHeight): Seq[(Long, Long)] = {
       // x+1 >= tMin admits x = floor(min)-1 when tMin is integral —
-      // the bbox must include that boundary-touching column/row
+      // the bbox must include that boundary-touching column/row.
+      // `width`/`height` CLIP the enumeration; the per-request mask
+      // has no clip (it evaluates on whatever cells the cube holds),
+      // so a batch caller whose cell domain exceeds the declared grid
+      // must pass the larger bounds (Api.cellsOf does) or batch and
+      // per-request would disagree on boundary-crossing selections.
       val x0 = math.max(0, math.floor(vertices.map(_.x).min).toInt - 1)
       val x1 = math.min(width - 1, math.floor(vertices.map(_.x).max).toInt)
       val y0 = math.max(0, math.floor(vertices.map(_.y).min).toInt - 1)
       val y1 = math.min(height - 1, math.floor(vertices.map(_.y).max).toInt)
+      // SAT constants depend only on the geometry: hoisted out of the
+      // cell loop (the Column twin computes them once at plan build)
+      val triAxes = triangles.map(Sat.axes)
+      val holeConsts = holeRings.indices.map { h =>
+        val ringH = holeRings(h)
+        (holeTriangles(h).map(Sat.halfPlanes),
+          ringH.indices.map(i =>
+            Sat.segAxes(ringH(i), ringH((i + 1) % ringH.length))))
+      }
+      def maskScalar(x: Double, y: Double): Boolean =
+        triAxes.exists(a => Sat.scalarAxes(a, x, y)) &&
+          holeConsts.forall { case (corners, segs) =>
+            !(corners.exists(Sat.pointInPlanesScalar(_, x, y)) &&
+              segs.forall(s => !Sat.segmentAxesScalar(s, x, y)))
+          }
       for {
         y <- y0 to y1
         x <- x0 to x1
         if maskScalar(x.toDouble, y.toDouble)
       } yield (x.toLong, y.toLong)
-    }
-
-    private def maskScalar(x: Double, y: Double): Boolean =
-      triangles.exists(t => Sat.scalar(t, x, y)) &&
-        holeRings.indices.forall(h => !insideHoleScalar(h, x, y))
-
-    private def insideHoleScalar(h: Int, x: Double, y: Double): Boolean = {
-      val ringH = holeRings(h)
-      holeTriangles(h).exists(t => Sat.pointInTriangleScalar(t, x, y)) &&
-        ringH.indices.forall(i =>
-          !Sat.segmentScalar(ringH(i), ringH((i + 1) % ringH.length), x, y))
     }
 
     /** The same mask, same double arithmetic, in DuckDB SQL over cell
@@ -375,9 +384,11 @@ object Geometry {
     /** Scalar twin of [[column]] — IDENTICAL double arithmetic in the
       * same association order, so a driver/executor-side cell
       * enumeration and the Column mask can never disagree
-      * (CellEnumerationSpec asserts equality over the whole grid). */
-    def scalar(t: (Pt, Pt, Pt), x: Double, y: Double): Boolean = {
-      val (ax, ay, edges) = axes(t)
+      * (CellEnumerationSpec asserts equality over the whole grid).
+      * Takes the precomputed axes: the constants depend only on the
+      * geometry and are hoisted out of the caller's cell loop. */
+    def scalarAxes(a: (Axis, Axis, Seq[Axis]), x: Double, y: Double): Boolean = {
+      val (ax, ay, edges) = a
       x <= ax.tMax && x + 1.0 >= ax.tMin &&
       y <= ay.tMax && y + 1.0 >= ay.tMin &&
       edges.forall { e =>
@@ -410,7 +421,7 @@ object Geometry {
     // -- segment vs unit square (SAT: square axes + segment normal +
     //    segment direction — exact for the degenerate 2-vertex hull) --
 
-    private def segAxes(a: Pt, b: Pt): Seq[Axis] = {
+    def segAxes(a: Pt, b: Pt): Seq[Axis] = {
       val nx = -(b.y - a.y); val ny = b.x - a.x
       val dx = b.x - a.x; val dy = b.y - a.y
       val nProj = nx * a.x + ny * a.y // both endpoints project equally on n
@@ -433,8 +444,8 @@ object Geometry {
       }.reduce(_ && _)
     }
 
-    def segmentScalar(a: Pt, b: Pt, x: Double, y: Double): Boolean =
-      segAxes(a, b).forall { e =>
+    def segmentAxesScalar(axes: Seq[Axis], x: Double, y: Double): Boolean =
+      axes.forall { e =>
         val proj = e.nx * x + e.ny * y
         proj + e.cMax >= e.tMin && proj + e.cMin <= e.tMax
       }
@@ -450,7 +461,7 @@ object Geometry {
 
     // -- corner point (x, y) in a CCW triangle, non-strict --
 
-    private def halfPlanes(t: (Pt, Pt, Pt)): Seq[(Double, Double, Double)] = {
+    def halfPlanes(t: (Pt, Pt, Pt)): Seq[(Double, Double, Double)] = {
       val vs = Seq(t._1, t._2, t._3)
       vs.indices.map { i =>
         val a = vs(i); val b = vs((i + 1) % 3)
@@ -468,8 +479,9 @@ object Geometry {
       }.reduce(_ && _)
     }
 
-    def pointInTriangleScalar(t: (Pt, Pt, Pt), x: Double, y: Double): Boolean =
-      halfPlanes(t).forall { case (k1, k2, k3) =>
+    def pointInPlanesScalar(planes: Seq[(Double, Double, Double)],
+        x: Double, y: Double): Boolean =
+      planes.forall { case (k1, k2, k3) =>
         k1 * x + k2 * y + k3 >= 0.0
       }
 

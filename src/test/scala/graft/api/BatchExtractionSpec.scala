@@ -3,6 +3,7 @@ package graft.api
 import graft.SparkSpec
 import Api._
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.{col, to_timestamp_ntz}
 
 /** The batched multi-selection path: one plan, windows partitioned by
   * selection_id (judge round-1 item 7 — the per-request path's
@@ -104,6 +105,38 @@ class BatchExtractionSpec extends SparkSpec {
       pushed.contains("LessThan(ts"), s"band clip not pushed: $pushed")
     assert(pushed.contains("EqualTo(event_type,click)"),
       s"dataset filter not pushed: $pushed")
+  }
+
+  test("batch == per-request on selections crossing the declared grid edge") {
+    // the corpus carries cells BELOW the declared 10x15 grid (user_id /
+    // W is unbounded: sf0.1 reaches y=149) and the per-request mask
+    // evaluates on whatever cells the cube holds — the batch cell
+    // enumeration must not clip them away (round-8 review finding)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    def t(day: Int) = s"2024-01-0$day 00:00:00"
+    Seq(
+      (1L, t(1), 135L, "click", 10.0, "{}"), // y=13: inside the grid
+      (2L, t(1), 155L, "click", 40.0, "{}"), // y=15: beyond GridHeight-1
+      (3L, t(2), 155L, "click", 20.0, "{}"),
+      (4L, t(2), 5L, "click", 99.0, "{}")    // y=0: outside the bbox
+    ).toDF("event_id", "raw", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp_ntz(col("raw"))).drop("raw")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val area = BBoxArea(0, 9, 13, 20)
+    val single = extractTimeseries(spark, dir, TimeseriesRequest(
+        datasetId = "click", selectedArea = area, bandRange = (1, 3)))
+      .series.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val batch = extractTimeseriesBatch(spark, dir, "click",
+        Seq(BatchSelection("edge", area)), bandRange = (1, 3))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(single === batch,
+      s"boundary-crossing bbox diverges: per-request $single vs batch $batch")
+    // and the beyond-grid cell really contributed (day 1: mean(10, 40))
+    assert(batch(1L) === 25.0)
   }
 
   test("batch fixed z-score matches the per-request fixed z-score") {
