@@ -50,6 +50,7 @@ object Bench {
     "text_pii_scrub" -> "t_pii", "text_quality" -> "t_qual",
     "text_repetition" -> "t_rep", "text_tokens" -> "t_tok",
     "text_unigram_logprob" -> "t_logp", "text_vocab" -> "t_vocab",
+    "text_bigrams" -> "t_big",
     // dedup family
     "dedup_clusters" -> "d_cc", "dedup_embedding" -> "d_emb",
     "dedup_exact" -> "d_exact", "dedup_minhash_lsh" -> "d_mh",

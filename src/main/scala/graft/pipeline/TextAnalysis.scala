@@ -93,6 +93,36 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(50)
 
+  /** Bigram LM table — the n-gram step past text_unigram_logprob:
+    * corpus bigram counts with the conditional log-probability
+    * ln(c(w1,w2) / c(w1)) against the unigram totals, top 50 by count
+    * (ties closed by the (w1, w2) lexical order so the cut is
+    * deterministic cross-engine).
+    *
+    * Adjacency comes from a lead() window over (doc_id, pos) — a
+    * per-document frame, so the shuffle key is doc_id and no document
+    * spans partitions; both count tables are two-level hash
+    * aggregations, and their join is vocab-sized on each side
+    * (bigram-types × unigram-types), independent of corpus row count
+    * at 100 TB. No higher-order functions (SURVEY §5 item 1). */
+  def bigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val bc = toks
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val uc = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    bc.join(uc, "w1")
+      .select(col("w1"), col("w2"), col("cnt"),
+        Num.roundEps(log(col("cnt").cast("double") / col("c1")), 6).as("logp"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Repetition signals (the Gopher-rules family): duplicate-word
     * fraction plus the corpus-classic "most frequent word / bigram
     * share" — high values flag boilerplate and degenerate generations.
@@ -166,6 +196,18 @@ object TextAnalysis {
         """SELECT token, count(*) AS cnt
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
           |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+      "text_bigrams" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |toks AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+          |                unnest(ws) AS w FROM d),
+          |big AS (SELECT a.w AS w1, b.w AS w2 FROM toks a
+          |        JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY 1, 2),
+          |uc AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY 1)
+          |SELECT w1, w2, cnt,
+          |  round(ln(CAST(cnt AS DOUBLE) / c1) + 1e-9, 6) AS logp
+          |FROM bc JOIN uc USING (w1)
+          |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  len(string_split(text, ' ')) AS n_tokens,
@@ -212,6 +254,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab" -> (vocab _),
+    "text_bigrams" -> (bigrams _),
     "text_tokens" -> (tokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
