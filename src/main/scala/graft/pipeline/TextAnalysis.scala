@@ -86,10 +86,15 @@ object TextAnalysis {
 
   /** Corpus vocabulary: top-50 tokens by global frequency (tie-broken
     * lexically) — explode + count, one shuffle. */
-  def vocab(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus unigram counts — ONE tokenization convention shared by
+    * vocab and the bigram LM denominator, so the two can never drift. */
+  private def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(spark, dir)
       .orderBy(col("cnt").desc, col("token"))
       .limit(50)
 
@@ -117,9 +122,8 @@ object TextAnalysis {
       .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
       .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
       .agg(count(lit(1)).as("cnt"))
-    val uc = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val uc = tokenCounts(spark, dir)
+      .select(col("token").as("w1"), col("cnt").as("c1"))
     bc.join(uc, "w1")
       .select(col("w1"), col("w2"), col("cnt"),
         Num.roundEps(log(col("cnt").cast("double") / col("c1")), 6).as("logp"))
