@@ -2,69 +2,87 @@ package graft.pipeline
 
 import graft.Tables
 import graft.functions.Portable
+import graft.sources.Png
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: images/audio/video as opaque `binary`
   * columns with typed metadata, decoded batch-wise inside executors.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * deterministic STUB (header parse of the bytes); everything around it
-  * — binary column schema, partition-parallel `mapPartitions` batch
-  * shape, typed Encoders — is the real plumbing a decode/resize/
-  * feature-extract stage would use. In PySpark this stage would be
-  * `mapInPandas`; the Scala-native equivalent is a typed mapPartitions
-  * over the Dataset, which keeps the whole stage in one map-only task
-  * per input partition (no shuffle, no driver collect).
+  * The decode stage is REAL: payloads are spec-conformant PNG streams
+  * (signature, CRC-checked chunks, zlib IDAT, per-scanline filters) and
+  * every operator runs them through [[graft.sources.Png]]'s pure-JVM
+  * decoder — Inflater, defilter, pixel reconstruction — not a header
+  * stub. What stays synthetic is only the asset SOURCE: the container
+  * has no image files, so payloads are PNG-encoded from deterministic
+  * pixel content (the md5 bytes of the document text, stored-mode zlib)
+  * which is what lets the DuckDB oracle re-derive the decoded pixels —
+  * and even the byte length of the container — in closed form. In
+  * PySpark this stage would be `mapInPandas`; the Scala-native
+  * equivalent is a typed mapPartitions over the Dataset, which keeps
+  * encode→decode→extract fused in one map-only task per input partition
+  * (no shuffle, no driver collect).
   */
 object Multimodal {
 
-  /** One "asset" row: fake payload bytes derived from the document. */
+  /** One "asset" row: a real PNG payload in a binary column. */
   final case class Asset(doc_id: Long, payload: Array[Byte])
 
-  /** Decoded metadata — what a real image decoder would emit. */
-  final case class AssetMeta(doc_id: Long, n_bytes: Int,
-      magic: Long, width: Long, height: Long)
+  /** Image payload geometry: 4×4 grayscale, pixels = md5(text) bytes. */
+  val W = 4
+  val H = 4
 
-  /** The stubbed decoder: big-endian header parse of the payload.
-    * A real decoder (JPEG dims, audio sample rate) slots in here with
-    * the same signature — bytes in, typed metadata out.
-    */
-  def decodeStub(a: Asset): AssetMeta = {
-    val b = a.payload
-    def be(off: Int, n: Int): Long =
-      (0 until n).foldLeft(0L)((acc, i) => (acc << 8) | (b(off + i) & 0xffL))
-    AssetMeta(a.doc_id, b.length, be(0, 4), be(4, 2), be(6, 2))
-  }
-
-  /** Binary-column pipeline: synthesize payloads (md5 bytes of the
-    * text — deterministic), then batch-decode via mapPartitions. */
-  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** The asset table: documents → 16 deterministic pixel bytes → a real
+    * stored-mode grayscale PNG per row (map-only; at production scale
+    * this stage is replaced by reading actual image files into the same
+    * binary column). */
+  def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    val assets: Dataset[Asset] = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
       .as[Asset]
-    assets.mapPartitions(_.map(decodeStub)).toDF()
+      .mapPartitions(_.map(a =>
+        Asset(a.doc_id, Png.encodeGray(W, H, a.payload, stored = true))))
   }
 
-  /** Per-asset feature vector emitted by the (stubbed) extractor. */
+  /** Decoded metadata: container facts (length, magic, IHDR dims) plus
+    * a content checksum proving the pixel data survived the round trip. */
+  final case class AssetMeta(doc_id: Long, n_bytes: Int,
+      magic: Long, width: Long, height: Long, px_sum: Long)
+
+  /** Full PNG decode → metadata. `magic` is the container's first four
+    * bytes (the PNG signature's fixed prefix — a format check, like a
+    * real ingest pipeline validating file type), `width`/`height` come
+    * from the parsed IHDR, and `px_sum` sums the defiltered pixels. */
+  def decodeMeta(a: Asset): AssetMeta = {
+    val img = Png.decode(a.payload)
+    val b = a.payload
+    val magic = (0 until 4).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL))
+    AssetMeta(a.doc_id, b.length, magic, img.width.toLong, img.height.toLong,
+      img.pixels.foldLeft(0L)((s, p) => s + (p & 0xff)))
+  }
+
+  /** Binary-column pipeline: real PNG in, parsed+verified metadata out. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).mapPartitions(_.map(decodeMeta)).toDF()
+  }
+
+  /** Per-asset feature vector emitted by the decode+extract stage. */
   final case class AssetFeatures(doc_id: Long, features: Array[Double])
 
-  /** The stubbed feature extractor: normalized byte intensities — the
-    * shape (binary in, fixed-dim double[] out, batch-wise on executors)
-    * that a real embedding/CNN stage uses; its output feeds directly
-    * into the Similarity operators (same Array[Double] contract). */
-  def featureStub(a: Asset): AssetFeatures =
-    AssetFeatures(a.doc_id, a.payload.map(b => (b & 0xff) / 255.0))
+  /** Decode the PNG and normalize its pixel intensities — the shape
+    * (binary in, fixed-dim double[] out, batch-wise on executors) that a
+    * real embedding/CNN stage uses; its output feeds directly into the
+    * Similarity operators (same Array[Double] contract). */
+  def extractFeatures(a: Asset): AssetFeatures =
+    AssetFeatures(a.doc_id, Png.decode(a.payload).pixels.map(b => (b & 0xff) / 255.0))
 
   /** Binary → feature-vector stage, exploded to (doc_id, pos, feat)
     * rows for the cross-engine check. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val assets: Dataset[Asset] = Tables.documents(spark, dir)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
-      .as[Asset]
-    assets.mapPartitions(_.map(featureStub)).toDF()
+    assets(spark, dir).mapPartitions(_.map(extractFeatures)).toDF()
       .select(col("doc_id"), posexplode(col("features")).as(Seq("p0", "v")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         graft.Num.roundEps(col("v"), 6).as("feat"))
@@ -73,16 +91,14 @@ object Multimodal {
   /** One output pixel of the resize stage. */
   final case class ResizedAsset(doc_id: Long, y: Long, x: Long, mean_px: Double)
 
-  /** The stubbed resize: the 16-byte payload is a 4×4 grayscale image,
-    * area-averaged down to 2×2 (each output pixel = mean of its 2×2
-    * source block) — the exact arithmetic of an area-interpolation
-    * downscale, over real bytes; a codec-backed decode feeds the same
-    * pixel-grid-in, pixel-grid-out shape. */
-  def resizeStub(a: Asset): Seq[ResizedAsset] = {
-    val px = a.payload.map(_ & 0xff)
+  /** Decode the 4×4 PNG, then area-average down to 2×2 (each output
+    * pixel = mean of its 2×2 source block) — the exact arithmetic of an
+    * area-interpolation downscale, over decoder-reconstructed pixels. */
+  def decodeResize(a: Asset): Seq[ResizedAsset] = {
+    val img = Png.decode(a.payload)
     for (by <- 0 until 2; bx <- 0 until 2) yield {
       val s = (for (dy <- 0 until 2; dx <- 0 until 2)
-        yield px((by * 2 + dy) * 4 + (bx * 2 + dx))).sum
+        yield img.px(by * 2 + dy, bx * 2 + dx)).sum
       ResizedAsset(a.doc_id, by.toLong, bx.toLong, s / 4.0)
     }
   }
@@ -91,17 +107,14 @@ object Multimodal {
     * the other multimodal passes). */
   def resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val assets: Dataset[Asset] = Tables.documents(spark, dir)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
-      .as[Asset]
-    assets.mapPartitions(_.flatMap(resizeStub)).toDF()
+    assets(spark, dir).mapPartitions(_.flatMap(decodeResize)).toDF()
       .select(col("doc_id"), col("y"), col("x"),
         graft.Num.roundEps(col("mean_px"), 6).as("mean_px"))
   }
 
   private val resizeSql = {
     // the same 2×2 block means, re-derived from the md5 hex: source
-    // pixel (r, c) is byte r*4+c of the payload
+    // pixel (r, c) is byte r*4+c of the pixel content the PNG encodes
     def pxSql(r: Int, c: Int) =
       Portable.hexToLongSql("md5(text)", 1 + 2 * (r * 4 + c), 2)
     val cells = for (by <- 0 until 2; bx <- 0 until 2) yield {
@@ -119,30 +132,53 @@ object Multimodal {
        |  FROM documents)""".stripMargin
   }
 
-  /** Frame stride for the video-style sampling pass. */
-  val FrameBytes = 4
+  /** Video-style container geometry: 12 concatenated 2×2 PNG frames,
+    * frame f's pixels = bytes [4f, 4f+4) of the 48-byte deterministic
+    * content stream (three md5 blocks of the doc text). */
+  val FrameW = 2
+  val FrameH = 2
+  val FrameBytes = FrameW * FrameH
   val NFrames = 12
   val FrameStride = 3
 
-  /** Video-style frame sampling over a binary payload: the payload (48
-    * deterministic bytes = three md5 blocks of the doc text) is treated
-    * as `NFrames` fixed-size frames; every `FrameStride`-th frame is
-    * sliced out of the BINARY column (map-side explode + substring —
-    * the real plumbing a frame-decode stage feeds) and digested. The
-    * per-frame digest runs over the frame's hex form because the oracle
-    * engine's md5 is VARCHAR-only; the slicing itself is byte-level. */
-  def frameSample(spark: SparkSession, dir: String): DataFrame =
+  /** The "video" asset table: one binary column holding NFrames
+    * concatenated PNG streams — a real multi-frame container split by
+    * chunk framing, not fixed offsets. */
+  def videoAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         concat(unhex(md5(col("text"))),
           unhex(md5(concat(col("text"), lit("a")))),
           unhex(md5(concat(col("text"), lit("b"))))).as("payload"))
-      .select(col("doc_id"), col("payload"),
-        explode(sequence(lit(0), lit(NFrames - 1), lit(FrameStride))).as("frame_idx"))
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        lower(hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")))
-          .as("frame_hex"))
+      .as[Asset]
+      .mapPartitions(_.map { a =>
+        val frames = (0 until NFrames).toArray.map(f =>
+          Png.encodeGray(FrameW, FrameH,
+            a.payload.slice(f * FrameBytes, (f + 1) * FrameBytes), stored = true))
+        Asset(a.doc_id, frames.reduce(_ ++ _))
+      })
+  }
+
+  private final case class Frame(doc_id: Long, frame_idx: Long, frame_hex: String)
+
+  /** Frame sampling over the container: walk the concatenated PNG
+    * streams (each frame located by parsing its chunks to IEND), fully
+    * decode every `FrameStride`-th frame, and emit its reconstructed
+    * pixels as hex plus a digest. The digest runs over the hex form
+    * because the oracle engine's md5 is VARCHAR-only. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoAssets(spark, dir).mapPartitions(_.flatMap { a =>
+      val frames = Png.decodeFrames(a.payload)
+      require(frames.length == NFrames, s"container held ${frames.length} frames")
+      (0 until NFrames by FrameStride).iterator.map { f =>
+        Frame(a.doc_id, f.toLong,
+          frames(f).pixels.map(b => f"${b & 0xff}%02x").mkString)
+      }
+    }).toDF()
       .withColumn("frame_digest", md5(col("frame_hex")))
+  }
 
   private val frameSampleSql = {
     val idxs = (0 until NFrames by FrameStride).mkString("[", ", ", "]")
@@ -157,16 +193,23 @@ object Multimodal {
        |  FROM documents)""".stripMargin
   }
 
-  /** The oracles re-derive the same bytes arithmetically from the md5
-    * hex — validating that the JVM byte-level decode path and schema
-    * survived intact. */
+  /** The oracles re-derive the decoded pixels arithmetically from the
+    * md5 hex, and the container facts from the stored-mode PNG's closed
+    * form — validating that the real encode→decode round trip (zlib,
+    * filters, chunk CRCs) reconstructed the content bit-exactly. */
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta" ->
-      s"""SELECT doc_id, 16 AS n_bytes,
-         |  ${Portable.hexToLongSql("md5(text)", 1, 8)} AS magic,
-         |  ${Portable.hexToLongSql("md5(text)", 9, 4)} AS width,
-         |  ${Portable.hexToLongSql("md5(text)", 13, 4)} AS height
-         |FROM documents""".stripMargin,
+    "mm_binary_meta" -> {
+      // stored-mode 4×4 gray PNG: length is closed-form; magic is the
+      // signature prefix 0x89504E47; px_sum re-sums the md5 bytes
+      val pxSum = (0 until W * H)
+        .map(i => Portable.hexToLongSql("md5(text)", 1 + 2 * i, 2))
+        .mkString(" + ")
+      s"""SELECT doc_id, ${Png.storedGraySize(W, H)} AS n_bytes,
+         |  CAST(2303741511 AS BIGINT) AS magic,
+         |  CAST($W AS BIGINT) AS width, CAST($H AS BIGINT) AS height,
+         |  CAST($pxSum AS BIGINT) AS px_sum
+         |FROM documents""".stripMargin
+    },
     "mm_features" -> {
       val exprs = (0 until 16)
         .map(i => s"${Portable.hexToLongSql("md5(text)", 1 + 2 * i, 2)} / 255.0")

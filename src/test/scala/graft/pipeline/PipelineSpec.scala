@@ -115,16 +115,22 @@ class PipelineSpec extends SparkSpec {
     assert(viaKernel == viaStrings)
   }
 
-  test("decode stub parses big-endian header fields") {
-    val bytes = Array[Byte](0, 0, 1, 2, 0, 3, 0, 4) ++ Array.fill(8)(0.toByte)
-    val m = Multimodal.decodeStub(Multimodal.Asset(7L, bytes))
-    assert(m == Multimodal.AssetMeta(7L, 16, 258L, 3L, 4L))
+  test("decodeMeta parses a real PNG container: length, magic, IHDR dims, pixel sum") {
+    import graft.sources.Png
+    val px = Array.tabulate(16)(_.toByte) // pixels 0..15, sum 120
+    val a = Multimodal.Asset(7L, Png.encodeGray(4, 4, px, stored = true))
+    val m = Multimodal.decodeMeta(a)
+    assert(m == Multimodal.AssetMeta(7L, Png.storedGraySize(4, 4),
+      0x89504E47L, 4L, 4L, 120L))
+    assert(m.n_bytes == a.payload.length) // closed form matches reality
   }
 
-  test("resize stub area-averages each 2x2 block of the 4x4 grid") {
+  test("decodeResize area-averages each 2x2 block of the decoded 4x4 PNG") {
+    import graft.sources.Png
     // pixel value = its row-major index ×16, so block means are exact
     val bytes = Array.tabulate(16)(i => (i * 16).toByte)
-    val out = Multimodal.resizeStub(Multimodal.Asset(3L, bytes))
+    val a = Multimodal.Asset(3L, Png.encodeGray(4, 4, bytes, stored = true))
+    val out = Multimodal.decodeResize(a)
     def mean(idxs: Seq[Int]) = idxs.map(i => (bytes(i) & 0xff)).sum / 4.0
     assert(out.toSet == Set(
       Multimodal.ResizedAsset(3L, 0, 0, mean(Seq(0, 1, 4, 5))),
