@@ -50,17 +50,25 @@ object CatalogYaml {
 
     val docs = root.elements.asScala.toSeq
     val loadable = docs.filter { d =>
-      val ts = d.get("timespan")
-      // bandable = resolution + BOTH period bounds: a document missing
-      // any of these is a map layer, not a timeseries dataset
-      ts != null && text(ts, "resolution").nonEmpty &&
-        ts.get("period") != null &&
-        text(ts.get("period"), "gte").nonEmpty &&
-        text(ts.get("period"), "lte").nonEmpty
+      if (d.get("time_range") != null) {
+        // compact deploy shape (see below): bandable = resolution +
+        // both time_range bounds
+        val tr = d.get("time_range")
+        text(d, "resolution").nonEmpty &&
+          text(tr, "gte").nonEmpty && text(tr, "lte").nonEmpty
+      } else {
+        val ts = d.get("timespan")
+        // bandable = resolution + BOTH period bounds: a document missing
+        // any of these is a map layer, not a timeseries dataset
+        ts != null && text(ts, "resolution").nonEmpty &&
+          ts.get("period") != null &&
+          text(ts.get("period"), "gte").nonEmpty &&
+          text(ts.get("period"), "lte").nonEmpty
+      }
     }
 
     val entries = loadable.map { d =>
-      try entry(d)
+      try if (d.get("time_range") != null) compactEntry(d) else entry(d)
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"catalog $path: dataset '${text(d, "id", "<no id>")}': " +
@@ -72,7 +80,12 @@ object CatalogYaml {
       val vs = Option(d.get("variables")).filter(_.isArray)
         .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
         .map { v =>
-          Catalog.Variable(
+          if (v.isTextual)
+            // compact deploy shape: a variable is just its id string
+            Catalog.Variable(id = v.asText, clazz = "", name = v.asText,
+              units = None, min = 0.0, max = 0.0, visible = false,
+              styles = "default", description = "")
+          else Catalog.Variable(
             id = text(v, "id"),
             clazz = text(v, "class"),
             name = text(v, "name"),
@@ -88,6 +101,38 @@ object CatalogYaml {
     }.toMap
 
     (entries, vars)
+  }
+
+  /** The reference's OTHER catalog shape: deploy/metadata/{env}.yml
+    * (config.py:52-61 — the FIXME-duplicated validation catalog the
+    * prod deployment actually loads), a compact list of
+    * `{id, time_range{gte, lte}, resolution, variables: [name, …]}`
+    * documents matching the pydantic `Dataset` model
+    * (schemas/dataset.py:27-30). Prose/display fields don't exist in
+    * this shape, so they default; note the compact shape does NOT mark
+    * map layers (prod.yml lists srtm with a one-band year range), so
+    * every bandable document loads — same as the reference, which
+    * validates requests against exactly this list. */
+  private def compactEntry(d: JsonNode): Catalog.Entry = {
+    val tr = d.get("time_range")
+    val gte = isoDate(text(tr, "gte"))
+    Catalog.Entry(
+      id = text(d, "id"),
+      title = text(d, "id"),
+      resolution = text(d, "resolution"),
+      timeGte = gte,
+      timeLte = isoDate(text(tr, "lte")),
+      timeZero = java.time.LocalDate.parse(gte).getYear,
+      uncertainty = "No uncertainty estimates available.",
+      ordering = 0,
+      description = "",
+      status = "Published",
+      revised = "",
+      resolutionLabel = "",
+      eraSuffix = "CE",
+      methodSummary = "",
+      references = "",
+      originator = "")
   }
 
   private def entry(d: JsonNode): Catalog.Entry = {

@@ -92,6 +92,62 @@ class FixtureReplaySpec extends SparkSpec {
     assert(resp.get("series").get(1).get("values").size === 0)
   }
 
+  test("replay data/requests/yearly.json end-to-end (Point area, legacy transforms array)") {
+    val t = loadFixture("yearly.json")
+    t.put("dataset_id", "click")
+    t.put("variable_id", "value")
+    t.get("selected_area").asInstanceOf[ObjectNode]
+      .putArray("coordinates").add(2.0).add(1.0)
+    // bare-integer year bounds stay bare integers (fixture years 2-6
+    // predate the synthetic corpus)
+    t.set[ObjectNode]("time_range",
+      mapper.readTree("""{"gte": 2024, "lte": 2024}""")): Unit
+    // structure stays the fixture's: Point selected_area, a legacy
+    // top-level "transforms" ARRAY carrying a centered MA(1) — ignored
+    // like pydantic ignores unknown fields — and no
+    // requested_series_options
+    assert(t.get("selected_area").get("type").asText === "Point")
+    assert(t.get("transforms").get(0).get("method").asText === "centered")
+    assert(!t.has("requested_series_options"))
+    val (req, resp) = replay(t)
+    assert(req.resolution === graft.cube.EventCube.Yearly)
+    assert(req.selectedArea === PointArea(12L))
+    assert(req.transform === NoTransform) // legacy array is not v2 transform
+    assert(req.requestedSeriesOptions ===
+      Seq(SeriesOptions("original", NoSmoother)))
+    assertContract(resp, req)
+    assert(resp.get("series").get(0).get("values").size === 1) // one year band
+  }
+
+  test("replay data/requests/timeseriesv1.json end-to-end (v1 body and v1 response)") {
+    val t = loadFixture("timeseriesv1.json")
+    t.put("datasetId", "click")
+    t.put("variableName", "value")
+    t.get("boundaryGeometry").asInstanceOf[ObjectNode]
+      .putArray("coordinates").add(2.0).add(1.0)
+    t.put("start", 2024)
+    t.put("end", 2024)
+    // structure stays the fixture's: camelCase v1 spellings, geometry
+    // under boundaryGeometry, bare-int start/end years
+    assert(t.has("variableName") && t.has("boundaryGeometry"))
+    val (req, geom) = RequestJson.parseV1(t.toString)
+    assert(req.datasetId === "click")
+    assert(req.selectedArea === PointArea(12L))
+    assert(req.bandRange === (1, 1)) // int years → Jan 1..Jan 1 of 2024
+    val res = extractTimeseries(spark, sfDir, req)
+    val resp = mapper.readTree(ResponseJson.toV1Json(req, geom, res))
+      .asInstanceOf[ObjectNode]
+    // v1 response contract (routers/v1/api.py:20-29): echoed request
+    // fields, ISO date bounds, dense values
+    assert(resp.get("datasetId").asText === "click")
+    assert(resp.get("variableName").asText === "value")
+    assert(resp.get("boundaryGeometry").get("type").asText === "Point")
+    assert(resp.get("boundaryGeometry").get("coordinates").get(0).asDouble === 2.0)
+    assert(resp.get("start").asText === "2024-01-01")
+    assert(resp.get("end").asText === "2024-01-01")
+    assert(resp.get("values").isArray && resp.get("values").size === 1)
+  }
+
   test("replay data/requests/yearly_prod.json end-to-end (int bounds, legacy transforms)") {
     val t = loadFixture("yearly_prod.json")
     t.put("dataset_id", "click")

