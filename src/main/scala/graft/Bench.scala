@@ -69,10 +69,12 @@ object Bench {
     "docs_contamination" -> "c_cont", "docs_curation_pipeline" -> "c_pipe",
     "docs_mix_weights" -> "c_mix", "docs_pack_sequences" -> "c_pack",
     "docs_sample_hash" -> "c_samp", "docs_source_cap" -> "c_cap",
-    "docs_split" -> "c_split",
+    "docs_split" -> "c_split", "docs_chunk" -> "c_chunk",
     // multimodal
     "mm_binary_meta" -> "m_meta", "mm_features" -> "m_feat",
-    "mm_frame_sample" -> "m_frame", "mm_resize" -> "m_resize"
+    "mm_frame_sample" -> "m_frame", "mm_resize" -> "m_resize",
+    "mm_audio_meta" -> "m_ameta", "mm_audio_features" -> "m_afeat",
+    "mm_audio_resample" -> "m_ares"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.Tables
 import graft.functions.Portable
-import graft.sources.Png
+import graft.sources.{Png, Wav}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -193,6 +193,179 @@ object Multimodal {
        |  FROM documents)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- audio
+
+  /** Audio payload geometry: 24 signed 16-bit PCM samples at 16 kHz
+    * mono, sample i = little-endian int16 from bytes (2i, 2i+1) of the
+    * same 48-byte deterministic content stream the video container
+    * uses (three md5 blocks of the doc text). */
+  val AudioRate = 16000
+  val AudioSamples = 24
+  val AudioWin = 8 // feature-window length → 3 windows per asset
+  val AudioDecim = 2 // resample decimation factor
+
+  /** The audio asset table: documents → 24 deterministic PCM samples →
+    * a real RIFF/WAVE stream per row (map-only, like [[assets]]; at
+    * production scale this stage is replaced by reading actual audio
+    * files into the same binary column). */
+  def audioAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(unhex(md5(col("text"))),
+          unhex(md5(concat(col("text"), lit("a")))),
+          unhex(md5(concat(col("text"), lit("b"))))).as("payload"))
+      .as[Asset]
+      .mapPartitions(_.map { a =>
+        val samples = Array.tabulate(AudioSamples)(i =>
+          ((a.payload(2 * i) & 0xff) | (a.payload(2 * i + 1) << 8)).toShort)
+        Asset(a.doc_id, Wav.encode(AudioRate, 1, samples))
+      })
+  }
+
+  /** Decoded audio metadata: container length plus every parsed `fmt `
+    * field and a signed-sample content checksum proving the PCM data
+    * survived the RIFF round trip. */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
+      channels: Long, bits: Long, n_samples: Long, sample_sum: Long)
+
+  /** Full RIFF decode → metadata (the audio twin of [[decodeMeta]]). */
+  def decodeAudioMeta(a: Asset): AudioMeta = {
+    val w = Wav.decode(a.payload)
+    AudioMeta(a.doc_id, a.payload.length.toLong, w.sampleRate.toLong,
+      w.channels.toLong, w.bitsPerSample.toLong, w.samples.length.toLong,
+      w.samples.foldLeft(0L)(_ + _))
+  }
+
+  /** Binary-column audio pipeline: real WAV in, parsed+verified
+    * metadata out. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioAssets(spark, dir).mapPartitions(_.map(decodeAudioMeta)).toDF()
+  }
+
+  /** One feature window of the decoded signal. */
+  final case class AudioWindow(doc_id: Long, win: Long, rms_raw: Double,
+      zero_cross: Long, peak: Long)
+
+  /** Windowed DSP features over the decoded samples — RMS energy,
+    * zero-crossing count (strict sign flips), peak amplitude per
+    * [[AudioWin]]-sample window: the classic cheap audio-quality
+    * signals a corpus-curation pass computes before any model runs. */
+  /** Decode + per-window DSP (the audio twin of [[decodeResize]]). */
+  def decodeAudioWindows(a: Asset): Seq[AudioWindow] = {
+    val s = Wav.decode(a.payload).samples
+    (0 until s.length / AudioWin).map { w =>
+      val win = s.slice(w * AudioWin, (w + 1) * AudioWin)
+      val ssq = win.foldLeft(0L)((acc, v) => acc + v.toLong * v)
+      val zc = (1 until AudioWin).count(i => win(i - 1).toLong * win(i) < 0)
+      val peak = win.foldLeft(0L)((acc, v) => math.max(acc, math.abs(v.toLong)))
+      AudioWindow(a.doc_id, w.toLong, math.sqrt(ssq / AudioWin.toDouble),
+        zc.toLong, peak)
+    }
+  }
+
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioAssets(spark, dir).mapPartitions(_.flatMap(decodeAudioWindows)).toDF()
+      .select(col("doc_id"), col("win"),
+        graft.Num.roundEps(col("rms_raw"), 6).as("rms"),
+        col("zero_cross"), col("peak"))
+  }
+
+  /** One resampled output point. */
+  final case class AudioPoint(doc_id: Long, pos: Long, avg_s: Double)
+
+  /** Decimate-by-[[AudioDecim]] resample with block averaging (output
+    * point j = mean of its source pair) — the audio analogue of the
+    * area-interpolation [[resize]], over decoder-reconstructed PCM. */
+  /** Decode + block-mean decimation. */
+  def decodeAudioResample(a: Asset): Seq[AudioPoint] = {
+    val s = Wav.decode(a.payload).samples
+    (0 until s.length / AudioDecim).map { j =>
+      val sum = (0 until AudioDecim).foldLeft(0L)((acc, k) =>
+        acc + s(j * AudioDecim + k))
+      AudioPoint(a.doc_id, j.toLong, sum / AudioDecim.toDouble)
+    }
+  }
+
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioAssets(spark, dir).mapPartitions(_.flatMap(decodeAudioResample)).toDF()
+      .select(col("doc_id"), col("pos"),
+        graft.Num.roundEps(col("avg_s"), 6).as("avg_s"))
+  }
+
+  /** Signed int16 sample i re-derived from the md5 hex (little-endian
+    * byte pair, two's complement). */
+  private def audioSampleSql(i: Int): String = {
+    val lo = Portable.hexToLongSql("hexstr", 1 + 2 * (2 * i), 2)
+    val hi = Portable.hexToLongSql("hexstr", 1 + 2 * (2 * i + 1), 2)
+    val u = s"($lo + 256 * $hi)"
+    s"(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+  }
+
+  /** Shared oracle CTE: every decoded sample as a named column, derived
+    * arithmetically from the same md5 stream the encoder consumed. */
+  private val audioSamplesCte = {
+    val cols = (0 until AudioSamples)
+      .map(i => s"${audioSampleSql(i)} AS s$i").mkString(",\n    ")
+    s"""WITH smp AS (
+       |  SELECT doc_id, $cols
+       |  FROM (SELECT doc_id,
+       |    md5(text) || md5(text || 'a') || md5(text || 'b') AS hexstr
+       |    FROM documents))""".stripMargin
+  }
+
+  private val audioMetaSql = {
+    val sum = (0 until AudioSamples).map("s" + _).mkString(" + ")
+    s"""$audioSamplesCte
+       |SELECT doc_id,
+       |  CAST(${Wav.pcm16Size(AudioSamples)} AS BIGINT) AS n_bytes,
+       |  CAST($AudioRate AS BIGINT) AS sample_rate,
+       |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+       |  CAST($AudioSamples AS BIGINT) AS n_samples,
+       |  CAST($sum AS BIGINT) AS sample_sum
+       |FROM smp""".stripMargin
+  }
+
+  private val audioFeaturesSql = {
+    val nWin = AudioSamples / AudioWin
+    def winSamples(w: Int) = (0 until AudioWin).map(i => s"s${w * AudioWin + i}")
+    val rms = (0 until nWin).map { w =>
+      val ssq = winSamples(w).map(s => s"$s * $s").mkString(" + ")
+      s"round(sqrt(($ssq) / $AudioWin.0) + 1e-9, 6)"
+    }
+    val zc = (0 until nWin).map { w =>
+      val ss = winSamples(w)
+      (1 until AudioWin)
+        .map(i => s"(CASE WHEN ${ss(i - 1)} * ${ss(i)} < 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    }
+    val peak = (0 until nWin)
+      .map(w => s"greatest(${winSamples(w).map(s => s"abs($s)").mkString(", ")})")
+    s"""$audioSamplesCte
+       |SELECT doc_id,
+       |  unnest(CAST([${(0 until nWin).mkString(", ")}] AS BIGINT[])) AS win,
+       |  unnest([${rms.mkString(",\n    ")}]) AS rms,
+       |  unnest(CAST([${zc.mkString(",\n    ")}] AS BIGINT[])) AS zero_cross,
+       |  unnest(CAST([${peak.mkString(",\n    ")}] AS BIGINT[])) AS peak
+       |FROM smp""".stripMargin
+  }
+
+  private val audioResampleSql = {
+    val nOut = AudioSamples / AudioDecim
+    val vals = (0 until nOut).map { j =>
+      val sum = (0 until AudioDecim).map(k => s"s${j * AudioDecim + k}").mkString(" + ")
+      s"round(($sum) / $AudioDecim.0 + 1e-9, 6)"
+    }
+    s"""$audioSamplesCte
+       |SELECT doc_id,
+       |  unnest(CAST([${(0 until nOut).mkString(", ")}] AS BIGINT[])) AS pos,
+       |  unnest([${vals.mkString(",\n    ")}]) AS avg_s
+       |FROM smp""".stripMargin
+  }
+
   /** The oracles re-derive the decoded pixels arithmetically from the
     * md5 hex, and the container facts from the stored-mode PNG's closed
     * form — validating that the real encode→decode round trip (zlib,
@@ -221,13 +394,19 @@ object Multimodal {
          |  FROM documents)""".stripMargin
     },
     "mm_frame_sample" -> frameSampleSql,
-    "mm_resize" -> resizeSql
+    "mm_resize" -> resizeSql,
+    "mm_audio_meta" -> audioMetaSql,
+    "mm_audio_features" -> audioFeaturesSql,
+    "mm_audio_resample" -> audioResampleSql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features" -> (features _),
     "mm_frame_sample" -> (frameSample _),
-    "mm_resize" -> (resize _)
+    "mm_resize" -> (resize _),
+    "mm_audio_meta" -> (audioMeta _),
+    "mm_audio_features" -> (audioFeatures _),
+    "mm_audio_resample" -> (audioResample _)
   )
 }

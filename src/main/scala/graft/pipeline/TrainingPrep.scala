@@ -154,6 +154,34 @@ object TrainingPrep {
         Num.roundEps(col("w_raw") / col("z"), 6).as("mix_weight"))
   }
 
+  // ------------------------------------------------------ chunking --
+
+  /** Sliding-window chunk geometry: window length and stride in
+    * characters (overlap = ChunkSize − ChunkStride). */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** Sliding-window document chunking — the retrieval/context-window
+    * prep pass: each document yields ceil-strided overlapping windows
+    * (always at least one), each identified by its offset and content
+    * hash. Map-only (explode of a per-row index sequence, native
+    * substring) — no shuffle at any corpus size; chunk count per row
+    * is O(doc length / stride), never corpus-dependent. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        greatest(lit(1L),
+          ceil((length(col("text")) - ChunkSize).cast("double") / ChunkStride)
+            .cast("long") + 1L).as("n_chunks"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * ChunkStride)
+      .withColumn("chunk",
+        expr(s"substring(text, CAST(start + 1 AS INT), $ChunkSize)"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+
   // ------------------------------------------------ unigram logprob --
 
   /** Unigram LM quality score: per-document mean log-probability of
@@ -240,6 +268,24 @@ object TrainingPrep {
         |  round(share + 1e-9, 6) AS token_share,
         |  round((w_raw / z) + 1e-9, 6) AS mix_weight
         |FROM w CROSS JOIN z""".stripMargin,
+    "docs_chunk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    greatest(1, CAST(ceil((len(text) - $ChunkSize) / $ChunkStride.0)
+         |      AS BIGINT) + 1) AS n_chunks
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+         |  FROM d)
+         |SELECT doc_id, chunk_idx, chunk_idx * $ChunkStride AS start,
+         |  CAST(len(substring(text,
+         |    CAST(chunk_idx * $ChunkStride + 1 AS INT), $ChunkSize))
+         |    AS BIGINT) AS chunk_len,
+         |  md5(substring(text,
+         |    CAST(chunk_idx * $ChunkStride + 1 AS INT), $ChunkSize))
+         |    AS chunk_hash
+         |FROM e""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -257,6 +303,7 @@ object TrainingPrep {
     "docs_pack_sequences" -> (packSequences _),
     "docs_contamination" -> (contamination _),
     "docs_mix_weights" -> (mixWeights _),
+    "docs_chunk" -> (chunkDocs _),
     "text_unigram_logprob" -> (unigramLogprob _)
   )
 }

@@ -33,6 +33,31 @@ class TrainingPrepSpec extends SparkSpec {
       }
   }
 
+  test("chunkDocs windows tile every document with the declared overlap") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = TrainingPrep.chunkDocs(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet, "every doc chunks (even short ones)")
+    val C = TrainingPrep.ChunkSize; val S = TrainingPrep.ChunkStride
+    chunks.foreach { case (id, cs) =>
+      val len = docs(id)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      val expected = math.max(1L, math.ceil((len - C).toDouble / S).toLong + 1)
+      assert(sorted.length == expected, s"doc $id len $len")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val start = r.getAs[Long]("start")
+        val clen = r.getAs[Long]("chunk_len")
+        assert(start == i.toLong * S)
+        assert(clen == math.min(C.toLong, len - start), s"doc $id chunk $i")
+      }
+      // the last window reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Long]("start") + last.getAs[Long]("chunk_len") == len)
+    }
+  }
+
   test("contamination fractions are sane and bounded") {
     val rows = TrainingPrep.contamination(spark, sfDir).collect()
     assert(rows.nonEmpty)
