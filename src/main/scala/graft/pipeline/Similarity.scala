@@ -275,6 +275,69 @@ object Similarity {
         Num.roundEps(col("qs").getItem(0), 6).as("scale"),
         Num.roundEps(col("qs").getItem(1), 6).as("mse"))
 
+  /** Product-quantization geometry: PqM subspaces of Dim/PqM dims,
+    * PqK codes per subspace → a vector compresses to PqM 4-bit codes
+    * (256 B float32 → 4 B), the standard ADC index layout. */
+  val PqM = 8
+  val PqK = 16
+  val PqSubDim: Int = Dim / PqM
+
+  /** Deterministic PQ codebook: centroid (m, k) dim d is an md5-derived
+    * byte of 'pq{m}_{k}' recentered to ±0.2 — the embedding scale — so
+    * assignments exercise every code. Built once; 1 KB, closure-shipped.
+    * (A trained codebook would come from emb_centroids-style k-means;
+    * the md5 derivation is what gives the cross-engine exact oracle.) */
+  private lazy val pqCodebook: Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(PqM, PqK) { (m, k) =>
+      val hex = md.digest(s"pq${m}_$k".getBytes("US-ASCII"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      Array.tabulate(PqSubDim) { d =>
+        val byte = Integer.parseInt(hex.substring(2 * d, 2 * d + 2), 16)
+        (byte - 127.5) / 640.0
+      }
+    }
+  }
+
+  /** One PQ code assignment: vector `vec_id`, subspace `sub` →
+    * codebook entry `code` at (rounded) squared distance `dist`. */
+  final case class PqCode(vec_id: Long, sub: Long, code: Long, dist: Double)
+
+  /** Product quantization — the write-time compression pass of a PQ/ADC
+    * vector index (between emb_quantize's scalar int8 and the IVF
+    * bucketing): each vector's PqM subvectors map to their nearest
+    * codebook entry. Map-only over the vector table (the codebook is a
+    * 1 KB closure constant — at 100 TB this is one scan, no shuffle,
+    * and the output is the 64× smaller code table the index stores).
+    * Distances are eps-rounded to 6 dp BEFORE the argmin (ties break to
+    * the lowest code), the same selection discipline as annIvf — which
+    * is what lets an approximate-by-design index step carry an exact
+    * SQL oracle. */
+  def embPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook
+    vecs(spark, dir).as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        (0 until PqM).iterator.map { m =>
+          var bestK = 0; var bestD = Double.MaxValue
+          var k = 0
+          while (k < PqK) {
+            var dist = 0.0
+            var d = 0
+            while (d < PqSubDim) {
+              val diff = v(m * PqSubDim + d) - cb(m)(k)(d)
+              dist += diff * diff
+              d += 1
+            }
+            val r = Num.roundEpsJvm(dist, 6)
+            if (r < bestD) { bestD = r; bestK = k }
+            k += 1
+          }
+          PqCode(id, m.toLong, bestK.toLong, bestD)
+        }
+      }).toDF()
+  }
+
   /** Per-label centroid vectors (elementwise mean) — the K-means-style
     * reduction a real IVF index builds at write time. posexplode +
     * groupBy(label, pos): one shuffle, map-side partial agg. */
@@ -404,6 +467,34 @@ object Similarity {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round(($dotSql / (a.nrm * b.nrm)) + 1e-9, 6) >= $CosineThreshold"""
         .stripMargin,
+    // exact mirror of embPq: the codebook is REGENERATED from the same
+    // md5 strings, distances are the same ascending-index list_sum with
+    // the same 6-dp eps rounding before the (dist, code) argmin
+    "emb_pq" -> {
+      val h = "md5('pq' || CAST(m AS VARCHAR) || '_' || CAST(k AS VARCHAR))"
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+         |  FROM embeddings),
+         |cb AS (
+         |  SELECT m, k, list_transform(generate_series(1, $PqSubDim), i ->
+         |    (((strpos('0123456789abcdef', substr($h, 2 * i - 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr($h, 2 * i, 1)) - 1))
+         |     - 127.5) / 640.0) AS c
+         |  FROM generate_series(0, ${PqM - 1}) tm(m)
+         |  CROSS JOIN generate_series(0, ${PqK - 1}) tk(k)),
+         |dst AS (
+         |  SELECT v.vec_id, cb.m, cb.k,
+         |    round(list_sum(list_transform(generate_series(1, $PqSubDim),
+         |      i -> (v.vv[cb.m * $PqSubDim + i] - cb.c[i])
+         |         * (v.vv[cb.m * $PqSubDim + i] - cb.c[i]))) + 1e-9, 6) AS dist
+         |  FROM v CROSS JOIN cb)
+         |SELECT vec_id, CAST(m AS BIGINT) AS sub, CAST(k AS BIGINT) AS code,
+         |  dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dist, k) AS r FROM dst)
+         |WHERE r = 1""".stripMargin
+    },
     // mirror of QuantKernel.stats: same floor-based rounding, same
     // index-order summation, explicit d*d (not pow) for bit identity
     "emb_quantize" ->
@@ -431,6 +522,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_recall" -> (annRecall _),
     "emb_centroids" -> (centroids _),
-    "emb_quantize" -> (embQuantize _)
+    "emb_quantize" -> (embQuantize _),
+    "emb_pq" -> (embPq _)
   )
 }

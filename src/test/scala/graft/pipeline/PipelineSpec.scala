@@ -139,6 +139,48 @@ class PipelineSpec extends SparkSpec {
       Multimodal.ResizedAsset(3L, 1, 1, mean(Seq(10, 11, 14, 15)))))
   }
 
+  test("embPq codes are the true argmin against an independent codebook rebuild") {
+    import org.apache.spark.sql.functions.col
+    // independent recomputation: rebuild the codebook from its md5
+    // definition here (not via Similarity's private field) and check a
+    // sample of assignments is the exhaustive minimum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def centroid(m: Int, k: Int): Array[Double] = {
+      val hex = md.digest(s"pq${m}_$k".getBytes("US-ASCII"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      Array.tabulate(Similarity.PqSubDim) { d =>
+        (Integer.parseInt(hex.substring(2 * d, 2 * d + 2), 16) - 127.5) / 640.0
+      }
+    }
+    val vecsById = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 50)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = Similarity.embPq(spark, sfDir)
+      .filter(col("vec_id") < 50).collect()
+    assert(got.length == vecsById.size * Similarity.PqM)
+    got.foreach { r =>
+      val (id, m) = (r.getLong(0), r.getLong(1).toInt)
+      val v = vecsById(id)
+      val dists = (0 until Similarity.PqK).map { k =>
+        val c = centroid(m, k)
+        val d2 = (0 until Similarity.PqSubDim).map { d =>
+          val diff = v(m * Similarity.PqSubDim + d) - c(d)
+          diff * diff
+        }.sum
+        graft.Num.roundEpsJvm(d2, 6)
+      }
+      assert(dists(r.getLong(2).toInt) == dists.min, s"vec $id sub $m")
+      assert(r.getDouble(3) == dists.min)
+    }
+    // every code value is exercised somewhere in the corpus (codebook
+    // scale matches the embedding scale, so assignments spread)
+    val usedCodes = Similarity.embPq(spark, sfDir)
+      .select("code").distinct().collect().map(_.getLong(0)).toSet
+    assert(usedCodes.size > Similarity.PqK / 2, s"only $usedCodes used")
+  }
+
   test("ann brute-force and IVF agree on most neighbors (recall sanity)") {
     val bf = Similarity.annTopK(spark, sfDir)
       .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
