@@ -30,6 +30,7 @@ object Bench {
     "skope_yearly_band_index" -> "s_year", "skope_batch_extract" -> "s_batch",
     "skope_select_point" -> "s_point", "skope_zonal_mean" -> "s_zmean",
     "skope_zonal_median" -> "s_zmed", "skope_cube_zonal" -> "s_cube",
+    "skope_cube_spatial" -> "s_cubez",
     "skope_ncells_area" -> "s_ncell", "skope_ma_centered" -> "s_mac",
     "skope_ma_trailing" -> "s_mat", "skope_zscore_moving" -> "s_zsmov",
     "skope_zscore_fixed" -> "s_zsfix", "skope_zscore_selected" -> "s_zssel",

@@ -1,7 +1,7 @@
 package graft.cube
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-time materialization of the event cube — the 100 TB layout.
@@ -42,6 +42,55 @@ object CubeWriter {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("dataset_id")
       .parquet(outPath)
+
+  /** Bits per cell coordinate on the synthetic grid (10×15 → 4 bits
+    * each); a production deployment sizes this to its grid. */
+  val MortonBits = 4
+
+  /** Morton (Z-order) key: bit-interleave of the cell coordinates.
+    * Plain shift/mask column algebra — codegen'd, and monotone locality:
+    * cells close in (x, y) are close in `mz`, so range-clustering files
+    * by it gives every file a small spatial footprint in BOTH axes at
+    * once (a single-axis sort pins down one coordinate only). */
+  def morton(x: Column, y: Column): Column =
+    (0 until MortonBits).foldLeft(lit(0L)) { (acc, b) =>
+      acc +
+        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }
+
+  /** Spatially-clustered materialization: dataset directories as in
+    * [[materialize]], but files inside each are RANGE-clustered by the
+    * Morton key (then band-sorted within). A bbox/polygon query's x/y
+    * predicates then prune files and row groups via parquet min/max —
+    * the layout for selection-heavy workloads (many small areas), where
+    * the band-sorted layout serves band-range scans. At 100 TB these
+    * are the two cluster keys a lake keeps (one per dominant access
+    * path); `sizePerDataset` is the file-count knob compaction
+    * maintains. */
+  def materializeZOrdered(spark: SparkSession, dir: String, outPath: String,
+      filesPerDataset: Int = 4): Unit = {
+    val datasets = 3 // region of the synthetic corpus; a catalog lookup in prod
+    fullCube(spark, dir)
+      .withColumn("mz", morton(col("x"), col("y")))
+      .repartitionByRange(filesPerDataset * datasets,
+        col("dataset_id"), col("mz"))
+      .sortWithinPartitions(col("mz"), col("band"))
+      .drop("mz")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("dataset_id")
+      .parquet(outPath)
+  }
+
+  /** Read one dataset's spatial slice from a Z-ordered cube — x/y
+    * bounds and the band range must all reach PushedFilters. */
+  def readSpatialSlice(spark: SparkSession, cubePath: String,
+      dataset: String, x0: Long, x1: Long, y0: Long, y1: Long,
+      bandLo: Int, bandHi: Int): DataFrame =
+    spark.read.parquet(cubePath)
+      .filter(col("dataset_id") === dataset &&
+        col("x").between(x0, x1) && col("y").between(y0, y1) &&
+        col("band").between(bandLo, bandHi))
 
   /** Read one dataset's band slice from a materialized cube — the plan
     * must show PartitionFilters (dataset pruning) and a band range

@@ -170,6 +170,35 @@ object SkopeQueries {
     r6(slice.groupBy(col("band")).agg(avg(col("v")).as("zv")))
   }
 
+  /** The same zonal mean from the Z-ORDERED materialization
+    * (CubeWriter.materializeZOrdered): files are Morton-range-clustered,
+    * so the bbox's x/y bounds prune files/row groups via parquet min/max
+    * — the read path for selection-heavy workloads (CubeWriterSpec
+    * measures the per-file footprint shrink). Oracle identical to
+    * skope_zonal_mean: both lake layouts must be semantics-preserving. */
+  def cubeSpatialZonal(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + ":z:" + dir
+    val path = cubeDirs.computeIfAbsent(key, _ => {
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(("z:" + dir).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-zcube-$hash-${ProcessHandle.current().pid()}")
+      CubeWriter.materializeZOrdered(spark, dir, p.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p)
+      }))
+      p.toString
+    })
+    val slice = CubeWriter.readSpatialSlice(spark, path, DefaultDataset,
+      DefaultBBox.x0, DefaultBBox.x1, DefaultBBox.y0, DefaultBBox.y1,
+      ReqLo, ReqHi)
+    r6(slice.groupBy(col("band")).agg(avg(col("v")).as("zv")))
+  }
+
   /** n_cells + area of the selection (geometry.py:141-156, 184-185).
     * Unit cell area on the synthetic grid (SURVEY.md §6). */
   def ncellsArea(spark: SparkSession, dir: String): DataFrame =
@@ -883,6 +912,9 @@ object SkopeQueries {
     // path must be semantics-preserving
     "skope_cube_zonal" -> withZonal("mean",
       s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
+    // ... and so must the Z-ordered spatial layout
+    "skope_cube_spatial" -> withZonal("mean",
+      s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
     "skope_ncells_area" -> withCube(
       s"""SELECT count(DISTINCT user_id) AS n_cells,
          |  CAST(count(DISTINCT user_id) AS DOUBLE) AS area
@@ -1029,6 +1061,7 @@ object SkopeQueries {
     "skope_zonal_mean" -> (zonalMean _),
     "skope_zonal_median" -> (zonalMedian _),
     "skope_cube_zonal" -> (cubeZonal _),
+    "skope_cube_spatial" -> (cubeSpatialZonal _),
     "skope_ncells_area" -> (ncellsArea _),
     "skope_ma_centered" -> (maCentered _),
     "skope_ma_trailing" -> (maTrailing _),
