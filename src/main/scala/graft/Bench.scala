@@ -44,6 +44,7 @@ object Bench {
     "skope_polygon_hole" -> "s_phole", "skope_feature_union" -> "s_funi",
     "skope_geodesic_area" -> "s_geo", "skope_gap_fill" -> "s_gap",
     "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gtif",
+    "skope_geotiff_export" -> "s_gexp",
     "skope_geotiff_monthly" -> "s_gtm", "skope_raster_series" -> "s_rser",
     "skope_uncertainty_series" -> "s_unc",
     // text analysis

@@ -199,6 +199,68 @@ object SkopeQueries {
     r6(slice.groupBy(col("band")).agg(avg(col("v")).as("zv")))
   }
 
+  /** Distributed export of the requested band range BACK to the
+    * reference's archive format: one float32 GeoTIFF per band (band =
+    * the parallelism unit; at 100 TB each task writes its granule to
+    * the DFS), NaN-filled cells carrying the GDAL_NODATA sentinel and
+    * the grid's geo-transform — the write half of the GeoTiff bridge,
+    * so a SKOPE deployment can round-trip rasters through the cube and
+    * back (GeoTiffSpec proves readCube(re-ingest) == cube). The query
+    * returns per-band file facts: `n_bytes` is the encoder's
+    * closed-form size, `px_sum` is re-DECODED from the produced bytes
+    * (proving content, not intent); the oracle re-derives both from
+    * the cube in SQL (float32 value cast mirrored engine-side). */
+  def geotiffExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = spark.sparkContext.applicationId + ":tif:" + dir
+    val outBase = cubeDirs.computeIfAbsent(key, _ => {
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(("tif:" + dir).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-tifexp-$hash-${ProcessHandle.current().pid()}")
+      p.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p)
+      }))
+      p.toString
+    })
+    val w = EventCube.GridWidth
+    val h = Geometry.GridHeight
+    // clip to the raster region: the grid is the dataset's declared
+    // extent (cells beyond it are outside the region, exactly as the
+    // reference's rasters cover only their declared bounds)
+    cube(spark, dir, DefaultDataset)
+      .filter(col("band").between(ReqLo, ReqHi) &&
+        col("y") < Geometry.GridHeight)
+      .select(col("band"), col("x"), col("y"), col("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (band, it) =>
+        val grid = Array.fill(w * h)(Float.NaN)
+        it.foreach { case (_, x, y, v) => grid((y * w + x).toInt) = v.toFloat }
+        val bytes = graft.sources.GeoTiff.encodeF32(w, h, Seq(grid),
+          Geometry.Geo.UlLon, Geometry.Geo.UlLat, 1.0, 1.0)
+        java.nio.file.Files.write(
+          new java.io.File(outBase, f"band_$band%04d.tif").toPath, bytes)
+        val r = graft.sources.GeoTiff.parse(bytes)
+        var sum = 0.0; var cells = 0L
+        var i = 0
+        while (i < w * h) {
+          val v = r.values(0)(i)
+          if (!v.isNaN) { sum += v; cells += 1 }
+          i += 1
+        }
+        (band, bytes.length.toLong, cells, sum)
+      }
+      .toDF("band", "n_bytes", "n_cells", "px_sum")
+      .select(col("band"), col("n_bytes"), col("n_cells"),
+        graft.Num.roundEps(col("px_sum"), 6).as("px_sum"))
+  }
+
   /** n_cells + area of the selection (geometry.py:141-156, 184-185).
     * Unit cell area on the synthetic grid (SURVEY.md §6). */
   def ncellsArea(spark: SparkSession, dir: String): DataFrame =
@@ -915,6 +977,18 @@ object SkopeQueries {
     // ... and so must the Z-ordered spatial layout
     "skope_cube_spatial" -> withZonal("mean",
       s"SELECT band, round((zv) + 1e-9, 6) AS value FROM zonal WHERE $clipSql"),
+    // export facts re-derived from the cube: n_bytes is the encoder's
+    // closed form, px_sum mirrors the float32 write (REAL cast) that
+    // the engine side proves by re-decoding its own bytes
+    "skope_geotiff_export" -> withCube(
+      s"""SELECT band,
+         |  CAST(${graft.sources.GeoTiff.exportedF32Size(
+               EventCube.GridWidth, Geometry.GridHeight)} AS BIGINT)
+         |    AS n_bytes,
+         |  count(*) AS n_cells,
+         |  round(sum(CAST(CAST(v AS REAL) AS DOUBLE)) + 1e-9, 6) AS px_sum
+         |FROM cube WHERE $clipSql AND y < ${Geometry.GridHeight}
+         |GROUP BY band""".stripMargin),
     "skope_ncells_area" -> withCube(
       s"""SELECT count(DISTINCT user_id) AS n_cells,
          |  CAST(count(DISTINCT user_id) AS DOUBLE) AS area
@@ -1062,6 +1136,7 @@ object SkopeQueries {
     "skope_zonal_median" -> (zonalMedian _),
     "skope_cube_zonal" -> (cubeZonal _),
     "skope_cube_spatial" -> (cubeSpatialZonal _),
+    "skope_geotiff_export" -> (geotiffExport _),
     "skope_ncells_area" -> (ncellsArea _),
     "skope_ma_centered" -> (maCentered _),
     "skope_ma_trailing" -> (maTrailing _),

@@ -375,6 +375,96 @@ object GeoTiff {
     out.toSeq
   }
 
+  // ---------------------------------------------------------------- encode
+
+  /** The export nodata sentinel, spelled the way GDAL writes it. */
+  val ExportNodata = -9999f
+  private val ExportNodataAscii = "-9999\u0000" // NUL-terminated, 6 bytes
+
+  // fixed per-page layout of the export writer: 14 ascending-tag IFD
+  // entries + external ModelPixelScale(24) / ModelTiepoint(48) /
+  // GDAL_NODATA(6) values
+  private val ExportIfdBytes = 2 + 14 * 12 + 4 + 24 + 48 + 6
+
+  /** Total byte size of an export-encoded float32 GeoTIFF — closed
+    * form, so the DuckDB oracle can predict `n_bytes` per exported
+    * band without running the encoder (the [[Png.storedGraySize]]
+    * pattern). */
+  def exportedF32Size(width: Int, height: Int, bands: Int = 1): Int =
+    8 + bands * (4 * width * height + ExportIfdBytes)
+
+  /** Encode float32 band grids as a baseline GeoTIFF the ingest side
+    * (and rasterio/GDAL) reads back: little-endian classic TIFF, one
+    * IFD per band (band-per-page, the multi-IFD layout [[parse]]
+    * ingests), one uncompressed strip per page, GDAL_NODATA on every
+    * page, ModelPixelScale/Tiepoint geo-transform. NaN cells are
+    * written as the nodata sentinel. Deterministic byte-for-byte with
+    * a closed-form size — the write half of the reference-archive
+    * bridge (a SKOPE deployment can round-trip its rasters through
+    * the cube and back). */
+  def encodeF32(width: Int, height: Int, bands: Seq[Array[Float]],
+      ulLon: Double, ulLat: Double, pxW: Double, pxH: Double): Array[Byte] = {
+    require(bands.nonEmpty, "need at least one band")
+    bands.foreach(b => require(b.length == width * height,
+      s"band has ${b.length} cells, expected ${width * height}"))
+    val pageBytes = 4 * width * height + ExportIfdBytes
+    val buf = ByteBuffer.allocate(8 + bands.length * pageBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42)
+    buf.putInt(8 + 4 * width * height) // first IFD, after page-0 data
+
+    def writeEntryShort(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(3).putInt(1)
+      buf.putShort(v.toShort).putShort(0)
+    }
+    def writeEntryLong(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(4).putInt(1).putInt(v)
+    }
+    def writeEntryExternal(tag: Int, typ: Int, count: Int, off: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(off)
+    }
+
+    bands.indices.foreach { p =>
+      val dataOff = 8 + p * pageBytes
+      // strip data
+      val band = bands(p)
+      var i = 0
+      while (i < band.length) {
+        buf.putFloat(if (band(i).isNaN) ExportNodata else band(i))
+        i += 1
+      }
+      // IFD (tags ascending), then the external values right after it
+      val ifdOff = dataOff + 4 * width * height
+      val extOff = ifdOff + 2 + 14 * 12 + 4
+      buf.putShort(14)
+      writeEntryLong(TagWidth, width)
+      writeEntryLong(TagHeight, height)
+      writeEntryShort(TagBits, 32)
+      writeEntryShort(TagCompression, 1)
+      writeEntryShort(262, 1) // PhotometricInterpretation: BlackIsZero
+      writeEntryLong(TagStripOffsets, dataOff)
+      writeEntryShort(TagSamplesPerPixel, 1)
+      writeEntryLong(TagRowsPerStrip, height)
+      writeEntryLong(TagStripByteCounts, 4 * width * height)
+      writeEntryShort(TagPlanarConfig, 1)
+      writeEntryShort(TagSampleFormat, 3) // IEEE float
+      writeEntryExternal(TagModelPixelScale, 12, 3, extOff)
+      writeEntryExternal(TagModelTiepoint, 12, 6, extOff + 24)
+      writeEntryExternal(TagGdalNodata, 2, 6, extOff + 24 + 48)
+      // next-IFD pointer: the following page's IFD, or 0 on the last
+      buf.putInt(
+        if (p == bands.length - 1) 0
+        else 8 + (p + 1) * pageBytes + 4 * width * height)
+      // external values
+      buf.putDouble(pxW).putDouble(pxH).putDouble(0.0) // ModelPixelScale
+      // ModelTiepoint: raster (0,0,0) pins geo (ulLon, ulLat, 0)
+      buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+      buf.putDouble(ulLon).putDouble(ulLat).putDouble(0.0)
+      buf.put(ExportNodataAscii.getBytes("US-ASCII"))
+    }
+    buf.array()
+  }
+
   /** One ingested cell; `lon`/`lat` are cell centers (null when the
     * file has no geo-transform), `v` null where the file says nodata. */
   final case class Cell(path: String, band: Int, x: Int, y: Int,

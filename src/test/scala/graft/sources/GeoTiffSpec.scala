@@ -237,6 +237,56 @@ class GeoTiffSpec extends SparkSpec {
         s"band $b cell ($x,$y)")
   }
 
+  test("encodeF32 round trip: values, NaN->nodata->NaN, geo-transform, multi-page") {
+    val w = 5; val h = 3
+    val b1 = Array.tabulate(w * h)(i => if (i == 7) Float.NaN else i * 1.5f)
+    val b2 = Array.tabulate(w * h)(i => if (i == 0) Float.NaN else 100f - i)
+    val bytes = GeoTiff.encodeF32(w, h, Seq(b1, b2), -120.0, 50.0, 1.0, 1.0)
+    assert(bytes.length == GeoTiff.exportedF32Size(w, h, bands = 2))
+    val r = GeoTiff.parse(bytes)
+    assert(r.width == w && r.height == h && r.bands == 2 && r.hasGeo)
+    assert(r.ulLon == -120.0 && r.ulLat == 50.0 && r.pxW == 1.0 && r.pxH == 1.0)
+    for (i <- 0 until w * h) {
+      val got1 = r.values(0)(i); val got2 = r.values(1)(i)
+      if (b1(i).isNaN) assert(got1.isNaN) else assert(got1 == b1(i).toDouble)
+      if (b2(i).isNaN) assert(got2.isNaN) else assert(got2 == b2(i).toDouble)
+    }
+    // a value equal to the sentinel round-trips as nodata (documented
+    // lossy corner of any sentinel scheme — same as GDAL)
+    val s = Array.fill(w * h)(GeoTiff.ExportNodata)
+    assert(GeoTiff.parse(GeoTiff.encodeF32(w, h, Seq(s), 0, 0, 1, 1))
+      .values(0).forall(_.isNaN))
+  }
+
+  test("geotiffExport files re-ingest to exactly the exported cube slice") {
+    import graft.cube.{EventCube, SkopeQueries}
+    val facts = SkopeQueries.geotiffExport(spark, sfDir).collect()
+    assert(facts.nonEmpty)
+    // every file's closed-form size
+    facts.foreach(f => assert(f.getAs[Long]("n_bytes") ==
+      GeoTiff.exportedF32Size(EventCube.GridWidth,
+        graft.cube.Geometry.GridHeight)))
+    // locate the export dir from one file fact via the session temp
+    val dirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(f => f.getName.startsWith("graft-tifexp-") &&
+        f.getName.endsWith(ProcessHandle.current().pid().toString))
+    assert(dirs.length == 1, s"expected one export dir, got ${dirs.toSeq}")
+    // distributed re-ingest; band index recovered from the file name
+    val back = GeoTiff.readCube(spark, dirs.head.toString + "/*.tif")
+      .select(
+        regexp_extract(col("path"), "band_(\\d+)\\.tif", 1)
+          .cast("long").as("band"),
+        col("x").cast("long"), col("y").cast("long"), col("v"))
+      .filter(col("v").isNotNull)
+    val cube = EventCube.cube(spark, sfDir, "click")
+      .filter(col("band").between(SkopeQueries.ReqLo, SkopeQueries.ReqHi) &&
+        col("y") < graft.cube.Geometry.GridHeight)
+      .select(col("band"), col("x"), col("y"),
+        col("v").cast("float").cast("double").as("v"))
+    assert(back.exceptAll(cube).isEmpty && cube.exceptAll(back).isEmpty,
+      "re-ingested export differs from the cube slice")
+  }
+
   test("big-endian multi-strip chunky") {
     assertGrid(makeTiff(ByteOrder.BIG_ENDIAN, 7, 5, 3,
       planar = 1, tiled = false, deflate = false), 7, 5, 3)
