@@ -473,29 +473,32 @@ object GeoTiff {
   /** Distributed ingestion: every file matching `pathGlob` decoded on
     * executors into long-format cube rows. Bands are 1-based, matching
     * both rasterio and the engine's band axis. */
+  /** Decode one granule into its cube rows — an ITERATOR, not a strict
+    * yield: per-task memory stays at the decoded raster (bands × w × h
+    * doubles), never width*height*bands boxed Cell objects at once — a
+    * 10k×10k 10-band archive granule is 1e9 cells, which must stream
+    * out, not materialize. Shared by the batch and streaming ingests. */
+  def cellsOf(path: String, content: Array[Byte]): Iterator[Cell] = {
+    val r = parse(content)
+    (1 to r.bands).iterator.flatMap { b =>
+      (0 until r.height).iterator.flatMap { y =>
+        (0 until r.width).iterator.map { x =>
+          val v = r.value(b, y, x)
+          Cell(path, b, x, y,
+            if (r.hasGeo) Double.box(r.cellLon(x)) else null,
+            if (r.hasGeo) Double.box(r.cellLat(y)) else null,
+            if (v.isNaN) null else Double.box(v))
+        }
+      }
+    }
+  }
+
   def readCube(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
-        val r = parse(content)
-        // an ITERATOR, not a strict yield: per-task memory stays at the
-        // decoded raster (bands × w × h doubles), never width*height*
-        // bands boxed Cell objects at once — a 10k×10k 10-band archive
-        // granule is 1e9 cells, which must stream out, not materialize
-        (1 to r.bands).iterator.flatMap { b =>
-          (0 until r.height).iterator.flatMap { y =>
-            (0 until r.width).iterator.map { x =>
-              val v = r.value(b, y, x)
-              Cell(path, b, x, y,
-                if (r.hasGeo) Double.box(r.cellLon(x)) else null,
-                if (r.hasGeo) Double.box(r.cellLat(y)) else null,
-                if (v.isNaN) null else Double.box(v))
-            }
-          }
-        }
-      }
+      .flatMap { case (path, content) => cellsOf(path, content) }
       .toDF()
   }
 }

@@ -217,6 +217,25 @@ class PlanAuditSpec extends SparkSpec {
       s"polygon zonal should shuffle like a bbox: ${exchanges(plan)} vs ${exchanges(bboxPlan)}")
   }
 
+  test("map-only pipeline operators plan zero exchanges") {
+    // chunking, PQ assignment, and the decode-bearing multimodal
+    // family are pure per-row/per-partition transforms — an Exchange
+    // here would shuffle a corpus-sized stream for no semantic reason,
+    // and at 100 TB that is the whole cost of the operator
+    val mapOnly: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+      "docs_chunk" -> (graft.pipeline.TrainingPrep.chunkDocs _),
+      "emb_pq" -> (graft.pipeline.Similarity.embPq _),
+      "mm_binary_meta" -> (graft.pipeline.Multimodal.binaryMeta _),
+      "mm_features" -> (graft.pipeline.Multimodal.features _),
+      "mm_audio_meta" -> (graft.pipeline.Multimodal.audioMeta _),
+      "mm_audio_features" -> (graft.pipeline.Multimodal.audioFeatures _),
+      "mm_audio_resample" -> (graft.pipeline.Multimodal.audioResample _))
+    mapOnly.foreach { case (name, fn) =>
+      val plan = formatted(fn(spark, sfDir))
+      assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n$plan")
+    }
+  }
+
   test("uncertainty pairing joins per-band AGGREGATES, never cells") {
     // each raster reduces to one row per band before the pairing join
     // (map-side partial agg over its own scan); the join itself is a

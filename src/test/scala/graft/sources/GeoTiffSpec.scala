@@ -266,13 +266,17 @@ class GeoTiffSpec extends SparkSpec {
     facts.foreach(f => assert(f.getAs[Long]("n_bytes") ==
       GeoTiff.exportedF32Size(EventCube.GridWidth,
         graft.cube.Geometry.GridHeight)))
-    // locate the export dir from one file fact via the session temp
-    val dirs = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().filter(f => f.getName.startsWith("graft-tifexp-") &&
-        f.getName.endsWith(ProcessHandle.current().pid().toString))
-    assert(dirs.length == 1, s"expected one export dir, got ${dirs.toSeq}")
+    // the export dir is deterministic per (corpus, JVM) — rebuild its
+    // name the way geotiffExport does (other suites may have exported
+    // OTHER corpora in this JVM, so a glob would be ambiguous)
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(("tif:" + sfDir).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val expDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-tifexp-$hash-${ProcessHandle.current().pid()}")
+    assert(expDir.isDirectory, s"export dir $expDir missing")
     // distributed re-ingest; band index recovered from the file name
-    val back = GeoTiff.readCube(spark, dirs.head.toString + "/*.tif")
+    val back = GeoTiff.readCube(spark, expDir.toString + "/*.tif")
       .select(
         regexp_extract(col("path"), "band_(\\d+)\\.tif", 1)
           .cast("long").as("band"),
