@@ -303,6 +303,30 @@ object Similarity {
     * codebook entry `code` at (rounded) squared distance `dist`. */
   final case class PqCode(vec_id: Long, sub: Long, code: Long, dist: Double)
 
+  /** Nearest codebook entry per subspace (6-dp eps-rounded distances,
+    * lowest-code tie-break) — the shared kernel of embPq and the ADC
+    * search. */
+  private def pqAssign(v: Array[Double]): Array[PqCode] = {
+    val cb = pqCodebook
+    Array.tabulate(PqM) { m =>
+      var bestK = 0; var bestD = Double.MaxValue
+      var k = 0
+      while (k < PqK) {
+        var dist = 0.0
+        var d = 0
+        while (d < PqSubDim) {
+          val diff = v(m * PqSubDim + d) - cb(m)(k)(d)
+          dist += diff * diff
+          d += 1
+        }
+        val r = Num.roundEpsJvm(dist, 6)
+        if (r < bestD) { bestD = r; bestK = k }
+        k += 1
+      }
+      PqCode(0L, m.toLong, bestK.toLong, bestD)
+    }
+  }
+
   /** Product quantization — the write-time compression pass of a PQ/ADC
     * vector index (between emb_quantize's scalar int8 and the IVF
     * bucketing): each vector's PqM subvectors map to their nearest
@@ -315,27 +339,79 @@ object Similarity {
     * SQL oracle. */
   def embPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cb = pqCodebook
     vecs(spark, dir).as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        (0 until PqM).iterator.map { m =>
-          var bestK = 0; var bestD = Double.MaxValue
-          var k = 0
-          while (k < PqK) {
-            var dist = 0.0
-            var d = 0
+        pqAssign(v).iterator.map(c => c.copy(vec_id = id))
+      }).toDF()
+  }
+
+  /** IVF+PQ (ADC) search — the two index artifacts composed the way a
+    * production vector index serves queries: coarse IVF routing picks
+    * `IvfNProbe` buckets, then candidates are ranked by ASYMMETRIC
+    * distance (exact probe subvectors against the candidates' PQ
+    * codes) — the candidate's raw vector is never needed at query
+    * time, only its 4-byte code word. The kernel builds each probe's
+    * 8×16 distance table once per partition and scores candidates by
+    * 8 table lookups (the ADC trick that makes PQ search memory-bound,
+    * not FLOP-bound). Candidate codes are recomputed from the cached
+    * vector artifact inside the kernel — bit-identical to reading the
+    * stored code table, by the determinism of pqAssign. Distances are
+    * 6-dp eps-rounded before the (adist, vec_id) top-k, so the
+    * composed approximate pipeline still carries an exact SQL oracle.
+    * Scale shape: probe side broadcast, assigned table streamed, one
+    * bounded-heap top-k — the ann_lsh/annIvf discipline. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = normedVecs(spark, dir)
+    val cents = all.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        Num.roundEps(dot("cv", "v") / (col("cn") * col("nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cent_id")),
+        struct(col("ccos"), (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cent_id").as("cent_id"))
+    val probes = all.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val probeBuckets = probes.crossJoin(broadcast(cents))
+      .withColumn("pcos",
+        Num.roundEps(dot("cv", "pv") / (col("cn") * col("pn")), 6))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.top_k(col("pcos"), col("cent_id"), IvfNProbe).as("top"))
+      .select(col("probe_id"), explode(col("top.id")).as("cent_id"))
+      .join(probes.select(col("probe_id"), col("pv")), "probe_id")
+    val joined = assigned.join(broadcast(probeBuckets), "cent_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pv"), col("vec_id"), col("v"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+    val scored = joined.mapPartitions { it =>
+      val cb = pqCodebook
+      val tables =
+        scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
+      it.map { case (pid, pv, vid, v) =>
+        val table = tables.getOrElseUpdate(pid, Array.tabulate(PqM, PqK) {
+          (m, k) =>
+            var s = 0.0; var d = 0
             while (d < PqSubDim) {
-              val diff = v(m * PqSubDim + d) - cb(m)(k)(d)
-              dist += diff * diff
+              val diff = pv(m * PqSubDim + d) - cb(m)(k)(d)
+              s += diff * diff
               d += 1
             }
-            val r = Num.roundEpsJvm(dist, 6)
-            if (r < bestD) { bestD = r; bestK = k }
-            k += 1
-          }
-          PqCode(id, m.toLong, bestK.toLong, bestD)
-        }
-      }).toDF()
+            s
+        })
+        val codes = pqAssign(v)
+        var adist = 0.0
+        var m = 0
+        while (m < PqM) { adist += table(m)(codes(m).code.toInt); m += 1 }
+        (pid, vid, Num.roundEpsJvm(adist, 6))
+      }
+    }.toDF("probe_id", "vec_id", "adist")
+    scored.groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), TopK).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.id").as("vec_id"), (-col("e.score")).as("adist"))
   }
 
   /** Per-label centroid vectors (elementwise mean) — the K-means-style
@@ -363,6 +439,33 @@ object Similarity {
   /** dot(x.vv, y.vv) over arbitrary CTE aliases. */
   private def dotSqlOf(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $y[i]))"
+
+  // PQ codebook + code-assignment CTE fragments, shared by the emb_pq
+  // and ann_ivfpq oracles (regenerated from the same md5 strings and
+  // the same rounded-argmin discipline as pqAssign)
+  private val pqCbSql = {
+    val h = "md5('pq' || CAST(m AS VARCHAR) || '_' || CAST(k AS VARCHAR))"
+    s"""cb AS (
+       |  SELECT m, k, list_transform(generate_series(1, $PqSubDim), i ->
+       |    (((strpos('0123456789abcdef', substr($h, 2 * i - 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr($h, 2 * i, 1)) - 1))
+       |     - 127.5) / 640.0) AS c
+       |  FROM generate_series(0, ${PqM - 1}) tm(m)
+       |  CROSS JOIN generate_series(0, ${PqK - 1}) tk(k))""".stripMargin
+  }
+
+  private val pqCodesSql =
+    s"""dst AS (
+       |  SELECT v.vec_id, cb.m, cb.k,
+       |    round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (v.vv[cb.m * $PqSubDim + i] - cb.c[i])
+       |         * (v.vv[cb.m * $PqSubDim + i] - cb.c[i]))) + 1e-9, 6) AS dist
+       |  FROM v CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, m, k, dist
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |          ORDER BY dist, k) AS r FROM dst)
+       |  WHERE r = 1)""".stripMargin
 
   // exact mirror of annIvf: nearest-centroid assignment, probed
   // buckets, bucket-restricted top-k — all selections over the same
@@ -470,31 +573,57 @@ object Similarity {
     // exact mirror of embPq: the codebook is REGENERATED from the same
     // md5 strings, distances are the same ascending-index list_sum with
     // the same 6-dp eps rounding before the (dist, code) argmin
-    "emb_pq" -> {
-      val h = "md5('pq' || CAST(m AS VARCHAR) || '_' || CAST(k AS VARCHAR))"
-      s"""WITH v AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-         |  FROM embeddings),
-         |cb AS (
-         |  SELECT m, k, list_transform(generate_series(1, $PqSubDim), i ->
-         |    (((strpos('0123456789abcdef', substr($h, 2 * i - 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr($h, 2 * i, 1)) - 1))
-         |     - 127.5) / 640.0) AS c
-         |  FROM generate_series(0, ${PqM - 1}) tm(m)
-         |  CROSS JOIN generate_series(0, ${PqK - 1}) tk(k)),
-         |dst AS (
-         |  SELECT v.vec_id, cb.m, cb.k,
-         |    round(list_sum(list_transform(generate_series(1, $PqSubDim),
-         |      i -> (v.vv[cb.m * $PqSubDim + i] - cb.c[i])
-         |         * (v.vv[cb.m * $PqSubDim + i] - cb.c[i]))) + 1e-9, 6) AS dist
-         |  FROM v CROSS JOIN cb)
+    "emb_pq" ->
+      s"""WITH $vecSql,
+         |$pqCbSql,
+         |$pqCodesSql
          |SELECT vec_id, CAST(m AS BIGINT) AS sub, CAST(k AS BIGINT) AS code,
          |  dist
-         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |        ORDER BY dist, k) AS r FROM dst)
-         |WHERE r = 1""".stripMargin
-    },
+         |FROM codes""".stripMargin,
+    // exact mirror of annIvfPq: IVF routing CTEs from annIvfSql, codes
+    // from the emb_pq argmin, ADC = per-(probe, candidate) sum over
+    // the 8 subspace sqdists (probe subvector vs the candidate's coded
+    // centroid), rounded before the (adist, vec_id) ranking
+    "ann_ivfpq" ->
+      s"""WITH $vecSql,
+         |$pqCbSql,
+         |$pqCodesSql,
+         |c AS (SELECT vec_id AS cent_id, vv AS cv, nrm AS cn FROM v
+         |      WHERE vec_id < $IvfCentroids),
+         |asg AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT x.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        round((${dotSqlOf("x.vv", "c.cv")} / (c.cn * x.nrm)) + 1e-9, 6) DESC,
+         |        c.cent_id) AS r
+         |    FROM v x CROSS JOIN c) WHERE r = 1),
+         |p AS (SELECT vec_id AS probe_id, vv AS pv, nrm AS pn FROM v
+         |      WHERE vec_id < $NumProbes),
+         |pb AS (
+         |  SELECT probe_id, cent_id FROM (
+         |    SELECT p.probe_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        round((${dotSqlOf("p.pv", "c.cv")} / (c.cn * p.pn)) + 1e-9, 6) DESC,
+         |        c.cent_id) AS r
+         |    FROM p CROSS JOIN c) WHERE r <= $IvfNProbe),
+         |cand AS (
+         |  SELECT pb.probe_id, a.vec_id
+         |  FROM pb JOIN asg a USING (cent_id)
+         |  WHERE a.vec_id <> pb.probe_id),
+         |adc AS (
+         |  SELECT cand.probe_id, cand.vec_id,
+         |    round(sum(list_sum(list_transform(generate_series(1, $PqSubDim),
+         |      i -> (p.pv[cd.m * $PqSubDim + i] - cb.c[i])
+         |         * (p.pv[cd.m * $PqSubDim + i] - cb.c[i])))) + 1e-9, 6) AS adist
+         |  FROM cand
+         |  JOIN codes cd ON cd.vec_id = cand.vec_id
+         |  JOIN cb ON cb.m = cd.m AND cb.k = cd.k
+         |  JOIN p ON p.probe_id = cand.probe_id
+         |  GROUP BY cand.probe_id, cand.vec_id)
+         |SELECT probe_id,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank,
+         |  vec_id, adist
+         |FROM adc QUALIFY rank <= $TopK""".stripMargin,
     // mirror of QuantKernel.stats: same floor-based rounding, same
     // index-order summation, explicit d*d (not pow) for bit identity
     "emb_quantize" ->
@@ -523,6 +652,7 @@ object Similarity {
     "ann_recall" -> (annRecall _),
     "emb_centroids" -> (centroids _),
     "emb_quantize" -> (embQuantize _),
-    "emb_pq" -> (embPq _)
+    "emb_pq" -> (embPq _),
+    "ann_ivfpq" -> (annIvfPq _)
   )
 }
