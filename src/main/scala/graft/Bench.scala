@@ -63,6 +63,7 @@ object Bench {
     "ann_topk" -> "a_topk", "emb_centroids" -> "a_cent",
     "emb_quantize" -> "a_quant", "emb_pq" -> "a_pq",
     "ann_ivfpq" -> "a_ivfpq", "dedup_semantic" -> "d_sem",
+    "ann_ivfpq_recall" -> "a_pqrec", "ann_ivfpq_refine" -> "a_pqref",
     // events
     "events_asof_click" -> "e_asof", "events_attr_window" -> "e_attr",
     "events_funnel" -> "e_fun", "events_hourly_rollup" -> "e_roll",

@@ -42,6 +42,39 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.7, f"LSH recall@10 $mean%.3f below 0.7 floor")
   }
 
+  test("annIvfPqRefine recall@10 vs brute force is >= 0.7; refine buys back quantization loss") {
+    // the deployed search (ADC shortlist -> exact re-rank) must reach
+    // plain IVF's routing ceiling: the md5 codebook quantizes hard
+    // (ADC-only recall ~0.34 at this corpus), and the refine step's
+    // whole purpose is to recover that loss from PqRefine raw vectors
+    val exact = Similarity.annTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    val adc = Similarity.annIvfPq(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    val refined = Similarity.annIvfPqRefine(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    assert(exact.nonEmpty && exact.keySet == refined.keySet)
+    def mean(m: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (p, truth) =>
+        m(p).intersect(truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val adcMean = mean(adc)
+    val refMean = mean(refined)
+    info(f"ADC-only recall@10 = $adcMean%.3f, refined = $refMean%.3f over ${exact.size} probes")
+    assert(refMean >= 0.7, f"refined recall@10 $refMean%.3f below 0.7 floor")
+    assert(refMean >= adcMean, "refine must never lose recall vs ADC-only")
+    // and the registered recall query reports exactly the refined hits
+    val reported = Similarity.annIvfPqRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (p, truth) =>
+      assert(reported(p) === refined(p).intersect(truth).size.toLong)
+    }
+  }
+
   test("annIvf scores are exact for the neighbors it does return") {
     // approximation may miss neighbors but must never mis-score one:
     // every (probe, vec) pair that appears in both results carries the
