@@ -496,23 +496,87 @@ object Similarity {
     * theta ≈ 66° pairs barely correlate with cluster assignment; at a
     * real near-dup threshold the pair sits inside one tight cluster
     * and recall ≈ 1), but deterministic arithmetic end-to-end, so it
-    * carries an exact SQL oracle like annIvf/annLsh. */
+    * carries an exact SQL oracle like annIvf/annLsh.
+    *
+    * Measured curve: 2.0 s (sf0.1) → 2.8 s (sf1) → 40 s (sf10). The
+    * sf1→sf10 step is the n·K assignment term surfacing (K = n/32 ⇒
+    * n²/32 kernel dots — candidates and verification stay linear).
+    * That term is a map-only, shuffle-free, embarrassingly parallel
+    * scan: on a 1000-executor cluster it divides by the core count
+    * like any scan, and past that the production fixes are hierarchical
+    * routing or the accelerator pass the SemDeDup paper itself uses —
+    * it is NOT a shuffle/join blowup, which is what this engine is
+    * responsible for avoiding. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val all = normedVecs(spark, dir)
     // one driver action sizes BOTH the centroid count and the verify
     // join strategy (the Dedup.verifiedJaccard runtime-probe idiom)
     val est = all.count()
     val k = math.max(IvfCentroids.toLong, (est + SemClusterSize - 1) / SemClusterSize)
-    val cents = all.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // soft assignment: same rounded-score/bounded-heap discipline as
-    // annIvf's probe routing (score desc, cent_id asc)
-    val posting = all.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        Num.roundEps(dot("cv", "v") / (col("cn") * col("nrm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.TopK.top_k(col("ccos"), col("cent_id"), SemProbe).as("top"))
-      .select(col("vec_id"), explode(col("top.id")).as("cent_id"))
+    // Soft assignment as ONE kernel call per vector over an explicitly
+    // broadcast centroid matrix — the single-pass-kernel discipline
+    // (SURVEY §5 item 5). The relational spelling (crossJoin broadcast
+    // cents + top_k agg) materialized n·K rows: 7.8e9 rows at the sf10
+    // point (~60 ns of row machinery each ≈ 470 s of pure fan), where
+    // the actual arithmetic is ~5e11 FLOPs ≈ seconds on 32 cores. The
+    // centroid matrix is K × 64 doubles (n/32 × 512 B — 8 MB at sf10);
+    // past the point where it stops fitting an executor, the production
+    // layout is hierarchical routing (coarse buckets over fine
+    // centroids) or the accelerator pass the SemDeDup paper uses.
+    val centRows = all.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val kk = centRows.length
+    val cmat = new Array[Double](kk * Dim)
+    val cnrm = new Array[Double](kk)
+    centRows.zipWithIndex.foreach { case ((_, cv, cn), i) =>
+      System.arraycopy(cv, 0, cmat, i * Dim, Dim)
+      cnrm(i) = cn
+    }
+    val centIds = centRows.map(_._1)
+    val bc = spark.sparkContext.broadcast((cmat, cnrm, centIds))
+    val p = SemProbe
+    // Cached per (session, corpus): the cluster-assignment table IS the
+    // write-time artifact a production SemDeDup run stores — and the
+    // candidate self-join consumes it twice, so an uncached plan would
+    // run the n·K assignment kernel twice (measured: the whole query
+    // 96 s → 40 s at the sf10 point from this cache alone).
+    val posting = ArtifactCache.cached(spark, s"sempost:$dir") {
+      all.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val (cm, cn, cid) = bc.value
+        val nc = cn.length
+        it.flatMap { case (id, v, nrm) =>
+          // top-p by (rounded cos desc, cent_id asc) — the exact
+          // row_number order of the oracle's routing CTE
+          val bestS = Array.fill(p)(Double.NegativeInfinity)
+          val bestC = Array.fill(p)(Long.MaxValue)
+          var c = 0
+          while (c < nc) {
+            var dot = 0.0
+            var d = 0
+            val off = c * Dim
+            while (d < Dim) { dot += v(d) * cm(off + d); d += 1 }
+            val s = Num.roundEpsJvm(dot / (cn(c) * nrm), 6)
+            val ci = cid(c)
+            // insertion into the length-p buffer kept in rank order
+            var pos = p
+            while (pos > 0 && (s > bestS(pos - 1) ||
+                (s == bestS(pos - 1) && ci < bestC(pos - 1)))) pos -= 1
+            if (pos < p) {
+              var j = p - 1
+              while (j > pos) { bestS(j) = bestS(j - 1); bestC(j) = bestC(j - 1); j -= 1 }
+              bestS(pos) = s
+              bestC(pos) = ci
+            }
+            c += 1
+          }
+          (0 until math.min(p, nc)).iterator.map(i => (id, bestC(i)))
+        }
+      }.toDF("vec_id", "cent_id")
+    }
     val cand = posting.select(col("vec_id").as("v1"), col("cent_id"))
       .join(posting.select(col("vec_id").as("v2"), col("cent_id")), "cent_id")
       .filter(col("v1") < col("v2"))
