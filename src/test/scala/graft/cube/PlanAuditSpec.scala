@@ -96,6 +96,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast joins, saw $bhj")
   }
 
+  test("dedup_semantic verifies through broadcast lookups, never a sort-merge") {
+    // under the byte bound the vector artifact broadcasts into both
+    // verification lookups so the candidate stream never shuffles
+    // array payload (the Dedup.verifiedJaccard discipline); the cand
+    // self-join on the cluster key MAY shuffle — that is the inverted
+    // index working — but nothing may sort-merge or rank via window
+    val plan = formatted(graft.pipeline.Similarity.dedupSemantic(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      "dedup_semantic sort-merges (candidates being sorted?)")
+    assert(!plan.contains("row_number"), "dedup_semantic ranks via a window")
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected both verify lookups broadcast, saw $bhj")
+  }
+
+  test("ann_ivfpq_refine streams the vector table: every join is broadcast") {
+    // the ADC shortlist and the probe set are probe-bounded, so the
+    // refine step's raw-vector re-read must plan as broadcast joins
+    // with the big table streamed — never shuffled for a join
+    val plan = formatted(graft.pipeline.Similarity.annIvfPqRefine(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "ann_ivfpq_refine shuffles the vector table for a join")
+    assert(!plan.contains("row_number"), "ann_ivfpq_refine ranks via a window")
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected shortlist+probe broadcast joins, saw $bhj")
+  }
+
   test("no query plans an unpartitioned window or a stray Expand") {
     // an empty window partitionSpec moves ALL data to one partition and
     // logs WindowExec's single-partition warning; single-series paths
