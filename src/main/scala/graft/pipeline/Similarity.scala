@@ -172,7 +172,10 @@ object Similarity {
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(col("pcos"), col("cent_id"), IvfNProbe).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("cent_id"))
-      .join(probes, "probe_id")
+      // probe side is bounded (NumProbes rows) but derives from a
+      // groupBy over the full table, so Catalyst's size estimate flips
+      // this to sort-merge at large SF — broadcast is always right here
+      .join(broadcast(probes), "probe_id")
     // search only the probed buckets; per-probe top-k is the bounded
     // heap again — no full sort of the scored candidates
     assigned.join(broadcast(probeBuckets), "cent_id")
@@ -390,7 +393,9 @@ object Similarity {
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(col("pcos"), col("cent_id"), IvfNProbe).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("cent_id"))
-      .join(probes.select(col("probe_id"), col("pv")), "probe_id")
+      // bounded probe side: explicit broadcast (the sf10 estimate
+      // otherwise plans a sort-merge inside the routing — ScalePlanSpec)
+      .join(broadcast(probes.select(col("probe_id"), col("pv"))), "probe_id")
     val joined = assigned.join(broadcast(probeBuckets), "cent_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("pv"), col("vec_id"), col("v"))
@@ -577,6 +582,14 @@ object Similarity {
         }
       }.toDF("vec_id", "cent_id")
     }
+    // Inverted-index self-join on the cluster key. Planner's sort-merge
+    // is KEPT deliberately: this is a many-to-many join whose output
+    // (~1.3e8 pair rows at sf10) dwarfs its input (2M narrow posting
+    // rows), and SMJ's run-buffered merge emits those pair groups
+    // cache-friendly — a forced shuffle_hash measured 59 s vs 40 s for
+    // the whole query at sf10. (The no-sort discipline applies to FAT
+    // streams probing small tables — the verify joins below — not to
+    // sorting 2M 16-byte rows.)
     val cand = posting.select(col("vec_id").as("v1"), col("cent_id"))
       .join(posting.select(col("vec_id").as("v2"), col("cent_id")), "cent_id")
       .filter(col("v1") < col("v2"))

@@ -96,15 +96,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast joins, saw $bhj")
   }
 
-  test("dedup_semantic verifies through broadcast lookups, never a sort-merge") {
+  test("dedup_semantic verifies through broadcast lookups") {
     // under the byte bound the vector artifact broadcasts into both
     // verification lookups so the candidate stream never shuffles
     // array payload (the Dedup.verifiedJaccard discipline); the cand
-    // self-join on the cluster key MAY shuffle — that is the inverted
-    // index working — but nothing may sort-merge or rank via window
+    // self-join on the cluster key may shuffle — narrow posting rows,
+    // sort-merge measured faster than shuffle_hash (in-source note) —
+    // but nothing may rank via window and at most that one join sorts
     val plan = formatted(graft.pipeline.Similarity.dedupSemantic(spark, sfDir))
-    assert(!plan.contains("SortMergeJoin"),
-      "dedup_semantic sort-merges (candidates being sorted?)")
+    val smj = plan.split("\n").count(_.matches("^\\(\\d+\\) SortMergeJoin.*"))
+    assert(smj <= 1, s"dedup_semantic plans $smj sort-merges (allowed: cand)")
     assert(!plan.contains("row_number"), "dedup_semantic ranks via a window")
     val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
     assert(bhj >= 2, s"expected both verify lookups broadcast, saw $bhj")

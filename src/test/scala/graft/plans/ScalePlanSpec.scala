@@ -82,6 +82,31 @@ class ScalePlanSpec extends SparkSpec {
       "ann_lsh started shuffling the vector table at sf10")
   }
 
+  test("sf10: ann_ivfpq_refine keeps the shortlist+probe joins broadcast") {
+    whenCorpus()
+    // the ADC shortlist and probe set stay probe-bounded at any corpus
+    // size, so the refine re-read must never flip to a shuffle of the
+    // raw-vector table
+    val plan = formatted(graft.pipeline.Similarity.annIvfPqRefine(spark, dir))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "ann_ivfpq_refine started shuffling the vector table at sf10")
+  }
+
+  test("sf10: dedup_semantic verify lookups stay broadcast under the byte bound") {
+    whenCorpus()
+    // 500k vectors × ~560 B ≈ 280 MB — still under BroadcastVerifyBytes,
+    // so the candidate stream must not shuffle array payload. The ONE
+    // allowed sort-merge is the cand self-join on the cluster key
+    // (narrow posting rows; measured faster than a forced shuffle_hash,
+    // 40 s vs 59 s — see dedupSemantic's in-source note).
+    val plan = formatted(graft.pipeline.Similarity.dedupSemantic(spark, dir))
+    val smj = plan.split("\n").count(_.matches("^\\(\\d+\\) SortMergeJoin.*"))
+    assert(smj <= 1, s"dedup_semantic plans $smj sort-merges at sf10 (allowed: cand)")
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"verify lookups lost their broadcast at sf10 (saw $bhj)")
+  }
+
   test("sf10: no lazily-planned query grows an unpartitioned window or Expand") {
     whenCorpus()
     import org.apache.spark.sql.execution.window.WindowExec
