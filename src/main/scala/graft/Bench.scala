@@ -64,6 +64,7 @@ object Bench {
     "emb_quantize" -> "a_quant", "emb_pq" -> "a_pq",
     "ann_ivfpq" -> "a_ivfpq", "dedup_semantic" -> "d_sem",
     "ann_ivfpq_recall" -> "a_pqrec", "ann_ivfpq_refine" -> "a_pqref",
+    "dedup_incremental" -> "d_inc",
     // events
     "events_asof_click" -> "e_asof", "events_attr_window" -> "e_attr",
     "events_funnel" -> "e_fun", "events_hourly_rollup" -> "e_roll",

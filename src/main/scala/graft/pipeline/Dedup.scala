@@ -293,8 +293,12 @@ object Dedup {
     * is one kernel call per document (HashKernels.minhashBands); the
     * band self-join shuffles NumBands 8-byte keys per doc, hot-bucket
     * hardened (bucketPairs). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val postings = cached(spark, s"minhash-postings:$dir") {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    verifiedJaccard(spark, dir, bucketPairs(spark, minhashPostings(spark, dir))
+      .select(col("d1"), col("d2")).distinct())
+
+  private def minhashPostings(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"minhash-postings:$dir") {
       import graft.functions.HashFunctions.minhash_bands
       // band id folded into the 64-bit band value bitwise (no overflow
       // under ANSI): a cross-band collision would only create one
@@ -304,8 +308,34 @@ object Dedup {
         .select(col("v").bitwiseXOR(shiftleft(col("band") + 1, 56)).as("k"),
           col("doc_id"))
     }
-    verifiedJaccard(spark, dir, bucketPairs(spark, postings)
-      .select(col("d1"), col("d2")).distinct())
+
+  /** Every DeltaMod-th doc plays the "newly arrived batch" in the
+    * incremental pass — a deterministic stand-in for an ingestion
+    * date predicate. */
+  val DeltaMod = 10
+
+  /** Incremental (delta-vs-corpus) fuzzy dedup — how a 100 TB lake
+    * actually runs dedup: the stored minhash posting table is the
+    * write-time index, and each new batch joins ONLY its own postings
+    * against it, never re-pairing the historical corpus with itself.
+    * Candidates = full posting table ⋈ BROADCAST delta postings on the
+    * band key (the full index streams map-only — zero shuffle of the
+    * corpus; the delta's smallness is the operator's premise, a delta
+    * past the broadcast bound means you want the full minhashLsh pass),
+    * then the family's exact-verification join. Output = the minhash
+    * pair set restricted to pairs touching the delta (both orders
+    * normalized, delta-internal pairs included once) — equality with
+    * the full pass's restriction pinned in IncrementalDedupSpec. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val postings = minhashPostings(spark, dir)
+    val delta = postings.filter(col("doc_id") % DeltaMod === 0)
+      .select(col("k"), col("doc_id").as("dd"))
+    val cand = postings.join(broadcast(delta), "k")
+      .filter(col("doc_id") =!= col("dd"))
+      .select(least(col("doc_id"), col("dd")).as("d1"),
+        greatest(col("doc_id"), col("dd")).as("d2"))
+      .distinct()
+    verifiedJaccard(spark, dir, cand)
   }
 
   /** 60-bit SimHash over word tokens (md5-derived bit hashes — portable
@@ -729,6 +759,12 @@ object Dedup {
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+    // the full-pass predicate restricted to pairs touching the delta —
+    // exactly what the incremental join computes (banding recall = 1 on
+    // this corpus's J >= 0.8 pairs, same as dedup_minhash_lsh's oracle)
+    "dedup_incremental" ->
+      s"""SELECT * FROM ($jaccardSql)
+         |WHERE d1 % $DeltaMod = 0 OR d2 % $DeltaMod = 0""".stripMargin,
     "dedup_simhash" -> simhashSql
   )
 
@@ -736,6 +772,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_incremental" -> (incremental _),
     "dedup_simhash" -> (simhash _),
     "dedup_clusters" -> (clusters _),
     "docs_dedup_apply" -> (dedupApply _),

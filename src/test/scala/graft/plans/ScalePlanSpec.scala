@@ -118,6 +118,7 @@ class ScalePlanSpec extends SparkSpec {
       "dedup_clusters", "docs_dedup_apply", "skope_cube_zonal",
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
       "dedup_embedding", "dedup_substring", "dedup_exact",
+      "dedup_incremental", "dedup_semantic",
       "ann_ivf", "ann_lsh", "ann_topk", "ann_recall",
       "skope_geotiff_ingest", "skope_settings")
     val expandAllowed = Set("events_hourly_rollup")
