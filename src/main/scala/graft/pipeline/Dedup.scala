@@ -297,40 +297,104 @@ object Dedup {
     verifiedJaccard(spark, dir, bucketPairs(spark, minhashPostings(spark, dir))
       .select(col("d1"), col("d2")).distinct())
 
+  /** (k = band-folded minhash value, doc_id) postings of an arbitrary
+    * (doc_id, hs) shingle-array frame — shared by the full in-session
+    * posting build, the persisted index writer, and the incremental
+    * pass's delta side (which must derive its postings from the DELTA
+    * DOCUMENTS alone, never by filtering a full-corpus rebuild). */
+  private def postingsOf(shingles: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.minhash_bands
+    // band id folded into the 64-bit band value bitwise (no overflow
+    // under ANSI): a cross-band collision would only create one
+    // spurious candidate, which exact verification removes
+    shingles
+      .select(col("doc_id"), posexplode(minhash_bands(col("hs"))).as(Seq("band", "v")))
+      .select(col("v").bitwiseXOR(shiftleft(col("band") + 1, 56)).as("k"),
+        col("doc_id"))
+  }
+
   private def minhashPostings(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, s"minhash-postings:$dir") {
-      import graft.functions.HashFunctions.minhash_bands
-      // band id folded into the 64-bit band value bitwise (no overflow
-      // under ANSI): a cross-band collision would only create one
-      // spurious candidate, which exact verification removes
-      shingleArrays(spark, dir)
-        .select(col("doc_id"), posexplode(minhash_bands(col("hs"))).as(Seq("band", "v")))
-        .select(col("v").bitwiseXOR(shiftleft(col("band") + 1, 56)).as("k"),
-          col("doc_id"))
-    }
+    cached(spark, s"minhash-postings:$dir")(
+      postingsOf(shingleArrays(spark, dir)))
 
   /** Every DeltaMod-th doc plays the "newly arrived batch" in the
     * incremental pass — a deterministic stand-in for an ingestion
     * date predicate. */
   val DeltaMod = 10
 
+  /** Bucket count of the persisted posting index (matches the bench
+    * session's shuffle parallelism; at 100 TB it is sized to the
+    * cluster like any fact-table bucket count). */
+  val IndexBuckets = 32
+
+  /** Estimated on-disk/broadcast bytes of one posting row: two longs
+    * plus hashed-relation overhead. */
+  private val PostingRowBytes = 64L
+
+  /** The minhash posting index as a PERSISTED bucketed lake table —
+    * the write-time artifact SURVEY §2 describes: it survives the
+    * session, and because it is bucketed by the band key `k`, a
+    * shuffle-strategy probe against it needs NO exchange on the index
+    * side (the bucketed scan already satisfies the join's hash
+    * distribution; only the delta shuffles). Written once per corpus
+    * (catalog existence check), read back through the catalog so the
+    * planner trusts the bucket spec. */
+  private[pipeline] def minhashIndexTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = "graft_minhash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      graft.sources.TableIO.writeBucketed(
+        minhashPostings(spark, dir), tbl, path, Seq("k"), IndexBuckets)
+    }
+    spark.table(tbl)
+  }
+
   /** Incremental (delta-vs-corpus) fuzzy dedup — how a 100 TB lake
-    * actually runs dedup: the stored minhash posting table is the
-    * write-time index, and each new batch joins ONLY its own postings
-    * against it, never re-pairing the historical corpus with itself.
-    * Candidates = full posting table ⋈ BROADCAST delta postings on the
-    * band key (the full index streams map-only — zero shuffle of the
-    * corpus; the delta's smallness is the operator's premise, a delta
-    * past the broadcast bound means you want the full minhashLsh pass),
-    * then the family's exact-verification join. Output = the minhash
-    * pair set restricted to pairs touching the delta (both orders
-    * normalized, delta-internal pairs included once) — equality with
-    * the full pass's restriction pinned in IncrementalDedupSpec. */
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val postings = minhashPostings(spark, dir)
-    val delta = postings.filter(col("doc_id") % DeltaMod === 0)
+    * actually runs dedup: the STORED minhash posting table (a bucketed
+    * lake table, [[minhashIndexTable]] — not a session cache) is the
+    * write-time index, and each new batch computes postings for its
+    * OWN documents only and joins them against it — the historical
+    * corpus is never rescanned or re-paired with itself. Candidates =
+    * stored index ⋈ delta postings on the band key; the join strategy
+    * is picked by the family's runtime byte probe (verifiedJaccard's
+    * idiom): a small delta BROADCASTS (the index streams map-only),
+    * and a delta past the bound degrades to shuffle_hash instead of
+    * OOMing a forced broadcast — where the bucketed index side STILL
+    * moves nothing (zero Exchange, pinned in IncrementalDedupSpec;
+    * only the delta shuffles). Then the family's exact-verification
+    * join. Output = the minhash pair set restricted to pairs touching
+    * the delta (both orders normalized, delta-internal pairs included
+    * once) — equality with the full pass's restriction pinned in
+    * IncrementalDedupSpec. */
+  def incremental(spark: SparkSession, dir: String): DataFrame =
+    incremental(spark, dir, BroadcastVerifyBytes)
+
+  /** Test seam: IncrementalDedupSpec drives the shuffle_hash arm with a
+    * zero bound (a delta past 512 MB needs a corpus no unit test
+    * reaches) and pins zero Exchange on the bucketed index side. */
+  private[pipeline] def incremental(spark: SparkSession, dir: String,
+      broadcastBound: Long): DataFrame = {
+    val index = minhashIndexTable(spark, dir)
+    val deltaDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % DeltaMod === 0)
+    import graft.functions.HashFunctions.shingle3_sorted_hashes
+    val delta = postingsOf(
+      deltaDocs.select(col("doc_id"),
+          shingle3_sorted_hashes(split(col("text"), " ")).as("hs"))
+        .filter(size(col("hs")) > 0))
       .select(col("k"), col("doc_id").as("dd"))
-    val cand = postings.join(broadcast(delta), "k")
+    // runtime size probe (the verifiedJaccard discipline): the delta's
+    // smallness is the operator's premise, but premises need enforcing —
+    // posting count × row estimate against the broadcast bound, with a
+    // shuffle_hash fallback that stays index-side-exchange-free thanks
+    // to the bucketed layout
+    val deltaBytes = delta.count() * PostingRowBytes
+    val deltaSide =
+      if (deltaBytes <= broadcastBound) broadcast(delta)
+      else delta.hint("shuffle_hash")
+    val cand = index.join(deltaSide, "k")
       .filter(col("doc_id") =!= col("dd"))
       .select(least(col("doc_id"), col("dd")).as("d1"),
         greatest(col("doc_id"), col("dd")).as("d2"))

@@ -23,4 +23,44 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(full.size > expected.size,
       "fixture should contain base-base pairs outside the delta")
   }
+
+  test("posting index is a lake table: a FRESH session reads it back") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // first run writes the bucketed index table
+    val first = pairs(Dedup.incremental(spark, sfDir))
+    // a fresh session has NONE of this session's cached artifacts —
+    // the only shared state is the catalog + the files on disk, so
+    // equality here proves the delta pass ran against the STORED index
+    val s2 = spark.newSession()
+    val again = Dedup.incremental(s2, sfDir)
+    assert(pairs(again) === first)
+    // and the index side of that run really is the persisted table
+    val scans = Dedup.minhashIndexTable(s2, sfDir)
+      .queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.rootPaths.mkString
+      }
+    assert(scans.exists(_.contains("graft_minhash_idx")), s"scans: $scans")
+  }
+
+  test("shuffle-strategy delta probe needs ZERO Exchange on the index side") {
+    import org.apache.spark.sql.functions.col
+    val index = Dedup.minhashIndexTable(spark, sfDir)
+    // a non-bucketed stand-in for an over-broadcast-bound delta batch
+    val deltaRows = index.limit(50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    val delta = deltaRows.toDF("k", "dd")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = index.join(delta.hint("shuffle_hash"), "k")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected the shuffle_hash arm:\n$plan")
+      // the one exchange is the DELTA being routed to the index's
+      // bucket layout; the bucketed index scan itself moves nothing
+      assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+        s"bucketed index side should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
