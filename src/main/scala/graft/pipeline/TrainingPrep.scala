@@ -100,13 +100,13 @@ object TrainingPrep {
     * The 64-bit engine-local hash stays inside the join (counts only
     * cross to the oracle — the same policy as the shingle kernels;
     * a collision needs ~1e-14 and only ever flags one extra gram). */
-  private def gramHashes(docs: DataFrame): DataFrame =
+  private def gramHashes(docs: DataFrame, n: Int = GramN): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= GramN)
+      .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(ws) - ${GramN - 1})," +
-          s" i -> xxhash64(concat_ws(' ', slice(ws, i, $GramN))))"))).as("g"))
+        s"transform(sequence(1, size(ws) - ${n - 1})," +
+          s" i -> xxhash64(concat_ws(' ', slice(ws, i, $n))))"))).as("g"))
 
   /** Benchmark-contamination check: for each benchmark document, the
     * fraction of its distinct token 8-grams that appear verbatim
@@ -127,6 +127,45 @@ object TrainingPrep {
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         Num.roundEps(col("n_hit").cast("double") / col("n_grams"), 6)
           .as("contaminated_frac"))
+  }
+
+  // -------------------------------------------------- decontaminate --
+
+  /** Decontamination n-gram width. Shorter than the 8-gram REPORTING
+    * window deliberately: the report measures verbatim benchmark
+    * leakage; the APPLY step guards the eval set against paraphrase-
+    * level leakage too, so it thresholds on the fraction of a train
+    * document's token 3-grams that appear anywhere in the benchmark
+    * slice. */
+  val DecontamGramN = 3
+  /** A train document sharing ≥ this fraction of its distinct 3-grams
+    * with the benchmark slice is removed. */
+  val DecontamThreshold = 0.1
+
+  /** The APPLY step of decontamination — the pass docs_contamination
+    * only reports: the TRAINING corpus (bucket < BenchmarkPct) minus
+    * every document whose benchmark 3-gram overlap fraction reaches
+    * DecontamThreshold, the same complete-the-loop shape as
+    * docs_dedup_apply after dedup_clusters. Scale: one n-gram pass per
+    * side joined on 8-byte hash keys (the benchmark side is the small,
+    * bounded slice — AQE broadcasts its distinct gram set); the drop
+    * set scales with the contaminated fraction, so it is a plain
+    * left-anti join that AQE broadcasts only while it fits, exactly
+    * like dedupApply's. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(bucketSpark))
+    val bench = gramHashes(docs.filter(col("bucket") >= BenchmarkPct),
+      DecontamGramN).select(col("g")).distinct()
+    val train = docs.filter(col("bucket") < BenchmarkPct)
+    val contaminated = gramHashes(train, DecontamGramN)
+      .join(bench.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), count(col("hit")).as("h"))
+      .filter(col("h").cast("double") / col("n") >= DecontamThreshold)
+      .select(col("doc_id"))
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
   // ---------------------------------------------------- mix weights --
@@ -252,6 +291,28 @@ object TrainingPrep {
          |FROM g b LEFT JOIN train ON b.g = train.g
          |WHERE b.bucket >= $BenchmarkPct
          |GROUP BY b.doc_id""".stripMargin,
+    // gram keys are TEXT here too; the threshold compares the same
+    // exact integer ratio in both engines
+    "docs_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    string_split(text, ' ') AS ws, $bucketSql AS bucket
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(ws) - ${DecontamGramN - 1}),
+         |    i -> array_to_string(list_slice(ws, i, i + ${DecontamGramN - 1}), ' ')))) AS g
+         |  FROM d WHERE len(ws) >= $DecontamGramN),
+         |bench AS (SELECT DISTINCT g FROM g WHERE bucket >= $BenchmarkPct),
+         |bad AS (
+         |  SELECT t.doc_id
+         |  FROM g t LEFT JOIN bench ON t.g = bench.g
+         |  WHERE t.bucket < $BenchmarkPct
+         |  GROUP BY t.doc_id
+         |  HAVING CAST(count(bench.g) AS DOUBLE) / count(*) >= $DecontamThreshold)
+         |SELECT doc_id, source, lang, n_chars
+         |FROM d LEFT JOIN bad USING (doc_id)
+         |WHERE d.bucket < $BenchmarkPct AND bad.doc_id IS NULL""".stripMargin,
     "docs_mix_weights" ->
       """WITH s AS (
         |  SELECT source,
@@ -302,6 +363,7 @@ object TrainingPrep {
     "docs_split" -> (splitReport _),
     "docs_pack_sequences" -> (packSequences _),
     "docs_contamination" -> (contamination _),
+    "docs_decontaminate" -> (decontaminate _),
     "docs_mix_weights" -> (mixWeights _),
     "docs_chunk" -> (chunkDocs _),
     "text_unigram_logprob" -> (unigramLogprob _)

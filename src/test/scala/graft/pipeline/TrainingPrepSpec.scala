@@ -88,6 +88,36 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.head.getAs[Double]("contaminated_frac") == 1.0)
   }
 
+  test("decontaminate removes exactly the over-threshold train docs") {
+    import graft.functions.Portable
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("bucket", expr(
+        Portable.hexToLongSpark("md5(CAST(doc_id AS STRING))", 1, 15) + " % 100"))
+    val train = docs.filter(col("bucket") < TrainingPrep.BenchmarkPct)
+    val kept = TrainingPrep.decontaminate(spark, sfDir)
+    // the apply step is real on this corpus: something gets dropped,
+    // and everything kept is a train (non-benchmark) doc
+    val nTrain = train.count()
+    val nKept = kept.count()
+    assert(nKept < nTrain, s"expected drops: kept $nKept of $nTrain")
+    assert(nKept > 0)
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(trainIds))
+    // a verbatim train/benchmark straddling copy must be removed: reuse
+    // the contamination fixture (doc 7 train, doc 63 benchmark)
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val fixture = Seq(
+      (7L, text, "src0", "en", text.length.toLong),
+      (63L, text, "src1", "en", text.length.toLong)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("decontam").toString
+    fixture.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TrainingPrep.decontaminate(spark, tmp).collect()
+    assert(out.isEmpty, "the fully-contaminated train doc must be dropped")
+  }
+
   test("mixWeights are a distribution that up-samples tail domains") {
     val rows = TrainingPrep.mixWeights(spark, sfDir).collect()
     assert(rows.length > 1)
