@@ -875,6 +875,20 @@ object SkopeQueries {
         |         + CAST(1.1 AS DOUBLE) * c AS REAL) + 1e-9, 6) END AS value
         |FROM range(1, 61) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
         .stripMargin,
+    // the uint16 fixture's closed-form content: integer samples widen
+    // exactly to double (no float32 rounding step), nodata sentinel
+    // 65535 at the annual hole pattern
+    "skope_geotiff_uint16" ->
+      """SELECT CAST(b AS BIGINT) AS band, CAST(c AS BIGINT) AS x,
+        |  CAST(r AS BIGINT) AS y,
+        |  CAST(-123 + c + 0.5 AS DOUBLE) AS lon,
+        |  CAST(45 - r - 0.5 AS DOUBLE) AS lat,
+        |  CASE WHEN (r = 3 AND c = 4) OR (b = 3 AND r = 2 AND c = 4)
+        |       THEN NULL
+        |       ELSE round(CAST(100 * b + 10 * r + c AS DOUBLE) + 1e-9, 6)
+        |  END AS value
+        |FROM range(1, 6) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
+        .stripMargin,
     // the reference request path over its own archive format: bbox
     // away from the nodata holes, so the closed form is NULL-free
     "skope_raster_series" ->
@@ -1070,6 +1084,26 @@ object SkopeQueries {
         col("lon"), col("lat"),
         Num.roundEps(col("v"), 6).as("value"))
 
+  /** The reference also serves NON-float32 variables from the same
+    * catalog (metadata.yml's `uint16_variable`; rasterio widens the
+    * integer samples on read). This is the uint16 fixture
+    * (annual_5x5x5_dataset_uint16_variable.tif — values 100·b+10·r+c,
+    * nodata sentinel 65535 at the annual hole pattern) through the
+    * SAME distributed cube path as the float32 ingest, hash-gated
+    * against its closed-form integer content — pinning the reader's
+    * sample-format widening end-to-end, not just in GeoTiffSpec. */
+  private def geotiffUint16Fixture: String =
+    sys.env.getOrElse("SPARK_GRAFT_GEOTIFF_U16",
+      "/root/reference/timeseries/data/annual_5x5x5_dataset_uint16_variable.tif")
+
+  def geotiffUint16(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark, geotiffUint16Fixture)
+      .select(col("band").cast("long").as("band"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        col("lon"), col("lat"),
+        Num.roundEps(col("v"), 6).as("value"))
+
   /** The COMPLETE reference request path over the reference's ACTUAL
     * archive format in one plan: GeoTIFF cube → bbox selection →
     * per-band zonal mean → trailing smoother (services.py's
@@ -1123,6 +1157,7 @@ object SkopeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skope_geotiff_ingest" -> (geotiffIngest _),
     "skope_geotiff_monthly" -> (geotiffMonthly _),
+    "skope_geotiff_uint16" -> (geotiffUint16 _),
     "skope_raster_series" -> (rasterSeries _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->
