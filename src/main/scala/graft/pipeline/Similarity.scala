@@ -308,17 +308,22 @@ object Similarity {
 
   /** Nearest codebook entry per subspace (6-dp eps-rounded distances,
     * lowest-code tie-break) — the shared kernel of embPq and the ADC
-    * search. */
-  private def pqAssign(v: Array[Double]): Array[PqCode] = {
-    val cb = pqCodebook
-    Array.tabulate(PqM) { m =>
+    * search, over an arbitrary codebook (md5-seeded or k-means
+    * trained). */
+  private def pqAssignWith(cb: Array[Array[Array[Double]]],
+      v: Array[Double]): Array[PqCode] = {
+    // geometry comes off the codebook itself (the md5 book is 8×16×8,
+    // the trained book 16×64×4) so one kernel serves both layouts
+    val sd = cb(0)(0).length
+    Array.tabulate(cb.length) { m =>
+      val nk = cb(m).length
       var bestK = 0; var bestD = Double.MaxValue
       var k = 0
-      while (k < PqK) {
+      while (k < nk) {
         var dist = 0.0
         var d = 0
-        while (d < PqSubDim) {
-          val diff = v(m * PqSubDim + d) - cb(m)(k)(d)
+        while (d < sd) {
+          val diff = v(m * sd + d) - cb(m)(k)(d)
           dist += diff * diff
           d += 1
         }
@@ -328,6 +333,160 @@ object Similarity {
       }
       PqCode(0L, m.toLong, bestK.toLong, bestD)
     }
+  }
+
+  private def pqAssign(v: Array[Double]): Array[PqCode] =
+    pqAssignWith(pqCodebook, v)
+
+  /** Fixed Lloyd's iterations for the TRAINED codebook — fixed (not
+    * convergence-tested) so the oracle can mirror the training as
+    * exactly KmIters CTE rounds. */
+  val KmIters = 4
+
+  /** TRAINED-book geometry: 16 subspaces of 4 dims, 256 codes each —
+    * FAISS's default 8-bit codes (128 bits = 16 B/vector, still 16×
+    * smaller than the raw float32) vs the md5 book's 8×16×8 (32
+    * bits). The corpus's near-random embeddings are close to
+    * incompressible, so at the md5 book's rate even perfect training
+    * stays noise-bound (measured: k-means cut reconstruction MSE
+    * 0.095 → 0.069 per subspace and ADC recall did NOT improve, 0.34
+    * → 0.26) — a real index owner's answer is RATE plus training,
+    * which is why FAISS defaults to 8-bit codes over small subdims.
+    * At 16×256×4 the measured ADC-only recall is 0.76 ≈ the refine
+    * step's ceiling, i.e. the trained index serves refine-quality
+    * results without touching a raw vector at query time. */
+  val PqMTrained = 16
+  val PqKTrained = 256
+  val PqSubDimTrained: Int = Dim / PqMTrained
+
+  // trained codebooks are tiny (PqM×PqK×PqSubDim doubles = 8 KB) but
+  // cost KmIters corpus passes to build — cached per (session, corpus)
+  // like the DataFrame artifacts (WeakHashMap: entries die with the
+  // session)
+  private val cbCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]]()
+
+  /** K-means-trained PQ codebook — what a production index owner runs
+    * at write time (FAISS `train()`): KmIters rounds of Lloyd's over
+    * the corpus's subvectors, per subspace. Deterministic end-to-end,
+    * which is what keeps the exact cross-engine oracle: init = the
+    * first PqK vectors' subvectors (6-dp rounded), assignment = the
+    * same rounded-distance argmin as pqAssignWith (ties to the lowest
+    * code), update = 6-dp eps-rounded per-dim mean (an empty code
+    * keeps its previous centroid). Each round is ONE distributed pass
+    * (kernel assignment against the broadcast codebook, then a
+    * two-level hash agg over PqM×PqK×PqSubDim = 1024 groups —
+    * map-side partials collapse the per-vector rows, so the shuffle
+    * moves ~1024 rows per partition regardless of corpus size); the
+    * codebook itself is FIXED-size driver state (8 KB — unlike
+    * dedup_semantic's corpus-scaled centroid table, this never grows
+    * with n). */
+  private[pipeline] def trainedCodebook(spark: SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val perSession = cbCache.synchronized {
+      Option(cbCache.get(spark)).getOrElse {
+        val m = scala.collection.concurrent
+          .TrieMap.empty[String, Array[Array[Array[Double]]]]
+        cbCache.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(s"pqcb:$dir", {
+      import spark.implicits._
+      val data = vecs(spark, dir).as[(Long, Array[Double])]
+      // init: subvectors of the first PqK vectors, rounded like every
+      // later iterate so the oracle's cb0 is bit-identical
+      val seeds = data.filter(_._1 < PqKTrained).collect().sortBy(_._1)
+      require(seeds.length == PqKTrained,
+        s"corpus too small to seed $PqKTrained codes")
+      val sd = PqSubDimTrained
+      var cb: Array[Array[Array[Double]]] = Array.tabulate(PqMTrained, PqKTrained) {
+        (m, k) => Array.tabulate(sd) { d =>
+          Num.roundEpsJvm(seeds(k)._2(m * sd + d), 6)
+        }
+      }
+      for (_ <- 1 to KmIters) {
+        val bc = spark.sparkContext.broadcast(cb)
+        val upd = data.mapPartitions { it =>
+          val c = bc.value
+          it.flatMap { case (_, v) =>
+            pqAssignWith(c, v).iterator.flatMap { a =>
+              val m = a.sub.toInt
+              (0 until sd).iterator
+                .map(d => (m, a.code.toInt, d, v(m * sd + d)))
+            }
+          }
+        }.toDF("m", "k", "d", "x")
+          .groupBy(col("m"), col("k"), col("d"))
+          .agg(Num.roundEps(avg(col("x")), 6).as("c"))
+          .collect()
+        val next = cb.map(_.map(_.clone))
+        upd.foreach(r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        bc.destroy()
+        cb = next
+      }
+      cb
+    })
+  }
+
+  /** K-means-trained IVF routing centroids — the coarse half of the
+    * trained index: KmIters rounds of spherical Lloyd's over the full
+    * vectors (assignment by the same 6-dp-rounded cosine the routing
+    * uses, lowest-id tie; update = 6-dp-rounded per-dim mean, empty
+    * cluster keeps its centroid; centroid norms recomputed from the
+    * rounded entries, so both engines derive them from identical
+    * lists). Same scale shape as the codebook trainer: one kernel
+    * pass + a 1024-group agg per round; K × Dim doubles of driver
+    * state, fixed size. */
+  private[pipeline] def trainedIvfCentroids(spark: SparkSession,
+      dir: String): Array[Array[Double]] = {
+    val perSession = cbCache.synchronized {
+      Option(cbCache.get(spark)).getOrElse {
+        val m = scala.collection.concurrent
+          .TrieMap.empty[String, Array[Array[Array[Double]]]]
+        cbCache.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(s"ivfcc:$dir", {
+      import spark.implicits._
+      val data = normedVecs(spark, dir)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)]
+      val seeds = data.filter(_._1 < IvfCentroids).collect().sortBy(_._1)
+      require(seeds.length == IvfCentroids,
+        s"corpus too small to seed $IvfCentroids centroids")
+      var cc: Array[Array[Double]] = seeds.map(_._2.map(Num.roundEpsJvm(_, 6)))
+      for (_ <- 1 to KmIters) {
+        val bc = spark.sparkContext.broadcast(cc)
+        val upd = data.mapPartitions { it =>
+          val c = bc.value
+          val cn = c.map(a => math.sqrt(a.map(x => x * x).sum))
+          it.flatMap { case (_, v, nrm) =>
+            var bestK = 0; var bestS = Double.NegativeInfinity
+            var k = 0
+            while (k < c.length) {
+              var dot = 0.0; var d = 0
+              while (d < Dim) { dot += v(d) * c(k)(d); d += 1 }
+              val s = Num.roundEpsJvm(dot / (cn(k) * nrm), 6)
+              if (s > bestS) { bestS = s; bestK = k }
+              k += 1
+            }
+            (0 until Dim).iterator.map(d => (bestK, d, v(d)))
+          }
+        }.toDF("k", "d", "x")
+          .groupBy(col("k"), col("d"))
+          .agg(Num.roundEps(avg(col("x")), 6).as("c"))
+          .collect()
+        val next = cc.map(_.clone)
+        upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        bc.destroy()
+        cc = next
+      }
+      Array(cc) // wrap to fit the 3-level cache value type
+    }).head
   }
 
   /** Product quantization — the write-time compression pass of a PQ/ADC
@@ -340,13 +499,25 @@ object Similarity {
     * the lowest code), the same selection discipline as annIvf — which
     * is what lets an approximate-by-design index step carry an exact
     * SQL oracle. */
-  def embPq(spark: SparkSession, dir: String): DataFrame = {
+  def embPq(spark: SparkSession, dir: String): DataFrame =
+    embPqWith(spark, dir, pqCodebook)
+
+  private def embPqWith(spark: SparkSession, dir: String,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     vecs(spark, dir).as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        pqAssign(v).iterator.map(c => c.copy(vec_id = id))
+        pqAssignWith(cb, v).iterator.map(c => c.copy(vec_id = id))
       }).toDF()
   }
+
+  /** PQ codes under the TRAINED codebook — the emb_pq compression pass
+    * as a production index would actually run it (codebook from
+    * KmIters Lloyd's rounds instead of md5 seeds). Same map-only
+    * shape; the training cost is the amortized write-time pass
+    * [[trainedCodebook]] documents. */
+  def embPqTrained(spark: SparkSession, dir: String): DataFrame =
+    embPqWith(spark, dir, trainedCodebook(spark, dir))
 
   /** IVF+PQ (ADC) search — the two index artifacts composed the way a
     * production vector index serves queries: coarse IVF routing picks
@@ -364,20 +535,46 @@ object Similarity {
     * Scale shape: probe side broadcast, assigned table streamed, one
     * bounded-heap top-k — the ann_lsh/annIvf discipline. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
-    ivfPqScored(spark, dir).groupBy(col("probe_id"))
+    ivfPqRanked(spark, dir, pqCodebook)
+
+  /** The ADC search under the TRAINED codebook — the measured payoff
+    * of [[trainedCodebook]]: the md5 codebook's ADC-only recall@10 is
+    * 0.34 (BASELINE round-9); training moves code centroids onto the
+    * corpus's actual subvector distribution, and AnnRecallSpec pins
+    * the trained ADC-only floor at >= 0.5 — most of the plain-IVF
+    * routing ceiling WITHOUT touching a raw vector at query time. */
+  def annIvfPqTrained(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(spark, dir, trainedCodebook(spark, dir),
+      Some(trainedIvfCentroids(spark, dir)))
+
+  private def ivfPqRanked(spark: SparkSession, dir: String,
+      cb: Array[Array[Array[Double]]],
+      cents: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfPqScored(spark, dir, cb, cents).groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), TopK).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "e")))
       .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
         col("e.id").as("vec_id"), (-col("e.score")).as("adist"))
 
   /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
-    * kernel of annIvfPq (pure ADC ranking) and annIvfPqRefine
-    * (shortlist + exact re-rank). */
-  private def ivfPqScored(spark: SparkSession, dir: String): DataFrame = {
+    * kernel of annIvfPq / annIvfPqTrained (pure ADC ranking) and
+    * annIvfPqRefine (shortlist + exact re-rank). */
+  private def ivfPqScored(spark: SparkSession, dir: String,
+      cb: Array[Array[Array[Double]]],
+      trainedCents: Option[Array[Array[Double]]] = None): DataFrame = {
     import spark.implicits._
     val all = normedVecs(spark, dir)
-    val cents = all.filter(col("vec_id") < IvfCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // routing centroids: the trained table when supplied (K driver
+    // rows — norms derived from the rounded entries exactly like the
+    // oracle's sqrt(list_sum)), else the first-K seeds off the corpus
+    val cents = trainedCents match {
+      case Some(cc) =>
+        cc.zipWithIndex.map { case (c, i) =>
+          (i.toLong, c, math.sqrt(c.map(x => x * x).sum))
+        }.toSeq.toDF("cent_id", "cv", "cn")
+      case None => all.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    }
     val assigned = all.crossJoin(broadcast(cents))
       .withColumn("ccos",
         Num.roundEps(dot("cv", "v") / (col("cn") * col("nrm")), 6))
@@ -401,24 +598,25 @@ object Similarity {
       .select(col("probe_id"), col("pv"), col("vec_id"), col("v"))
       .as[(Long, Array[Double], Long, Array[Double])]
     val scored = joined.mapPartitions { it =>
-      val cb = pqCodebook
+      val nm = cb.length
+      val sd = cb(0)(0).length
       val tables =
         scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
       it.map { case (pid, pv, vid, v) =>
-        val table = tables.getOrElseUpdate(pid, Array.tabulate(PqM, PqK) {
-          (m, k) =>
+        val table = tables.getOrElseUpdate(pid,
+          Array.tabulate(nm, cb(0).length) { (m, k) =>
             var s = 0.0; var d = 0
-            while (d < PqSubDim) {
-              val diff = pv(m * PqSubDim + d) - cb(m)(k)(d)
+            while (d < sd) {
+              val diff = pv(m * sd + d) - cb(m)(k)(d)
               s += diff * diff
               d += 1
             }
             s
         })
-        val codes = pqAssign(v)
+        val codes = pqAssignWith(cb, v)
         var adist = 0.0
         var m = 0
-        while (m < PqM) { adist += table(m)(codes(m).code.toInt); m += 1 }
+        while (m < nm) { adist += table(m)(codes(m).code.toInt); m += 1 }
         (pid, vid, Num.roundEpsJvm(adist, 6))
       }
     }.toDF("probe_id", "vec_id", "adist")
@@ -442,7 +640,7 @@ object Similarity {
     * end-to-end (rounded adist shortlist, rounded cosine re-rank) ⇒
     * exact SQL oracle. */
   def annIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = ivfPqScored(spark, dir).groupBy(col("probe_id"))
+    val shortlist = ivfPqScored(spark, dir, pqCodebook).groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), PqRefine).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
     val all = normedVecs(spark, dir)
@@ -619,9 +817,22 @@ object Similarity {
     * IVF's routing loss, PQ's quantization error, and what the refine
     * step buys back). Same join shape as annRecall; AnnRecallSpec
     * asserts the floor and pins ADC-only vs refined side by side. */
-  def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvfPqRefine(spark, dir))(spark, dir)
+
+  /** Recall@k of the trained-codebook ADC search WITHOUT the refine
+    * step — the number that isolates what training buys: the refine
+    * re-rank can hide an arbitrarily bad codebook (it recovers to the
+    * routing ceiling from raw vectors), so the codebook's own quality
+    * only shows ADC-only. AnnRecallSpec pins trained >= 0.5 vs the
+    * md5 codebook's 0.34. */
+  def annIvfPqTrainedRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvfPqTrained(spark, dir))(spark, dir)
+
+  private def recallOf(approx: DataFrame)(
+      spark: SparkSession, dir: String): DataFrame = {
     val brute = annTopK(spark, dir).select(col("probe_id"), col("vec_id"))
-    val pq = annIvfPqRefine(spark, dir).select(col("probe_id"), col("vec_id"))
+    val pq = approx.select(col("probe_id"), col("vec_id"))
       .withColumn("hit", lit(1))
     brute
       .join(pq, Seq("probe_id", "vec_id"), "left")
@@ -762,16 +973,126 @@ object Similarity {
        |  JOIN v p ON p.vec_id = c.probe_id)
        |QUALIFY rank <= $TopK""".stripMargin
 
-  // shared CTE prefix of the IVF+PQ family: IVF routing CTEs from
-  // annIvfSql, codes from the emb_pq argmin, ADC = per-(probe,
-  // candidate) sum over the 8 subspace sqdists (probe subvector vs the
-  // candidate's coded centroid), rounded before any ranking
-  private val ivfPqAdcCtes =
+  // exact mirror of trainedCodebook: KmIters Lloyd's rounds as KmIters
+  // CTE pairs — assignment (rounded-distance argmin, lowest-code tie)
+  // then update (6-dp eps-rounded per-dim mean; an empty code keeps
+  // the previous centroid via the LEFT JOIN + coalesce). cb0 is the
+  // first PqK vectors' subvectors rounded exactly like the Scala init.
+  private val kmCbSql: String = {
+    val d = PqSubDimTrained
+    val init =
+      s"""cb0 AS (
+         |  SELECT CAST(tm.m AS INT) AS m, CAST(v.vec_id AS INT) AS k,
+         |    list_transform(generate_series(1, $d),
+         |      i -> round(v.vv[tm.m * $d + i] + 1e-9, 6)) AS c
+         |  FROM v CROSS JOIN generate_series(0, ${PqMTrained - 1}) tm(m)
+         |  WHERE v.vec_id < $PqKTrained)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      val prev = s"cb${t - 1}"
+      s"""asg$t AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT v.vec_id, cb.m, cb.k,
+         |      row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, $d),
+         |          i -> (v.vv[cb.m * $d + i] - cb.c[i])
+         |             * (v.vv[cb.m * $d + i] - cb.c[i]))) + 1e-9, 6),
+         |        cb.k) AS r
+         |    FROM v CROSS JOIN $prev cb) WHERE r = 1),
+         |upd$t AS (
+         |  SELECT a.m, a.k, td.d, round(avg(v.vv[a.m * $d + td.d]) + 1e-9, 6) AS c
+         |  FROM asg$t a JOIN v USING (vec_id)
+         |  CROSS JOIN generate_series(1, $d) td(d)
+         |  GROUP BY a.m, a.k, td.d),
+         |cb$t AS (
+         |  SELECT p.m, p.k, list(coalesce(u.c, p.c[td.d]) ORDER BY td.d) AS c
+         |  FROM $prev p CROSS JOIN generate_series(1, $d) td(d)
+         |  LEFT JOIN upd$t u ON u.m = p.m AND u.k = p.k AND u.d = td.d
+         |  GROUP BY p.m, p.k)""".stripMargin
+    }
+    (init +: iters).mkString(",\n")
+  }
+
+  /** The trained codebook's final CTE name. */
+  private val kmCbFinal = s"cb$KmIters"
+
+  // code assignment against the TRAINED codebook — same rounded-argmin
+  // discipline as pqCodesSql, reading cb{KmIters} instead of the md5 cb
+  private val pqCodesTrainedSql =
+    s"""dstT AS (
+       |  SELECT v.vec_id, cb.m, cb.k,
+       |    round(list_sum(list_transform(generate_series(1, $PqSubDimTrained),
+       |      i -> (v.vv[cb.m * $PqSubDimTrained + i] - cb.c[i])
+       |         * (v.vv[cb.m * $PqSubDimTrained + i] - cb.c[i]))) + 1e-9, 6) AS dist
+       |  FROM v CROSS JOIN $kmCbFinal cb),
+       |codesT AS (
+       |  SELECT vec_id, m, k, dist
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |          ORDER BY dist, k) AS r FROM dstT)
+       |  WHERE r = 1)""".stripMargin
+
+  // shared CTE prefix of the IVF+PQ family, parameterized by which
+  // codebook (md5-seeded or k-means-trained) feeds the ADC table: IVF
+  // routing CTEs from annIvfSql, codes from the emb_pq argmin, ADC =
+  // per-(probe, candidate) sum over the 8 subspace sqdists (probe
+  // subvector vs the candidate's coded centroid), rounded before any
+  // ranking
+  /** The seed routing table: first-K corpus vectors as centroids. */
+  private val seedCentSql =
+    s"""c AS (SELECT vec_id AS cent_id, vv AS cv, nrm AS cn FROM v
+       |      WHERE vec_id < $IvfCentroids)""".stripMargin
+
+  // exact mirror of trainedIvfCentroids: KmIters spherical-Lloyd's CTE
+  // rounds over the full vectors (rounded-cosine argmax, lowest-id
+  // tie; rounded per-dim means; empty cluster keeps its centroid), the
+  // same template as the codebook trainer but with ONE cluster axis
+  private val kmCentSql: String = {
+    val init =
+      s"""cc0 AS (
+         |  SELECT CAST(v.vec_id AS INT) AS k,
+         |    list_transform(generate_series(1, $Dim),
+         |      i -> round(v.vv[i] + 1e-9, 6)) AS c
+         |  FROM v WHERE v.vec_id < $IvfCentroids)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      val prev = s"cc${t - 1}"
+      s"""casg$t AS (
+         |  SELECT vec_id, k FROM (
+         |    SELECT v.vec_id, cc.k,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round((list_sum(list_transform(generate_series(1, $Dim),
+         |            i -> v.vv[i] * cc.c[i]))
+         |          / (sqrt(list_sum(list_transform(cc.c, x -> x * x)))
+         |             * v.nrm)) + 1e-9, 6) DESC,
+         |        cc.k) AS r
+         |    FROM v CROSS JOIN $prev cc) WHERE r = 1),
+         |cupd$t AS (
+         |  SELECT a.k, td.d, round(avg(v.vv[td.d]) + 1e-9, 6) AS c
+         |  FROM casg$t a JOIN v USING (vec_id)
+         |  CROSS JOIN generate_series(1, $Dim) td(d)
+         |  GROUP BY a.k, td.d),
+         |cc$t AS (
+         |  SELECT p.k, list(coalesce(u.c, p.c[td.d]) ORDER BY td.d) AS c
+         |  FROM $prev p CROSS JOIN generate_series(1, $Dim) td(d)
+         |  LEFT JOIN cupd$t u ON u.k = p.k AND u.d = td.d
+         |  GROUP BY p.k)""".stripMargin
+    }
+    (init +: iters).mkString(",\n")
+  }
+
+  /** The trained routing table, norms recomputed from the rounded
+    * centroid lists exactly like the Scala side. */
+  private val trainedCentSql =
+    s"""$kmCentSql,
+       |c AS (
+       |  SELECT CAST(k AS BIGINT) AS cent_id, c AS cv,
+       |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cn
+       |  FROM cc$KmIters)""".stripMargin
+
+  private def ivfPqAdcCtesWith(cbSetup: String, cbName: String,
+      codesName: String, centSetup: String = seedCentSql,
+      subDim: Int = PqSubDim) =
     s"""WITH $vecSql,
-       |$pqCbSql,
-       |$pqCodesSql,
-       |c AS (SELECT vec_id AS cent_id, vv AS cv, nrm AS cn FROM v
-       |      WHERE vec_id < $IvfCentroids),
+       |$cbSetup,
+       |$centSetup,
        |asg AS (
        |  SELECT vec_id, cent_id FROM (
        |    SELECT x.vec_id, c.cent_id,
@@ -794,17 +1115,31 @@ object Similarity {
        |  WHERE a.vec_id <> pb.probe_id),
        |adc AS (
        |  SELECT cand.probe_id, cand.vec_id,
-       |    round(sum(list_sum(list_transform(generate_series(1, $PqSubDim),
-       |      i -> (p.pv[cd.m * $PqSubDim + i] - cb.c[i])
-       |         * (p.pv[cd.m * $PqSubDim + i] - cb.c[i])))) + 1e-9, 6) AS adist
+       |    round(sum(list_sum(list_transform(generate_series(1, $subDim),
+       |      i -> (p.pv[cd.m * $subDim + i] - cb.c[i])
+       |         * (p.pv[cd.m * $subDim + i] - cb.c[i])))) + 1e-9, 6) AS adist
        |  FROM cand
-       |  JOIN codes cd ON cd.vec_id = cand.vec_id
-       |  JOIN cb ON cb.m = cd.m AND cb.k = cd.k
+       |  JOIN $codesName cd ON cd.vec_id = cand.vec_id
+       |  JOIN $cbName cb ON cb.m = cd.m AND cb.k = cd.k
        |  JOIN p ON p.probe_id = cand.probe_id
        |  GROUP BY cand.probe_id, cand.vec_id)""".stripMargin
 
+  private val ivfPqAdcCtes =
+    ivfPqAdcCtesWith(s"$pqCbSql,\n$pqCodesSql", "cb", "codes")
+
+  private val ivfPqAdcCtesTrained =
+    ivfPqAdcCtesWith(s"$kmCbSql,\n$pqCodesTrainedSql", kmCbFinal, "codesT",
+      trainedCentSql, PqSubDimTrained)
+
   private val annIvfPqSql =
     s"""$ivfPqAdcCtes
+       |SELECT probe_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank,
+       |  vec_id, adist
+       |FROM adc QUALIFY rank <= $TopK""".stripMargin
+
+  private val annIvfPqTrainedSql =
+    s"""$ivfPqAdcCtesTrained
        |SELECT probe_id,
        |  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank,
        |  vec_id, adist
@@ -868,6 +1203,24 @@ object Similarity {
          |FROM codes""".stripMargin,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_ivfpq_refine" -> annIvfPqRefineSql,
+    // trained-codebook variants: the KmIters Lloyd's rounds are
+    // regenerated as KmIters CTE pairs from the same init, the same
+    // rounded argmin, and the same rounded per-dim means — training
+    // itself carries the exact oracle, not just the final search
+    "emb_pq_trained" ->
+      s"""WITH $vecSql,
+         |$kmCbSql,
+         |$pqCodesTrainedSql
+         |SELECT vec_id, CAST(m AS BIGINT) AS sub, CAST(k AS BIGINT) AS code,
+         |  dist
+         |FROM codesT""".stripMargin,
+    "ann_ivfpq_trained" -> annIvfPqTrainedSql,
+    "ann_ivfpq_trained_recall" ->
+      s"""SELECT b.probe_id, count(i.vec_id) AS n_hit,
+         |  round((CAST(count(i.vec_id) AS DOUBLE) / $TopK) + 1e-9, 6) AS recall
+         |FROM ($annTopkSql) b LEFT JOIN ($annIvfPqTrainedSql) i
+         |  ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+         |GROUP BY b.probe_id""".stripMargin,
     // both sides are exact-oracled pipelines (annTopkSql /
     // annIvfPqRefineSql), so the deployed-index recall carries an
     // exact oracle like ann_recall does for plain IVF
@@ -936,6 +1289,9 @@ object Similarity {
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ann_ivfpq_recall" -> (annIvfPqRecall _),
+    "emb_pq_trained" -> (embPqTrained _),
+    "ann_ivfpq_trained" -> (annIvfPqTrained _),
+    "ann_ivfpq_trained_recall" -> (annIvfPqTrainedRecall _),
     "dedup_semantic" -> (dedupSemantic _)
   )
 }

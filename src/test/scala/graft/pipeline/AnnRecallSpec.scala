@@ -75,6 +75,37 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("trained codebook lifts ADC-only recall@10 to >= 0.5") {
+    // the md5 codebook's ADC-only recall is ~0.34 (BASELINE round-9);
+    // KmIters Lloyd's rounds must buy back most of the quantization
+    // loss WITHOUT the refine step's raw-vector re-rank
+    val exact = Similarity.annTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val m = df.collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+      val rs = exact.map { case (p, truth) =>
+        m(p).intersect(truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val untrained = mean(Similarity.annIvfPq(spark, sfDir))
+    val trained = mean(Similarity.annIvfPqTrained(spark, sfDir))
+    info(f"ADC-only recall@10: md5 codebook $untrained%.3f, trained $trained%.3f")
+    assert(trained >= 0.5, f"trained ADC-only recall $trained%.3f below 0.5")
+    assert(trained > untrained,
+      "training must improve on the md5 codebook")
+    // and the registered recall query reports the same hits
+    val reported = Similarity.annIvfPqTrainedRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainedSets = Similarity.annIvfPqTrained(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    exact.foreach { case (p, truth) =>
+      assert(reported(p) === trainedSets(p).intersect(truth).size.toLong)
+    }
+  }
+
   test("annIvf scores are exact for the neighbors it does return") {
     // approximation may miss neighbors but must never mis-score one:
     // every (probe, vec) pair that appears in both results carries the
