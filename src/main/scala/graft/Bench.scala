@@ -44,7 +44,7 @@ object Bench {
     "skope_polygon_hole" -> "s_phole", "skope_feature_union" -> "s_funi",
     "skope_geodesic_area" -> "s_geo", "skope_gap_fill" -> "s_gap",
     "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gtif",
-    "skope_geotiff_export" -> "s_gexp",
+    "skope_geotiff_export" -> "s_gexp", "skope_geotiff_uint16" -> "s_gt16",
     "skope_geotiff_monthly" -> "s_gtm", "skope_raster_series" -> "s_rser",
     "skope_uncertainty_series" -> "s_unc",
     // text analysis
@@ -65,6 +65,8 @@ object Bench {
     "ann_ivfpq" -> "a_ivfpq", "dedup_semantic" -> "d_sem",
     "ann_ivfpq_recall" -> "a_pqrec", "ann_ivfpq_refine" -> "a_pqref",
     "dedup_incremental" -> "d_inc",
+    "emb_pq_trained" -> "a_pqt", "ann_ivfpq_trained" -> "a_ivfpqt",
+    "ann_ivfpq_trained_recall" -> "a_pqtrec",
     // events
     "events_asof_click" -> "e_asof", "events_attr_window" -> "e_attr",
     "events_funnel" -> "e_fun", "events_hourly_rollup" -> "e_roll",
@@ -75,6 +77,7 @@ object Bench {
     "docs_mix_weights" -> "c_mix", "docs_pack_sequences" -> "c_pack",
     "docs_sample_hash" -> "c_samp", "docs_source_cap" -> "c_cap",
     "docs_split" -> "c_split", "docs_chunk" -> "c_chunk",
+    "docs_decontaminate" -> "c_decon",
     // multimodal
     "mm_binary_meta" -> "m_meta", "mm_features" -> "m_feat",
     "mm_frame_sample" -> "m_frame", "mm_resize" -> "m_resize",

@@ -29,6 +29,18 @@ class SemanticDedupSpec extends SparkSpec {
       s"recall ${got.size}/${truth.size} under floor")
   }
 
+  test("broadcast and distributed routing arms produce identical postings") {
+    // the byte probe picks the arm at runtime; both must compute the
+    // SAME hierarchical assignment (the cogroup arm's per-bucket top-p
+    // + global merge vs the kernel arm's direct global top-p)
+    ArtifactCache.clear()
+    val fast = pairs(Similarity.dedupSemantic(spark, sfDir))
+    ArtifactCache.clear()
+    val dist = pairs(Similarity.dedupSemantic(spark, sfDir, 0L))
+    ArtifactCache.clear()
+    assert(dist === fast)
+  }
+
   test("tight near-dup clusters are recovered completely (the algorithm's design regime)") {
     // two tight clusters plus singleton noise: every qualifying pair is
     // within-cluster, so soft assignment must route both members to a
