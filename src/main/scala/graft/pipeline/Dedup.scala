@@ -375,10 +375,21 @@ object Dedup {
     * zero bound (a delta past 512 MB needs a corpus no unit test
     * reaches) and pins zero Exchange on the bucketed index side. */
   private[pipeline] def incremental(spark: SparkSession, dir: String,
-      broadcastBound: Long): DataFrame = {
+      broadcastBound: Long): DataFrame =
+    deltaPairs(spark, dir,
+      Tables.documents(spark, dir).filter(col("doc_id") % DeltaMod === 0),
+      broadcastBound)
+
+  /** Near-dup pairs of one arbitrary batch of documents against the
+    * stored index — the shared kernel of the batch incremental pass
+    * and the CONTINUOUS pass (streaming.DedupStream's foreachBatch
+    * runs exactly this per micro-batch). The batch's postings come
+    * from the batch rows alone; the index side streams (or stays
+    * exchange-free under shuffle_hash, thanks to the bucket layout). */
+  private[graft] def deltaPairs(spark: SparkSession, dir: String,
+      deltaDocs: DataFrame,
+      broadcastBound: Long = BroadcastVerifyBytes): DataFrame = {
     val index = minhashIndexTable(spark, dir)
-    val deltaDocs = Tables.documents(spark, dir)
-      .filter(col("doc_id") % DeltaMod === 0)
     import graft.functions.HashFunctions.shingle3_sorted_hashes
     val delta = postingsOf(
       deltaDocs.select(col("doc_id"),
