@@ -34,18 +34,29 @@ object CubeWriter {
       .withColumn("y",
         floor(col("user_id") / lit(EventCube.GridWidth.toDouble)).cast("long"))
 
-  /** Materialize: hash-cluster by dataset, band-sort within files. */
-  def materialize(spark: SparkSession, dir: String, outPath: String): Unit =
+  /** Materialize: hash-cluster by dataset, band-sort within files.
+    * `options` reach the parquet writer (ZOrderBench shrinks
+    * parquet.block.size with it so the synthetic cube has the many
+    * row groups a 100 TB cube has naturally — row-group pruning can't
+    * be observed on a corpus that fits one group). */
+  def materialize(spark: SparkSession, dir: String, outPath: String,
+      options: Map[String, String] = Map.empty): Unit =
     fullCube(spark, dir)
       .repartition(col("dataset_id"))
       .sortWithinPartitions(col("band"), col("user_id"))
       .write.mode(SaveMode.Overwrite)
+      .options(options)
       .partitionBy("dataset_id")
       .parquet(outPath)
 
-  /** Bits per cell coordinate on the synthetic grid (10×15 → 4 bits
-    * each); a production deployment sizes this to its grid. */
-  val MortonBits = 4
+  /** Bits per cell coordinate. 8 bits covers grids up to 256×256 —
+    * the driver's synthetic grid is 10 wide and grows its y extent
+    * with SF (1500 cells = y to 149 at the bench SF; the original 4
+    * bits silently truncated y past 15, which un-clustered the y axis
+    * exactly where pruning mattered — caught by ZOrderBench's
+    * row-group stats showing y spans of [0,149]). A production
+    * deployment sizes this to its grid. */
+  val MortonBits = 8
 
   /** Morton (Z-order) key: bit-interleave of the cell coordinates.
     * Plain shift/mask column algebra — codegen'd, and monotone locality:
@@ -69,7 +80,8 @@ object CubeWriter {
     * path); `sizePerDataset` is the file-count knob compaction
     * maintains. */
   def materializeZOrdered(spark: SparkSession, dir: String, outPath: String,
-      filesPerDataset: Int = 4): Unit = {
+      filesPerDataset: Int = 4,
+      options: Map[String, String] = Map.empty): Unit = {
     val datasets = 3 // region of the synthetic corpus; a catalog lookup in prod
     fullCube(spark, dir)
       .withColumn("mz", morton(col("x"), col("y")))
@@ -78,6 +90,7 @@ object CubeWriter {
       .sortWithinPartitions(col("mz"), col("band"))
       .drop("mz")
       .write.mode(SaveMode.Overwrite)
+      .options(options)
       .partitionBy("dataset_id")
       .parquet(outPath)
   }
