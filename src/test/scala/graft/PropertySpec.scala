@@ -17,6 +17,28 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, s"$name: ${r.status}")
   }
 
+  test("roundEpsJvm fast path is bit-identical to the BigDecimal spelling") {
+    // the fast path guards on distance from the half boundary; the
+    // generators deliberately hammer that boundary (exact multiples of
+    // 1e-6, half-grain offsets, ulp nudges) plus generic magnitudes
+    val genGrid = for {
+      k <- Gen.choose(-2000000000L, 2000000000L)
+      off <- Gen.oneOf(0.0, 5e-7, -5e-7, 4.99e-7, 5.01e-7, 1e-9, -1e-9)
+      ulps <- Gen.choose(-2, 2)
+    } yield {
+      val base = k / 1e6 + off
+      (0 until math.abs(ulps)).foldLeft(base)((v, _) =>
+        if (ulps > 0) Math.nextUp(v) else Math.nextDown(v))
+    }
+    val genAny = Gen.choose(-1e7, 1e7)
+    check("grid+boundary")(Prop.forAll(genGrid) { x =>
+      Num.roundEpsJvm(x, 6) == Num.roundEpsJvmSlow(x, 6)
+    })
+    check("generic")(Prop.forAll(genAny) { x =>
+      Num.roundEpsJvm(x, 6) == Num.roundEpsJvmSlow(x, 6)
+    })
+  }
+
   test("bandRangeGroups partitions the range contiguously under the cell budget") {
     // the reference's chunked-read planner (test_split_indices shape):
     // whole-band groups, concatenation = the exact requested range,
