@@ -123,7 +123,11 @@ object Dedup {
     * intersection over the (small) array table — two hash joins on
     * doc_id, no pair-level aggregation at all. */
   private def verifiedJaccard(spark: SparkSession, dir: String,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame): DataFrame =
+    verifiedJaccard(spark, dir, cand, shingleArrays(spark, dir))
+
+  private def verifiedJaccard(spark: SparkSession, dir: String,
+      cand: DataFrame, base: DataFrame): DataFrame = {
     import graft.functions.HashFunctions.sorted_intersect_count
     // Plan-time join-strategy pick, same pattern as bucketPairs' hot
     // gate: one driver action on the cached array table decides what
@@ -140,7 +144,6 @@ object Dedup {
     //    hash-building the small array side probes the fat candidate
     //    stream straight through without ever sorting it (sort-merge
     //    SORTED the candidates: 114 of 139 s at sf10 before this).
-    val base = shingleArrays(spark, dir)
     val est = base
       .agg(sum(size(col("hs"))).cast("long").as("elems"),
         count(lit(1)).as("docs"))
@@ -331,6 +334,26 @@ object Dedup {
     * plus hashed-relation overhead. */
   private val PostingRowBytes = 64L
 
+  /** The shingle-array table as a PERSISTED bucketed lake table —
+    * the OTHER half of the stored dedup index: the incremental pass's
+    * exact verification needs per-doc shingle sets for both pair
+    * members, and rebuilding them per session would rescan the whole
+    * corpus (exactly what the incremental shape exists to avoid).
+    * Bucketed by doc_id, so a shuffle-strategy verification join
+    * builds hash tables straight off the scan. Written once per
+    * corpus alongside [[minhashIndexTable]]. */
+  private[pipeline] def shingleIndexTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = "graft_shingles_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      graft.sources.TableIO.writeBucketed(
+        shingleArrays(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
+    }
+    spark.table(tbl)
+  }
+
   /** The minhash posting index as a PERSISTED bucketed lake table —
     * the write-time artifact SURVEY §2 describes: it survives the
     * session, and because it is bucketed by the band key `k`, a
@@ -410,7 +433,11 @@ object Dedup {
       .select(least(col("doc_id"), col("dd")).as("d1"),
         greatest(col("doc_id"), col("dd")).as("d2"))
       .distinct()
-    verifiedJaccard(spark, dir, cand)
+    // verification reads the STORED shingle table (not the per-session
+    // rebuild): the incremental pass touches the corpus only through
+    // its two lake artifacts, so a fresh session pays delta-sized work
+    // plus table reads — never a full-corpus shingle pass
+    verifiedJaccard(spark, dir, cand, shingleIndexTable(spark, dir))
   }
 
   /** 60-bit SimHash over word tokens (md5-derived bit hashes — portable

@@ -34,12 +34,21 @@ class IncrementalDedupSpec extends SparkSpec {
     val s2 = spark.newSession()
     val again = Dedup.incremental(s2, sfDir)
     assert(pairs(again) === first)
-    // and the index side of that run really is the persisted table
-    val scans = Dedup.minhashIndexTable(s2, sfDir)
-      .queryExecution.executedPlan.collect {
+    // and BOTH lake artifacts really are the persisted tables — the
+    // fresh session's incremental pass reads the corpus only through
+    // them (plus the delta docs), never a full-corpus shingle rebuild
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
         case s: FileSourceScanExec => s.relation.location.rootPaths.mkString
       }
-    assert(scans.exists(_.contains("graft_minhash_idx")), s"scans: $scans")
+    assert(scanPaths(Dedup.minhashIndexTable(s2, sfDir))
+      .exists(_.contains("graft_minhash_idx")))
+    assert(scanPaths(Dedup.shingleIndexTable(s2, sfDir))
+      .exists(_.contains("graft_shingles")))
+    // the query's own plan names both catalog tables in its scans
+    val planStr = again.queryExecution.executedPlan.toString()
+    assert(planStr.contains("graft_minhash_idx"), planStr.take(2000))
+    assert(planStr.contains("graft_shingles"), planStr.take(2000))
   }
 
   test("shuffle-strategy delta probe needs ZERO Exchange on the index side") {
