@@ -30,6 +30,7 @@ private[graft] object ArtifactCache {
       cache.clear()
     }
     Similarity.clearDriverCaches()
+    Dedup.clearDriverCaches()
   }
 
   def cached(spark: SparkSession, key: String)
