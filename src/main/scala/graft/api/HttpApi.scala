@@ -34,28 +34,58 @@ import graft.api.Api._
   * request through the same `extractTimeseries` plan the batch
   * operators use, so everything the engine guarantees (pushed band
   * clips, broadcast joins, the max-cells guard, the processing-time
-  * budget) holds per request; concurrency comes from Spark's FAIR
-  * scheduler pools, not from the HTTP layer.
+  * budget) holds per request. Requests are dispatched on a fixed
+  * thread pool (`server.setExecutor`; without one the JDK server
+  * handles requests serially on its dispatcher thread, so one slow
+  * /timeseries would block /metadata) and `start` flips the session
+  * to `spark.scheduler.mode=FAIR` so concurrent extractions share
+  * executor slots round-robin instead of queueing FIFO behind the
+  * first request's stages.
   */
 object HttpApi {
 
-  final case class Server(http: HttpServer) {
+  /** HTTP worker threads — bounds concurrent in-flight extractions.
+    * Each request is one Spark job; FAIR scheduling divides executor
+    * slots among however many of these are active. */
+  private val HttpThreads = 8
+
+  final case class Server(http: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { http.stop(0); pool.shutdownNow(); () }
   }
 
-  /** Start serving on 127.0.0.1:`port` (0 = ephemeral). */
+  /** Start serving on 127.0.0.1:`port` (0 = ephemeral).
+    *
+    * Scheduler note: `spark.scheduler.mode` is read once at
+    * SparkContext start and cannot be flipped afterwards, so the
+    * serving application must build its session with
+    * `.config("spark.scheduler.mode", "FAIR")` (as SparkSpec does);
+    * this method fails fast if the context is FIFO rather than
+    * silently serializing extractions behind each other's stages.
+    * Each handler thread then tags its jobs into the `graft_http`
+    * FAIR pool via a thread-local property. */
   def start(spark: SparkSession, dir: String, port: Int = 0): Server = {
+    require(
+      spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+        .equalsIgnoreCase("FAIR"),
+      "HttpApi needs spark.scheduler.mode=FAIR on the session " +
+        "(set at SparkSession build; it is immutable on a live context)")
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = handleOne(spark, dir, ex)
     })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(HttpThreads)
+    server.setExecutor(pool)
     server.start()
-    Server(server)
+    Server(server, pool)
   }
 
   private def handleOne(spark: SparkSession, dir: String,
       ex: HttpExchange): Unit = {
+    // per-thread FAIR pool tag: jobs from concurrent requests share
+    // executor slots round-robin instead of queueing FIFO
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_http")
     val body =
       try new String(ex.getRequestBody.readAllBytes(), UTF_8)
       finally ex.getRequestBody.close()
@@ -64,13 +94,22 @@ object HttpApi {
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
           case ("GET", "/metadata") => (200, MetadataJson.toJson)
           case ("GET", "/settings") => (200, settingsJson())
+          // extraction AND serialization run under the request's own
+          // max_processing_time budget — the reference wraps the whole
+          // service call in asyncio.wait_for (main.py:48-56), and the
+          // collect lives inside toJson, so a bare extractTimeseries
+          // here would leave the 504 arm unreachable
           case ("POST", "/timeseries") =>
             val req = RequestJson.parse(body)
-            (200, ResponseJson.toJson(req, extractTimeseries(spark, dir, req)))
+            (200, materializeWithTimeout(spark, req.maxProcessingTimeMs) {
+              ResponseJson.toJson(req, extractTimeseries(spark, dir, req))
+            })
           case ("POST", "/v1/timeseries") =>
             val (req, geom) = RequestJson.parseV1(body)
-            (200, ResponseJson.toV1Json(req, geom,
-              extractTimeseries(spark, dir, req)))
+            (200, materializeWithTimeout(spark, req.maxProcessingTimeMs) {
+              ResponseJson.toV1Json(req, geom,
+                extractTimeseries(spark, dir, req))
+            })
           case _ => (404, """{"detail":"Not Found"}""")
         }
       } catch {
@@ -79,6 +118,13 @@ object HttpApi {
             s""""processing_time":${t.ms / 1000.0}}""")
         case t: RuntimeException if isValidation(t) =>
           (422, s"""{"detail":[{"msg":${quote(t.getMessage)}}]}""")
+        case scala.util.control.NonFatal(t) =>
+          // FastAPI's CORSMiddleware wraps even unhandled errors, so a
+          // 500 from the reference still carries the CORS header; left
+          // to the JDK default it would not (and would kill this
+          // worker's response path). Mirror the {"detail": ...} shape.
+          (500, s"""{"detail":${quote(
+            s"${t.getClass.getSimpleName}: ${t.getMessage}")}}""")
       }
     val bytes = json.getBytes(UTF_8)
     val h = ex.getResponseHeaders
@@ -91,9 +137,9 @@ object HttpApi {
 
   /** The reference funnels every request problem through
     * TimeseriesValidationError → 422 (main.py:58-64); these are the
-    * graft equivalents. An unexpected exception is deliberately NOT
-    * caught: the JDK server answers 500, which is also what an
-    * unhandled exception does under FastAPI. */
+    * graft equivalents. Anything else becomes a 500 JSON envelope
+    * (handled in handleOne) so the CORS header survives failures the
+    * way it does under FastAPI's middleware stack. */
   private def isValidation(t: RuntimeException): Boolean = t match {
     case _: RequestJson.RequestParseError | _: DatasetNotFoundError |
         _: SelectedAreaOutOfBoundsError |

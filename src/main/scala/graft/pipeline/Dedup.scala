@@ -559,29 +559,46 @@ object Dedup {
     * same table-count-for-key-width trade). The 120-key posting
     * explosion is linear (15× rows vs 8 keys) — shuffle-cheap, paid
     * once, exactly the scale-friendly direction. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(spark, dir)
-    // cached like the minhash postings: bucketPairs consults the
-    // posting table several times (bucket counts, cold side, hot
-    // probe/build), and re-exploding 120 keys per document on every
-    // consumption dominated the sf10 wall clock. One narrow (k,
-    // doc_id, sim, t) table — the LSH index artifact an ingestion job
-    // would persist next to the corpus.
-    // bucket key packed into one long — triple id (0..119) in bits 18+,
-    // the three 6-bit chunk values below — by ONE kernel call
-    // (HashKernels.simhashTripleKeys): the earlier array() of 120
-    // shift/mask expressions cost ~2 s of whole-stage-codegen compile
-    // per fresh session, the dominant term of the cold query at sf0.1
-    val postings = cached(spark, s"simhash-postings:$dir") {
+  /** The 120-triple-key simhash posting table as a PERSISTED bucketed
+    * lake table — same lake-artifact discipline as [[minhashIndexTable]]
+    * (write once per corpus content, fingerprint-named, read back
+    * through the catalog): the posting build IS the dominant cost of
+    * the simhash query (an MD5 per token for the signatures, then the
+    * 120-key explode — measured as most of d_sh's 21 s at sf10), so a
+    * fresh session reading the stored table skips straight to the pair
+    * join. Bucketed by the triple key `k` — the self-join key — so
+    * BOTH sides of bucketPairs' candidate join come off the bucket
+    * layout with ZERO Exchange (pinned in SimhashIndexSpec), and the
+    * hot-bucket count agg needs no exchange either.
+    *
+    * Columns: k (packed triple key: triple id in bits 18+, three 6-bit
+    * chunk values below — one kernel call, HashKernels.simhashTripleKeys;
+    * an array() of 120 shift/mask expressions cost ~2 s of codegen
+    * compile per fresh session), doc_id, sim (full 60-bit signature,
+    * payload for the hamming filter), t (triple id, payload for the
+    * canonical-emission filter). */
+  private[pipeline] def simhashIndexTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
+    if (!spark.catalog.tableExists(tbl)) {
       import graft.functions.HashFunctions.simhash_triple_keys
-      sigs
+      val postings = simhashSigs(spark, dir)
         .select(col("doc_id"), col("sim"),
           explode(simhash_triple_keys(col("sim"))).as("k"))
         // the triple id rides as payload (bucketPairs strips the join
-        // key itself) — the canonical-emission filter below needs it
+        // key itself) — the canonical-emission filter needs it
         .select(col("k"), col("doc_id"), col("sim"),
           expr("shiftright(k, 18)").as("t"))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      graft.sources.TableIO.writeBucketed(
+        postings, tbl, path, Seq("k"), IndexBuckets)
     }
+    spark.table(tbl)
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val postings = simhashIndexTable(spark, dir)
     // sim rides through the pair join as payload: the hamming filter
     // runs straight off the join output and crushes the candidate
     // stream BEFORE the distinct hash-agg sees it.

@@ -111,4 +111,59 @@ class HttpApiSpec extends SparkSpec {
       assert(get(srv.port, "/nope").statusCode === 404)
     } finally srv.stop()
   }
+
+  test("concurrent requests all complete; the 504 budget binds per-request") {
+    // the serving context must be FAIR — HttpApi.start enforces it, and
+    // this pin keeps the shared test session from silently regressing
+    // to FIFO (the mode is immutable on a live context)
+    assert(spark.sparkContext.getConf
+      .get("spark.scheduler.mode").equalsIgnoreCase("FAIR"))
+    val srv = HttpApi.start(spark, sfDir)
+    try {
+      def fixture(): ObjectNode = {
+        val t = loadFixture("monthly.json")
+        t.put("dataset_id", "click")
+        t.put("variable_id", "value")
+        t.get("selected_area").asInstanceOf[ObjectNode]
+          .putArray("coordinates").add(2.0).add(1.0)
+        val gte = t.get("time_range").get("gte").asInstanceOf[ObjectNode]
+        val lte = t.get("time_range").get("lte").asInstanceOf[ObjectNode]
+        gte.put("year", 2024); gte.put("month", 1)
+        lte.put("year", 2024); lte.put("month", 1)
+        t
+      }
+      val req = fixture()
+      val expected = mapper.readTree(ResponseJson.toJson(
+        RequestJson.parse(req.toString),
+        extractTimeseries(spark, sfDir, RequestJson.parse(req.toString))))
+      // one request whose own budget is too small for any extraction —
+      // it must 504 with the reference envelope WITHOUT disturbing the
+      // concurrent healthy requests (per-request budget, not global)
+      val starved = fixture()
+      starved.put("max_processing_time", 1)
+      import java.util.concurrent.CompletableFuture
+      def async(path: String, body: String) =
+        client.sendAsync(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.port}$path"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val healthy = (1 to 6).map(_ => async("/timeseries", req.toString))
+      val timedOut = async("/timeseries", starved.toString)
+      val meta = client.sendAsync(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/metadata")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      CompletableFuture.allOf(
+        (healthy :+ timedOut :+ meta).toArray[CompletableFuture[_]]: _*)
+        .get(120, java.util.concurrent.TimeUnit.SECONDS)
+      healthy.foreach { f =>
+        val r = f.get()
+        assert(r.statusCode === 200)
+        assert(mapper.readTree(r.body) === expected)
+      }
+      val to = timedOut.get()
+      assert(to.statusCode === 504)
+      assert(mapper.readTree(to.body).has("processing_time"))
+      assert(meta.get().statusCode === 200)
+    } finally srv.stop()
+  }
 }

@@ -32,13 +32,42 @@ class SemanticDedupSpec extends SparkSpec {
   test("broadcast and distributed routing arms produce identical postings") {
     // the byte probe picks the arm at runtime; both must compute the
     // SAME hierarchical assignment (the cogroup arm's per-bucket top-p
-    // + global merge vs the kernel arm's direct global top-p)
+    // + global merge vs the kernel arm's direct global top-p).
+    // useStored = false: the comparison must exercise the BUILD — two
+    // reads of the persisted posting table would be vacuously equal
     ArtifactCache.clear()
-    val fast = pairs(Similarity.dedupSemantic(spark, sfDir))
+    val fast = pairs(Similarity.dedupSemantic(spark, sfDir,
+      Dedup.BroadcastVerifyBytes, useStored = false))
     ArtifactCache.clear()
-    val dist = pairs(Similarity.dedupSemantic(spark, sfDir, 0L))
+    val dist = pairs(Similarity.dedupSemantic(spark, sfDir, 0L,
+      useStored = false))
     ArtifactCache.clear()
     assert(dist === fast)
+  }
+
+  test("assignment posting is a lake table: a fresh session reads it, self-join shuffle-free") {
+    val first = pairs(Similarity.dedupSemantic(spark, sfDir))
+    // a fresh session shares only the catalog + files on disk — the
+    // session artifact caches are empty, so equality proves the pass
+    // ran off the STORED posting table
+    val s2 = spark.newSession()
+    val again = Similarity.dedupSemantic(s2, sfDir)
+    assert(again.queryExecution.executedPlan.toString()
+      .contains("graft_sempost"))
+    assert(pairs(again) === first)
+    // the candidate self-join on cent_id comes off the bucket layout
+    // on BOTH sides: zero Exchange of any kind under a forced
+    // non-broadcast plan
+    import org.apache.spark.sql.functions.col
+    val posting = Similarity.semPostingTable(s2, sfDir, Dedup.BroadcastVerifyBytes)
+    val prev = s2.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val selfJoin = posting.select(col("vec_id").as("v1"), col("cent_id"))
+        .join(posting.select(col("vec_id").as("v2"), col("cent_id")), "cent_id")
+      val plan = selfJoin.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"bucketed self-join shuffled:\n$plan")
+    } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("tight near-dup clusters are recovered completely (the algorithm's design regime)") {
