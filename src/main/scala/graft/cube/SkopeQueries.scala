@@ -889,6 +889,18 @@ object SkopeQueries {
         |  END AS value
         |FROM range(1, 6) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
         .stripMargin,
+    // the monthly int16 fixture's closed-form content: 60 bands off a
+    // single chunky-interleaved IFD, integer samples widening exactly
+    // to double; the declared nodata "65535" is unreachable from int16
+    // so the cube is hole-free — no NULL arm at all
+    "skope_geotiff_int16" ->
+      """SELECT CAST(b AS BIGINT) AS band, CAST(c AS BIGINT) AS x,
+        |  CAST(r AS BIGINT) AS y,
+        |  CAST(-123 + c + 0.5 AS DOUBLE) AS lon,
+        |  CAST(45 - r - 0.5 AS DOUBLE) AS lat,
+        |  round(CAST(100 * b + 10 * r + c AS DOUBLE) + 1e-9, 6) AS value
+        |FROM range(1, 61) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
+        .stripMargin,
     // the reference request path over its own archive format: bbox
     // away from the nodata holes, so the closed form is NULL-free
     "skope_raster_series" ->
@@ -1104,6 +1116,29 @@ object SkopeQueries {
         col("lon"), col("lat"),
         Num.roundEps(col("v"), 6).as("value"))
 
+  /** The reference catalog's remaining sample format (dev.yml's
+    * `int16_variable`): the monthly int16 fixture
+    * (monthly_5x5x60_dataset_int16_variable.tif — values 100·b+10·r+c
+    * over 60 bands). Unlike the band-per-page fixtures this file is a
+    * SINGLE IFD with SamplesPerPixel=60 (chunky interleave), so the
+    * query also hash-gates the reader's one-page multi-sample band
+    * axis. Its GDAL_NODATA sentinel is "65535" — unreachable from
+    * int16 samples, so rasterio (and this reader, which compares on
+    * the WIDENED double, never a truncated short) yields a hole-free
+    * cube: the closed form has no NULL arm, and that absence is
+    * itself what the hash gates. */
+  private def geotiffInt16Fixture: String =
+    sys.env.getOrElse("SPARK_GRAFT_GEOTIFF_I16",
+      "/root/reference/timeseries/data/monthly_5x5x60_dataset_int16_variable.tif")
+
+  def geotiffInt16(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark, geotiffInt16Fixture)
+      .select(col("band").cast("long").as("band"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        col("lon"), col("lat"),
+        Num.roundEps(col("v"), 6).as("value"))
+
   /** The COMPLETE reference request path over the reference's ACTUAL
     * archive format in one plan: GeoTIFF cube → bbox selection →
     * per-band zonal mean → trailing smoother (services.py's
@@ -1158,6 +1193,7 @@ object SkopeQueries {
     "skope_geotiff_ingest" -> (geotiffIngest _),
     "skope_geotiff_monthly" -> (geotiffMonthly _),
     "skope_geotiff_uint16" -> (geotiffUint16 _),
+    "skope_geotiff_int16" -> (geotiffInt16 _),
     "skope_raster_series" -> (rasterSeries _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->
