@@ -45,7 +45,8 @@ object Bench {
     "skope_geodesic_area" -> "s_geo", "skope_gap_fill" -> "s_gap",
     "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gtif",
     "skope_geotiff_export" -> "s_gexp", "skope_geotiff_uint16" -> "s_gt16",
-    "skope_geotiff_monthly" -> "s_gtm", "skope_raster_series" -> "s_rser",
+    "skope_geotiff_monthly" -> "s_gtm", "skope_geotiff_int16" -> "s_gi16",
+    "skope_raster_series" -> "s_rser",
     "skope_uncertainty_series" -> "s_unc",
     // text analysis
     "text_fingerprint" -> "t_fp", "text_langid" -> "t_lang",
@@ -67,6 +68,8 @@ object Bench {
     "dedup_incremental" -> "d_inc",
     "emb_pq_trained" -> "a_pqt", "ann_ivfpq_trained" -> "a_ivfpqt",
     "ann_ivfpq_trained_recall" -> "a_pqtrec",
+    "ann_ivfpq_residual" -> "a_ivfpqr",
+    "ann_ivfpq_residual_recall" -> "a_pqrres",
     // events
     "events_asof_click" -> "e_asof", "events_attr_window" -> "e_attr",
     "events_funnel" -> "e_fun", "events_hourly_rollup" -> "e_roll",

@@ -406,6 +406,20 @@ object Similarity {
     cur.collect().sortBy(_._1).map(_._2).reduceLeft(merge)
   }
 
+  /** Per-(session, key) memo around the codebook caches. */
+  private def cbMemo(spark: SparkSession, key: String)
+      (build: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val perSession = cbCache.synchronized {
+      Option(cbCache.get(spark)).getOrElse {
+        val m = scala.collection.concurrent
+          .TrieMap.empty[String, Array[Array[Array[Double]]]]
+        cbCache.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(key, build)
+  }
+
   /** K-means-trained PQ codebook — what a production index owner runs
     * at write time (FAISS `train()`): KmIters rounds of Lloyd's over
     * the corpus's subvectors, per subspace. Deterministic end-to-end,
@@ -422,18 +436,66 @@ object Similarity {
     * dedup_semantic's corpus-scaled centroid table, this never grows
     * with n). */
   private[pipeline] def trainedCodebook(spark: SparkSession,
-      dir: String): Array[Array[Array[Double]]] = {
-    val perSession = cbCache.synchronized {
-      Option(cbCache.get(spark)).getOrElse {
-        val m = scala.collection.concurrent
-          .TrieMap.empty[String, Array[Array[Array[Double]]]]
-        cbCache.put(spark, m)
-        m
-      }
-    }
-    perSession.getOrElseUpdate(s"pqcb:$dir", {
+      dir: String): Array[Array[Array[Double]]] =
+    cbMemo(spark, s"pqcb:$dir") {
       import spark.implicits._
-      val data = vecs(spark, dir).as[(Long, Array[Double])]
+      trainKmCodebook(spark, vecs(spark, dir).as[(Long, Array[Double])])
+    }
+
+  /** PQ codebook trained on IVF RESIDUALS (v − its trained routing
+    * centroid) — the FAISS `IndexIVFPQ` default (`by_residual=true`):
+    * once routing has placed a vector in a bucket, the code only has
+    * to describe the REMAINDER, whose spread is the within-cluster
+    * variance instead of the corpus's — finer cells from the same
+    * 16×256 code budget. Same Lloyd's loop as [[trainedCodebook]],
+    * fed by one extra map-only pass ([[residualVecs]]: assignment
+    * against the K×Dim broadcast centroids, then a subtract); the
+    * oracle mirrors the residual table as one CTE and re-uses the
+    * trainer CTEs over it. */
+  private[pipeline] def residualCodebook(spark: SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    cbMemo(spark, s"pqcbres:$dir") {
+      trainKmCodebook(spark, residualVecs(spark, dir))
+    }
+
+  /** (vec_id, v − assigned centroid) under [[trainedIvfCentroids]] —
+    * the training input of [[residualCodebook]]. Assignment is the
+    * SAME 6-dp-rounded cosine argmax (lowest-id tie) the routing and
+    * the oracle's `asg` CTE use; the subtraction is raw IEEE, exact in
+    * both engines. Map-only: centroids are a K×Dim closure constant
+    * (8 KB), the vector table streams. */
+  private def residualVecs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
+    import spark.implicits._
+    val cc = trainedIvfCentroids(spark, dir)
+    val cn = cc.map(a => math.sqrt(a.map(x => x * x).sum))
+    normedVecs(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions(_.map { case (id, v, nrm) =>
+        var bestK = 0; var bestS = Double.NegativeInfinity
+        var k = 0
+        while (k < cc.length) {
+          var dotv = 0.0; var d = 0
+          while (d < Dim) { dotv += v(d) * cc(k)(d); d += 1 }
+          val s = Num.roundEpsJvm(dotv / (cn(k) * nrm), 6)
+          if (s > bestS) { bestS = s; bestK = k }
+          k += 1
+        }
+        val r = new Array[Double](Dim)
+        var d = 0
+        while (d < Dim) { r(d) = v(d) - cc(bestK)(d); d += 1 }
+        (id, r)
+      })
+  }
+
+  /** The Lloyd's loop itself, over an arbitrary (id, vector) dataset —
+    * shared by [[trainedCodebook]] (raw corpus vectors) and
+    * [[residualCodebook]] (IVF residuals, the FAISS IndexIVFPQ
+    * training input). */
+  private def trainKmCodebook(spark: SparkSession,
+      data: org.apache.spark.sql.Dataset[(Long, Array[Double])])
+      : Array[Array[Array[Double]]] = {
       // init: subvectors of the first PqK vectors, rounded like every
       // later iterate so the oracle's cb0 is bit-identical
       val seeds = data.filter(_._1 < PqKTrained).collect().sortBy(_._1)
@@ -488,7 +550,6 @@ object Similarity {
         cb = next
       }
       cb
-    })
   }
 
   /** K-means-trained IVF routing centroids — the coarse half of the
@@ -613,10 +674,23 @@ object Similarity {
     ivfPqRanked(spark, dir, trainedCodebook(spark, dir),
       Some(trainedIvfCentroids(spark, dir)))
 
+  /** RESIDUAL-encoded IVF+PQ (the FAISS `IndexIVFPQ` default): codes
+    * from [[residualCodebook]] describe v − centroid, and the ADC
+    * table is built per (probe, probed-centroid) pair over the
+    * probe's OWN residual against that bucket — so both sides of the
+    * asymmetric distance live in the same residual frame. Same scale
+    * shape as annIvfPqTrained (probe side broadcast, the vector table
+    * streams, ≤ NumProbes × IvfNProbe tables per partition); measured
+    * payoff pinned next to the 0.76 trained figure in BASELINE.md. */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(spark, dir, residualCodebook(spark, dir),
+      Some(trainedIvfCentroids(spark, dir)), residual = true)
+
   private def ivfPqRanked(spark: SparkSession, dir: String,
       cb: Array[Array[Array[Double]]],
-      cents: Option[Array[Array[Double]]] = None): DataFrame =
-    ivfPqScored(spark, dir, cb, cents).groupBy(col("probe_id"))
+      cents: Option[Array[Array[Double]]] = None,
+      residual: Boolean = false): DataFrame =
+    ivfPqScored(spark, dir, cb, cents, residual).groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), TopK).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "e")))
       .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
@@ -627,7 +701,8 @@ object Similarity {
     * annIvfPqRefine (shortlist + exact re-rank). */
   private def ivfPqScored(spark: SparkSession, dir: String,
       cb: Array[Array[Array[Double]]],
-      trainedCents: Option[Array[Array[Double]]] = None): DataFrame = {
+      trainedCents: Option[Array[Array[Double]]] = None,
+      residual: Boolean = false): DataFrame = {
     import spark.implicits._
     val all = normedVecs(spark, dir)
     // routing centroids: the trained table when supplied (K driver
@@ -659,34 +734,77 @@ object Similarity {
       // bounded probe side: explicit broadcast (the sf10 estimate
       // otherwise plans a sort-merge inside the routing — ScalePlanSpec)
       .join(broadcast(probes.select(col("probe_id"), col("pv"))), "probe_id")
-    val joined = assigned.join(broadcast(probeBuckets), "cent_id")
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("pv"), col("vec_id"), col("v"))
-      .as[(Long, Array[Double], Long, Array[Double])]
-    val scored = joined.mapPartitions { it =>
-      val nm = cb.length
-      val sd = cb(0)(0).length
-      val tables =
-        scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
-      it.map { case (pid, pv, vid, v) =>
-        val table = tables.getOrElseUpdate(pid,
-          Array.tabulate(nm, cb(0).length) { (m, k) =>
-            var s = 0.0; var d = 0
-            while (d < sd) {
-              val diff = pv(m * sd + d) - cb(m)(k)(d)
-              s += diff * diff
-              d += 1
-            }
-            s
-        })
-        val codes = pqAssignWith(cb, v)
-        var adist = 0.0
-        var m = 0
-        while (m < nm) { adist += table(m)(codes(m).code.toInt); m += 1 }
-        (pid, vid, Num.roundEpsJvm(adist, 6))
-      }
-    }.toDF("probe_id", "vec_id", "adist")
-    scored
+    if (!residual) {
+      val joined = assigned.join(broadcast(probeBuckets), "cent_id")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("pv"), col("vec_id"), col("v"))
+        .as[(Long, Array[Double], Long, Array[Double])]
+      joined.mapPartitions { it =>
+        val nm = cb.length
+        val sd = cb(0)(0).length
+        val tables =
+          scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
+        it.map { case (pid, pv, vid, v) =>
+          val table = tables.getOrElseUpdate(pid,
+            Array.tabulate(nm, cb(0).length) { (m, k) =>
+              var s = 0.0; var d = 0
+              while (d < sd) {
+                val diff = pv(m * sd + d) - cb(m)(k)(d)
+                s += diff * diff
+                d += 1
+              }
+              s
+          })
+          val codes = pqAssignWith(cb, v)
+          var adist = 0.0
+          var m = 0
+          while (m < nm) { adist += table(m)(codes(m).code.toInt); m += 1 }
+          (pid, vid, Num.roundEpsJvm(adist, 6))
+        }
+      }.toDF("probe_id", "vec_id", "adist")
+    } else {
+      // RESIDUAL frame (annIvfPqResidual): a candidate's code describes
+      // v − its centroid, so the probe side must enter the same frame —
+      // one ADC table per (probe, probed centroid) built from
+      // pv − that centroid (≤ NumProbes × IvfNProbe tables per
+      // partition, still fixed-size state); candidate codes are
+      // recomputed from the same residual, bit-identical to reading
+      // the stored residual code table.
+      val ccArr = trainedCents.getOrElse(
+        sys.error("residual ADC requires trained centroids"))
+      val joined = assigned.join(broadcast(probeBuckets), "cent_id")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("pv"), col("vec_id"), col("v"),
+          col("cent_id"))
+        .as[(Long, Array[Double], Long, Array[Double], Long)]
+      joined.mapPartitions { it =>
+        val nm = cb.length
+        val sd = cb(0)(0).length
+        val tables = scala.collection.mutable
+          .HashMap.empty[(Long, Long), Array[Array[Double]]]
+        it.map { case (pid, pv, vid, v, cent) =>
+          val cvec = ccArr(cent.toInt)
+          val table = tables.getOrElseUpdate((pid, cent),
+            Array.tabulate(nm, cb(0).length) { (m, k) =>
+              var s = 0.0; var d = 0
+              while (d < sd) {
+                val diff = (pv(m * sd + d) - cvec(m * sd + d)) - cb(m)(k)(d)
+                s += diff * diff
+                d += 1
+              }
+              s
+          })
+          val res = new Array[Double](v.length)
+          var d = 0
+          while (d < v.length) { res(d) = v(d) - cvec(d); d += 1 }
+          val codes = pqAssignWith(cb, res)
+          var adist = 0.0
+          var m = 0
+          while (m < nm) { adist += table(m)(codes(m).code.toInt); m += 1 }
+          (pid, vid, Num.roundEpsJvm(adist, 6))
+        }
+      }.toDF("probe_id", "vec_id", "adist")
+    }
   }
 
   /** Refine shortlist size: the ADC pass keeps its top PqRefine
@@ -1163,6 +1281,13 @@ object Similarity {
   def annIvfPqTrainedRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annIvfPqTrained(spark, dir))(spark, dir)
 
+  /** ADC-only recall of the RESIDUAL-encoded index — the measured
+    * answer to "what does FAISS's by_residual buy at this rate?",
+    * read against ann_ivfpq_trained_recall's 0.76 (same routing, same
+    * 16×256×4 rate, only the encoded frame differs). */
+  def annIvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvfPqResidual(spark, dir))(spark, dir)
+
   private def recallOf(approx: DataFrame)(
       spark: SparkSession, dir: String): DataFrame = {
     val brute = annTopK(spark, dir).select(col("probe_id"), col("vec_id"))
@@ -1187,8 +1312,17 @@ object Similarity {
 
   // ------------------------------------------------------------------
 
+  // NOTE on AS MATERIALIZED: DuckDB inlines every CTE reference by
+  // default, so a chain whose round t references round t−1 TWICE
+  // (assignment + carry-forward) re-evaluates the whole upstream
+  // 2^rounds times — tolerable when the chain's base is a raw table
+  // scan, catastrophic for the residual oracle whose base is itself a
+  // trained-centroid chain (measured at sf0.01, DuckDB 1.0:
+  // ann_ivfpq_trained 109 s → 10.7 s; ann_ivfpq_residual >25 min,
+  // never finished → 9.3 s). Each chain CTE is
+  // tiny (≤ corpus rows), so forcing single evaluation costs nothing.
   private val vecSql =
-    """v AS (
+    """v AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
       |    sqrt(list_sum(list_transform(embedding,
@@ -1312,18 +1446,22 @@ object Similarity {
   // then update (6-dp eps-rounded per-dim mean; an empty code keeps
   // the previous centroid via the LEFT JOIN + coalesce). cb0 is the
   // first PqK vectors' subvectors rounded exactly like the Scala init.
-  private val kmCbSql: String = {
+  /** The trainer CTE chain over an arbitrary (vec_id, vv) source —
+    * `src` is the vector table ("v" for the raw corpus, "vres" for
+    * IVF residuals), `tag` disambiguates the CTE names so both chains
+    * can coexist in one query. */
+  private def kmCbSqlOver(src: String, tag: String): String = {
     val d = PqSubDimTrained
     val init =
-      s"""cb0 AS (
+      s"""cb${tag}0 AS MATERIALIZED (
          |  SELECT CAST(tm.m AS INT) AS m, CAST(v.vec_id AS INT) AS k,
          |    list_transform(generate_series(1, $d),
          |      i -> round(v.vv[tm.m * $d + i] + 1e-9, 6)) AS c
-         |  FROM v CROSS JOIN generate_series(0, ${PqMTrained - 1}) tm(m)
+         |  FROM $src v CROSS JOIN generate_series(0, ${PqMTrained - 1}) tm(m)
          |  WHERE v.vec_id < $PqKTrained)""".stripMargin
     val iters = (1 to KmIters).map { t =>
-      val prev = s"cb${t - 1}"
-      s"""asg$t AS (
+      val prev = s"cb$tag${t - 1}"
+      s"""asg$tag$t AS MATERIALIZED (
          |  SELECT vec_id, m, k FROM (
          |    SELECT v.vec_id, cb.m, cb.k,
          |      row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
@@ -1331,20 +1469,22 @@ object Similarity {
          |          i -> (v.vv[cb.m * $d + i] - cb.c[i])
          |             * (v.vv[cb.m * $d + i] - cb.c[i]))) + 1e-9, 6),
          |        cb.k) AS r
-         |    FROM v CROSS JOIN $prev cb) WHERE r = 1),
-         |upd$t AS (
+         |    FROM $src v CROSS JOIN $prev cb) WHERE r = 1),
+         |upd$tag$t AS MATERIALIZED (
          |  SELECT a.m, a.k, td.d, round(avg(v.vv[a.m * $d + td.d]) + 1e-9, 6) AS c
-         |  FROM asg$t a JOIN v USING (vec_id)
+         |  FROM asg$tag$t a JOIN $src v USING (vec_id)
          |  CROSS JOIN generate_series(1, $d) td(d)
          |  GROUP BY a.m, a.k, td.d),
-         |cb$t AS (
+         |cb$tag$t AS MATERIALIZED (
          |  SELECT p.m, p.k, list(coalesce(u.c, p.c[td.d]) ORDER BY td.d) AS c
          |  FROM $prev p CROSS JOIN generate_series(1, $d) td(d)
-         |  LEFT JOIN upd$t u ON u.m = p.m AND u.k = p.k AND u.d = td.d
+         |  LEFT JOIN upd$tag$t u ON u.m = p.m AND u.k = p.k AND u.d = td.d
          |  GROUP BY p.m, p.k)""".stripMargin
     }
     (init +: iters).mkString(",\n")
   }
+
+  private val kmCbSql: String = kmCbSqlOver("v", "")
 
   /** The trained codebook's final CTE name. */
   private val kmCbFinal = s"cb$KmIters"
@@ -1381,14 +1521,14 @@ object Similarity {
   // same template as the codebook trainer but with ONE cluster axis
   private val kmCentSql: String = {
     val init =
-      s"""cc0 AS (
+      s"""cc0 AS MATERIALIZED (
          |  SELECT CAST(v.vec_id AS INT) AS k,
          |    list_transform(generate_series(1, $Dim),
          |      i -> round(v.vv[i] + 1e-9, 6)) AS c
          |  FROM v WHERE v.vec_id < $IvfCentroids)""".stripMargin
     val iters = (1 to KmIters).map { t =>
       val prev = s"cc${t - 1}"
-      s"""casg$t AS (
+      s"""casg$t AS MATERIALIZED (
          |  SELECT vec_id, k FROM (
          |    SELECT v.vec_id, cc.k,
          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1398,12 +1538,12 @@ object Similarity {
          |             * v.nrm)) + 1e-9, 6) DESC,
          |        cc.k) AS r
          |    FROM v CROSS JOIN $prev cc) WHERE r = 1),
-         |cupd$t AS (
+         |cupd$t AS MATERIALIZED (
          |  SELECT a.k, td.d, round(avg(v.vv[td.d]) + 1e-9, 6) AS c
          |  FROM casg$t a JOIN v USING (vec_id)
          |  CROSS JOIN generate_series(1, $Dim) td(d)
          |  GROUP BY a.k, td.d),
-         |cc$t AS (
+         |cc$t AS MATERIALIZED (
          |  SELECT p.k, list(coalesce(u.c, p.c[td.d]) ORDER BY td.d) AS c
          |  FROM $prev p CROSS JOIN generate_series(1, $Dim) td(d)
          |  LEFT JOIN cupd$t u ON u.k = p.k AND u.d = td.d
@@ -1416,7 +1556,7 @@ object Similarity {
     * centroid lists exactly like the Scala side. */
   private val trainedCentSql =
     s"""$kmCentSql,
-       |c AS (
+       |c AS MATERIALIZED (
        |  SELECT CAST(k AS BIGINT) AS cent_id, c AS cv,
        |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cn
        |  FROM cc$KmIters)""".stripMargin
@@ -1474,6 +1614,70 @@ object Similarity {
 
   private val annIvfPqTrainedSql =
     s"""$ivfPqAdcCtesTrained
+       |SELECT probe_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank,
+       |  vec_id, adist
+       |FROM adc QUALIFY rank <= $TopK""".stripMargin
+
+  // exact mirror of annIvfPqResidual: trained routing CTEs, the
+  // residual table vres = v − assigned centroid (raw IEEE subtraction,
+  // exact in both engines), the SAME trainer CTE chain re-run over
+  // vres (tag "r"), residual code assignment, and an ADC whose probe
+  // side enters the probed bucket's residual frame (pv − that
+  // centroid) before differencing against the coded residual centroid
+  private val annIvfPqResidualCtes = {
+    val sd = PqSubDimTrained
+    s"""WITH $vecSql,
+       |$trainedCentSql,
+       |rasg AS MATERIALIZED (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT x.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        round((${dotSqlOf("x.vv", "c.cv")} / (c.cn * x.nrm)) + 1e-9, 6) DESC,
+       |        c.cent_id) AS r
+       |    FROM v x CROSS JOIN c) WHERE r = 1),
+       |vres AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |    list_transform(generate_series(1, $Dim), i -> x.vv[i] - c.cv[i]) AS vv
+       |  FROM rasg a JOIN v x USING (vec_id) JOIN c USING (cent_id)),
+       |${kmCbSqlOver("vres", "r")},
+       |dstR AS MATERIALIZED (
+       |  SELECT v.vec_id, cb.m, cb.k,
+       |    round(list_sum(list_transform(generate_series(1, $sd),
+       |      i -> (v.vv[cb.m * $sd + i] - cb.c[i])
+       |         * (v.vv[cb.m * $sd + i] - cb.c[i]))) + 1e-9, 6) AS dist
+       |  FROM vres v CROSS JOIN cbr$KmIters cb),
+       |codesR AS MATERIALIZED (
+       |  SELECT vec_id, m, k
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |          ORDER BY dist, k) AS r FROM dstR)
+       |  WHERE r = 1),
+       |p AS (SELECT vec_id AS probe_id, vv AS pv, nrm AS pn FROM v
+       |      WHERE vec_id < $NumProbes),
+       |pb AS (
+       |  SELECT probe_id, cent_id FROM (
+       |    SELECT p.probe_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |        round((${dotSqlOf("p.pv", "c.cv")} / (c.cn * p.pn)) + 1e-9, 6) DESC,
+       |        c.cent_id) AS r
+       |    FROM p CROSS JOIN c) WHERE r <= $IvfNProbe),
+       |adc AS (
+       |  SELECT pb.probe_id, a.vec_id,
+       |    round(sum(list_sum(list_transform(generate_series(1, $sd),
+       |      i -> ((p.pv[cd.m * $sd + i] - c.cv[cd.m * $sd + i]) - cb.c[i])
+       |         * ((p.pv[cd.m * $sd + i] - c.cv[cd.m * $sd + i]) - cb.c[i])))) + 1e-9, 6) AS adist
+       |  FROM pb
+       |  JOIN rasg a ON a.cent_id = pb.cent_id
+       |  JOIN codesR cd ON cd.vec_id = a.vec_id
+       |  JOIN cbr$KmIters cb ON cb.m = cd.m AND cb.k = cd.k
+       |  JOIN p ON p.probe_id = pb.probe_id
+       |  JOIN c ON c.cent_id = pb.cent_id
+       |  WHERE a.vec_id <> pb.probe_id
+       |  GROUP BY pb.probe_id, a.vec_id)""".stripMargin
+  }
+
+  private val annIvfPqResidualSql =
+    s"""$annIvfPqResidualCtes
        |SELECT probe_id,
        |  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank,
        |  vec_id, adist
@@ -1549,6 +1753,16 @@ object Similarity {
          |  dist
          |FROM codesT""".stripMargin,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
+    // residual variant: the trainer CTE chain runs a second time over
+    // the vres residual table, so FAISS's by_residual default carries
+    // the same exact training-included oracle as the trained family
+    "ann_ivfpq_residual" -> annIvfPqResidualSql,
+    "ann_ivfpq_residual_recall" ->
+      s"""SELECT b.probe_id, count(i.vec_id) AS n_hit,
+         |  round((CAST(count(i.vec_id) AS DOUBLE) / $TopK) + 1e-9, 6) AS recall
+         |FROM ($annTopkSql) b LEFT JOIN ($annIvfPqResidualSql) i
+         |  ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+         |GROUP BY b.probe_id""".stripMargin,
     "ann_ivfpq_trained_recall" ->
       s"""SELECT b.probe_id, count(i.vec_id) AS n_hit,
          |  round((CAST(count(i.vec_id) AS DOUBLE) / $TopK) + 1e-9, 6) AS recall
@@ -1655,6 +1869,8 @@ object Similarity {
     "emb_pq_trained" -> (embPqTrained _),
     "ann_ivfpq_trained" -> (annIvfPqTrained _),
     "ann_ivfpq_trained_recall" -> (annIvfPqTrainedRecall _),
+    "ann_ivfpq_residual" -> (annIvfPqResidual _),
+    "ann_ivfpq_residual_recall" -> (annIvfPqResidualRecall _),
     "dedup_semantic" -> (dedupSemantic _)
   )
 }

@@ -106,6 +106,38 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("residual encoding holds the trained floor and reports its own hits") {
+    // FAISS IndexIVFPQ's by_residual default: codes describe
+    // v - routing centroid, so the same 16x256 budget spans only the
+    // within-cluster spread. It must hold the trained family's ADC-only
+    // floor; its measured delta vs plain trained encoding is pinned in
+    // BASELINE.md (this corpus's clusters are tight, so most of the win
+    // is already taken by routing)
+    val exact = Similarity.annTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val m = df.collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+      val rs = exact.map { case (p, truth) =>
+        m(p).intersect(truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val trained = mean(Similarity.annIvfPqTrained(spark, sfDir))
+    val residual = mean(Similarity.annIvfPqResidual(spark, sfDir))
+    info(f"ADC-only recall@10: trained $trained%.3f, residual $residual%.3f")
+    assert(residual >= 0.5, f"residual ADC-only recall $residual%.3f below 0.5")
+    // and the registered recall query reports the same hits
+    val reported = Similarity.annIvfPqResidualRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resSets = Similarity.annIvfPqResidual(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    exact.foreach { case (p, truth) =>
+      assert(reported(p) === resSets(p).intersect(truth).size.toLong)
+    }
+  }
+
   test("annIvf scores are exact for the neighbors it does return") {
     // approximation may miss neighbors but must never mis-score one:
     // every (probe, vec) pair that appears in both results carries the
