@@ -93,6 +93,18 @@ class ScalePlanSpec extends SparkSpec {
       "ann_ivfpq_refine started shuffling the vector table at sf10")
   }
 
+  test("sf10: ann_ivfpq_residual keeps the probe side broadcast, vectors stream") {
+    whenCorpus()
+    // the residual frame changes WHAT the ADC kernel computes (one
+    // table per probed centroid), not the plan shape: routing +
+    // probe-bucket joins are probe-bounded broadcasts and the vector
+    // table must only ever stream through them
+    val plan = formatted(graft.pipeline.Similarity.annIvfPqResidual(spark, dir))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "ann_ivfpq_residual started shuffling the vector table at sf10")
+  }
+
   test("sf10: dedup_semantic verify lookups stay broadcast under the byte bound") {
     whenCorpus()
     // 500k vectors × ~560 B ≈ 280 MB — still under BroadcastVerifyBytes,
