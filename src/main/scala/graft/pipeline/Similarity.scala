@@ -420,6 +420,42 @@ object Similarity {
     perSession.getOrElseUpdate(key, build)
   }
 
+  /** Trained codebooks/centroids as PERSISTED sidecar tables — the
+    * write-time discipline the dedup family already follows
+    * (Dedup.minhashIndexTable): the KmIters training passes run ONCE
+    * per corpus content, land in a tiny fingerprint-named parquet table
+    * (≤ PqM×PqK rows of (m, k, vals) — 8 KB of doubles), and every
+    * later session reads the book back through the catalog instead of
+    * re-paying the training scans (the r11 verdict's top item:
+    * a_ivfpqt/a_ivfpqr's 11-12 s of per-session training topped the
+    * sf10 bench). Doubles round-trip parquet bit-exactly, so the
+    * reloaded book is the trained book and every oracle stays exact.
+    * The in-memory cbMemo stays on top so repeat calls in one session
+    * skip even the read. */
+  private def persistedBook(spark: SparkSession, dir: String, kind: String)
+      (build: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
+    cbMemo(spark, s"$kind:$dir") {
+      val tbl = "graft_anncb_" + kind + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + embFingerprint(spark, dir)
+      if (spark.catalog.tableExists(tbl)) {
+        val rows = spark.table(tbl).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val byM = rows.groupBy(_._1).toArray.sortBy(_._1)
+        byM.map(_._2.sortBy(_._2).map(_._3))
+      } else {
+        val cb = build
+        import spark.implicits._
+        val rows = for { m <- cb.indices; k <- cb(m).indices }
+          yield (m, k, cb(m)(k).toSeq)
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        rows.toDF("m", "k", "vals").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").option("path", path).saveAsTable(tbl)
+        cb
+      }
+    }
+
   /** K-means-trained PQ codebook — what a production index owner runs
     * at write time (FAISS `train()`): KmIters rounds of Lloyd's over
     * the corpus's subvectors, per subspace. Deterministic end-to-end,
@@ -437,7 +473,7 @@ object Similarity {
     * with n). */
   private[pipeline] def trainedCodebook(spark: SparkSession,
       dir: String): Array[Array[Array[Double]]] =
-    cbMemo(spark, s"pqcb:$dir") {
+    persistedBook(spark, dir, "pqt") {
       import spark.implicits._
       trainKmCodebook(spark, vecs(spark, dir).as[(Long, Array[Double])])
     }
@@ -454,7 +490,7 @@ object Similarity {
     * trainer CTEs over it. */
   private[pipeline] def residualCodebook(spark: SparkSession,
       dir: String): Array[Array[Array[Double]]] =
-    cbMemo(spark, s"pqcbres:$dir") {
+    persistedBook(spark, dir, "pqres") {
       trainKmCodebook(spark, residualVecs(spark, dir))
     }
 
@@ -562,16 +598,8 @@ object Similarity {
     * pass + a 1024-group agg per round; K × Dim doubles of driver
     * state, fixed size. */
   private[pipeline] def trainedIvfCentroids(spark: SparkSession,
-      dir: String): Array[Array[Double]] = {
-    val perSession = cbCache.synchronized {
-      Option(cbCache.get(spark)).getOrElse {
-        val m = scala.collection.concurrent
-          .TrieMap.empty[String, Array[Array[Array[Double]]]]
-        cbCache.put(spark, m)
-        m
-      }
-    }
-    perSession.getOrElseUpdate(s"ivfcc:$dir", {
+      dir: String): Array[Array[Double]] =
+    persistedBook(spark, dir, "ivfcc") {
       import spark.implicits._
       val data = normedVecs(spark, dir)
         .select(col("vec_id"), col("v"), col("nrm"))
@@ -612,9 +640,8 @@ object Similarity {
         bc.destroy()
         cc = next
       }
-      Array(cc) // wrap to fit the 3-level cache value type
-    }).head
-  }
+      Array(cc) // wrap to fit the 3-level cache/sidecar value type
+    }.head
 
   /** Product quantization — the write-time compression pass of a PQ/ADC
     * vector index (between emb_quantize's scalar int8 and the IVF
@@ -651,18 +678,17 @@ object Similarity {
     * `IvfNProbe` buckets, then candidates are ranked by ASYMMETRIC
     * distance (exact probe subvectors against the candidates' PQ
     * codes) — the candidate's raw vector is never needed at query
-    * time, only its 4-byte code word. The kernel builds each probe's
-    * 8×16 distance table once per partition and scores candidates by
-    * 8 table lookups (the ADC trick that makes PQ search memory-bound,
-    * not FLOP-bound). Candidate codes are recomputed from the cached
-    * vector artifact inside the kernel — bit-identical to reading the
-    * stored code table, by the determinism of pqAssignWith. Distances are
+    * time, only its code word, read from the PERSISTED code table
+    * ([[codeTable]]: partition-pruned to the probed inverted lists).
+    * The kernel builds each probe's 8×16 distance table once per
+    * partition and scores candidates by 8 table lookups (the ADC trick
+    * that makes PQ search memory-bound, not FLOP-bound). Distances are
     * 6-dp eps-rounded before the (adist, vec_id) top-k, so the
     * composed approximate pipeline still carries an exact SQL oracle.
-    * Scale shape: probe side broadcast, assigned table streamed, one
-    * bounded-heap top-k — the ann_lsh/annIvf discipline. */
+    * Scale shape: probe side broadcast, code table partition-pruned
+    * and streamed, one bounded-heap top-k. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
-    ivfPqRanked(spark, dir, pqCodebook)
+    ivfPqRanked(spark, dir, "md5")
 
   /** The ADC search under the TRAINED codebook — the measured payoff
     * of [[trainedCodebook]]: the md5 codebook's ADC-only recall@10 is
@@ -671,51 +697,71 @@ object Similarity {
     * the trained ADC-only floor at >= 0.5 — most of the plain-IVF
     * routing ceiling WITHOUT touching a raw vector at query time. */
   def annIvfPqTrained(spark: SparkSession, dir: String): DataFrame =
-    ivfPqRanked(spark, dir, trainedCodebook(spark, dir),
-      Some(trainedIvfCentroids(spark, dir)))
+    ivfPqRanked(spark, dir, "trained")
 
   /** RESIDUAL-encoded IVF+PQ (the FAISS `IndexIVFPQ` default): codes
     * from [[residualCodebook]] describe v − centroid, and the ADC
     * table is built per (probe, probed-centroid) pair over the
     * probe's OWN residual against that bucket — so both sides of the
     * asymmetric distance live in the same residual frame. Same scale
-    * shape as annIvfPqTrained (probe side broadcast, the vector table
-    * streams, ≤ NumProbes × IvfNProbe tables per partition); measured
-    * payoff pinned next to the 0.76 trained figure in BASELINE.md. */
+    * shape as annIvfPqTrained (probe side broadcast, the stored code
+    * table partition-pruned, ≤ NumProbes × IvfNProbe tables per
+    * partition); measured payoff pinned next to the 0.76 trained
+    * figure in BASELINE.md. */
   def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
-    ivfPqRanked(spark, dir, residualCodebook(spark, dir),
-      Some(trainedIvfCentroids(spark, dir)), residual = true)
+    ivfPqRanked(spark, dir, "residual")
 
-  private def ivfPqRanked(spark: SparkSession, dir: String,
-      cb: Array[Array[Array[Double]]],
-      cents: Option[Array[Array[Double]]] = None,
-      residual: Boolean = false): DataFrame =
-    ivfPqScored(spark, dir, cb, cents, residual).groupBy(col("probe_id"))
+  /** Code-table kind → (codebook, routing centroids when trained,
+    * residual frame?). "md5" = the deterministic untrained book over
+    * seed-vector routing; "trained"/"residual" = the Lloyd's-trained
+    * books over trained routing. */
+  private def pqKind(spark: SparkSession, dir: String, kind: String)
+      : (Array[Array[Array[Double]]], Option[Array[Array[Double]]], Boolean) =
+    kind match {
+      case "md5" => (pqCodebook, None, false)
+      case "trained" =>
+        (trainedCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)), false)
+      case "residual" =>
+        (residualCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)), true)
+    }
+
+  private[pipeline] def ivfPqRanked(spark: SparkSession, dir: String,
+      kind: String, useStored: Boolean = true): DataFrame =
+    ivfPqScored(spark, dir, kind, useStored).groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), TopK).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "e")))
       .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
         col("e.id").as("vec_id"), (-col("e.score")).as("adist"))
 
-  /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
-    * kernel of annIvfPq / annIvfPqTrained (pure ADC ranking) and
-    * annIvfPqRefine (shortlist + exact re-rank). */
-  private def ivfPqScored(spark: SparkSession, dir: String,
-      cb: Array[Array[Array[Double]]],
-      trainedCents: Option[Array[Array[Double]]] = None,
-      residual: Boolean = false): DataFrame = {
+  /** Routing-centroid frame for a kind: the trained table when
+    * supplied (K driver rows — norms derived from the rounded entries
+    * exactly like the oracle's sqrt(list_sum)), else the first-K seeds
+    * off the corpus. */
+  private def centsDf(spark: SparkSession, dir: String,
+      trainedCents: Option[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
-    val all = normedVecs(spark, dir)
-    // routing centroids: the trained table when supplied (K driver
-    // rows — norms derived from the rounded entries exactly like the
-    // oracle's sqrt(list_sum)), else the first-K seeds off the corpus
-    val cents = trainedCents match {
+    trainedCents match {
       case Some(cc) =>
         cc.zipWithIndex.map { case (c, i) =>
           (i.toLong, c, math.sqrt(c.map(x => x * x).sum))
         }.toSeq.toDF("cent_id", "cv", "cn")
-      case None => all.filter(col("vec_id") < IvfCentroids)
+      case None => normedVecs(spark, dir).filter(col("vec_id") < IvfCentroids)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     }
+  }
+
+  /** One pass of the write-time encode: assign every vector to its
+    * routing centroid (broadcast argmax, map-side-combined — the same
+    * rounded-cosine/lowest-id rule as the oracle's asg CTE) and encode
+    * it under the kind's codebook (residual kinds encode v − centroid).
+    * Output (vec_id, codes, cent_id) — the PqM-byte-per-vector row the
+    * index stores. */
+  private def buildCodeTable(spark: SparkSession, dir: String,
+      kind: String): DataFrame = {
+    import spark.implicits._
+    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    val all = normedVecs(spark, dir)
+    val cents = centsDf(spark, dir, centsOpt)
     val assigned = all.crossJoin(broadcast(cents))
       .withColumn("ccos",
         Num.roundEps(dot("cv", "v") / (col("cn") * col("nrm")), 6))
@@ -723,6 +769,62 @@ object Similarity {
       .agg(max_by(struct(col("v"), col("cent_id")),
         struct(col("ccos"), (-col("cent_id")).as("tb"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"), col("m.cent_id").as("cent_id"))
+    val ccArr: Array[Array[Double]] = if (residual) centsOpt.get else null
+    assigned.as[(Long, Array[Double], Long)].mapPartitions(_.map {
+      case (vid, v, cent) =>
+        val input =
+          if (ccArr == null) v
+          else {
+            val cvec = ccArr(cent.toInt)
+            val r = new Array[Double](v.length)
+            var d = 0
+            while (d < v.length) { r(d) = v(d) - cvec(d); d += 1 }
+            r
+          }
+        (vid, pqAssignWith(cb, input).map(_.code.toInt), cent)
+    }).toDF("vec_id", "codes", "cent_id")
+  }
+
+  /** The PQ code table as a PERSISTED lake table, PARTITIONED by the
+    * routing centroid — the actual on-disk layout of an IVF index (one
+    * inverted list per directory). Written once per corpus content
+    * (fingerprint-named, the minhashIndexTable discipline); at query
+    * time the scan prunes to the ≤ NumProbes × IvfNProbe probed lists,
+    * so a 100 TB index reads nprobe/K of its files instead of the
+    * corpus — the partition-pruning story annIvf's Scaladoc promises,
+    * made literal. Also kills the per-query n·K assignment crossJoin
+    * AND the per-candidate re-encode the previous in-session shape
+    * paid (the r11 verdict's top item: a_ivfpqt/a_ivfpqr's 11-12 s of
+    * per-session training + encode topped the sf10 bench). */
+  private[pipeline] def codeTable(spark: SparkSession, dir: String,
+      kind: String): DataFrame = {
+    val tbl = "graft_anncodes_" + kind + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + embFingerprint(spark, dir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      // one task per inverted list → one file per partition directory
+      buildCodeTable(spark, dir, kind)
+        .repartition(IvfCentroids, col("cent_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").partitionBy("cent_id")
+        .option("path", path).saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
+
+  /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
+    * kernel of annIvfPq / annIvfPqTrained / annIvfPqResidual (pure ADC
+    * ranking) and annIvfPqRefine (shortlist + exact re-rank). Reads
+    * the persisted [[codeTable]] pruned to the probed lists; the
+    * `useStored = false` seam makes AnnIndexSpec compare the stored
+    * arm against a fresh in-session encode. */
+  private def ivfPqScored(spark: SparkSession, dir: String,
+      kind: String, useStored: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    val all = normedVecs(spark, dir)
+    val cents = centsDf(spark, dir, centsOpt)
     val probes = all.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val probeBuckets = probes.crossJoin(broadcast(cents))
@@ -734,76 +836,75 @@ object Similarity {
       // bounded probe side: explicit broadcast (the sf10 estimate
       // otherwise plans a sort-merge inside the routing — ScalePlanSpec)
       .join(broadcast(probes.select(col("probe_id"), col("pv"))), "probe_id")
+    // The IVF query contract: the driver resolves WHICH inverted lists
+    // the probe batch touches (≤ NumProbes × IvfNProbe ids — bounded
+    // driver state) and pushes them as a partition filter, so the code
+    // scan prunes to those directories. One tiny action over the
+    // probe × centroid routing — not corpus-scaled.
+    val probedLists = probeBuckets.select(col("cent_id")).distinct()
+      .as[Long].collect().sorted
+    val codesDf =
+      (if (useStored) codeTable(spark, dir, kind)
+       else buildCodeTable(spark, dir, kind))
+        .filter(col("cent_id").isin(probedLists: _*))
+    val joined = codesDf.join(broadcast(probeBuckets), "cent_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pv"), col("vec_id"), col("codes"),
+        col("cent_id"))
+      .as[(Long, Array[Double], Long, Array[Int], Long)]
     if (!residual) {
-      val joined = assigned.join(broadcast(probeBuckets), "cent_id")
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("pv"), col("vec_id"), col("v"))
-        .as[(Long, Array[Double], Long, Array[Double])]
       joined.mapPartitions { it =>
         val nm = cb.length
-        val sd = cb(0)(0).length
         val tables =
           scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
-        it.map { case (pid, pv, vid, v) =>
-          val table = tables.getOrElseUpdate(pid,
-            Array.tabulate(nm, cb(0).length) { (m, k) =>
-              var s = 0.0; var d = 0
-              while (d < sd) {
-                val diff = pv(m * sd + d) - cb(m)(k)(d)
-                s += diff * diff
-                d += 1
-              }
-              s
-          })
-          val codes = pqAssignWith(cb, v)
+        it.map { case (pid, pv, vid, codes, _) =>
+          val table = tables.getOrElseUpdate(pid, adcTable(cb, pv, null))
           var adist = 0.0
           var m = 0
-          while (m < nm) { adist += table(m)(codes(m).code.toInt); m += 1 }
+          while (m < nm) { adist += table(m)(codes(m)); m += 1 }
           (pid, vid, Num.roundEpsJvm(adist, 6))
         }
       }.toDF("probe_id", "vec_id", "adist")
     } else {
-      // RESIDUAL frame (annIvfPqResidual): a candidate's code describes
-      // v − its centroid, so the probe side must enter the same frame —
-      // one ADC table per (probe, probed centroid) built from
-      // pv − that centroid (≤ NumProbes × IvfNProbe tables per
-      // partition, still fixed-size state); candidate codes are
-      // recomputed from the same residual, bit-identical to reading
-      // the stored residual code table.
-      val ccArr = trainedCents.getOrElse(
+      // RESIDUAL frame (annIvfPqResidual): a candidate's stored code
+      // describes v − its centroid, so the probe side must enter the
+      // same frame — one ADC table per (probe, probed centroid) built
+      // from pv − that centroid (≤ NumProbes × IvfNProbe tables per
+      // partition, still fixed-size state).
+      val ccArr = centsOpt.getOrElse(
         sys.error("residual ADC requires trained centroids"))
-      val joined = assigned.join(broadcast(probeBuckets), "cent_id")
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("pv"), col("vec_id"), col("v"),
-          col("cent_id"))
-        .as[(Long, Array[Double], Long, Array[Double], Long)]
       joined.mapPartitions { it =>
         val nm = cb.length
-        val sd = cb(0)(0).length
         val tables = scala.collection.mutable
           .HashMap.empty[(Long, Long), Array[Array[Double]]]
-        it.map { case (pid, pv, vid, v, cent) =>
-          val cvec = ccArr(cent.toInt)
+        it.map { case (pid, pv, vid, codes, cent) =>
           val table = tables.getOrElseUpdate((pid, cent),
-            Array.tabulate(nm, cb(0).length) { (m, k) =>
-              var s = 0.0; var d = 0
-              while (d < sd) {
-                val diff = (pv(m * sd + d) - cvec(m * sd + d)) - cb(m)(k)(d)
-                s += diff * diff
-                d += 1
-              }
-              s
-          })
-          val res = new Array[Double](v.length)
-          var d = 0
-          while (d < v.length) { res(d) = v(d) - cvec(d); d += 1 }
-          val codes = pqAssignWith(cb, res)
+            adcTable(cb, pv, ccArr(cent.toInt)))
           var adist = 0.0
           var m = 0
-          while (m < nm) { adist += table(m)(codes(m).code.toInt); m += 1 }
+          while (m < nm) { adist += table(m)(codes(m)); m += 1 }
           (pid, vid, Num.roundEpsJvm(adist, 6))
         }
       }.toDF("probe_id", "vec_id", "adist")
+    }
+  }
+
+  /** Probe's ADC distance table against a codebook: entry (m, k) =
+    * ‖p_m − cb(m)(k)‖², with p = pv − cvec when a residual-frame
+    * centroid is supplied (null = raw frame). */
+  private def adcTable(cb: Array[Array[Array[Double]]], pv: Array[Double],
+      cvec: Array[Double]): Array[Array[Double]] = {
+    val sd = cb(0)(0).length
+    Array.tabulate(cb.length, cb(0).length) { (m, k) =>
+      var s = 0.0; var d = 0
+      while (d < sd) {
+        val p = if (cvec == null) pv(m * sd + d)
+          else pv(m * sd + d) - cvec(m * sd + d)
+        val diff = p - cb(m)(k)(d)
+        s += diff * diff
+        d += 1
+      }
+      s
     }
   }
 
@@ -824,7 +925,7 @@ object Similarity {
     * end-to-end (rounded adist shortlist, rounded cosine re-rank) ⇒
     * exact SQL oracle. */
   def annIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = ivfPqScored(spark, dir, pqCodebook).groupBy(col("probe_id"))
+    val shortlist = ivfPqScored(spark, dir, "md5").groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), PqRefine).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
     val all = normedVecs(spark, dir)

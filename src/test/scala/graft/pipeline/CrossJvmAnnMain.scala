@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM entry for CrossJvmAnnSpec — the ANN twin of
+  * CrossJvmIndexMain: `build` trains the codebooks/centroids and
+  * writes the sidecar + code tables into a persistent Hive/Derby
+  * catalog; `query` runs in a SECOND JVM, refuses to retrain (require
+  * on catalog presence of all five artifacts), runs the trained and
+  * residual ADC searches purely off the stored index, and prints the
+  * machine-checkable facts the spec asserts on (including the
+  * partition-pruned scan proof).
+  */
+object CrossJvmAnnMain {
+  def main(args: Array[String]): Unit = {
+    val Array(mode, sfDir, work) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"graft-xjvm-ann-$mode")
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$work/metastore_db;create=true")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try mode match {
+      case "build" =>
+        Similarity.codeTable(spark, sfDir, "trained")
+        Similarity.codeTable(spark, sfDir, "residual")
+        println("XJVM BUILT")
+
+      case "query" =>
+        // the proof needs the catalog to ALREADY hold every artifact —
+        // a silent retrain here would pass the equality check while
+        // proving nothing about persistence
+        val names = spark.catalog.listTables().collect().map(_.name)
+        println("XJVM TABLES " + names.sorted.mkString(","))
+        Seq("graft_anncb_pqt_", "graft_anncb_pqres_", "graft_anncb_ivfcc_",
+          "graft_anncodes_trained_", "graft_anncodes_residual_").foreach(p =>
+          require(names.exists(_.startsWith(p)),
+            s"$p absent from the fresh JVM's catalog"))
+        def dump(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          println(s"XJVM SCAN_$tag " + plan.contains("graft_anncodes_"))
+          println(s"XJVM PRUNE_$tag " + plan.split("\n").exists(l =>
+            l.contains("PartitionFilters") && l.contains("cent_id")))
+          df.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+            .sortBy(t => (t._1, t._2))
+            .foreach(t => println(s"XJVM ROW_$tag ${t._1} ${t._2} ${t._3} ${t._4}"))
+        }
+        dump("T", Similarity.annIvfPqTrained(spark, sfDir))
+        dump("R", Similarity.annIvfPqResidual(spark, sfDir))
+    } finally spark.stop()
+  }
+}
