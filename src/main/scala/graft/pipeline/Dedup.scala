@@ -424,6 +424,73 @@ object Dedup {
     spark.table(tbl)
   }
 
+  /** Append a batch of documents into BOTH stored index tables — the
+    * lake-maintenance write the r11 verdict asked for: without it the
+    * stored index is write-once and a long-running ingest's probe cost
+    * grows with the `extraIndex` union chain ([[deltaPairs]] layers
+    * per-batch side tables); with it, day-1 batches fold into the
+    * bucketed tables and a day-2 delta finds day-1 pairs through the
+    * STORED index alone (extraIndex = None — IndexAppendSpec's proof).
+    *
+    * IDEMPOTENT at doc granularity: docs already present (by doc_id)
+    * are skipped, so a replayed append is a no-op — the property that
+    * lets the streaming pass fold its side index on restart without a
+    * transaction log. The presence probe is the DedupStream idiom: a
+    * broadcast semi-join of the tiny batch id list over the bucketed
+    * shingle scan (map-only, no exchange), never a full-corpus
+    * anti-join. Appends preserve the bucket layout
+    * (TableIO.appendBucketed — at most one new file per bucket per
+    * batch); run [[compactIndex]] nightly to fold the accumulated
+    * files back to one per bucket. Returns the number of docs
+    * actually appended. */
+  private[graft] def appendToIndex(spark: SparkSession, dir: String,
+      batchDocs: DataFrame): Long = {
+    val sh = shinglesOfDocs(batchDocs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendShingles(spark, dir, sh) finally sh.unpersist()
+  }
+
+  /** [[appendToIndex]] with the batch's shingle arrays already
+    * computed — the streaming fold path reuses the side table's stored
+    * arrays instead of re-shingling. Caller owns persistence. */
+  private[graft] def appendShingles(spark: SparkSession, dir: String,
+      batchSh: DataFrame): Long = {
+    val shingleTbl = indexTableName(spark, dir, "graft_shingles_")
+    val minhashTbl = indexTableName(spark, dir, "graft_minhash_idx_")
+    // ensure both tables exist before appending (first ingest into a
+    // fresh corpus creates them from the corpus itself)
+    val storedIds = shingleIndexTable(spark, dir).select(col("doc_id"))
+    minhashIndexTable(spark, dir)
+    val batchIds = broadcast(batchSh.select(col("doc_id")))
+    val known = storedIds.join(batchIds, "doc_id").distinct()
+    val fresh = batchSh.join(broadcast(known), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        graft.sources.TableIO.appendBucketed(
+          postingsOf(fresh), minhashTbl, Seq("k"), IndexBuckets)
+        graft.sources.TableIO.appendBucketed(
+          fresh, shingleTbl, Seq("doc_id"), IndexBuckets)
+      }
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** Nightly compaction of the stored index tables: fold the files
+    * accumulated by [[appendToIndex]] back to one per bucket
+    * (TableIO.compactBucketed — bucket spec re-registered, planner
+    * trust preserved; IndexAppendSpec pins results and the
+    * zero-index-side-Exchange property across the rewrite). */
+  private[graft] def compactIndex(spark: SparkSession, dir: String): Unit = {
+    graft.sources.TableIO.compactBucketed(spark,
+      indexTableName(spark, dir, "graft_minhash_idx_"),
+      Seq("k"), IndexBuckets)
+    graft.sources.TableIO.compactBucketed(spark,
+      indexTableName(spark, dir, "graft_shingles_"),
+      Seq("doc_id"), IndexBuckets)
+  }
+
   /** Incremental (delta-vs-corpus) fuzzy dedup — how a 100 TB lake
     * actually runs dedup: the STORED minhash posting table (a bucketed
     * lake table, [[minhashIndexTable]] — not a session cache) is the

@@ -87,6 +87,56 @@ object TableIO {
     ws.saveAsTable(table)
   }
 
+  /** Append rows into an EXISTING bucketed catalog table, preserving
+    * the bucket layout — the daily-ingest write of a lake index (the
+    * dedup posting/shingle tables): rows are pre-shuffled into the
+    * table's bucket routing (same Murmur3-pmod hash `bucketBy` uses,
+    * so task i holds exactly bucket i) and appended with the SAME
+    * bucket spec, which `saveAsTable(Append)` validates against the
+    * catalog metadata — a mismatched spec fails loudly instead of
+    * silently corrupting the layout. Each append adds at most one new
+    * file per bucket; the scan stays bucket-aware (joins on the bucket
+    * key still need no index-side Exchange), only the in-bucket SORT
+    * guarantee is lost once a bucket holds >1 file — callers that need
+    * it back run [[compactBucketed]], the nightly maintenance pass. */
+  def appendBucketed(df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    val clustered = df.repartition(numBuckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
+    clustered.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Rewrite a bucketed catalog table back to ONE file per bucket —
+    * the compaction half of the append workflow: N daily
+    * [[appendBucketed]] runs leave N files per bucket, and file count
+    * (listing, footers, task scheduling) is the 100 TB scan bottleneck
+    * [[compact]] documents. The rows stage out to a plain-parquet
+    * side path first (Spark correctly refuses to overwrite a table it
+    * is reading), then flow back through the same one-task-per-bucket
+    * `writeBucketed` discipline under `SaveMode.Overwrite`, which
+    * re-registers the bucket spec — planner trust in the layout is
+    * preserved across the rewrite. Returns the post-compaction file
+    * count (= numBuckets). */
+  def compactBucketed(spark: SparkSession, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val path = meta.location.toString
+    val schema = spark.table(table).schema
+    val staging = path.stripSuffix("/") + "_compact_staging"
+    spark.table(table).write.mode(SaveMode.Overwrite).parquet(staging)
+    writeBucketed(spark.read.schema(schema).parquet(staging),
+      table, path, bucketCols, numBuckets, sortCols)
+    val sPath = new org.apache.hadoop.fs.Path(staging)
+    sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sPath, true)
+    numBuckets
+  }
+
   /** Small-files compaction: rewrite a table directory into
     * ~`targetBytes` files.
     *

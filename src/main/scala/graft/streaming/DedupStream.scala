@@ -113,12 +113,50 @@ object DedupStream {
     } finally deltaSh.unpersist()
   }
 
+  /** Fold the stream's side index into the STORED lake tables and
+    * delete the side partitions — the restart-time maintenance pass
+    * that keeps the probe O(1) in layers (r11 verdict item 2): without
+    * it, every micro-batch re-reads a side-table union chain that
+    * grows for the stream's whole life; with it, a restarted stream
+    * begins with an EMPTY side chain and probes all previously
+    * streamed docs through the bucketed stored index (zero index-side
+    * Exchange). Safe under the checkpoint-replay contract:
+    * Dedup.appendShingles is idempotent at doc granularity, and a
+    * replayed in-flight batch sees the folded docs through the stored
+    * index instead of the side read — deltaPairs emits the identical
+    * pair set either way (already-ingested deltas are its base case),
+    * so the batch_id-keyed dynamic overwrite still rewrites identical
+    * content. */
+  def foldSideIndex(spark: SparkSession, dir: String,
+      sinkPath: String): Long = {
+    val shPath = sinkPath + "_idx_shingles"
+    val postPath = sinkPath + "_idx_postings"
+    if (!new java.io.File(shPath).exists()) return 0L
+    val sideSh = spark.read.schema(ShingleSchema.add("batch_id", LongType))
+      .option("basePath", shPath).parquet(shPath).drop("batch_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = graft.pipeline.Dedup.appendShingles(spark, dir, sideSh)
+      Seq(shPath, postPath).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
+      n
+    } finally sideSh.unpersist()
+  }
+
   /** Start the continuous dedup over a stream of document rows
     * (doc_id, text, ...). `dir` locates the corpus whose stored index
     * and shingle artifact verify the batches; `sinkPath` receives
-    * batch_id-partitioned parquet (d1, d2, jac, batch_id). */
+    * batch_id-partitioned parquet (d1, d2, jac, batch_id). On every
+    * (re)start the accumulated side index folds into the stored lake
+    * tables first ([[foldSideIndex]]), so a long-lived stream's probe
+    * cost is bounded by the CURRENT run's batches, not its lifetime. */
   def start(spark: SparkSession, dir: String, docs: DataFrame,
-      sinkPath: String, checkpoint: String): StreamingQuery =
+      sinkPath: String, checkpoint: String,
+      foldOnStart: Boolean = true): StreamingQuery = {
+    if (foldOnStart) foldSideIndex(spark, dir, sinkPath)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -126,4 +164,5 @@ object DedupStream {
         processBatch(spark, dir, batch, sinkPath, batchId)
       }
       .start()
+  }
 }

@@ -135,4 +135,62 @@ class DedupStreamSpec extends SparkSpec {
       .count().filter(col("count") > 1).count()
     assert(dup === 0L)
   }
+
+  /** Restart maintenance (r11 verdict item 2): a restarted stream
+    * folds its side index into the STORED lake tables, so batches of
+    * the new run pair with the previous run's docs through the stored
+    * index alone — the side-table union chain resets to zero instead
+    * of growing for the stream's lifetime. Uses an isolated corpus
+    * copy: the fold appends streamed docs into the corpus-fingerprint
+    * tables, which must never happen to the shared sfDir fixtures. */
+  test("restart folds the side index into the stored lake tables") {
+    val s = spark
+    import s.implicits._
+    val cDir = java.nio.file.Files
+      .createTempDirectory("dedup_fold_corpus").toString
+    graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 0)
+      .write.parquet(cDir + "/documents.parquet")
+    val srcText = graft.Tables.documents(spark, cDir)
+      .select("text").head().getString(0)
+    val maxId = graft.Tables.documents(spark, cDir)
+      .agg(max("doc_id")).head().getLong(0)
+    val sink = java.nio.file.Files.createTempDirectory("dedup_fold").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("dedup_fold_c1").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("dedup_fold_c2").toString
+
+    // run 1: one NEW doc lands in the side index
+    implicit val sqlCtx = s.sqlContext
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = DedupStream.start(spark, cDir,
+      in1.toDF().toDF("doc_id", "text"), sink, ckpt1)
+    try {
+      in1.addData((maxId + 1, srcText))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(new java.io.File(sink + "_idx_shingles").exists(),
+      "run 1 should have written the side index")
+
+    // run 2 (restart): the side index folds into the stored tables
+    // BEFORE the first batch, so the cross-run pair must come through
+    // the stored index — the side chain is empty
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = DedupStream.start(spark, cDir,
+      in2.toDF().toDF("doc_id", "text"), sink, ckpt2)
+    assert(!new java.io.File(sink + "_idx_shingles").exists(),
+      "restart should have folded and deleted the side index")
+    try {
+      in2.addData((maxId + 2, srcText))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(sink)
+      .select("d1", "d2", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.contains((maxId + 1, maxId + 2, 1.0)),
+      s"cross-run pair missing from $streamed")
+    // and the folded doc really lives in the stored lake table now
+    val storedIds = graft.pipeline.Dedup.shingleIndexTable(spark, cDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storedIds(maxId + 1))
+  }
 }
