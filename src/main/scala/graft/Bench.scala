@@ -46,6 +46,7 @@ object Bench {
     "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gtif",
     "skope_geotiff_export" -> "s_gexp", "skope_geotiff_uint16" -> "s_gt16",
     "skope_geotiff_monthly" -> "s_gtm", "skope_geotiff_int16" -> "s_gi16",
+    "skope_geotiff_lzw" -> "s_glzw",
     "skope_raster_series" -> "s_rser",
     "skope_uncertainty_series" -> "s_unc",
     // text analysis

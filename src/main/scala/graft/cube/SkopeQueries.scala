@@ -901,6 +901,20 @@ object SkopeQueries {
         |  round(CAST(100 * b + 10 * r + c AS DOUBLE) + 1e-9, 6) AS value
         |FROM range(1, 61) tb(b), range(0, 5) tr(r), range(0, 5) tc(c)"""
         .stripMargin,
+    // the LZW fixtures' closed-form content (file 1: 16-bit plain LZW,
+    // file 2: 8-bit LZW + Predictor 2 — both written by the JDK's own
+    // TIFF encoder, decoded by this repo's reader; integer samples
+    // widen exactly, so the gate is bit-for-bit)
+    "skope_geotiff_lzw" ->
+      s"""SELECT CAST(1 AS BIGINT) AS f, CAST(c AS BIGINT) AS x,
+         |  CAST(r AS BIGINT) AS y,
+         |  round(CAST(100 * r + 7 * c AS DOUBLE) + 1e-9, 6) AS value
+         |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(c AS BIGINT), CAST(r AS BIGINT),
+         |  round(CAST((3 * r + 5 * c) % 251 AS DOUBLE) + 1e-9, 6)
+         |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)"""
+        .stripMargin,
     // the reference request path over its own archive format: bbox
     // away from the nodata holes, so the closed form is NULL-free
     "skope_raster_series" ->
@@ -1139,6 +1153,73 @@ object SkopeQueries {
         col("lon"), col("lat"),
         Num.roundEps(col("v"), 6).as("value"))
 
+  /** LZW-compressed archive variants: real rasterio archives commonly
+    * ship Compression=5, often with the horizontal predictor, which the
+    * reference's rasterio reads transparently. The fixtures here are
+    * written by the JDK's OWN TIFF encoder (javax.imageio, in the JDK
+    * since 9 — an independent LZW implementation, so the gate is a
+    * cross-implementation check, not a round trip through this repo's
+    * code): one 16-bit plain-LZW granule and one 8-bit LZW+Predictor-2
+    * granule, closed-form integer content, generated once per JVM into
+    * tmpdir and ingested through the same distributed readCube path as
+    * every other geotiff query. GeoTiffCodecSpec holds the bit-level
+    * proofs (hand-derived TIFF6 stream, early-change boundaries); this
+    * query hash-gates the decode end-to-end in the driver's oracle. */
+  private lazy val geotiffLzwFixture: String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-lzwfix-${ProcessHandle.current().pid()}")
+    if (!dir.isDirectory) {
+      dir.mkdirs()
+      def write(name: String, sixteen: Boolean, predictor: Int,
+          v: (Int, Int) => Int): Unit = {
+        import javax.imageio.ImageIO
+        import javax.imageio.plugins.tiff.{BaselineTIFFTagSet, TIFFDirectory, TIFFField}
+        val img = new java.awt.image.BufferedImage(LzwFixW, LzwFixH,
+          if (sixteen) java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+          else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until LzwFixH; x <- 0 until LzwFixW)
+          img.getRaster.setSample(x, y, 0, v(y, x))
+        val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+        val ios = ImageIO.createImageOutputStream(
+          new java.io.File(dir, name))
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType("LZW")
+        var meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), param)
+        if (predictor != 1) {
+          val d = TIFFDirectory.createFromMetadata(meta)
+          d.addTIFFField(new TIFFField(BaselineTIFFTagSet.getInstance()
+            .getTag(BaselineTIFFTagSet.TAG_PREDICTOR), predictor))
+          meta = d.getAsMetadata
+        }
+        writer.write(null, new javax.imageio.IIOImage(img, null, meta), param)
+        ios.close()
+        writer.dispose()
+      }
+      write("lzw16_1.tif", sixteen = true, predictor = 1, LzwFix16)
+      write("lzwpred_2.tif", sixteen = false, predictor = 2, LzwFix8)
+    }
+    dir.toString
+  }
+
+  // final => compile-time constants, safe to reference from the
+  // `oracles` map regardless of object-initialization order
+  private[cube] final val LzwFixW = 32
+  private[cube] final val LzwFixH = 32
+  private[cube] val LzwFix16: (Int, Int) => Int = (r, c) => 100 * r + 7 * c
+  private[cube] val LzwFix8: (Int, Int) => Int = (r, c) => (3 * r + 5 * c) % 251
+
+  def geotiffLzw(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark, geotiffLzwFixture + "/*.tif")
+      .select(
+        regexp_extract(col("path"), "_(\\d)\\.tif", 1)
+          .cast("long").as("f"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        Num.roundEps(col("v"), 6).as("value"))
+
   /** The COMPLETE reference request path over the reference's ACTUAL
     * archive format in one plan: GeoTIFF cube → bbox selection →
     * per-band zonal mean → trailing smoother (services.py's
@@ -1194,6 +1275,7 @@ object SkopeQueries {
     "skope_geotiff_monthly" -> (geotiffMonthly _),
     "skope_geotiff_uint16" -> (geotiffUint16 _),
     "skope_geotiff_int16" -> (geotiffInt16 _),
+    "skope_geotiff_lzw" -> (geotiffLzw _),
     "skope_raster_series" -> (rasterSeries _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->

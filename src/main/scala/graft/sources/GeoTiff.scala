@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   *    error — none of the reference archives are >4 GiB per file);
   *  - strip AND tile organization, chunky (PlanarConfiguration=1) and
   *    band-sequential (=2) layouts, multi-IFD (band-per-page) files;
-  *  - uncompressed and Deflate/zlib (Compression 8 / 32946) payloads —
-  *    the GDAL defaults for archived rasters;
+  *  - uncompressed, Deflate/zlib (Compression 8 / 32946), LZW
+  *    (Compression 5, TIFF6 early-change variant) and PackBits
+  *    (Compression 32773) payloads — the GDAL/rasterio archive
+  *    defaults plus the baseline-TIFF codecs — with horizontal
+  *    differencing (Predictor 2) undone after decompression for the
+  *    integer sample types it is defined on;
   *  - samples of uint8/16/32, int8/16/32, float32/64 (SampleFormat +
   *    BitsPerSample, per-sample);
   *  - GDAL_NODATA (tag 42113, incl. the "nan" spelling) → null cells,
@@ -161,6 +165,7 @@ object GeoTiff {
   private val TagTileLength = 323
   private val TagTileOffsets = 324
   private val TagTileByteCounts = 325
+  private val TagPredictor = 317
   private val TagSampleFormat = 339
   private val TagModelPixelScale = 33550
   private val TagModelTiepoint = 33922
@@ -276,9 +281,78 @@ object GeoTiff {
             s"deflate segment: expected $expected bytes, got $got " +
               "(truncated or corrupt compressed data)")
           dst
+        case 5 => lzwDecode(raw, expected)
+        case 32773 => packBitsDecode(raw, expected)
         case other => throw new IllegalArgumentException(
-          s"unsupported TIFF compression $other (none/deflate supported)")
+          s"unsupported TIFF compression $other " +
+            "(none/deflate/LZW/PackBits supported)")
       }
+
+    // Predictor 2 (horizontal differencing): each sample stored as the
+    // delta against the same channel of the PREVIOUS pixel in the row;
+    // undone per segment row at the sample's own width, in the file's
+    // byte order. TIFF6 defines it for integer samples only (floats
+    // use Predictor 3, which GDAL only emits on request); the row
+    // stride is the SEGMENT's width — tile width for tiled files, the
+    // image width for strips.
+    val predictor = ifd.long1(TagPredictor, default = 1L).toInt
+    require(predictor == 1 || predictor == 2,
+      s"unsupported TIFF predictor $predictor (1/2 supported)")
+    if (predictor == 2)
+      require(formats.forall(f => f == 1 || f == 2),
+        "Predictor 2 (horizontal differencing) is only defined for " +
+          "integer SampleFormat")
+
+    def undiff(seg: Array[Byte], cols: Int, segSamples: Int): Unit = {
+      val rowElems = cols * segSamples
+      bits(0) match {
+        case 8 =>
+          var r = 0
+          while (r * rowElems < seg.length) {
+            val base = r * rowElems
+            var c = segSamples
+            while (c < rowElems) {
+              seg(base + c) = (seg(base + c) + seg(base + c - segSamples)).toByte
+              c += 1
+            }
+            r += 1
+          }
+        case 16 =>
+          val sb = ByteBuffer.wrap(seg).order(buf.order()).asShortBuffer()
+          var r = 0
+          while (r * rowElems < sb.limit()) {
+            val base = r * rowElems
+            var c = segSamples
+            while (c < rowElems) {
+              sb.put(base + c,
+                (sb.get(base + c) + sb.get(base + c - segSamples)).toShort)
+              c += 1
+            }
+            r += 1
+          }
+        case 32 =>
+          val ib = ByteBuffer.wrap(seg).order(buf.order()).asIntBuffer()
+          var r = 0
+          while (r * rowElems < ib.limit()) {
+            val base = r * rowElems
+            var c = segSamples
+            while (c < rowElems) {
+              ib.put(base + c, ib.get(base + c) + ib.get(base + c - segSamples))
+              c += 1
+            }
+            r += 1
+          }
+        case other => throw new IllegalArgumentException(
+          s"Predictor 2 with $other-bit samples is not supported")
+      }
+    }
+
+    def decodeSeg(raw: Array[Byte], expected: Int, cols: Int,
+        segSamples: Int): Array[Byte] = {
+      val seg = inflate(raw, expected)
+      if (predictor == 2) undiff(seg, cols, segSamples)
+      seg
+    }
 
     def readVal(bb: ByteBuffer, sample: Int): Double =
       (bits(sample), formats(sample)) match {
@@ -333,7 +407,7 @@ object GeoTiff {
         val i = p * perPlane + t
         val o = idx(offs(i), "tile")
         val raw = java.util.Arrays.copyOfRange(bytes, o, o + counts(i).toInt)
-        val seg = inflate(raw, tw * th * segSamples * bpp)
+        val seg = decodeSeg(raw, tw * th * segSamples * bpp, tw, segSamples)
         fill(seg, (t / tilesAcross) * th, (t % tilesAcross) * tw, th, tw,
           if (planar == 2) p else 0, segSamples)
       }
@@ -349,7 +423,8 @@ object GeoTiff {
         val rows = math.min(rps, height - s * rps)
         val o = idx(offs(i), "strip")
         val raw = java.util.Arrays.copyOfRange(bytes, o, o + counts(i).toInt)
-        val seg = inflate(raw, rows * width * segSamples * bpp)
+        val seg = decodeSeg(raw, rows * width * segSamples * bpp,
+          width, segSamples)
         fill(seg, s * rps, 0, rows, width,
           if (planar == 2) p else 0, segSamples)
       }
@@ -373,6 +448,129 @@ object GeoTiff {
       }
     }
     out.toSeq
+  }
+
+  /** TIFF6 LZW decoder (Compression 5): 8-bit symbols, codes packed
+    * MSB-first, ClearCode 256 / EOI 257, table entries from 258, code
+    * width 9→12 with the spec's EARLY CHANGE (the width bumps when the
+    * table length reaches 511/1023/2047 — one code before the
+    * power-of-two boundary, because the encoder switches before
+    * emitting the code that would not fit). The dictionary is the
+    * classic (prefix-code, appended-byte) pair table — O(1) per entry,
+    * strings materialized by walking the chain backwards directly into
+    * the output buffer, so decode allocates nothing per code.
+    * Package-visible: GeoTiffSpec pins a HAND-DERIVED bit vector
+    * against it, which is what keeps the spec's encoder+decoder round
+    * trips honest. */
+  private[sources] def lzwDecode(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var outPos = 0
+    var next = 258
+    var width = 9
+    var bitPos = 0
+    val totalBits = raw.length * 8
+
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return 257 // truncated tail = EOI
+      var v = 0
+      var n = 0
+      while (n < width) {
+        val b = raw(bitPos >> 3) & 0xff
+        val avail = 8 - (bitPos & 7)
+        val take = math.min(avail, width - n)
+        v = (v << take) | ((b >> (avail - take)) & ((1 << take) - 1))
+        n += take
+        bitPos += take
+      }
+      v
+    }
+
+    def len(code: Int): Int = if (code < 256) 1 else length(code)
+
+    // write string(code) ending at outPos+len-1, return its FIRST byte
+    def emit(code: Int): Byte = {
+      val l = len(code)
+      require(outPos + l <= expected,
+        s"LZW segment overruns its expected $expected bytes")
+      var i = outPos + l - 1
+      var c = code
+      while (c >= 258) { out(i) = suffix(c); i -= 1; c = prefix(c) }
+      out(i) = c.toByte
+      outPos += l
+      c.toByte
+    }
+
+    var old = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == 256) { next = 258; width = 9; old = -1 }
+      else if (code == 257) done = true
+      else if (old == -1) {
+        require(code < 256, s"LZW stream starts with undefined code $code")
+        emit(code)
+        old = code
+      } else {
+        require(code <= next && next < 4096,
+          s"LZW code $code beyond table size $next")
+        val first =
+          if (code < next) emit(code)
+          else { // KwKwK: string(old) + firstChar(string(old))
+            val f = emit(old)
+            require(outPos < expected, "LZW segment overruns (KwKwK)")
+            out(outPos) = f
+            outPos += 1
+            f
+          }
+        prefix(next) = old
+        suffix(next) = first
+        length(next) = len(old) + 1
+        next += 1
+        if (next == 511) width = 10
+        else if (next == 1023) width = 11
+        else if (next == 2047) width = 12
+        old = code
+      }
+      if (outPos >= expected) done = true
+    }
+    require(outPos == expected,
+      s"LZW segment: expected $expected bytes, got $outPos")
+    out
+  }
+
+  /** PackBits decoder (Compression 32773, the Macintosh RLE baseline
+    * codec): control byte n ∈ [0,127] copies n+1 literal bytes,
+    * n ∈ [-127,-1] repeats the next byte 1−n times, −128 is a no-op. */
+  private[sources] def packBitsDecode(raw: Array[Byte],
+      expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0
+    var o = 0
+    while (o < expected && i < raw.length) {
+      val n = raw(i)
+      i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(i + cnt <= raw.length && o + cnt <= expected,
+          "PackBits literal run overruns")
+        System.arraycopy(raw, i, out, o, cnt)
+        i += cnt
+        o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(i < raw.length && o + cnt <= expected,
+          "PackBits repeat run overruns")
+        java.util.Arrays.fill(out, o, o + cnt, raw(i))
+        i += 1
+        o += cnt
+      }
+    }
+    require(o == expected,
+      s"PackBits segment: expected $expected bytes, got $o")
+    out
   }
 
   // ---------------------------------------------------------------- encode

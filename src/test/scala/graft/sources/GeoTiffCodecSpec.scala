@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LZW / PackBits / Predictor-2 half of the GeoTIFF reader (r11
+  * verdict item 3) — the baseline-TIFF codecs rasterio archives
+  * actually ship. Ground truth comes from two independent places:
+  *
+  *  - HAND-DERIVED bit vectors: the LZW stream for "AAAABBB" worked
+  *    out on paper from the TIFF6 spec (9-bit codes, MSB-first,
+  *    Clear/EOI), and a PackBits stream assembled from the control-
+  *    byte rules directly. These pin the decoders against a fixture
+  *    no code in this repo produced.
+  *  - CROSS-IMPLEMENTATION round trips: the JDK's own TIFF writer
+  *    (javax.imageio, in Java since 9 — public knowledge, no new
+  *    dependency) encodes pseudorandom rasters with LZW / PackBits /
+  *    Deflate and Predictor 2; pseudorandom 96×96 content drives the
+  *    LZW table past the 511/1023/2047 early-change boundaries AND
+  *    the 4096-entry mid-stream Clear, so a width-bump disagreement
+  *    with the reference implementation garbles every later pixel.
+  *
+  * The 16/32-bit Predictor-2 paths (which the JDK writer does not
+  * emit) are covered by synthetic fixtures whose payloads are
+  * horizontally differenced by a 5-line loop in this spec — an
+  * independent statement of the TIFF6 rule, both byte orders.
+  */
+class GeoTiffCodecSpec extends AnyFunSuite {
+
+  // ---- hand-derived vectors --------------------------------------
+
+  test("LZW hand vector: spec-traced 9-bit stream for AAAABBB") {
+    // codes: Clear(256) 'A'(65) AA(258) 'A'(65) 'B'(66) BB(261) EOI(257)
+    // packed MSB-first into 8 bytes (worked out by hand)
+    val raw = Array(0x80, 0x10, 0x60, 0x44, 0x12, 0x14, 0x16, 0x02)
+      .map(_.toByte)
+    assert(GeoTiff.lzwDecode(raw, 7).toSeq === "AAAABBB".getBytes.toSeq)
+  }
+
+  test("PackBits hand vector: literal, repeat and no-op runs") {
+    // 0x02 -> 3 literals; 0xFD (-3) -> 4 repeats; 0x80 -> no-op;
+    // 0xFF (-1) -> 2 repeats; 0x00 -> 1 literal
+    val raw = Array(0x02, 1, 2, 3, 0xFD, 9, 0x80, 0xFF, 5, 0x00, 7)
+      .map(_.toByte)
+    assert(GeoTiff.packBitsDecode(raw, 10).toSeq ===
+      Seq[Byte](1, 2, 3, 9, 9, 9, 9, 5, 5, 7))
+  }
+
+  // ---- JDK ImageIO cross-implementation round trips --------------
+
+  /** Deterministic LCG pixels: half structured runs (exercises LZW
+    * run coding + the KwKwK case), half noise (floods the table). */
+  private def pixel(x: Int, y: Int, h: Int, depth: Int): Int =
+    if (y < h / 2) (x / 7 + y) % depth
+    else {
+      val s = (y * 131071 + x) * 1103515245 + 12345
+      (s >>> 16) & (depth - 1)
+    }
+
+  private def grayImage(w: Int, h: Int, sixteen: Boolean): BufferedImage = {
+    val img = new BufferedImage(w, h,
+      if (sixteen) BufferedImage.TYPE_USHORT_GRAY else BufferedImage.TYPE_BYTE_GRAY)
+    val depth = if (sixteen) 65536 else 256
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pixel(x, y, h, depth))
+    img
+  }
+
+  private def imageIoTiff(img: BufferedImage, compression: String,
+      predictor: Int = 1): Array[Byte] = {
+    import javax.imageio.ImageIO
+    import javax.imageio.plugins.tiff.{BaselineTIFFTagSet, TIFFDirectory, TIFFField}
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType(compression)
+    val spec = javax.imageio.ImageTypeSpecifier
+      .createFromRenderedImage(img)
+    var meta = writer.getDefaultImageMetadata(spec, param)
+    if (predictor != 1) {
+      val dir = TIFFDirectory.createFromMetadata(meta)
+      dir.addTIFFField(new TIFFField(
+        BaselineTIFFTagSet.getInstance().getTag(BaselineTIFFTagSet.TAG_PREDICTOR),
+        predictor))
+      meta = dir.getAsMetadata
+    }
+    writer.write(null, new javax.imageio.IIOImage(img, null, meta), param)
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  private def assertDecodes(bytes: Array[Byte], w: Int, h: Int,
+      depth: Int): Unit = {
+    val r = GeoTiff.parse(bytes)
+    assert((r.width, r.height, r.bands) === (w, h, 1))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(r.value(1, y, x) === pixel(x, y, h, depth).toDouble,
+        s"cell ($x,$y)")
+  }
+
+  test("JDK-written LZW 8-bit decodes (early change + mid-stream Clear)") {
+    // 96*96 = 9216 noisy-half bytes push the table past 511, 1023,
+    // 2047 and (with the structured half) through a Clear/reset
+    assertDecodes(imageIoTiff(grayImage(96, 96, sixteen = false), "LZW"),
+      96, 96, 256)
+  }
+
+  test("JDK-written LZW 16-bit decodes") {
+    assertDecodes(imageIoTiff(grayImage(64, 48, sixteen = true), "LZW"),
+      64, 48, 65536)
+  }
+
+  test("JDK-written LZW + Predictor 2 decodes") {
+    assertDecodes(
+      imageIoTiff(grayImage(96, 64, sixteen = false), "LZW", predictor = 2),
+      96, 64, 256)
+  }
+
+  test("JDK-written PackBits decodes") {
+    assertDecodes(imageIoTiff(grayImage(64, 64, sixteen = false), "PackBits"),
+      64, 64, 256)
+    assertDecodes(imageIoTiff(grayImage(32, 32, sixteen = true), "PackBits"),
+      32, 32, 65536)
+  }
+
+  test("JDK-written Deflate + Predictor 2 decodes") {
+    assertDecodes(
+      imageIoTiff(grayImage(64, 64, sixteen = false), "Deflate", predictor = 2),
+      64, 64, 256)
+  }
+
+  // ---- synthetic Predictor-2 fixtures at 16/32-bit ---------------
+
+  /** Minimal single-IFD TIFF: one strip, int16 or int32 samples,
+    * chunky multi-sample, payload pre-differenced per the TIFF6
+    * Predictor-2 rule (sample minus same channel of previous pixel). */
+  private def predictorTiff(order: ByteOrder, w: Int, h: Int,
+      samples: Int, bits: Int,
+      value: (Int, Int, Int) => Int): Array[Byte] = {
+    val bpp = bits / 8
+    val payload = ByteBuffer.allocate(w * h * samples * bpp).order(order)
+    for (y <- 0 until h; x <- 0 until w; s <- 0 until samples) {
+      val v = value(s, y, x)
+      val d = if (x == 0) v else v - value(s, y, x - 1) // the diff rule
+      if (bits == 16) payload.putShort(d.toShort) else payload.putInt(d)
+    }
+    // header(8) + IFD(2 + 10*12 + 4) + bits array + strip data
+    val nTags = 10
+    val ifdSize = 2 + nTags * 12 + 4
+    val bitsOff = 8 + ifdSize
+    val fmtOff = bitsOff + 2 * samples
+    val dataOff = fmtOff + 2 * samples
+    val bb = ByteBuffer.allocate(dataOff + payload.capacity()).order(order)
+    bb.put((if (order == ByteOrder.LITTLE_ENDIAN) "II" else "MM").getBytes)
+    bb.putShort(42)
+    bb.putInt(8)
+    bb.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(id.toShort); bb.putShort(typ.toShort); bb.putInt(count)
+      val mark = bb.position()
+      // value fits inline only when count*elem <= 4; otherwise `value`
+      // is an out-of-line OFFSET and is always a 4-byte long
+      if (typ == 3 && count <= 2) bb.putShort(value.toShort)
+      else bb.putInt(value.toInt)
+      bb.position(mark + 4)
+    }
+    tag(256, 4, 1, w)                            // width
+    tag(257, 4, 1, h)                            // height
+    if (samples == 1) tag(258, 3, 1, bits)       // bits per sample
+    else tag(258, 3, samples, bitsOff)
+    tag(259, 3, 1, 1)                            // uncompressed
+    tag(273, 4, 1, dataOff)                      // strip offset
+    tag(277, 3, 1, samples)
+    tag(279, 4, 1, payload.capacity())
+    tag(284, 3, 1, 1)                            // chunky
+    tag(317, 3, 1, 2)                            // Predictor 2
+    if (samples == 1) tag(339, 3, 1, 2)          // signed int
+    else tag(339, 3, samples, fmtOff)
+    bb.putInt(0)
+    bb.position(bitsOff)
+    for (_ <- 0 until samples) bb.putShort(bits.toShort)
+    bb.position(fmtOff)
+    for (_ <- 0 until samples) bb.putShort(2)
+    bb.position(dataOff)
+    bb.put(payload.array())
+    bb.array()
+  }
+
+  test("Predictor 2 at 16-bit, both byte orders, multi-sample chunky") {
+    def v(s: Int, y: Int, x: Int): Int = 1000 * s + 100 * y + 7 * x - 500
+    for (order <- Seq(ByteOrder.LITTLE_ENDIAN, ByteOrder.BIG_ENDIAN)) {
+      val r = GeoTiff.parse(predictorTiff(order, 9, 5, 3, 16, v))
+      for (b <- 1 to 3; y <- 0 until 5; x <- 0 until 9)
+        assert(r.value(b, y, x) === v(b - 1, y, x).toDouble,
+          s"$order band $b cell ($x,$y)")
+    }
+  }
+
+  test("Predictor 2 at 32-bit integer") {
+    def v(s: Int, y: Int, x: Int): Int = 100000 * y + 13 * x - 70000
+    val r = GeoTiff.parse(
+      predictorTiff(ByteOrder.LITTLE_ENDIAN, 7, 4, 1, 32, v))
+    for (y <- 0 until 4; x <- 0 until 7)
+      assert(r.value(1, y, x) === v(0, y, x).toDouble, s"cell ($x,$y)")
+  }
+
+  test("Predictor 2 on float samples is rejected loudly") {
+    // take a valid float32 deflate fixture... simplest: the int16
+    // builder with a lying SampleFormat=3 must be refused, not
+    // silently mis-decoded
+    val bytes = predictorTiff(ByteOrder.LITTLE_ENDIAN, 4, 2, 1, 32,
+      (_, y, x) => y * 4 + x)
+    // patch SampleFormat (tag 339) value from 2 to 3 in place
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 10
+    var patched = false
+    for (_ <- 0 until 10) {
+      if ((bb.getShort(off) & 0xffff) == 339) {
+        bb.putShort(off + 8, 3)
+        patched = true
+      }
+      off += 12
+    }
+    assert(patched)
+    val e = intercept[IllegalArgumentException](GeoTiff.parse(bytes))
+    assert(e.getMessage.contains("Predictor 2"))
+  }
+}
