@@ -86,7 +86,8 @@ object Bench {
     "mm_binary_meta" -> "m_meta", "mm_features" -> "m_feat",
     "mm_frame_sample" -> "m_frame", "mm_resize" -> "m_resize",
     "mm_audio_meta" -> "m_ameta", "mm_audio_features" -> "m_afeat",
-    "mm_audio_resample" -> "m_ares"
+    "mm_audio_resample" -> "m_ares",
+    "mm_jpeg_meta" -> "m_jmeta", "mm_jpeg_features" -> "m_jfeat"
   )
 
   def main(args: Array[String]): Unit = {

@@ -366,6 +366,104 @@ object Multimodal {
        |FROM smp""".stripMargin
   }
 
+  // ---- JPEG (r11 verdict item 4) ---------------------------------
+
+  /** JPEG asset geometry: 16×16 grayscale of four UNIFORM 8×8 blocks
+    * whose values are the first four md5 bytes of the document text.
+    *
+    * Why uniform blocks: JPEG is lossy in general, but a constant 8×8
+    * block has only a DC coefficient (every AC is exactly zero), and at
+    * compression quality 1.0 the scaled quantization table divides the
+    * DC finely enough that the inverse DCT reproduces the constant
+    * value EXACTLY — so the decode is bit-deterministic and the DuckDB
+    * oracle can re-derive pixels in closed form, the Png discipline
+    * applied to a lossy codec. JpegAssetSpec additionally pins the
+    * exactness (decoded block == source byte for all 256 values) so a
+    * JDK codec change would fail a named spec, not the oracle.
+    * The codec itself is the JDK's own (javax.imageio — in Java since
+    * 1.4, no new dependency); real archive JPEGs flow through the same
+    * binary column + ImageIO.read path with no uniformity assumption —
+    * only the closed-form ORACLE needs it. */
+  val JpegBlocks = 2 // per axis; image is (8*JpegBlocks)² gray
+  val JpegW = 8 * JpegBlocks
+  val JpegH = 8 * JpegBlocks
+
+  private[pipeline] def encodeJpeg(blockVals: Array[Int]): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val img = new java.awt.image.BufferedImage(JpegW, JpegH,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until JpegH; x <- 0 until JpegW)
+      img.getRaster.setSample(x, y, 0,
+        blockVals((y / 8) * JpegBlocks + x / 8))
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  private[pipeline] def decodeJpeg(payload: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+
+  /** The JPEG asset table: documents → 4 md5 bytes → a real baseline
+    * JFIF stream per row (map-only, executor-side — the mm_* shape). */
+  def jpegAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[Asset]
+      .mapPartitions(_.map(a => Asset(a.doc_id,
+        encodeJpeg(Array.tabulate(JpegBlocks * JpegBlocks)(i => a.payload(i) & 0xff)))))
+  }
+
+  /** Full JPEG decode → metadata: container magic (the JFIF marker
+    * prefix FF D8 FF E0), parsed dimensions, and a pixel-sum content
+    * checksum proving the DCT round trip reconstructed the blocks. */
+  def jpegMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegAssets(spark, dir).mapPartitions(_.map { a =>
+      val img = decodeJpeg(a.payload)
+      val b = a.payload
+      val magic = (0 until 4).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL))
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        s += img.getRaster.getSample(x, y, 0)
+      AssetMeta(a.doc_id, b.length, magic, img.getWidth.toLong,
+        img.getHeight.toLong, s)
+    }).toDF()
+      // JPEG byte length is Huffman-coded (deterministic but not
+      // closed-form) — the oracle gates content, so the length stays a
+      // sanity column on the engine side only
+      .drop("n_bytes")
+  }
+
+  /** Decode the JPEG and emit per-8×8-block mean intensity — the
+    * patch-pooling feature stage of an image pipeline, over
+    * decoder-reconstructed pixels. */
+  def jpegFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegAssets(spark, dir).mapPartitions(_.flatMap { a =>
+      val img = decodeJpeg(a.payload)
+      for (by <- 0 until JpegBlocks; bx <- 0 until JpegBlocks) yield {
+        var s = 0L
+        for (dy <- 0 until 8; dx <- 0 until 8)
+          s += img.getRaster.getSample(bx * 8 + dx, by * 8 + dy, 0)
+        ResizedAsset(a.doc_id, by.toLong, bx.toLong, s / 64.0)
+      }
+    }).toDF()
+      .select(col("doc_id"), col("y"), col("x"),
+        graft.Num.roundEps(col("mean_px"), 6).as("mean_px"))
+  }
+
+  private def jpegByteSql(i: Int): String =
+    Portable.hexToLongSql("md5(text)", 1 + 2 * i, 2)
+
   /** The oracles re-derive the decoded pixels arithmetically from the
     * md5 hex, and the container facts from the stored-mode PNG's closed
     * form — validating that the real encode→decode round trip (zlib,
@@ -397,7 +495,32 @@ object Multimodal {
     "mm_resize" -> resizeSql,
     "mm_audio_meta" -> audioMetaSql,
     "mm_audio_features" -> audioFeaturesSql,
-    "mm_audio_resample" -> audioResampleSql
+    "mm_audio_resample" -> audioResampleSql,
+    "mm_jpeg_meta" -> {
+      // magic = JFIF marker prefix FF D8 FF E0 (constant); px_sum =
+      // 64 × Σ block values, exact because the DC-only blocks decode
+      // bit-exactly (see encodeJpeg's Scaladoc)
+      val blockSum = (0 until JpegBlocks * JpegBlocks)
+        .map(jpegByteSql).mkString(" + ")
+      s"""SELECT doc_id, CAST(4292411360 AS BIGINT) AS magic,
+         |  CAST($JpegW AS BIGINT) AS width, CAST($JpegH AS BIGINT) AS height,
+         |  CAST(64 * ($blockSum) AS BIGINT) AS px_sum
+         |FROM documents""".stripMargin
+    },
+    "mm_jpeg_features" -> {
+      val cells = (0 until JpegBlocks * JpegBlocks)
+        .map(i => s"${jpegByteSql(i)} * 1.0")
+      val ys = (0 until JpegBlocks).flatMap(y => Seq.fill(JpegBlocks)(y))
+        .mkString("[", ", ", "]")
+      val xs = Seq.fill(JpegBlocks)(0 until JpegBlocks).flatten
+        .mkString("[", ", ", "]")
+      s"""SELECT doc_id, y, x, round(v + 1e-9, 6) AS mean_px FROM (
+         |  SELECT doc_id,
+         |    unnest(CAST($ys AS BIGINT[])) AS y,
+         |    unnest(CAST($xs AS BIGINT[])) AS x,
+         |    unnest([${cells.mkString(",\n      ")}]) AS v
+         |  FROM documents)""".stripMargin
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,6 +530,8 @@ object Multimodal {
     "mm_resize" -> (resize _),
     "mm_audio_meta" -> (audioMeta _),
     "mm_audio_features" -> (audioFeatures _),
-    "mm_audio_resample" -> (audioResample _)
+    "mm_audio_resample" -> (audioResample _),
+    "mm_jpeg_meta" -> (jpegMeta _),
+    "mm_jpeg_features" -> (jpegFeatures _)
   )
 }
