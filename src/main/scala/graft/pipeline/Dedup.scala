@@ -644,24 +644,80 @@ object Dedup {
     * compile per fresh session), doc_id, sim (full 60-bit signature,
     * payload for the hamming filter), t (triple id, payload for the
     * canonical-emission filter). */
-  private[pipeline] def simhashIndexTable(spark: SparkSession,
+  private[graft] def simhashIndexTable(spark: SparkSession,
       dir: String): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
     if (!spark.catalog.tableExists(tbl)) {
-      import graft.functions.HashFunctions.simhash_triple_keys
-      val postings = simhashSigs(spark, dir)
-        .select(col("doc_id"), col("sim"),
-          explode(simhash_triple_keys(col("sim"))).as("k"))
-        // the triple id rides as payload (bucketPairs strips the join
-        // key itself) — the canonical-emission filter needs it
-        .select(col("k"), col("doc_id"), col("sim"),
-          expr("shiftright(k, 18)").as("t"))
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
       graft.sources.TableIO.writeBucketed(
-        postings, tbl, path, Seq("k"), IndexBuckets)
+        simhashPostingsOfDocs(simhashSigs(spark, dir)), tbl, path,
+        Seq("k"), IndexBuckets)
     }
     spark.table(tbl)
+  }
+
+  /** Triple-key posting rows for an arbitrary (doc_id, sim) signature
+    * frame — the per-batch half of the streaming simhash pass (the
+    * [[shinglesOfDocs]] pattern): the stored index is built from the
+    * corpus signatures through exactly this function, so a streamed
+    * batch's postings are definitionally comparable with the stored
+    * rows. */
+  private[graft] def simhashPostingsOfDocs(sigs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.simhash_triple_keys
+    sigs.select(col("doc_id"), col("sim"),
+        explode(simhash_triple_keys(col("sim"))).as("k"))
+      // the triple id rides as payload (bucketPairs strips the join
+      // key itself) — the canonical-emission filter needs it
+      .select(col("k"), col("doc_id"), col("sim"),
+        expr("shiftright(k, 18)").as("t"))
+  }
+
+  /** Signatures of an arbitrary document batch (same kernel as the
+    * corpus artifact). */
+  private[graft] def simhashSigsOfDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.simhash60
+    docs.select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
+  }
+
+  /** Simhash pairs of one batch against the STORED triple index (+
+    * optional prior-delta layers) — the streaming twin's kernel, the
+    * [[deltaPairs]] shape applied to the simhash family: candidates =
+    * stored-index probe on the triple key UNION a batch-postings
+    * self-join (batch-internal pairs among genuinely new docs), each
+    * row filtered by the same canonical-triple + hamming arithmetic as
+    * the full pass ([[simhash]]), so the union over batches equals the
+    * full pass restricted to delta-touching pairs (SimhashStreamSpec).
+    * The historical corpus is never re-paired with itself; the batch
+    * side broadcasts (a micro-batch is small by construction — the
+    * probe stays map-only over the bucketed index scan). */
+  private[graft] def simhashDeltaPairs(spark: SparkSession, dir: String,
+      deltaPost: DataFrame,
+      extraPost: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.HashFunctions.simhash_canonical_triple
+    val index = extraPost match {
+      case Some(p) => simhashIndexTable(spark, dir).unionByName(p)
+      case None => simhashIndexTable(spark, dir)
+    }
+    def emit(pre: DataFrame): DataFrame = pre
+      .withColumn("x", expr("sim_1 ^ sim_2"))
+      .filter(simhash_canonical_triple(col("x"), col("t_1")))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        expr("bit_count(x)").as("hamming"))
+    val probe = emit(index.alias("a")
+      .join(broadcast(deltaPost.alias("b")),
+        col("a.k") === col("b.k") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sim").as("sim_1"), col("b.sim").as("sim_2"),
+        col("a.t").as("t_1")))
+    val selfJoin = emit(deltaPost.alias("a")
+      .join(broadcast(deltaPost.alias("b")),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sim").as("sim_1"), col("b.sim").as("sim_2"),
+        col("a.t").as("t_1")))
+    probe.unionByName(selfJoin).distinct()
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {

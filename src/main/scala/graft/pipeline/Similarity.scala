@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (Array[Float] vectors).
@@ -45,6 +45,16 @@ object Similarity {
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     normedVecs(spark, dir).select(col("vec_id"), col("v"))
+
+  /** The normedVecs transform applied to an ARBITRARY (vec_id,
+    * embedding) frame — the per-batch half of the streaming semantic
+    * pass (Dedup.shinglesOfDocs pattern): identical cast + norm
+    * kernel, so streamed vectors are definitionally comparable with
+    * the corpus artifact. */
+  private[graft] def normedOfBatch(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2_norm(col("v")))
 
   /** Native codegen vector algebra (graft.functions.DotProduct/L2Norm):
     * a primitive double loop inside whole-stage codegen, i-ascending
@@ -1038,7 +1048,7 @@ object Similarity {
     * self-join key, so BOTH sides of the within-cluster pair join come
     * off the bucket layout with zero Exchange (pinned in
     * SemanticDedupSpec). */
-  private[pipeline] def semPostingTable(spark: SparkSession, dir: String,
+  private[graft] def semPostingTable(spark: SparkSession, dir: String,
       broadcastBound: Long): DataFrame = {
     val tbl = "graft_sempost_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + embFingerprint(spark, dir)
@@ -1146,6 +1156,24 @@ object Similarity {
   private def buildSemPosting(spark: SparkSession, dir: String,
       broadcastBound: Long): DataFrame = {
     import spark.implicits._
+    semAssignOver(spark, dir,
+      normedVecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)],
+      broadcastBound)
+  }
+
+  /** Hierarchical-routing assignment of an ARBITRARY vector set
+    * against the CORPUS's centroid hierarchy — the factored kernel of
+    * [[buildSemPosting]] (which assigns the corpus to itself) and the
+    * streaming pass (which assigns each micro-batch of new vectors;
+    * the centroid sets — coarse seeds, fine seeds, the routing — are
+    * corpus-derived either way, so a streamed vector lands in exactly
+    * the fine cluster the batch pass would give it: the batch-parity
+    * invariant SemanticStreamSpec pins). Returns (vec_id, cent_id). */
+  private[graft] def semAssignOver(spark: SparkSession, dir: String,
+      assign: Dataset[(Long, Array[Double], Double)],
+      broadcastBound: Long): DataFrame = {
+    import spark.implicits._
     val all = normedVecs(spark, dir)
     val est = corpusCount(spark, dir)
     locally {
@@ -1196,7 +1224,7 @@ object Similarity {
             co -> ((fids, fpk, fns))
           }.toMap
         val bcB = spark.sparkContext.broadcast(bucketMap)
-        val out = data.mapPartitions { it =>
+        val out = assign.mapPartitions { it =>
           val (cm, cn, cid) = bc.value
           val bm = bcB.value
           val p = SemProbe
@@ -1257,7 +1285,7 @@ object Similarity {
               .map(co => (co, id, v, nrm))
           }
         // vector → coarse routing: map-only kernel, n·K_c dots
-        val routed = data.flatMap { case (id, v, nrm) =>
+        val routed = assign.flatMap { case (id, v, nrm) =>
           val (cm, cn, cid) = bc.value
           topPIds(cm, cn, cid, v, nrm, SemCoarseProbe).iterator
             .map(co => (co, id, v, nrm))
@@ -1345,24 +1373,96 @@ object Similarity {
       .join(posting.select(col("vec_id").as("v2"), col("cent_id")), "cent_id")
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2")).distinct()
-    // Verification joins follow the dedup-family discipline
-    // (Dedup.verifiedJaccard): under the byte bound the vector artifact
-    // broadcasts into both lookups so the candidate stream never
-    // shuffles array payload; above it, shuffle_hash probes the fat
-    // candidate stream through without sorting it.
+    semVerify(cand, all, est)
+  }
+
+  /** Cosine verification of (v1, v2) candidate pairs over a vector
+    * base — the dedup-family discipline (Dedup.verifiedJaccard): under
+    * the byte bound the vector artifact broadcasts into both lookups
+    * so the candidate stream never shuffles array payload; above it,
+    * shuffle_hash probes the fat candidate stream through without
+    * sorting it. Factored out of [[semVerifiedPairs]] so the streaming
+    * delta pass verifies over a SPLICED base (corpus + side + batch). */
+  private def semVerify(cand: DataFrame, base: DataFrame,
+      est: Long): DataFrame = {
     val estBytes = est * (Dim * 8L + 48L)
-    val base =
-      if (estBytes <= Dedup.BroadcastVerifyBytes) broadcast(all)
-      else all.hint("shuffle_hash")
+    val b =
+      if (estBytes <= Dedup.BroadcastVerifyBytes) broadcast(base)
+      else base.hint("shuffle_hash")
     cand
-      .join(base.select(col("vec_id").as("v1"), col("v").as("x1"),
+      .join(b.select(col("vec_id").as("v1"), col("v").as("x1"),
         col("nrm").as("n1")), "v1")
-      .join(base.select(col("vec_id").as("v2"), col("v").as("x2"),
+      .join(b.select(col("vec_id").as("v2"), col("v").as("x2"),
         col("nrm").as("n2")), "v2")
       .withColumn("cos",
         Num.roundEps(dot("x1", "x2") / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= CosineThreshold)
       .select(col("v1"), col("v2"), col("cos"))
+  }
+
+  /** Semantic near-dup pairs of one BATCH of vectors against the
+    * stored assignment table — the streaming twin's kernel
+    * (Dedup.deltaPairs applied to the SemDeDup family): the batch is
+    * routed through [[semAssignOver]] (identical assignment to the
+    * batch pass, by corpus-derived centroids), candidates are the
+    * stored-posting probe on the fine-cluster key UNION a
+    * batch-posting self-join, `extra` layers prior micro-batches'
+    * (postings, vectors) side tables, and verification runs over the
+    * spliced vector base (batch rows win; for an already-ingested
+    * batch they equal the corpus rows, so the batch-incremental case
+    * is unchanged). The historical corpus never re-pairs with itself
+    * and its array payloads never shuffle (batch side broadcast). */
+  private[graft] def semDeltaPairs(spark: SparkSession, dir: String,
+      batchVecs: DataFrame,
+      extra: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    import spark.implicits._
+    // semAssignOver localCheckpoints its result — already materialized,
+    // so the three references below re-read blocks, not the kernel
+    val batchPost = semAssignOver(spark, dir,
+      batchVecs.select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)],
+      Dedup.BroadcastVerifyBytes)
+    semDeltaPairsFromPost(spark, dir, batchPost, batchVecs, extra)
+  }
+
+  /** [[semDeltaPairs]] with the batch's assignment already computed —
+    * the streaming pass assigns once per micro-batch and reuses the
+    * posting for both the pair join and the side-index append. */
+  private[graft] def semDeltaPairsFromPost(spark: SparkSession, dir: String,
+      batchPost: DataFrame, batchVecs: DataFrame,
+      extra: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val stored = semPostingTable(spark, dir, Dedup.BroadcastVerifyBytes)
+    val index = extra match {
+      case Some((p, _)) => stored.unionByName(
+        p.select(col("vec_id"), col("cent_id")))
+      case None => stored
+    }
+    val probe = index.select(col("vec_id").as("va"), col("cent_id"))
+      .join(broadcast(batchPost.select(col("vec_id").as("vb"), col("cent_id"))),
+        "cent_id")
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("v1"),
+        greatest(col("va"), col("vb")).as("v2"))
+    val selfJoin = batchPost.select(col("vec_id").as("va"), col("cent_id"))
+      .join(broadcast(batchPost.select(col("vec_id").as("vb"), col("cent_id"))),
+        "cent_id")
+      .filter(col("va") < col("vb"))
+      .select(col("va").as("v1"), col("vb").as("v2"))
+    val cand = probe.unionByName(selfJoin).distinct()
+    // spliced verification base; anti-joins are broadcasts of the tiny
+    // batch id list — no exchange added over the corpus scan
+    val batchIds = broadcast(batchVecs.select(col("vec_id")))
+    val corpus = normedVecs(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val prior = extra match {
+      case Some((_, xv)) => xv.select(col("vec_id"), col("v"), col("nrm"))
+        .join(batchIds, Seq("vec_id"), "left_anti")
+      case None => corpus.limit(0)
+    }
+    val base = batchVecs.select(col("vec_id"), col("v"), col("nrm"))
+      .unionByName(prior)
+      .unionByName(corpus.join(batchIds, Seq("vec_id"), "left_anti"))
+    semVerify(cand, base, corpusCount(spark, dir))
   }
 
   /** Recall@k of the DEPLOYED IVF+PQ+Refine search against brute

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Continuous SemDeDup — the streaming twin of `dedup_semantic` (r11
+  * verdict item 5), structured like [[DedupStream]]: each micro-batch
+  * of newly-embedded vectors (vec_id, embedding) is routed through the
+  * SAME corpus-derived centroid hierarchy as the batch pass
+  * (pipeline.Similarity.semAssignOver — so a streamed vector lands in
+  * exactly the fine cluster the batch pass would give it), probed
+  * against the PERSISTED assignment table
+  * (Similarity.semPostingTable) PLUS the stream's own side index of
+  * previously-ingested batches, cosine-verified over the spliced
+  * vector base, and the qualifying (v1, v2, cos) pairs land in a
+  * batch_id-partitioned parquet sink.
+  *
+  * TWO side tables (the family needs vectors, not just keys):
+  * `<sink>_idx_postings` (vec_id, cent_id) feeds later batches'
+  * candidate joins; `<sink>_idx_vectors` (vec_id, v, nrm) feeds their
+  * exact verification — a pair whose two NEW members arrive in
+  * different micro-batches needs the earlier member's vector, which
+  * the immutable corpus table does not hold.
+  *
+  * Delivery: effectively exactly-once, the [[DedupStream]] contract
+  * (dynamic partition overwrites keyed by batch_id; replays read
+  * exactly the pre-batch side state and rewrite identical content).
+  */
+object SemanticStream {
+
+  private val PostSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cent_id", LongType)))
+  private val VecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("nrm", DoubleType)))
+
+  private def sideRead(spark: SparkSession, path: String,
+      schema: StructType, batchId: Long): DataFrame =
+    if (new java.io.File(path).exists())
+      spark.read.schema(schema.add("batch_id", LongType))
+        .option("basePath", path).parquet(path)
+        .filter(col("batch_id") < batchId)
+        .drop("batch_id")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+
+  private def overwritePartition(df: DataFrame, batchId: Long,
+      path: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** One micro-batch — deterministic given (corpus, prior side tables,
+    * batch rows, batchId). `batch` carries (vec_id, embedding). */
+  private[graft] def processBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, sinkPath: String, batchId: Long): Unit = {
+    val postPath = sinkPath + "_idx_postings"
+    val vecPath = sinkPath + "_idx_vectors"
+    val priorPost = sideRead(spark, postPath, PostSchema, batchId)
+    val priorVec = sideRead(spark, vecPath, VecSchema, batchId)
+    val batchVecs = graft.pipeline.Similarity.normedOfBatch(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      // assigned ONCE per micro-batch (localCheckpointed inside), then
+      // reused for the pair join AND the side-index append
+      val batchPost = graft.pipeline.Similarity.semAssignOver(spark, dir,
+        batchVecs.select(col("vec_id"), col("v"), col("nrm"))
+          .as[(Long, Array[Double], Double)],
+        graft.pipeline.Dedup.BroadcastVerifyBytes)
+      val pairs = graft.pipeline.Similarity.semDeltaPairsFromPost(
+        spark, dir, batchPost, batchVecs, Some((priorPost, priorVec)))
+      overwritePartition(pairs, batchId, sinkPath)
+      // append this batch's not-yet-indexed vectors ("not yet indexed"
+      // = absent from both the stored assignment table and the prior
+      // side table — broadcast semi-joins of the tiny batch id list)
+      val batchIds = broadcast(batchVecs.select(col("vec_id")))
+      val known = graft.pipeline.Similarity
+        .semPostingTable(spark, dir, graft.pipeline.Dedup.BroadcastVerifyBytes)
+        .select(col("vec_id")).join(batchIds, "vec_id")
+        .unionByName(
+          priorPost.select(col("vec_id")).join(batchIds, "vec_id"))
+        .distinct()
+      val fresh = batchVecs
+        .join(broadcast(known), Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val freshPost = batchPost.join(
+          broadcast(fresh.select(col("vec_id"))), "vec_id")
+        overwritePartition(freshPost, batchId, postPath)
+        overwritePartition(fresh.select(col("vec_id"), col("v"), col("nrm")),
+          batchId, vecPath)
+      } finally fresh.unpersist()
+    } finally batchVecs.unpersist()
+  }
+
+  /** Start the continuous semantic dedup over a stream of embedding
+    * rows (vec_id, embedding). `sinkPath` receives batch_id-partitioned
+    * parquet (v1, v2, cos, batch_id). */
+  def start(spark: SparkSession, dir: String, vecs: DataFrame,
+      sinkPath: String, checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(spark, dir, batch, sinkPath, batchId)
+      }
+      .start()
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch-parity proof for the continuous SemDeDup pass (r11 verdict
+  * item 5): streaming a delta of embedding rows through SemanticStream
+  * must surface exactly the pair set of the batch `dedup_semantic`
+  * operator restricted to delta-touching pairs — the streamed vectors
+  * route through the SAME corpus-derived centroid hierarchy
+  * (semAssignOver), so assignment, candidate join and cosine
+  * verification are all definitionally identical; only the candidate
+  * restriction differs, and it must be lossless for delta pairs. */
+class SemanticStreamSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streamed delta equals batch dedup_semantic on delta-touching pairs") {
+    val s = spark
+    import s.implicits._
+    val dm = graft.pipeline.Dedup.DeltaMod
+    val full = pairs(graft.pipeline.Similarity.dedupSemantic(spark, sfDir)
+      .select("v1", "v2", "cos"))
+    val expected = full.filter { case (v1, v2, _) =>
+      v1 % dm == 0 || v2 % dm == 0 }
+    assert(expected.nonEmpty, "corpus should contain delta-touching pairs")
+    assert(full.size > expected.size,
+      "fixture should contain base-base pairs outside the delta")
+
+    val delta = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % dm === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (first, second) = delta.splitAt(delta.length / 2)
+
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val sink = java.nio.file.Files.createTempDirectory("sem_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sem_ckpt").toString
+    val q = SemanticStream.start(spark, sfDir,
+      input.toDF().toDF("vec_id", "embedding"), sink, ckpt)
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = pairs(spark.read.parquet(sink)
+      .select("v1", "v2", "cos").distinct())
+    assert(streamed === expected)
+  }
+
+  test("new vectors pair with the corpus AND across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val src = graft.Tables.embeddings(spark, sfDir)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].head()
+    val maxId = graft.Tables.embeddings(spark, sfDir)
+      .agg(max("vec_id")).head().getLong(0)
+    val n1 = maxId + 31
+    val n2 = maxId + 32
+
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val sink = java.nio.file.Files.createTempDirectory("sem_new_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sem_new_ckpt").toString
+    val q = SemanticStream.start(spark, sfDir,
+      input.toDF().toDF("vec_id", "embedding"), sink, ckpt)
+    try {
+      input.addData((n1, src._2))
+      q.processAllAvailable()
+      input.addData((n2, src._2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = pairs(spark.read.parquet(sink).select("v1", "v2", "cos"))
+    // identical vector => cosine exactly 1.0; the new-new pair comes
+    // through the SIDE index (vectors + postings), the corpus pair
+    // through the stored assignment table
+    assert(streamed.contains((n1, n2, 1.0)),
+      s"cross-batch new-new pair missing from $streamed")
+    assert(streamed.contains((src._1, n1, 1.0)),
+      s"corpus pair missing from $streamed")
+  }
+}
