@@ -463,18 +463,26 @@ object Dedup {
     minhashIndexTable(spark, dir)
     val batchIds = broadcast(batchSh.select(col("doc_id")))
     val known = storedIds.join(batchIds, "doc_id").distinct()
-    val fresh = batchSh.join(broadcast(known), Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = fresh.count()
-      if (n > 0) {
-        graft.sources.TableIO.appendBucketed(
-          postingsOf(fresh), minhashTbl, Seq("k"), IndexBuckets)
-        graft.sources.TableIO.appendBucketed(
-          fresh, shingleTbl, Seq("doc_id"), IndexBuckets)
-      }
-      n
-    } finally fresh.unpersist()
+    // pin the fresh id list on the DRIVER (bounded: batch scale)
+    // before any append lands — a lazy/persisted anti-join could
+    // RE-EVALUATE against the already-appended table between the two
+    // appends (cache eviction), see its own docs as "known", and
+    // silently skip the second write, leaving the index inconsistent
+    import spark.implicits._
+    val freshIdSeq = batchSh.select(col("doc_id"))
+      .join(broadcast(known), Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSeq
+    val n = freshIdSeq.length.toLong
+    if (n > 0) {
+      val freshIds = broadcast(freshIdSeq.toDF("doc_id"))
+      val fresh = batchSh.join(freshIds, "doc_id")
+      graft.sources.TableIO.appendBucketed(
+        postingsOf(fresh), minhashTbl, Seq("k"), IndexBuckets)
+      graft.sources.TableIO.appendBucketed(
+        fresh.select(col("doc_id"), col("hs")),
+        shingleTbl, Seq("doc_id"), IndexBuckets)
+    }
+    n
   }
 
   /** Nightly compaction of the stored index tables: fold the files
@@ -489,6 +497,41 @@ object Dedup {
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_shingles_"),
       Seq("doc_id"), IndexBuckets)
+  }
+
+  /** [[appendToIndex]]'s simhash twin: fold a batch's triple-key
+    * postings into the STORED simhash index (idempotent by doc_id,
+    * bucket layout preserved) — the restart-time maintenance write
+    * SimhashStream uses to keep its probe free of side-table layers.
+    * Takes the batch's posting rows (the side table's stored shape) so
+    * the fold path reuses them instead of re-hashing text. Returns the
+    * number of docs actually appended. */
+  private[graft] def appendSimhashToIndex(spark: SparkSession, dir: String,
+      batchPost: DataFrame): Long = {
+    val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
+    val storedIds = simhashIndexTable(spark, dir).select(col("doc_id"))
+    val batchIds = broadcast(batchPost.select(col("doc_id")).distinct())
+    val known = storedIds.join(batchIds, "doc_id").distinct()
+    // driver-pinned fresh id list (the appendShingles discipline):
+    // single-table append here, but the same determinism rule applies
+    import spark.implicits._
+    val freshIdSeq = batchPost.select(col("doc_id")).distinct()
+      .join(broadcast(known), Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSeq
+    val n = freshIdSeq.length.toLong
+    if (n > 0) graft.sources.TableIO.appendBucketed(
+      batchPost.join(broadcast(freshIdSeq.toDF("doc_id")), "doc_id")
+        .select(col("k"), col("doc_id"), col("sim"), col("t")),
+      tbl, Seq("k"), IndexBuckets)
+    n
+  }
+
+  /** Compaction for the simhash index (the [[compactIndex]] shape). */
+  private[graft] def compactSimhashIndex(spark: SparkSession,
+      dir: String): Unit = {
+    graft.sources.TableIO.compactBucketed(spark,
+      indexTableName(spark, dir, "graft_simhash_idx_"),
+      Seq("k"), IndexBuckets)
   }
 
   /** Incremental (delta-vs-corpus) fuzzy dedup — how a 100 TB lake

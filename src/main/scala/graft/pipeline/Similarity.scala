@@ -1062,6 +1062,90 @@ object Similarity {
     spark.table(tbl)
   }
 
+  /** Lake extension table for STREAMED vectors — the semantic family's
+    * analogue of the shingle table: the corpus parquet is immutable,
+    * but a folded stream's docs must stay verifiable (cosine needs the
+    * vector, not just the cluster key), so
+    * [[appendSemToIndex]] lands them here. Bucketed by vec_id (the
+    * verification join key); created empty on first touch so the fold
+    * path is uniform. */
+  private def semTableName(spark: SparkSession, dir: String,
+      prefix: String): String =
+    prefix + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      embFingerprint(spark, dir)
+
+  /** The streamed-vector table IF any stream ever folded into this
+    * corpus — None otherwise, so the common no-stream case adds
+    * nothing to a batch query's plan (and no catalog write). */
+  private def semStreamVecsIfAny(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val tbl = semTableName(spark, dir, "graft_semvecs_")
+    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl)) else None
+  }
+
+  private[graft] def semStreamVecsTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = semTableName(spark, dir, "graft_semvecs_")
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("nrm",
+            org.apache.spark.sql.types.DoubleType))))
+      graft.sources.TableIO.writeBucketed(
+        empty, tbl, path, Seq("vec_id"), Dedup.IndexBuckets)
+    }
+    spark.table(tbl)
+  }
+
+  /** Fold a streamed batch into BOTH semantic lake tables — postings
+    * into the bucketed assignment table, vectors into
+    * [[semStreamVecsTable]] (Dedup.appendToIndex's shape: idempotent
+    * by vec_id, bucket layouts preserved). After a fold the batch
+    * query sees the grown corpus — dedup over corpus + streamed docs,
+    * the lakehouse semantics of ingesting into the index. Returns the
+    * number of vectors actually appended. */
+  private[graft] def appendSemToIndex(spark: SparkSession, dir: String,
+      batchPost: DataFrame, batchVecs: DataFrame): Long = {
+    val storedIds = semPostingTable(spark, dir, Dedup.BroadcastVerifyBytes)
+      .select(col("vec_id"))
+    val vecsTbl = semStreamVecsTable(spark, dir)
+    val batchIds = broadcast(batchVecs.select(col("vec_id")).distinct())
+    val known = storedIds.join(batchIds, "vec_id")
+      .unionByName(vecsTbl.select(col("vec_id")).join(batchIds, "vec_id"))
+      .distinct()
+    // pin the fresh id list on the DRIVER (bounded: micro-batch scale)
+    // before any append lands — a lazy anti-join would RE-EVALUATE
+    // against the already-appended table when the second append runs,
+    // see its own docs as "known", and silently write nothing
+    import spark.implicits._
+    val freshIdSeq = batchVecs.select(col("vec_id"))
+      .join(broadcast(known), Seq("vec_id"), "left_anti")
+      .as[Long].collect().toSeq
+    val n = freshIdSeq.length.toLong
+    if (n > 0) {
+      val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
+      graft.sources.TableIO.appendBucketed(
+        batchPost.join(freshIds, "vec_id")
+          .select(col("vec_id"), col("cent_id")),
+        semTableName(spark, dir, "graft_sempost_"),
+        Seq("cent_id"), Dedup.IndexBuckets)
+      graft.sources.TableIO.appendBucketed(
+        batchVecs.join(freshIds, "vec_id")
+          .select(col("vec_id"), col("v"), col("nrm")),
+        semTableName(spark, dir, "graft_semvecs_"),
+        Seq("vec_id"), Dedup.IndexBuckets)
+    }
+    n
+  }
+
   /** Top-p centroid ids of `v` against a packed centroid matrix, by
     * (6-dp-rounded cosine desc, id asc) — the exact row_number order
     * of the oracle's routing CTEs. Insertion into a rank-ordered
@@ -1137,7 +1221,14 @@ object Similarity {
   private[pipeline] def dedupSemantic(spark: SparkSession, dir: String,
       broadcastBound: Long, useStored: Boolean = true,
       hotThreshold: Long = Dedup.HotBucketThreshold): DataFrame = {
-    val all = normedVecs(spark, dir)
+    // folded streamed vectors (if any stream ever appended into this
+    // corpus' index) join the verification base, so every posting row
+    // stays verifiable — the grown-corpus semantics of a fold
+    val all = semStreamVecsIfAny(spark, dir) match {
+      case Some(sv) => normedVecs(spark, dir)
+        .select(col("vec_id"), col("v"), col("nrm")).unionByName(sv)
+      case None => normedVecs(spark, dir)
+    }
     val est = corpusCount(spark, dir)
     // The assignment table IS the write-time artifact a production
     // SemDeDup run stores — served from the persisted bucketed lake
@@ -1471,8 +1562,12 @@ object Similarity {
         .join(batchIds, Seq("vec_id"), "left_anti")
       case None => corpus.limit(0)
     }
+    val folded = semStreamVecsIfAny(spark, dir)
+      .map(_.join(batchIds, Seq("vec_id"), "left_anti"))
+      .getOrElse(corpus.limit(0))
     val base = batchVecs.select(col("vec_id"), col("v"), col("nrm"))
       .unionByName(prior)
+      .unionByName(folded)
       .unionByName(corpus.join(batchIds, Seq("vec_id"), "left_anti"))
     semVerify(cand, base, corpusCount(spark, dir))
   }

@@ -99,11 +99,44 @@ object SemanticStream {
     } finally batchVecs.unpersist()
   }
 
+  /** Fold the stream's side tables into the STORED lake tables —
+    * postings into the bucketed assignment table, vectors into the
+    * streamed-vector extension table (Similarity.appendSemToIndex,
+    * idempotent by vec_id) — and delete the side partitions. The
+    * DedupStream restart-maintenance shape: a restarted stream begins
+    * with an empty side chain, and the batch query now sees the grown
+    * corpus. */
+  def foldSideIndex(spark: SparkSession, dir: String,
+      sinkPath: String): Long = {
+    val postPath = sinkPath + "_idx_postings"
+    val vecPath = sinkPath + "_idx_vectors"
+    if (!new java.io.File(vecPath).exists()) return 0L
+    def readAll(path: String, schema: StructType): DataFrame =
+      spark.read.schema(schema.add("batch_id", LongType))
+        .option("basePath", path).parquet(path).drop("batch_id")
+    val sideVecs = readAll(vecPath, VecSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = graft.pipeline.Similarity.appendSemToIndex(spark, dir,
+        readAll(postPath, PostSchema), sideVecs)
+      Seq(postPath, vecPath).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
+      n
+    } finally sideVecs.unpersist()
+  }
+
   /** Start the continuous semantic dedup over a stream of embedding
     * rows (vec_id, embedding). `sinkPath` receives batch_id-partitioned
-    * parquet (v1, v2, cos, batch_id). */
+    * parquet (v1, v2, cos, batch_id). On every (re)start the
+    * accumulated side index folds into the stored lake tables
+    * ([[foldSideIndex]]). */
   def start(spark: SparkSession, dir: String, vecs: DataFrame,
-      sinkPath: String, checkpoint: String): StreamingQuery =
+      sinkPath: String, checkpoint: String,
+      foldOnStart: Boolean = true): StreamingQuery = {
+    if (foldOnStart) foldSideIndex(spark, dir, sinkPath)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -111,4 +144,5 @@ object SemanticStream {
         processBatch(spark, dir, batch, sinkPath, batchId)
       }
       .start()
+  }
 }

@@ -87,11 +87,38 @@ object SimhashStream {
     } finally batchPost.unpersist()
   }
 
+  /** Fold the stream's side posting table into the STORED simhash
+    * index and delete the side partitions — the DedupStream
+    * restart-maintenance shape: a restarted stream begins with an
+    * EMPTY side chain and probes all previously streamed docs through
+    * the bucketed stored table. Safe under checkpoint replay:
+    * Dedup.appendSimhashToIndex is idempotent by doc_id, and a
+    * replayed in-flight batch finds the folded docs through the stored
+    * index instead of the side read — identical pair emission. */
+  def foldSideIndex(spark: SparkSession, dir: String,
+      sinkPath: String): Long = {
+    val postPath = sinkPath + "_idx_postings"
+    if (!new java.io.File(postPath).exists()) return 0L
+    val side = spark.read.schema(PostSchema.add("batch_id", LongType))
+      .option("basePath", postPath).parquet(postPath).drop("batch_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = graft.pipeline.Dedup.appendSimhashToIndex(spark, dir, side)
+      val hp = new org.apache.hadoop.fs.Path(postPath)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      n
+    } finally side.unpersist()
+  }
+
   /** Start the continuous simhash pass over a stream of document rows
     * (doc_id, text). `sinkPath` receives batch_id-partitioned parquet
-    * (d1, d2, hamming, batch_id). */
+    * (d1, d2, hamming, batch_id). On every (re)start the accumulated
+    * side index folds into the stored lake table ([[foldSideIndex]]). */
   def start(spark: SparkSession, dir: String, docs: DataFrame,
-      sinkPath: String, checkpoint: String): StreamingQuery =
+      sinkPath: String, checkpoint: String,
+      foldOnStart: Boolean = true): StreamingQuery = {
+    if (foldOnStart) foldSideIndex(spark, dir, sinkPath)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -99,4 +126,5 @@ object SimhashStream {
         processBatch(spark, dir, batch, sinkPath, batchId)
       }
       .start()
+  }
 }

@@ -86,4 +86,64 @@ class SemanticStreamSpec extends SparkSpec {
     assert(streamed.contains((src._1, n1, 1.0)),
       s"corpus pair missing from $streamed")
   }
+
+  /** Restart maintenance: side postings AND side vectors fold into the
+    * stored lake tables (assignment table + streamed-vector extension),
+    * so the new run pairs with the previous run's docs — including the
+    * exact cosine verification, whose vectors now come off the folded
+    * extension table. Isolated corpus copy (the fold grows the corpus
+    * index). */
+  test("restart folds side postings AND vectors into the stored tables") {
+    val s = spark
+    import s.implicits._
+    val cDir = java.nio.file.Files
+      .createTempDirectory("sem_fold_corpus").toString
+    graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") % 3 === 0)
+      .write.parquet(cDir + "/embeddings.parquet")
+    val src = graft.Tables.embeddings(spark, cDir)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].head()
+    val maxId = graft.Tables.embeddings(spark, cDir)
+      .agg(max("vec_id")).head().getLong(0)
+    val n1 = maxId + 41
+    val n2 = maxId + 42
+    val sink = java.nio.file.Files.createTempDirectory("sem_fold").toString
+    val c1 = java.nio.file.Files.createTempDirectory("sem_fold_c1").toString
+    val c2 = java.nio.file.Files.createTempDirectory("sem_fold_c2").toString
+
+    implicit val sqlCtx = s.sqlContext
+    val in1 = MemoryStream[(Long, Array[Float])]
+    val q1 = SemanticStream.start(spark, cDir,
+      in1.toDF().toDF("vec_id", "embedding"), sink, c1)
+    try {
+      in1.addData((n1, src._2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(new java.io.File(sink + "_idx_vectors").exists())
+
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = SemanticStream.start(spark, cDir,
+      in2.toDF().toDF("vec_id", "embedding"), sink, c2)
+    assert(!new java.io.File(sink + "_idx_vectors").exists(),
+      "restart should have folded and deleted the side tables")
+    try {
+      in2.addData((n2, src._2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = pairs(spark.read.parquet(sink).select("v1", "v2", "cos"))
+    // the cross-run pair needs BOTH folded artifacts: n1's cluster key
+    // from the assignment table and n1's vector for the cosine
+    assert(streamed.contains((n1, n2, 1.0)),
+      s"cross-run pair missing from $streamed")
+    val folded = graft.pipeline.Similarity.semStreamVecsTable(spark, cDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(folded(n1))
+    // and the BATCH query now sees the grown corpus: the folded doc's
+    // pairs appear in dedup_semantic for this dir
+    val batch = pairs(graft.pipeline.Similarity.dedupSemantic(spark, cDir)
+      .select("v1", "v2", "cos"))
+    assert(batch.contains((src._1, n1, 1.0)),
+      s"grown-corpus batch pair missing")
+  }
 }

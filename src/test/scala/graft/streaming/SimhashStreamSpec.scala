@@ -89,4 +89,53 @@ class SimhashStreamSpec extends SparkSpec {
     assert(streamed.contains((srcId, n1, 0L)) || streamed.contains((srcId, n2, 0L)),
       s"corpus pair missing from $streamed")
   }
+
+  /** Restart maintenance: the side posting chain folds into the STORED
+    * triple index, so the new run's batches pair with the previous
+    * run's docs through the lake table alone. Isolated corpus copy —
+    * the fold grows the corpus index, which must never happen to the
+    * shared sfDir fixtures. */
+  test("restart folds the side index into the stored lake table") {
+    val s = spark
+    import s.implicits._
+    val cDir = java.nio.file.Files
+      .createTempDirectory("sh_fold_corpus").toString
+    graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 0)
+      .write.parquet(cDir + "/documents.parquet")
+    val srcText = graft.Tables.documents(spark, cDir)
+      .select("text").head().getString(0)
+    val maxId = graft.Tables.documents(spark, cDir)
+      .agg(max("doc_id")).head().getLong(0)
+    val sink = java.nio.file.Files.createTempDirectory("sh_fold").toString
+    val c1 = java.nio.file.Files.createTempDirectory("sh_fold_c1").toString
+    val c2 = java.nio.file.Files.createTempDirectory("sh_fold_c2").toString
+
+    implicit val sqlCtx = s.sqlContext
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = SimhashStream.start(spark, cDir,
+      in1.toDF().toDF("doc_id", "text"), sink, c1)
+    try {
+      in1.addData((maxId + 1, srcText))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(new java.io.File(sink + "_idx_postings").exists())
+
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = SimhashStream.start(spark, cDir,
+      in2.toDF().toDF("doc_id", "text"), sink, c2)
+    assert(!new java.io.File(sink + "_idx_postings").exists(),
+      "restart should have folded and deleted the side index")
+    try {
+      in2.addData((maxId + 2, srcText))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = pairs(spark.read.parquet(sink)
+      .select("d1", "d2", "hamming"))
+    assert(streamed.contains((maxId + 1, maxId + 2, 0L)),
+      s"cross-run pair missing from $streamed")
+    val storedIds = graft.pipeline.Dedup.simhashIndexTable(spark, cDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(storedIds(maxId + 1))
+  }
 }
