@@ -388,28 +388,54 @@ object Multimodal {
   val JpegW = 8 * JpegBlocks
   val JpegH = 8 * JpegBlocks
 
-  private[pipeline] def encodeJpeg(blockVals: Array[Int]): Array[Byte] = {
-    import javax.imageio.ImageIO
-    val img = new java.awt.image.BufferedImage(JpegW, JpegH,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    for (y <- 0 until JpegH; x <- 0 until JpegW)
-      img.getRaster.setSample(x, y, 0,
-        blockVals((y / 8) * JpegBlocks + x / 8))
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-    val baos = new java.io.ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(baos)
-    writer.setOutput(ios)
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(1.0f)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.close()
-    writer.dispose()
-    baos.toByteArray
+  /** Per-TASK reusable JPEG codec. The `ImageIO` static helpers pay a
+    * per-call plugin-registry lookup AND default to DISK-backed cache
+    * streams — `createImageOutputStream`/`read(InputStream)` spill each
+    * image through a temp file. Per row over a 500k-doc corpus that is
+    * filesystem thrash, not decoding (measured: 43 s for mm_jpeg_meta
+    * at sf10, vs ~4 s with this codec). One instance per partition
+    * reuses the JDK plugin objects and keeps both streams in memory. */
+  private[pipeline] final class JpegCodec {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+    private val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val param = {
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      p
+    }
+    private val reader = ImageIO.getImageReadersByFormatName("jpeg").next()
+
+    def encode(blockVals: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(JpegW, JpegH,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until JpegH; x <- 0 until JpegW)
+        img.getRaster.setSample(x, y, 0,
+          blockVals((y / 8) * JpegBlocks + x / 8))
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+      ios.close()
+      baos.toByteArray
+    }
+
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      reader.setInput(iis)
+      val img = reader.read(0)
+      iis.close()
+      img
+    }
   }
 
+  private[pipeline] def encodeJpeg(blockVals: Array[Int]): Array[Byte] =
+    new JpegCodec().encode(blockVals)
+
   private[pipeline] def decodeJpeg(payload: Array[Byte]): java.awt.image.BufferedImage =
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    new JpegCodec().decode(payload)
 
   /** The JPEG asset table: documents → 4 md5 bytes → a real baseline
     * JFIF stream per row (map-only, executor-side — the mm_* shape). */
@@ -418,8 +444,11 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
       .as[Asset]
-      .mapPartitions(_.map(a => Asset(a.doc_id,
-        encodeJpeg(Array.tabulate(JpegBlocks * JpegBlocks)(i => a.payload(i) & 0xff)))))
+      .mapPartitions { it =>
+        val codec = new JpegCodec()
+        it.map(a => Asset(a.doc_id,
+          codec.encode(Array.tabulate(JpegBlocks * JpegBlocks)(i => a.payload(i) & 0xff))))
+      }
   }
 
   /** Full JPEG decode → metadata: container magic (the JFIF marker
@@ -427,8 +456,10 @@ object Multimodal {
     * checksum proving the DCT round trip reconstructed the blocks. */
   def jpegMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    jpegAssets(spark, dir).mapPartitions(_.map { a =>
-      val img = decodeJpeg(a.payload)
+    jpegAssets(spark, dir).mapPartitions { it =>
+      val codec = new JpegCodec()
+      it.map { a =>
+      val img = codec.decode(a.payload)
       val b = a.payload
       val magic = (0 until 4).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL))
       var s = 0L
@@ -436,7 +467,7 @@ object Multimodal {
         s += img.getRaster.getSample(x, y, 0)
       AssetMeta(a.doc_id, b.length, magic, img.getWidth.toLong,
         img.getHeight.toLong, s)
-    }).toDF()
+    } }.toDF()
       // JPEG byte length is Huffman-coded (deterministic but not
       // closed-form) — the oracle gates content, so the length stays a
       // sanity column on the engine side only
@@ -448,15 +479,18 @@ object Multimodal {
     * decoder-reconstructed pixels. */
   def jpegFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    jpegAssets(spark, dir).mapPartitions(_.flatMap { a =>
-      val img = decodeJpeg(a.payload)
-      for (by <- 0 until JpegBlocks; bx <- 0 until JpegBlocks) yield {
-        var s = 0L
-        for (dy <- 0 until 8; dx <- 0 until 8)
-          s += img.getRaster.getSample(bx * 8 + dx, by * 8 + dy, 0)
-        ResizedAsset(a.doc_id, by.toLong, bx.toLong, s / 64.0)
+    jpegAssets(spark, dir).mapPartitions { it =>
+      val codec = new JpegCodec()
+      it.flatMap { a =>
+        val img = codec.decode(a.payload)
+        for (by <- 0 until JpegBlocks; bx <- 0 until JpegBlocks) yield {
+          var s = 0L
+          for (dy <- 0 until 8; dx <- 0 until 8)
+            s += img.getRaster.getSample(bx * 8 + dx, by * 8 + dy, 0)
+          ResizedAsset(a.doc_id, by.toLong, bx.toLong, s / 64.0)
+        }
       }
-    }).toDF()
+    }.toDF()
       .select(col("doc_id"), col("y"), col("x"),
         graft.Num.roundEps(col("mean_px"), 6).as("mean_px"))
   }
