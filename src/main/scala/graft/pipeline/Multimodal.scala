@@ -160,7 +160,12 @@ object Multimodal {
       })
   }
 
-  private final case class Frame(doc_id: Long, frame_idx: Long, frame_hex: String)
+  // NOT private: Janino compiles the UnsafeProjection for
+  // SerializeFromObject against this class's accessors, and a
+  // Scala-private nested class makes that codegen fail (falling back
+  // to the interpreted projection on every task — 2 ERROR logs per
+  // run and a slower mm_frame_sample).
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_hex: String)
 
   /** Frame sampling over the container: walk the concatenated PNG
     * streams (each frame located by parsing its chunks to IEND), fully
