@@ -768,11 +768,21 @@ object Similarity {
     * index stores. */
   private def buildCodeTable(spark: SparkSession, dir: String,
       kind: String): DataFrame = {
-    import spark.implicits._
     val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
-    val all = normedVecs(spark, dir)
-    val cents = centsDf(spark, dir, centsOpt)
-    val assigned = all.crossJoin(broadcast(cents))
+    encodeCodes(spark, normedVecs(spark, dir),
+      centsDf(spark, dir, centsOpt), cb, centsOpt, residual)
+  }
+
+  /** The encode kernel of the write pass, over an ARBITRARY
+    * (vec_id, v, nrm) frame — shared by [[buildCodeTable]] (full
+    * corpus) and [[appendAnnToIndex]] (a folded batch encoded under
+    * the STORED artifacts, the no-retrain maintenance path). */
+  private def encodeCodes(spark: SparkSession, vecs: DataFrame,
+      cents: DataFrame, cb: Array[Array[Array[Double]]],
+      centsOpt: Option[Array[Array[Double]]],
+      residual: Boolean): DataFrame = {
+    import spark.implicits._
+    val assigned = vecs.crossJoin(broadcast(cents))
       .withColumn("ccos",
         Num.roundEps(dot("cv", "v") / (col("cn") * col("nrm")), 6))
       .groupBy(col("vec_id"))
@@ -821,6 +831,124 @@ object Similarity {
         .option("path", path).saveAsTable(tbl)
     }
     spark.table(tbl)
+  }
+
+  private def annCodeName(spark: SparkSession, dir: String,
+      kind: String): String =
+    "graft_anncodes_" + kind + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + embFingerprint(spark, dir)
+
+  /** Raw vectors folded into this corpus's ANN index — the refine /
+    * exact-re-rank side of [[appendAnnToIndex]]: ADC searches serve an
+    * appended vector straight off its code-table rows, but the refine
+    * arm re-reads raw vectors, so folds must stay readable. Own table
+    * (not the semantic-dedup fold table): each index family's fold is
+    * self-contained, an ANN ingest must not grow the SemDeDup corpus.
+    * Bucketed by vec_id (the refine join key); created empty on first
+    * touch so the fold path is uniform. */
+  private def annStreamVecsIfAny(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val tbl = semTableName(spark, dir, "graft_annvecs_")
+    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl)) else None
+  }
+
+  private[graft] def annStreamVecsTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = semTableName(spark, dir, "graft_annvecs_")
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("nrm",
+            org.apache.spark.sql.types.DoubleType))))
+      graft.sources.TableIO.writeBucketed(
+        empty, tbl, path, Seq("vec_id"), Dedup.IndexBuckets)
+    }
+    spark.table(tbl)
+  }
+
+  /** Fold a batch of NEW vectors into the persisted ANN index for
+    * `kind` — ENCODE-ONLY maintenance, the production ingest of an IVF
+    * index: codebooks/routing centroids train once at build time; new
+    * data is assigned + PQ-encoded under the STORED artifacts (read
+    * back through [[pqKind]]'s sidecars — never retrained) and appended
+    * into the partitioned code table, preserving the
+    * one-directory-per-inverted-list layout, so the very next ADC
+    * search serves the fold through its existing partition pruning.
+    * Raw vectors land in [[annStreamVecsTable]] for the refine re-rank
+    * (idempotent by vec_id across kinds — a second kind's fold of the
+    * same batch adds codes only). Batch ids are pinned on the DRIVER
+    * before any write (micro-batch scale; the eager-anti-join lesson of
+    * appendSemToIndex). Returns code rows actually appended. */
+  private[graft] def appendAnnToIndex(spark: SparkSession, dir: String,
+      batchVecs: DataFrame, kind: String): Long = {
+    import spark.implicits._
+    val stored = codeTable(spark, dir, kind) // first touch builds + trains
+    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    val freshIdSeq = batchVecs.select(col("vec_id")).distinct()
+      .join(stored.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .as[Long].collect().toSeq
+    if (freshIdSeq.nonEmpty) {
+      val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
+      val fresh = batchVecs.join(freshIds, "vec_id")
+        .select(col("vec_id"), col("v"), col("nrm"))
+      // one shuffle into the partition routing → ≤1 new file per
+      // touched inverted list; insertInto appends by POSITION with the
+      // partition column last, exactly this select's order
+      encodeCodes(spark, fresh, centsDf(spark, dir, centsOpt),
+        cb, centsOpt, residual)
+        .repartition(col("cent_id"))
+        .select(col("vec_id"), col("codes"), col("cent_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .insertInto(annCodeName(spark, dir, kind))
+      val vt = annStreamVecsTable(spark, dir)
+      val freshVecIds = fresh.select(col("vec_id"))
+        .join(vt.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .as[Long].collect().toSeq
+      if (freshVecIds.nonEmpty)
+        graft.sources.TableIO.appendBucketed(
+          fresh.join(broadcast(freshVecIds.toDF("vec_id")), "vec_id")
+            .select(col("vec_id"), col("v"), col("nrm")),
+          semTableName(spark, dir, "graft_annvecs_"),
+          Seq("vec_id"), Dedup.IndexBuckets)
+    }
+    freshIdSeq.length.toLong
+  }
+
+  /** Rewrite the `kind` code table back to ONE file per inverted list —
+    * the nightly maintenance pass after N [[appendAnnToIndex]] folds
+    * (each fold adds ≤1 file per touched list; file count is the scan
+    * bottleneck at 100 TB). Stages rows out first (Spark refuses to
+    * overwrite a table it is reading), then rewrites through the same
+    * one-task-per-list clustering as the original build. Returns the
+    * post-compaction data-file count. */
+  private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
+      kind: String): Int = {
+    val tbl = annCodeName(spark, dir, kind)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val path = meta.location.toString
+    val schema = spark.table(tbl).schema
+    val staging = path.stripSuffix("/") + "_compact_staging"
+    spark.table(tbl).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    spark.read.schema(schema).parquet(staging)
+      .repartition(IvfCentroids, col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("cent_id")
+      .option("path", path).saveAsTable(tbl)
+    val sPath = new org.apache.hadoop.fs.Path(staging)
+    sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sPath, true)
+    spark.catalog.refreshTable(tbl)
+    IvfCentroids
   }
 
   /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
@@ -938,8 +1066,14 @@ object Similarity {
     val shortlist = ivfPqScored(spark, dir, "md5").groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), PqRefine).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
-    val all = normedVecs(spark, dir)
-    val probes = all.filter(col("vec_id") < NumProbes)
+    val corpus = normedVecs(spark, dir)
+    // vectors folded by appendAnnToIndex are re-rankable candidates:
+    // their codes are already in the scanned table, and dropping them
+    // at the exact-cosine join would silently shrink the shortlist.
+    // None when no fold ever landed — the common case adds nothing.
+    val all = annStreamVecsIfAny(spark, dir)
+      .map(corpus.unionByName(_)).getOrElse(corpus)
+    val probes = corpus.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     // shortlist and probe set are probe-bounded (NumProbes × PqRefine
     // rows) — both broadcast, the raw-vector table only ever streams

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Encode-only maintenance of the persisted ANN index:
+  * `Similarity.appendAnnToIndex` folds a batch of new vectors into the
+  * partitioned code table (and the raw-vector extension the refine arm
+  * re-reads) WITHOUT retraining — the production ingest of an IVF
+  * index, mirroring the dedup family's IndexAppendSpec. Proofs:
+  *  - an appended exact copy of each probe vector is served by the
+  *    trained/residual ADC searches and ranks FIRST (cos = 1.0) in the
+  *    refine re-rank — straight off the stored tables;
+  *  - folding never retrains: the fingerprint-named codebook sidecars
+  *    are byte-identical name-for-name across appends;
+  *  - appends are idempotent at vec_id granularity, per kind for codes
+  *    and across kinds for the shared vector extension;
+  *  - `compactAnnIndex` folds appended files back toward one per
+  *    inverted list without changing results.
+  *
+  * Runs against an ISOLATED copy of the corpus (own fingerprint, own
+  * tables) — folding foreign vectors into the shared sfDir index would
+  * poison every other suite's ANN expectations.
+  */
+class AnnAppendSpec extends SparkSpec {
+
+  private val Off = 1000000L
+
+  private lazy val cDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_annappend")
+      .toString
+    graft.Tables.embeddings(spark, sfDir)
+      .write.parquet(d + "/embeddings.parquet")
+    d
+  }
+
+  // the fold: exact copies of the probe vectors under fresh ids —
+  // cos(copy, probe) = 1.0 exactly, so findability is enumerable
+  private def batch: DataFrame =
+    Similarity.normedOfBatch(
+      graft.Tables.embeddings(spark, cDir)
+        .filter(col("vec_id") < Similarity.NumProbes)
+        .withColumn("vec_id", col("vec_id") + Off))
+
+  private def hits(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("probe_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def bookTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq
+      .filter(_.startsWith("graft_anncb_"))
+      .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).sorted
+
+  private def codeFiles(kind: String): Seq[java.io.File] = {
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"graft_anncodes_${kind}_"))
+      .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_")))
+    assert(tbl.length === 1, s"expected one $kind code table for $cDir")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_index/${tbl.head}"))
+  }
+
+  test("trained ADC serves a folded batch off the stored code table, no retrain") {
+    val before = hits(Similarity.annIvfPqTrained(spark, cDir))
+    assert(!before.exists(_._2 >= Off),
+      "batch ids must be invisible before the fold")
+    val books = bookTables()
+    assert(books.nonEmpty, "trained sidecars must exist after the base build")
+
+    assert(Similarity.appendAnnToIndex(spark, cDir, batch, "trained")
+      === Similarity.NumProbes.toLong)
+    assert(bookTables() === books, "a fold must never add/retrain a book")
+
+    val after = hits(Similarity.annIvfPqTrained(spark, cDir))
+    (0L until Similarity.NumProbes).foreach { p =>
+      assert(after.contains((p, p + Off)),
+        s"probe $p must retrieve its appended exact copy")
+    }
+  }
+
+  test("refine re-ranks an appended candidate to rank 1 at cos 1.0") {
+    // the refine shortlist comes off the md5-kind codes: fold there too
+    assert(Similarity.appendAnnToIndex(spark, cDir, batch, "md5")
+      === Similarity.NumProbes.toLong)
+    val top1 = Similarity.annIvfPqRefine(spark, cDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    (0L until Similarity.NumProbes).foreach { p =>
+      assert(top1.contains((p, p + Off, 1.0)),
+        s"probe $p's appended copy must win the exact re-rank")
+    }
+  }
+
+  test("appendAnnToIndex is idempotent per kind and for the vector extension") {
+    Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // any order
+    val codeCount = spark.table(
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_anncodes_trained_"))
+        .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head).count()
+    val vecCount = Similarity.annStreamVecsTable(spark, cDir).count()
+    assert(vecCount === Similarity.NumProbes.toLong,
+      "cross-kind folds of the same batch must not duplicate vectors")
+    assert(Similarity.appendAnnToIndex(spark, cDir, batch, "trained") === 0L)
+    assert(Similarity.annStreamVecsTable(spark, cDir).count() === vecCount)
+    assert(spark.table(
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_anncodes_trained_"))
+        .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head).count()
+      === codeCount)
+  }
+
+  test("residual ADC serves a folded batch in the residual frame") {
+    assert(Similarity.appendAnnToIndex(spark, cDir, batch, "residual")
+      === Similarity.NumProbes.toLong)
+    val after = hits(Similarity.annIvfPqResidual(spark, cDir))
+    (0L until Similarity.NumProbes).foreach { p =>
+      assert(after.contains((p, p + Off)),
+        s"probe $p must retrieve its appended copy through residual codes")
+    }
+  }
+
+  test("compactAnnIndex folds appended files back, results intact") {
+    Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // ensure folded
+    val expected = Similarity.annIvfPqTrained(spark, cDir).collect()
+      .map(_.toSeq).toSet
+    val before = codeFiles("trained").length
+    Similarity.compactAnnIndex(spark, cDir, "trained")
+    val after = codeFiles("trained").length
+    assert(after < before,
+      s"appends left $before files; compaction must shrink that (got $after)")
+    assert(after <= Similarity.IvfCentroids)
+    assert(Similarity.annIvfPqTrained(spark, cDir).collect()
+      .map(_.toSeq).toSet === expected)
+  }
+}
