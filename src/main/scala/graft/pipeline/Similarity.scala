@@ -735,9 +735,26 @@ object Similarity {
         (residualCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)), true)
     }
 
+  /** ADC search of the stored `kind` index for ARBITRARY query vectors
+    * — the serving API of the persisted IVF+PQ index (everything the
+    * protocol-probed ann_ivfpq* queries run, with the probe side
+    * swapped for the caller's (vec_id, embedding) frame): route each
+    * query to its IvfNProbe lists, scan only those partitions, rank by
+    * asymmetric code distance. Output (probe_id = query vec_id, rank,
+    * vec_id, adist). A query whose vec_id collides with a corpus id
+    * skips that one candidate (the protocol's self-exclusion) — callers
+    * ingesting via [[appendAnnToIndex]] get exactly
+    * "my neighbors among everything indexed before me". */
+  def annSearch(spark: SparkSession, dir: String, queries: DataFrame,
+      kind: String = "trained"): DataFrame =
+    ivfPqRanked(spark, dir, kind, probesOpt = Some(
+      normedOfBatch(queries).select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pn"))))
+
   private[pipeline] def ivfPqRanked(spark: SparkSession, dir: String,
-      kind: String, useStored: Boolean = true): DataFrame =
-    ivfPqScored(spark, dir, kind, useStored).groupBy(col("probe_id"))
+      kind: String, useStored: Boolean = true,
+      probesOpt: Option[DataFrame] = None): DataFrame =
+    ivfPqScored(spark, dir, kind, useStored, probesOpt).groupBy(col("probe_id"))
       .agg(graft.functions.TopK.top_k(-col("adist"), col("vec_id"), TopK).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "e")))
       .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
@@ -908,16 +925,24 @@ object Similarity {
         .select(col("vec_id"), col("codes"), col("cent_id"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .insertInto(annCodeName(spark, dir, kind))
+      // refresh THIS session's relation cache explicitly: when the
+      // batch frame belongs to a foreachBatch CLONE session (AnnStream),
+      // the insert executes under the clone and only invalidates the
+      // clone's cache — the caller's session would keep serving the
+      // pre-fold file listing and silently miss every appended vector
+      spark.catalog.refreshTable(annCodeName(spark, dir, kind))
       val vt = annStreamVecsTable(spark, dir)
       val freshVecIds = fresh.select(col("vec_id"))
         .join(vt.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .as[Long].collect().toSeq
-      if (freshVecIds.nonEmpty)
+      if (freshVecIds.nonEmpty) {
         graft.sources.TableIO.appendBucketed(
           fresh.join(broadcast(freshVecIds.toDF("vec_id")), "vec_id")
             .select(col("vec_id"), col("v"), col("nrm")),
           semTableName(spark, dir, "graft_annvecs_"),
           Seq("vec_id"), Dedup.IndexBuckets)
+        spark.catalog.refreshTable(semTableName(spark, dir, "graft_annvecs_"))
+      }
     }
     freshIdSeq.length.toLong
   }
@@ -929,6 +954,16 @@ object Similarity {
     * overwrite a table it is reading), then rewrites through the same
     * one-task-per-list clustering as the original build. Returns the
     * post-compaction data-file count. */
+  /** [[compactAnnIndex]] iff the `kind` table exists — the
+    * (re)start-maintenance guard of streaming.AnnStream: a first-ever
+    * start has nothing to compact (the base build lands one file per
+    * list already). */
+  private[graft] def compactAnnIndexIfPresent(spark: SparkSession,
+      dir: String, kind: String): Int =
+    if (spark.catalog.tableExists(annCodeName(spark, dir, kind)))
+      compactAnnIndex(spark, dir, kind)
+    else 0
+
   private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
       kind: String): Int = {
     val tbl = annCodeName(spark, dir, kind)
@@ -958,13 +993,17 @@ object Similarity {
     * `useStored = false` seam makes AnnIndexSpec compare the stored
     * arm against a fresh in-session encode. */
   private def ivfPqScored(spark: SparkSession, dir: String,
-      kind: String, useStored: Boolean = true): DataFrame = {
+      kind: String, useStored: Boolean = true,
+      probesOpt: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
     val all = normedVecs(spark, dir)
     val cents = centsDf(spark, dir, centsOpt)
-    val probes = all.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    // probe frame contract: (probe_id, pv, pn). Default = the bench
+    // protocol's first-NumProbes corpus vectors; [[annSearch]] passes
+    // arbitrary query vectors through the same plan.
+    val probes = probesOpt.getOrElse(all.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn")))
     val probeBuckets = probes.crossJoin(broadcast(cents))
       .withColumn("pcos",
         Num.roundEps(dot("cv", "pv") / (col("cn") * col("pn")), 6))
