@@ -909,8 +909,16 @@ object Similarity {
     import spark.implicits._
     val stored = codeTable(spark, dir, kind) // first touch builds + trains
     val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    // "already indexed" via a broadcast SEMI probe of the stored table
+    // (one map-side pass over the corpus-scale codes, no shuffle), then
+    // the anti against that batch-bounded set — the appendSemToIndex
+    // discipline; a bare left_anti would put the stored table on the
+    // join's build side and reshuffle the whole index every micro-batch
+    val batchIds = broadcast(batchVecs.select(col("vec_id")).distinct())
+    val known = stored.select(col("vec_id")).join(batchIds, "vec_id")
+      .distinct()
     val freshIdSeq = batchVecs.select(col("vec_id")).distinct()
-      .join(stored.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(broadcast(known), Seq("vec_id"), "left_anti")
       .as[Long].collect().toSeq
     if (freshIdSeq.nonEmpty) {
       val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
@@ -932,8 +940,10 @@ object Similarity {
       // pre-fold file listing and silently miss every appended vector
       spark.catalog.refreshTable(annCodeName(spark, dir, kind))
       val vt = annStreamVecsTable(spark, dir)
+      val knownVec = vt.select(col("vec_id"))
+        .join(broadcast(fresh.select(col("vec_id"))), "vec_id").distinct()
       val freshVecIds = fresh.select(col("vec_id"))
-        .join(vt.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(knownVec), Seq("vec_id"), "left_anti")
         .as[Long].collect().toSeq
       if (freshVecIds.nonEmpty) {
         graft.sources.TableIO.appendBucketed(
