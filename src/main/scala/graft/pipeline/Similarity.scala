@@ -974,6 +974,18 @@ object Similarity {
       compactAnnIndex(spark, dir, kind)
     else 0
 
+  /** Compact the raw-vector extension table iff any fold ever created
+    * it — the annvecs half of AnnStream's restart maintenance (each
+    * fold appends ≤1 file per bucket there too). */
+  private[graft] def compactAnnVecsIfPresent(spark: SparkSession,
+      dir: String): Int = {
+    val tbl = semTableName(spark, dir, "graft_annvecs_")
+    if (spark.catalog.tableExists(tbl))
+      graft.sources.TableIO.compactBucketed(spark, tbl,
+        Seq("vec_id"), Dedup.IndexBuckets)
+    else 0
+  }
+
   private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
       kind: String): Int = {
     val tbl = annCodeName(spark, dir, kind)

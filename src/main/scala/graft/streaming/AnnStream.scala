@@ -61,8 +61,11 @@ object AnnStream {
       sinkPath: String, checkpoint: String,
       kinds: Seq[String] = Seq("trained"),
       compactOnStart: Boolean = true): StreamingQuery = {
-    if (compactOnStart) kinds.foreach { k =>
-      graft.pipeline.Similarity.compactAnnIndexIfPresent(spark, dir, k)
+    if (compactOnStart) {
+      kinds.foreach { k =>
+        graft.pipeline.Similarity.compactAnnIndexIfPresent(spark, dir, k)
+      }
+      graft.pipeline.Similarity.compactAnnVecsIfPresent(spark, dir)
     }
     vecs.writeStream
       .outputMode("append")
