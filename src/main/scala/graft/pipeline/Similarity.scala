@@ -904,21 +904,29 @@ object Similarity {
     * same batch adds codes only). Batch ids are pinned on the DRIVER
     * before any write (micro-batch scale; the eager-anti-join lesson of
     * appendSemToIndex). Returns code rows actually appended. */
+  /** Batch ids NOT yet in the stored code table — "already indexed"
+    * via a broadcast SEMI probe of the stored table (one map-side pass
+    * over the corpus-scale codes, no shuffle), then the anti against
+    * that batch-bounded set — the appendSemToIndex discipline; a bare
+    * left_anti would put the stored table on the join's build side and
+    * reshuffle the whole index every micro-batch. Factored out so
+    * AnnAppendSpec can pin the plan shape (broadcast joins only, zero
+    * Exchange on the index side). */
+  private[graft] def annFreshIds(spark: SparkSession,
+      batchVecs: DataFrame, stored: DataFrame): DataFrame = {
+    val batchIds = broadcast(batchVecs.select(col("vec_id")).distinct())
+    val known = stored.select(col("vec_id")).join(batchIds, "vec_id")
+      .distinct()
+    batchVecs.select(col("vec_id")).distinct()
+      .join(broadcast(known), Seq("vec_id"), "left_anti")
+  }
+
   private[graft] def appendAnnToIndex(spark: SparkSession, dir: String,
       batchVecs: DataFrame, kind: String): Long = {
     import spark.implicits._
     val stored = codeTable(spark, dir, kind) // first touch builds + trains
     val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
-    // "already indexed" via a broadcast SEMI probe of the stored table
-    // (one map-side pass over the corpus-scale codes, no shuffle), then
-    // the anti against that batch-bounded set — the appendSemToIndex
-    // discipline; a bare left_anti would put the stored table on the
-    // join's build side and reshuffle the whole index every micro-batch
-    val batchIds = broadcast(batchVecs.select(col("vec_id")).distinct())
-    val known = stored.select(col("vec_id")).join(batchIds, "vec_id")
-      .distinct()
-    val freshIdSeq = batchVecs.select(col("vec_id")).distinct()
-      .join(broadcast(known), Seq("vec_id"), "left_anti")
+    val freshIdSeq = annFreshIds(spark, batchVecs, stored)
       .as[Long].collect().toSeq
     if (freshIdSeq.nonEmpty) {
       val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
@@ -940,10 +948,7 @@ object Similarity {
       // pre-fold file listing and silently miss every appended vector
       spark.catalog.refreshTable(annCodeName(spark, dir, kind))
       val vt = annStreamVecsTable(spark, dir)
-      val knownVec = vt.select(col("vec_id"))
-        .join(broadcast(fresh.select(col("vec_id"))), "vec_id").distinct()
-      val freshVecIds = fresh.select(col("vec_id"))
-        .join(broadcast(knownVec), Seq("vec_id"), "left_anti")
+      val freshVecIds = annFreshIds(spark, fresh, vt)
         .as[Long].collect().toSeq
       if (freshVecIds.nonEmpty) {
         graft.sources.TableIO.appendBucketed(

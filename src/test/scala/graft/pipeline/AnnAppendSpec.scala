@@ -123,6 +123,22 @@ class AnnAppendSpec extends SparkSpec {
     }
   }
 
+  test("the fresh-id probe broadcasts: zero Exchange on the index side") {
+    // force join-strategy honesty: without the explicit broadcasts the
+    // corpus-scale stored table would land on a shuffled build side
+    val stored = Similarity.annStreamVecsTable(spark, cDir) // any big frame
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.annFreshIds(spark, batch, stored)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"a fold probe must never reshuffle the stored index:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("compactAnnIndex folds appended files back, results intact") {
     Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // ensure folded
     val expected = Similarity.annIvfPqTrained(spark, cDir).collect()
