@@ -534,6 +534,25 @@ object Dedup {
       Seq("k"), IndexBuckets)
   }
 
+  /** Compact whichever of this corpus's dedup lake tables exist —
+    * the existence-guarded entry [[Maintenance.compactAll]] sweeps
+    * (an index family a deployment never built has nothing to
+    * compact). Returns the number of tables rewritten. */
+  private[graft] def compactDedupIfPresent(spark: SparkSession,
+      dir: String): Int = {
+    val specs = Seq(
+      ("graft_minhash_idx_", Seq("k")),
+      ("graft_shingles_", Seq("doc_id")),
+      ("graft_simhash_idx_", Seq("k")))
+    specs.count { case (prefix, cols) =>
+      val tbl = indexTableName(spark, dir, prefix)
+      val present = spark.catalog.tableExists(tbl)
+      if (present)
+        graft.sources.TableIO.compactBucketed(spark, tbl, cols, IndexBuckets)
+      present
+    }
+  }
+
   /** Incremental (delta-vs-corpus) fuzzy dedup — how a 100 TB lake
     * actually runs dedup: the STORED minhash posting table (a bucketed
     * lake table, [[minhashIndexTable]] — not a session cache) is the

@@ -991,6 +991,26 @@ object Similarity {
     else 0
   }
 
+  /** Compact whichever semantic-dedup lake tables exist — the
+    * assignment table and the streamed-vector extension both take ≤1
+    * new file per bucket on every [[appendSemToIndex]] fold (each
+    * SemanticStream restart is one), and nothing folded those files
+    * back until now. Returns the number of tables rewritten. */
+  private[graft] def compactSemIfPresent(spark: SparkSession,
+      dir: String): Int = {
+    val specs = Seq(
+      ("graft_sempost_", Seq("cent_id")),
+      ("graft_semvecs_", Seq("vec_id")))
+    specs.count { case (prefix, cols) =>
+      val tbl = semTableName(spark, dir, prefix)
+      val present = spark.catalog.tableExists(tbl)
+      if (present)
+        graft.sources.TableIO.compactBucketed(spark, tbl, cols,
+          Dedup.IndexBuckets)
+      present
+    }
+  }
+
   private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
       kind: String): Int = {
     val tbl = annCodeName(spark, dir, kind)
