@@ -56,6 +56,31 @@ object CrossJvmAnnMain {
         }
         dump("T", Similarity.annIvfPqTrained(spark, sfDir))
         dump("R", Similarity.annIvfPqResidual(spark, sfDir))
+
+      // encode-only maintenance from ANOTHER fresh JVM: fold a batch
+      // of probe-vector copies into the stored trained index — the
+      // require proves no retrain path opened (the sidecars and code
+      // table must already be in the catalog)
+      case "fold" =>
+        import org.apache.spark.sql.functions._
+        val names = spark.catalog.listTables().collect().map(_.name)
+        require(names.exists(_.startsWith("graft_anncodes_trained_")),
+          "fold JVM requires the previously-built index")
+        val batch = Similarity.normedOfBatch(
+          graft.Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") < Similarity.NumProbes)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val n = Similarity.appendAnnToIndex(spark, sfDir, batch, "trained")
+        println(s"XJVM FOLDED $n")
+
+      // and a FOURTH JVM serves the fold purely off the catalog: each
+      // probe must retrieve its appended exact copy
+      case "served" =>
+        val hits = Similarity.annIvfPqTrained(spark, sfDir).collect()
+          .map(r => (r.getLong(0), r.getLong(2))).toSet
+        val ok = (0L until Similarity.NumProbes)
+          .forall(p => hits((p, p + 1000000L)))
+        println(s"XJVM SERVED $ok")
     } finally spark.stop()
   }
 }

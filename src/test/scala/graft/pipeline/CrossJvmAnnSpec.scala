@@ -33,26 +33,30 @@ class CrossJvmAnnSpec extends SparkSpec {
     out.toSeq
   }
 
-  test("a brand-new JVM serves ADC search off the persisted index") {
-    val work = java.nio.file.Files.createTempDirectory("graft_xjvm_ann")
+  private lazy val work: String = {
+    val w = java.nio.file.Files.createTempDirectory("graft_xjvm_ann")
       .toFile.getAbsolutePath
+    new java.io.File(s"$w/tmp").mkdirs()
+    w
+  }
+
+  private def run(mode: String): (Int, Vector[String]) = {
     val javaBin = new java.io.File(
       sys.props("java.home"), "bin/java").getAbsolutePath
-    def run(mode: String): (Int, Vector[String]) = {
-      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx4g",
-        s"-Djava.io.tmpdir=$work/tmp",
-        s"-Dderby.stream.error.file=$work/derby.log",
-        "-Dspark.ui.enabled=false",
-        "-cp", sys.props("java.class.path"),
-        "graft.pipeline.CrossJvmAnnMain", mode, sfDir, work)
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val code = Process(cmd).!(ProcessLogger(
-        l => out.synchronized(out += l), _ => ()))
-      (code, out.toVector.filter(_.startsWith("XJVM ")))
-    }
-    new java.io.File(s"$work/tmp").mkdirs()
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g",
+      s"-Djava.io.tmpdir=$work/tmp",
+      s"-Dderby.stream.error.file=$work/derby.log",
+      "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.pipeline.CrossJvmAnnMain", mode, sfDir, work)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Process(cmd).!(ProcessLogger(
+      l => out.synchronized(out += l), _ => ()))
+    (code, out.toVector.filter(_.startsWith("XJVM ")))
+  }
 
+  test("a brand-new JVM serves ADC search off the persisted index") {
     val (c1, o1) = run("build")
     assert(c1 == 0, s"build JVM failed:\n${o1.mkString("\n")}")
     assert(o1.contains("XJVM BUILT"))
@@ -72,5 +76,18 @@ class CrossJvmAnnSpec extends SparkSpec {
     assert(expT.nonEmpty && expR.nonEmpty)
     assert(o2.filter(_.startsWith("XJVM ROW_T ")).toSet === expT)
     assert(o2.filter(_.startsWith("XJVM ROW_R ")).toSet === expR)
+  }
+
+  test("a fold from one fresh JVM is served by the next") {
+    // runs against the catalog the previous test built (declaration
+    // order): JVM 3 folds probe-vector copies encode-only, JVM 4 must
+    // retrieve every copy straight off the stored tables
+    val (c3, o3) = run("fold")
+    assert(c3 == 0, s"fold JVM failed:\n${o3.mkString("\n")}")
+    assert(o3.contains(s"XJVM FOLDED ${Similarity.NumProbes}"), o3.toString)
+
+    val (c4, o4) = run("served")
+    assert(c4 == 0, s"served JVM failed:\n${o4.mkString("\n")}")
+    assert(o4.contains("XJVM SERVED true"), o4.toString)
   }
 }
