@@ -459,30 +459,38 @@ object Dedup {
     val minhashTbl = indexTableName(spark, dir, "graft_minhash_idx_")
     // ensure both tables exist before appending (first ingest into a
     // fresh corpus creates them from the corpus itself)
-    val storedIds = shingleIndexTable(spark, dir).select(col("doc_id"))
-    minhashIndexTable(spark, dir)
+    val storedShIds = shingleIndexTable(spark, dir).select(col("doc_id"))
+    val storedMhIds = minhashIndexTable(spark, dir).select(col("doc_id"))
     val batchIds = broadcast(batchSh.select(col("doc_id")))
-    val known = storedIds.join(batchIds, "doc_id").distinct()
-    // pin the fresh id list on the DRIVER (bounded: batch scale)
-    // before any append lands — a lazy/persisted anti-join could
-    // RE-EVALUATE against the already-appended table between the two
-    // appends (cache eviction), see its own docs as "known", and
-    // silently skip the second write, leaving the index inconsistent
+    // EACH table's fresh list is keyed on that table's OWN ids, and
+    // both are pinned on the DRIVER (bounded: batch scale) before any
+    // append lands. Two invariants ride on this: (a) a lazy/persisted
+    // anti-join could RE-EVALUATE against the already-appended table
+    // between the two appends (cache eviction), see its own docs as
+    // "known", and silently skip the second write; (b) a crash BETWEEN
+    // the appends must heal on replay — a single shared list keyed on
+    // the landed table would skip the missing one forever, keyed on
+    // the missing table it would duplicate the landed one.
     import spark.implicits._
-    val freshIdSeq = batchSh.select(col("doc_id"))
-      .join(broadcast(known), Seq("doc_id"), "left_anti")
-      .as[Long].collect().toSeq
-    val n = freshIdSeq.length.toLong
-    if (n > 0) {
-      val freshIds = broadcast(freshIdSeq.toDF("doc_id"))
-      val fresh = batchSh.join(freshIds, "doc_id")
+    def freshOf(stored: DataFrame): Seq[Long] =
+      batchSh.select(col("doc_id"))
+        .join(broadcast(stored.join(batchIds, "doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+        .as[Long].collect().toSeq
+    val freshMh = freshOf(storedMhIds)
+    val freshSh = freshOf(storedShIds)
+    if (freshMh.nonEmpty)
       graft.sources.TableIO.appendBucketed(
-        postingsOf(fresh), minhashTbl, Seq("k"), IndexBuckets)
+        postingsOf(batchSh.join(broadcast(freshMh.toDF("doc_id")), "doc_id")),
+        minhashTbl, Seq("k"), IndexBuckets)
+    if (freshSh.nonEmpty)
       graft.sources.TableIO.appendBucketed(
-        fresh.select(col("doc_id"), col("hs")),
+        batchSh.join(broadcast(freshSh.toDF("doc_id")), "doc_id")
+          .select(col("doc_id"), col("hs")),
         shingleTbl, Seq("doc_id"), IndexBuckets)
-    }
-    n
+    // docs brought fully up to date by THIS call (max: a healing
+    // replay that only backfills one table still did that table's work)
+    math.max(freshMh.length, freshSh.length).toLong
   }
 
   /** Nightly compaction of the stored index tables: fold the files

@@ -926,7 +926,16 @@ object Similarity {
     import spark.implicits._
     val stored = codeTable(spark, dir, kind) // first touch builds + trains
     val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    // BOTH fresh lists are keyed on their own target table and pinned
+    // on the driver before any append lands: a crash between the code
+    // and vector appends heals on replay (the landed table appends
+    // nothing, the missing one catches up) — keying the vector append
+    // on the code table, as the first cut did, would skip it forever
+    // after such a crash and silently shrink every refine shortlist.
     val freshIdSeq = annFreshIds(spark, batchVecs, stored)
+      .as[Long].collect().toSeq
+    val vt = annStreamVecsTable(spark, dir)
+    val freshVecIds = annFreshIds(spark, batchVecs, vt)
       .as[Long].collect().toSeq
     if (freshIdSeq.nonEmpty) {
       val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
@@ -947,17 +956,14 @@ object Similarity {
       // clone's cache — the caller's session would keep serving the
       // pre-fold file listing and silently miss every appended vector
       spark.catalog.refreshTable(annCodeName(spark, dir, kind))
-      val vt = annStreamVecsTable(spark, dir)
-      val freshVecIds = annFreshIds(spark, fresh, vt)
-        .as[Long].collect().toSeq
-      if (freshVecIds.nonEmpty) {
-        graft.sources.TableIO.appendBucketed(
-          fresh.join(broadcast(freshVecIds.toDF("vec_id")), "vec_id")
-            .select(col("vec_id"), col("v"), col("nrm")),
-          semTableName(spark, dir, "graft_annvecs_"),
-          Seq("vec_id"), Dedup.IndexBuckets)
-        spark.catalog.refreshTable(semTableName(spark, dir, "graft_annvecs_"))
-      }
+    }
+    if (freshVecIds.nonEmpty) {
+      graft.sources.TableIO.appendBucketed(
+        batchVecs.join(broadcast(freshVecIds.toDF("vec_id")), "vec_id")
+          .select(col("vec_id"), col("v"), col("nrm")),
+        semTableName(spark, dir, "graft_annvecs_"),
+        Seq("vec_id"), Dedup.IndexBuckets)
+      spark.catalog.refreshTable(semTableName(spark, dir, "graft_annvecs_"))
     }
     freshIdSeq.length.toLong
   }
@@ -1334,36 +1340,40 @@ object Similarity {
     * number of vectors actually appended. */
   private[graft] def appendSemToIndex(spark: SparkSession, dir: String,
       batchPost: DataFrame, batchVecs: DataFrame): Long = {
-    val storedIds = semPostingTable(spark, dir, Dedup.BroadcastVerifyBytes)
+    val storedPostIds = semPostingTable(spark, dir, Dedup.BroadcastVerifyBytes)
       .select(col("vec_id"))
-    val vecsTbl = semStreamVecsTable(spark, dir)
+    val storedVecIds = semStreamVecsTable(spark, dir).select(col("vec_id"))
     val batchIds = broadcast(batchVecs.select(col("vec_id")).distinct())
-    val known = storedIds.join(batchIds, "vec_id")
-      .unionByName(vecsTbl.select(col("vec_id")).join(batchIds, "vec_id"))
-      .distinct()
-    // pin the fresh id list on the DRIVER (bounded: micro-batch scale)
-    // before any append lands — a lazy anti-join would RE-EVALUATE
-    // against the already-appended table when the second append runs,
-    // see its own docs as "known", and silently write nothing
+    // EACH table's fresh list is keyed on that table's OWN ids, both
+    // pinned on the DRIVER (bounded: micro-batch scale) before any
+    // append lands — (a) a lazy anti-join would RE-EVALUATE against
+    // the already-appended table when the second append runs, see its
+    // own docs as "known", and silently write nothing; (b) a crash
+    // BETWEEN the appends must heal on replay — the old shared list
+    // (keyed on the union) marked a posting-landed/vector-missing doc
+    // as known forever, permanently dropping its pairs from the
+    // verification join.
     import spark.implicits._
-    val freshIdSeq = batchVecs.select(col("vec_id"))
-      .join(broadcast(known), Seq("vec_id"), "left_anti")
-      .as[Long].collect().toSeq
-    val n = freshIdSeq.length.toLong
-    if (n > 0) {
-      val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
+    def freshOf(stored: DataFrame): Seq[Long] =
+      batchVecs.select(col("vec_id")).distinct()
+        .join(broadcast(stored.join(batchIds, "vec_id").distinct()),
+          Seq("vec_id"), "left_anti")
+        .as[Long].collect().toSeq
+    val freshPost = freshOf(storedPostIds)
+    val freshVecs = freshOf(storedVecIds)
+    if (freshPost.nonEmpty)
       graft.sources.TableIO.appendBucketed(
-        batchPost.join(freshIds, "vec_id")
+        batchPost.join(broadcast(freshPost.toDF("vec_id")), "vec_id")
           .select(col("vec_id"), col("cent_id")),
         semTableName(spark, dir, "graft_sempost_"),
         Seq("cent_id"), Dedup.IndexBuckets)
+    if (freshVecs.nonEmpty)
       graft.sources.TableIO.appendBucketed(
-        batchVecs.join(freshIds, "vec_id")
+        batchVecs.join(broadcast(freshVecs.toDF("vec_id")), "vec_id")
           .select(col("vec_id"), col("v"), col("nrm")),
         semTableName(spark, dir, "graft_semvecs_"),
         Seq("vec_id"), Dedup.IndexBuckets)
-    }
-    n
+    math.max(freshPost.length, freshVecs.length).toLong
   }
 
   /** Top-p centroid ids of `v` against a packed centroid matrix, by

@@ -139,6 +139,32 @@ class AnnAppendSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a torn fold (codes landed, vectors lost) heals on replay") {
+    Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // ensure folded
+    // simulate the crash window between the two appends: the code
+    // table kept the batch, the vector extension never landed
+    val vtName = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_annvecs_"))
+      .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(vtName)).location
+    spark.sql(s"DROP TABLE $vtName")
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    // replay: no codes re-append (0 returned), the extension backfills
+    assert(Similarity.appendAnnToIndex(spark, cDir, batch, "trained") === 0L)
+    assert(Similarity.annStreamVecsTable(spark, cDir).count()
+      === Similarity.NumProbes.toLong)
+    // and the refine arm serves the batch again off the healed table
+    val top1 = Similarity.annIvfPqRefine(spark, cDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    (0L until Similarity.NumProbes).foreach { p =>
+      assert(top1.contains((p, p + Off, 1.0)))
+    }
+  }
+
   test("compactAnnIndex folds appended files back, results intact") {
     Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // ensure folded
     val expected = Similarity.annIvfPqTrained(spark, cDir).collect()

@@ -94,6 +94,34 @@ class IndexAppendSpec extends SparkSpec {
     assert(Dedup.shingleIndexTable(spark, cDir).count() === shCount)
   }
 
+  test("a torn two-table append heals on replay without duplicating postings") {
+    val day1 = dayBatch(Day1Off)
+    val day2 = dayBatch(Day2Off)
+    Dedup.appendToIndex(spark, cDir, day1)
+    Dedup.appendToIndex(spark, cDir, day2)
+    val expected = pairs(Dedup.deltaPairs(spark, cDir, day2))
+    val postCount = Dedup.minhashIndexTable(spark, cDir).count()
+
+    // simulate the crash window: postings landed, shingles lost — the
+    // worst case, since the rebuilt shingle table only knows the corpus
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_shingles_"))
+      .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+    spark.sql(s"DROP TABLE $tbl")
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    // replays backfill ONLY the missing side: shingles return, the
+    // posting table is not touched (no duplicates)
+    val day1Ids = day1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Dedup.appendToIndex(spark, cDir, day1) === day1Ids.size.toLong)
+    Dedup.appendToIndex(spark, cDir, day2)
+    assert(Dedup.minhashIndexTable(spark, cDir).count() === postCount)
+    assert(pairs(Dedup.deltaPairs(spark, cDir, day2)) === expected)
+  }
+
   test("compactIndex folds appended files to one per bucket, results intact") {
     val day1 = dayBatch(Day1Off)
     val day2 = dayBatch(Day2Off)
