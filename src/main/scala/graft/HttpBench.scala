@@ -112,7 +112,12 @@ object HttpBench {
           } finally done.countDown()
         }
       }
-      done.await(30, TimeUnit.MINUTES)
+      // a timed-out latch means a hung server: fail loudly instead of
+      // returning a bogus wall-clock while stragglers leak into the
+      // next pass's measurement
+      require(done.await(30, TimeUnit.MINUTES),
+        s"request loop hung: ${ok.get()}/$n ok after 30 min; " +
+          s"sample failure: ${failSample.get()}")
       pool.shutdown()
       ((System.nanoTime() - t0) / 1e9, ok.get())
     }

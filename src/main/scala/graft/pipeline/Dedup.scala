@@ -398,8 +398,13 @@ object Dedup {
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
-      graft.sources.TableIO.writeBucketed(
-        shingleArrays(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
+      // recoverBucketed first: a compaction that crashed in its drop
+      // window left a staging snapshot holding corpus + folds, which a
+      // fresh corpus rebuild would silently lose
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("doc_id"), IndexBuckets))
+        graft.sources.TableIO.writeBucketed(
+          shingleArrays(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
     }
     spark.table(tbl)
   }
@@ -418,8 +423,10 @@ object Dedup {
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
-      graft.sources.TableIO.writeBucketed(
-        minhashPostings(spark, dir), tbl, path, Seq("k"), IndexBuckets)
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("k"), IndexBuckets))
+        graft.sources.TableIO.writeBucketed(
+          minhashPostings(spark, dir), tbl, path, Seq("k"), IndexBuckets)
     }
     spark.table(tbl)
   }
@@ -720,9 +727,11 @@ object Dedup {
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
-      graft.sources.TableIO.writeBucketed(
-        simhashPostingsOfDocs(simhashSigs(spark, dir)), tbl, path,
-        Seq("k"), IndexBuckets)
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("k"), IndexBuckets))
+        graft.sources.TableIO.writeBucketed(
+          simhashPostingsOfDocs(simhashSigs(spark, dir)), tbl, path,
+          Seq("k"), IndexBuckets)
     }
     spark.table(tbl)
   }

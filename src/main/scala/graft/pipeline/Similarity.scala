@@ -733,6 +733,8 @@ object Similarity {
         (trainedCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)), false)
       case "residual" =>
         (residualCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)), true)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN index kind '$other' — supported: md5, trained, residual")
     }
 
   /** ADC search of the stored `kind` index for ARBITRARY query vectors
@@ -747,8 +749,16 @@ object Similarity {
     * "my neighbors among everything indexed before me". */
   def annSearch(spark: SparkSession, dir: String, queries: DataFrame,
       kind: String = "trained"): DataFrame =
+    annSearchNormed(spark, dir, normedOfBatch(queries), kind)
+
+  /** [[annSearch]] over an ALREADY-normed (vec_id, v, nrm) frame —
+    * AnnStream's hot path reuses its persisted batch frame here
+    * instead of re-running the cast+norm kernel inside the search
+    * plan (the probe frame is referenced three times in ivfPqScored). */
+  private[graft] def annSearchNormed(spark: SparkSession, dir: String,
+      queryVecs: DataFrame, kind: String = "trained"): DataFrame =
     ivfPqRanked(spark, dir, kind, probesOpt = Some(
-      normedOfBatch(queries).select(col("vec_id").as("probe_id"),
+      queryVecs.select(col("vec_id").as("probe_id"),
         col("v").as("pv"), col("nrm").as("pn"))))
 
   private[pipeline] def ivfPqRanked(spark: SparkSession, dir: String,
@@ -835,17 +845,18 @@ object Similarity {
     * per-session training + encode topped the sf10 bench). */
   private[pipeline] def codeTable(spark: SparkSession, dir: String,
       kind: String): DataFrame = {
-    val tbl = "graft_anncodes_" + kind + "_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + embFingerprint(spark, dir)
+    val tbl = annCodeName(spark, dir, kind)
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
-      // one task per inverted list → one file per partition directory
-      buildCodeTable(spark, dir, kind)
-        .repartition(IvfCentroids, col("cent_id"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").partitionBy("cent_id")
-        .option("path", path).saveAsTable(tbl)
+      // recover from a crashed compaction's staging first (the snapshot
+      // holds corpus codes + folds); else build — one task per inverted
+      // list → one file per partition directory
+      if (!graft.sources.TableIO.recoverPartitioned(spark, tbl, path,
+          Seq("cent_id"), IvfCentroids))
+        graft.sources.TableIO.writePartitionedTable(
+          buildCodeTable(spark, dir, kind), tbl, path,
+          Seq("cent_id"), IvfCentroids)
     }
     spark.table(tbl)
   }
@@ -870,26 +881,8 @@ object Similarity {
   }
 
   private[graft] def annStreamVecsTable(spark: SparkSession,
-      dir: String): DataFrame = {
-    val tbl = semTableName(spark, dir, "graft_annvecs_")
-    if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)),
-          org.apache.spark.sql.types.StructField("nrm",
-            org.apache.spark.sql.types.DoubleType))))
-      graft.sources.TableIO.writeBucketed(
-        empty, tbl, path, Seq("vec_id"), Dedup.IndexBuckets)
-    }
-    spark.table(tbl)
-  }
+      dir: String): DataFrame =
+    vecsExtensionTable(spark, dir, "graft_annvecs_")
 
   /** Fold a batch of NEW vectors into the persisted ANN index for
     * `kind` — ENCODE-ONLY maintenance, the production ingest of an IVF
@@ -1017,27 +1010,18 @@ object Similarity {
     }
   }
 
+  /** Rewrite the `kind` code table back to ONE file per inverted list —
+    * the nightly maintenance pass after N [[appendAnnToIndex]] folds
+    * (each fold adds ≤1 file per touched list; file count is the scan
+    * bottleneck at 100 TB). TableIO.compactPartitioned owns the
+    * stage-out/rewrite/delete protocol, and recoverPartitioned in
+    * [[codeTable]] heals its crash window. Returns the ACTUAL
+    * post-compaction data-file count — one per NON-EMPTY list, so a
+    * corpus populating 11 of 16 lists compacts to 11 files. */
   private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
-      kind: String): Int = {
-    val tbl = annCodeName(spark, dir, kind)
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-    val path = meta.location.toString
-    val schema = spark.table(tbl).schema
-    val staging = path.stripSuffix("/") + "_compact_staging"
-    spark.table(tbl).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    spark.read.schema(schema).parquet(staging)
-      .repartition(IvfCentroids, col("cent_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").partitionBy("cent_id")
-      .option("path", path).saveAsTable(tbl)
-    val sPath = new org.apache.hadoop.fs.Path(staging)
-    sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sPath, true)
-    spark.catalog.refreshTable(tbl)
-    IvfCentroids
-  }
+      kind: String): Int =
+    graft.sources.TableIO.compactPartitioned(spark,
+      annCodeName(spark, dir, kind), Seq("cent_id"), IvfCentroids)
 
   /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
     * kernel of annIvfPq / annIvfPqTrained / annIvfPqResidual (pure ADC
@@ -1281,9 +1265,13 @@ object Similarity {
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
-      graft.sources.TableIO.writeBucketed(
-        buildSemPosting(spark, dir, broadcastBound), tbl, path,
-        Seq("cent_id"), Dedup.IndexBuckets)
+      // recoverBucketed first: a compaction crash in the drop window
+      // left a staging snapshot holding corpus assignments + folds
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("cent_id"), Dedup.IndexBuckets))
+        graft.sources.TableIO.writeBucketed(
+          buildSemPosting(spark, dir, broadcastBound), tbl, path,
+          Seq("cent_id"), Dedup.IndexBuckets)
     }
     spark.table(tbl)
   }
@@ -1311,22 +1299,36 @@ object Similarity {
 
   private[graft] def semStreamVecsTable(spark: SparkSession,
       dir: String): DataFrame = {
-    val tbl = semTableName(spark, dir, "graft_semvecs_")
+    vecsExtensionTable(spark, dir, "graft_semvecs_")
+  }
+
+  /** Shared creator for the (vec_id, v, nrm) extension tables — the
+    * semantic fold's streamed vectors and the ANN fold's refine-side
+    * vectors share one schema and one bucketing (vec_id, the
+    * verification/refine join key); created empty on first touch so
+    * the fold paths are uniform, staging-recovered first like every
+    * other index table. */
+  private def vecsExtensionTable(spark: SparkSession, dir: String,
+      prefix: String): DataFrame = {
+    val tbl = semTableName(spark, dir, prefix)
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)),
-          org.apache.spark.sql.types.StructField("nrm",
-            org.apache.spark.sql.types.DoubleType))))
-      graft.sources.TableIO.writeBucketed(
-        empty, tbl, path, Seq("vec_id"), Dedup.IndexBuckets)
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("vec_id"), Dedup.IndexBuckets)) {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)),
+            org.apache.spark.sql.types.StructField("nrm",
+              org.apache.spark.sql.types.DoubleType))))
+        graft.sources.TableIO.writeBucketed(
+          empty, tbl, path, Seq("vec_id"), Dedup.IndexBuckets)
+      }
     }
     spark.table(tbl)
   }

@@ -109,6 +109,97 @@ object TableIO {
       .saveAsTable(table)
   }
 
+  private def stagingOf(path: String): String =
+    path.stripSuffix("/") + "_compact_staging"
+
+  /** Crash-recovery guard for first-touch table creation: a
+    * compaction that died in its drop window (the rewrite's
+    * SaveMode.Overwrite drops the table before the new files commit)
+    * leaves the table ABSENT but its staging directory COMPLETE — and
+    * the staging holds the corpus-built rows PLUS every appended fold,
+    * which a fresh corpus rebuild would silently lose. Callers probe
+    * this before regenerating: returns true iff the table was restored
+    * from staging (staging is only ever deleted AFTER a rewrite
+    * commits, so an existing staging with a missing table is always a
+    * complete pre-compaction snapshot). */
+  def recoverBucketed(spark: SparkSession, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Boolean = {
+    val sPath = new org.apache.hadoop.fs.Path(stagingOf(path))
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sPath)) false
+    else {
+      writeBucketed(spark.read.parquet(stagingOf(path)), table, path,
+        bucketCols, numBuckets, sortCols)
+      fs.delete(sPath, true)
+      true
+    }
+  }
+
+  /** [[recoverBucketed]] for a PARTITIONED table (the ANN code-table
+    * layout). */
+  def recoverPartitioned(spark: SparkSession, table: String, path: String,
+      partCols: Seq[String], numTasks: Int): Boolean = {
+    val sPath = new org.apache.hadoop.fs.Path(stagingOf(path))
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sPath)) false
+    else {
+      writePartitionedTable(spark.read.parquet(stagingOf(path)), table,
+        path, partCols, numTasks)
+      fs.delete(sPath, true)
+      true
+    }
+  }
+
+  /** The partitioned-table write discipline shared by the ANN code
+    * table's build, recovery, and compaction: hash-cluster on the
+    * partition columns so each value lands in ONE task = one file per
+    * partition directory. */
+  def writePartitionedTable(df: DataFrame, table: String, path: String,
+      partCols: Seq[String], numTasks: Int): Unit =
+    df.repartition(numTasks,
+        partCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(partCols: _*)
+      .option("path", path).saveAsTable(table)
+
+  /** Count a table directory's DATA files (the hidden-segment filter
+    * of [[compact]]) — what compaction actually promises callers. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0
+    val it = fs.listFiles(hPath, true)
+    val root = fs.makeQualified(hPath).toString
+    var n = 0
+    while (it.hasNext) {
+      val rel = it.next().getPath.toString.stripPrefix(root).stripPrefix("/")
+      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        n += 1
+    }
+    n
+  }
+
+  /** [[compactBucketed]] for a PARTITIONED catalog table: stage out,
+    * rewrite one-file-per-partition-value, delete staging, refresh.
+    * Returns the actual post-compaction data-file count. */
+  def compactPartitioned(spark: SparkSession, table: String,
+      partCols: Seq[String], numTasks: Int): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val path = meta.location.toString
+    val schema = spark.table(table).schema
+    val staging = stagingOf(path)
+    spark.table(table).write.mode(SaveMode.Overwrite).parquet(staging)
+    writePartitionedTable(spark.read.schema(schema).parquet(staging),
+      table, path, partCols, numTasks)
+    val sPath = new org.apache.hadoop.fs.Path(staging)
+    sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sPath, true)
+    spark.catalog.refreshTable(table)
+    dataFileCount(spark, path)
+  }
+
   /** Rewrite a bucketed catalog table back to ONE file per bucket —
     * the compaction half of the append workflow: N daily
     * [[appendBucketed]] runs leave N files per bucket, and file count
@@ -127,7 +218,7 @@ object TableIO {
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val path = meta.location.toString
     val schema = spark.table(table).schema
-    val staging = path.stripSuffix("/") + "_compact_staging"
+    val staging = stagingOf(path)
     spark.table(table).write.mode(SaveMode.Overwrite).parquet(staging)
     writeBucketed(spark.read.schema(schema).parquet(staging),
       table, path, bucketCols, numBuckets, sortCols)

@@ -42,7 +42,7 @@ object AnnStream {
       kinds.foreach { k =>
         graft.pipeline.Similarity.appendAnnToIndex(spark, dir, batchVecs, k)
       }
-      graft.pipeline.Similarity.annSearch(spark, dir, batch, kinds.head)
+      graft.pipeline.Similarity.annSearchNormed(spark, dir, batchVecs, kinds.head)
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

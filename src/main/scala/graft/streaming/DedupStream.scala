@@ -57,23 +57,7 @@ object DedupStream {
     StructField("doc_id", LongType),
     StructField("hs", ArrayType(LongType))))
 
-  private def sideRead(spark: SparkSession, path: String,
-      schema: StructType, batchId: Long): DataFrame =
-    if (new java.io.File(path).exists())
-      spark.read.schema(schema.add("batch_id", LongType))
-        .option("basePath", path).parquet(path)
-        .filter(col("batch_id") < batchId)
-        .drop("batch_id")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
-
-  private def overwritePartition(df: DataFrame, batchId: Long,
-      path: String): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+  import SideTables.{overwritePartition, sideRead}
 
   /** One micro-batch of the continuous pass — factored out so the
     * replay-idempotency spec can re-run a batch_id directly and assert
@@ -131,17 +115,12 @@ object DedupStream {
       sinkPath: String): Long = {
     val shPath = sinkPath + "_idx_shingles"
     val postPath = sinkPath + "_idx_postings"
-    if (!new java.io.File(shPath).exists()) return 0L
-    val sideSh = spark.read.schema(ShingleSchema.add("batch_id", LongType))
-      .option("basePath", shPath).parquet(shPath).drop("batch_id")
+    if (!SideTables.exists(spark, shPath)) return 0L
+    val sideSh = SideTables.readAll(spark, shPath, ShingleSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = graft.pipeline.Dedup.appendShingles(spark, dir, sideSh)
-      Seq(shPath, postPath).foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(hp, true)
-      }
+      Seq(shPath, postPath).foreach(SideTables.delete(spark, _))
       n
     } finally sideSh.unpersist()
   }

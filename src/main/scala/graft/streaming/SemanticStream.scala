@@ -37,23 +37,7 @@ object SemanticStream {
     StructField("v", ArrayType(DoubleType)),
     StructField("nrm", DoubleType)))
 
-  private def sideRead(spark: SparkSession, path: String,
-      schema: StructType, batchId: Long): DataFrame =
-    if (new java.io.File(path).exists())
-      spark.read.schema(schema.add("batch_id", LongType))
-        .option("basePath", path).parquet(path)
-        .filter(col("batch_id") < batchId)
-        .drop("batch_id")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
-
-  private def overwritePartition(df: DataFrame, batchId: Long,
-      path: String): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+  import SideTables.{overwritePartition, sideRead}
 
   /** One micro-batch — deterministic given (corpus, prior side tables,
     * batch rows, batchId). `batch` carries (vec_id, embedding). */
@@ -110,20 +94,13 @@ object SemanticStream {
       sinkPath: String): Long = {
     val postPath = sinkPath + "_idx_postings"
     val vecPath = sinkPath + "_idx_vectors"
-    if (!new java.io.File(vecPath).exists()) return 0L
-    def readAll(path: String, schema: StructType): DataFrame =
-      spark.read.schema(schema.add("batch_id", LongType))
-        .option("basePath", path).parquet(path).drop("batch_id")
-    val sideVecs = readAll(vecPath, VecSchema)
+    if (!SideTables.exists(spark, vecPath)) return 0L
+    val sideVecs = SideTables.readAll(spark, vecPath, VecSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = graft.pipeline.Similarity.appendSemToIndex(spark, dir,
-        readAll(postPath, PostSchema), sideVecs)
-      Seq(postPath, vecPath).foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(hp, true)
-      }
+        SideTables.readAll(spark, postPath, PostSchema), sideVecs)
+      Seq(postPath, vecPath).foreach(SideTables.delete(spark, _))
       n
     } finally sideVecs.unpersist()
   }

@@ -38,23 +38,11 @@ object SimhashStream {
     StructField("k", LongType), StructField("doc_id", LongType),
     StructField("sim", LongType), StructField("t", LongType)))
 
+  import SideTables.overwritePartition
+
   private def sideRead(spark: SparkSession, path: String,
       batchId: Long): DataFrame =
-    if (new java.io.File(path).exists())
-      spark.read.schema(PostSchema.add("batch_id", LongType))
-        .option("basePath", path).parquet(path)
-        .filter(col("batch_id") < batchId)
-        .drop("batch_id")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], PostSchema)
-
-  private def overwritePartition(df: DataFrame, batchId: Long,
-      path: String): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+    SideTables.sideRead(spark, path, PostSchema, batchId)
 
   /** One micro-batch — deterministic given (corpus, prior side table,
     * batch rows, batchId); factored out for replay-idempotency specs. */
@@ -98,15 +86,12 @@ object SimhashStream {
   def foldSideIndex(spark: SparkSession, dir: String,
       sinkPath: String): Long = {
     val postPath = sinkPath + "_idx_postings"
-    if (!new java.io.File(postPath).exists()) return 0L
-    val side = spark.read.schema(PostSchema.add("batch_id", LongType))
-      .option("basePath", postPath).parquet(postPath).drop("batch_id")
+    if (!SideTables.exists(spark, postPath)) return 0L
+    val side = SideTables.readAll(spark, postPath, PostSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = graft.pipeline.Dedup.appendSimhashToIndex(spark, dir, side)
-      val hp = new org.apache.hadoop.fs.Path(postPath)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(hp, true)
+      SideTables.delete(spark, postPath)
       n
     } finally side.unpersist()
   }

@@ -165,8 +165,37 @@ class AnnAppendSpec extends SparkSpec {
     }
   }
 
+  test("a compaction crash in the code table's drop window recovers from staging") {
+    Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // ensure folded
+    val expected = Similarity.annIvfPqTrained(spark, cDir).collect()
+      .map(_.toSeq).toSet
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_anncodes_trained_"))
+      .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString
+
+    // simulate compactPartitioned dying in its drop window
+    spark.table(tbl).write.parquet(loc.stripSuffix("/") + "_compact_staging")
+    spark.sql(s"DROP TABLE $tbl")
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    // first touch must restore corpus codes + the fold from staging —
+    // a corpus-only rebuild would drop every (probe, probe+Off) hit
+    assert(Similarity.annIvfPqTrained(spark, cDir).collect()
+      .map(_.toSeq).toSet === expected)
+  }
+
   test("compactAnnIndex folds appended files back, results intact") {
     Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // ensure folded
+    // a SECOND batch guarantees fresh append files even after the
+    // recovery test restored the table in compacted form
+    Similarity.appendAnnToIndex(spark, cDir,
+      Similarity.normedOfBatch(
+        graft.Tables.embeddings(spark, cDir)
+          .filter(col("vec_id") < Similarity.NumProbes)
+          .withColumn("vec_id", col("vec_id") + 2 * Off)), "trained")
     val expected = Similarity.annIvfPqTrained(spark, cDir).collect()
       .map(_.toSeq).toSet
     val before = codeFiles("trained").length

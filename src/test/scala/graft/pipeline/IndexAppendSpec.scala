@@ -122,6 +122,31 @@ class IndexAppendSpec extends SparkSpec {
     assert(pairs(Dedup.deltaPairs(spark, cDir, day2)) === expected)
   }
 
+  test("a compaction crash in the drop window recovers from staging") {
+    val day1 = dayBatch(Day1Off)
+    Dedup.appendToIndex(spark, cDir, day1)
+    val expected = pairs(Dedup.deltaPairs(spark, cDir, dayBatch(Day2Off)))
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_shingles_"))
+      .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString
+    val rows = spark.table(tbl).count()
+
+    // simulate compactBucketed dying between its stage-out and the
+    // rewrite's commit: staging complete, table (catalog + files) gone
+    spark.table(tbl).write.parquet(loc.stripSuffix("/") + "_compact_staging")
+    spark.sql(s"DROP TABLE $tbl")
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    // first touch must restore corpus + day-1 folds from the staging,
+    // NOT rebuild corpus-only (which would silently lose the fold)
+    assert(Dedup.shingleIndexTable(spark, cDir).count() === rows)
+    assert(pairs(Dedup.deltaPairs(spark, cDir, dayBatch(Day2Off)))
+      === expected)
+  }
+
   test("compactIndex folds appended files to one per bucket, results intact") {
     val day1 = dayBatch(Day1Off)
     val day2 = dayBatch(Day2Off)
