@@ -112,6 +112,37 @@ object Multimodal {
         graft.Num.roundEps(col("mean_px"), 6).as("mean_px"))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint over the DECODED
+    * image — the image twin of the text fingerprint family and the
+    * standard cheap near-dup signal for image corpora (pHash's simpler
+    * sibling): bit i (row-major, MSB first) is set iff pixel i is
+    * brighter than the image mean. Container bytes never enter the
+    * hash, so re-encoded copies of one image collide — exactly the
+    * dedup property. Integer-exact throughout (px·16 > Σpx replaces
+    * the FP mean), so the oracle re-derives every bit in closed form.
+    * `n_dups` is the hash's bucket size — the group an image-dedup
+    * pass keeps-one-of (dedup_exact's shape, not pairwise); the
+    * size side is bounded by the hash space (≤ 2^16 values) and
+    * broadcast, so the join never shuffles the corpus. */
+  def imageHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = assets(spark, dir).mapPartitions(_.map { a =>
+      val px = Png.decode(a.payload).pixels.map(_ & 0xff)
+      val sum = px.sum
+      var h = 0L
+      var i = 0
+      while (i < px.length) {
+        h = (h << 1) | (if (px(i) * px.length > sum) 1L else 0L)
+        i += 1
+      }
+      (a.doc_id, h)
+    }).toDF("doc_id", "ahash")
+    val sizes = hashed.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_dups"))
+    hashed.join(broadcast(sizes), "ahash")
+      .select(col("doc_id"), col("ahash"), col("n_dups"))
+  }
+
   private val resizeSql = {
     // the same 2×2 block means, re-derived from the md5 hex: source
     // pixel (r, c) is byte r*4+c of the pixel content the PNG encodes
@@ -531,6 +562,21 @@ object Multimodal {
          |  FROM documents)""".stripMargin
     },
     "mm_frame_sample" -> frameSampleSql,
+    "mm_ahash" -> {
+      // every bit re-derived arithmetically: px·16 > Σpx, MSB first;
+      // h is referenced twice (rows + bucket sizes) → MATERIALIZED so
+      // DuckDB doesn't inline the 16-term expression per reference
+      val px = (0 until W * H)
+        .map(i => Portable.hexToLongSql("md5(text)", 1 + 2 * i, 2))
+      val sum = px.mkString("(", " + ", ")")
+      val bits = px.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN $p * 16 > $sum THEN ${1L << (15 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH h AS MATERIALIZED (
+         |  SELECT doc_id, CAST($bits AS BIGINT) AS ahash FROM documents
+         |), s AS (SELECT ahash, count(*) AS n_dups FROM h GROUP BY 1)
+         |SELECT h.doc_id, h.ahash, s.n_dups FROM h JOIN s USING (ahash)""".stripMargin
+    },
     "mm_resize" -> resizeSql,
     "mm_audio_meta" -> audioMetaSql,
     "mm_audio_features" -> audioFeaturesSql,
@@ -566,6 +612,7 @@ object Multimodal {
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features" -> (features _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_ahash" -> (imageHash _),
     "mm_resize" -> (resize _),
     "mm_audio_meta" -> (audioMeta _),
     "mm_audio_features" -> (audioFeatures _),

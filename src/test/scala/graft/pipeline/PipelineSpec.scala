@@ -125,6 +125,28 @@ class PipelineSpec extends SparkSpec {
     assert(m.n_bytes == a.payload.length) // closed form matches reality
   }
 
+  test("imageHash is a true aHash over decoded pixels and buckets near-dups") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // direct per-doc recompute of the integer aHash definition, and
+    // the dedup contract: identical text (same PNG bytes) → same hash,
+    // and n_dups equals the hash's actual bucket size
+    val rows = Multimodal.imageHash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.map(t => t._1 -> t._2).toMap
+    val expected = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("hex"))
+      .collect().map { r =>
+        val px = r.getString(1).sliding(2, 2)
+          .map(Integer.parseInt(_, 16)).toArray
+        val sum = px.sum
+        r.getLong(0) -> px.zipWithIndex.map { case (p, i) =>
+          if (p * 16 > sum) 1L << (15 - i) else 0L }.sum
+      }.toMap
+    assert(byDoc == expected)
+    val bucket = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (_, h, n) => assert(n == bucket(h)) }
+  }
+
   test("decodeResize area-averages each 2x2 block of the decoded 4x4 PNG") {
     import graft.sources.Png
     // pixel value = its row-major index ×16, so block means are exact
