@@ -12,8 +12,8 @@ object Bench {
     * a=ann/embedding, e=events, c=docs/curation, m=multimodal, TPC-H
     * keeps its q-number.
     *
-    * HEADROOM WATCH (round 12): at 123 benched queries the line is
-    * ~1850 chars — roughly TWO more queries fit. The next inventory
+    * HEADROOM WATCH (round 12): at 124 benched queries the line is
+    * ~1865 chars — at most ONE more query fits. The next inventory
     * growth must shorten aliases (2-3 chars are available: the line is
     * dominated by the 6-8-char names) or the driver's parse silently
     * truncates.
@@ -94,7 +94,7 @@ object Bench {
     "mm_audio_meta" -> "m_ameta", "mm_audio_features" -> "m_afeat",
     "mm_audio_resample" -> "m_ares",
     "mm_jpeg_meta" -> "m_jmeta", "mm_jpeg_features" -> "m_jfeat",
-    "mm_ahash" -> "m_ahash"
+    "mm_ahash" -> "m_ahash", "skope_geotiff_tiled" -> "s_gtil"
   )
 
   def main(args: Array[String]): Unit = {

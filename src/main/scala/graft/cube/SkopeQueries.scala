@@ -915,6 +915,13 @@ object SkopeQueries {
          |  round(CAST((3 * r + 5 * c) % 251 AS DOUBLE) + 1e-9, 6)
          |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)"""
         .stripMargin,
+    // the tiled fixture's closed-form content: tiles × LZW ×
+    // Predictor 2 through one end-to-end gate
+    "skope_geotiff_tiled" ->
+      s"""SELECT CAST(c AS BIGINT) AS x, CAST(r AS BIGINT) AS y,
+         |  round(CAST((13 * r + 3 * c) % 251 AS DOUBLE) + 1e-9, 6) AS value
+         |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)"""
+        .stripMargin,
     // the reference request path over its own archive format: bbox
     // away from the nodata holes, so the closed form is NULL-free
     "skope_raster_series" ->
@@ -1210,6 +1217,56 @@ object SkopeQueries {
   private[cube] final val LzwFixH = 32
   private[cube] val LzwFix16: (Int, Int) => Int = (r, c) => 100 * r + 7 * c
   private[cube] val LzwFix8: (Int, Int) => Int = (r, c) => (3 * r + 5 * c) % 251
+  private[cube] val TileFix8: (Int, Int) => Int = (r, c) => (13 * r + 3 * c) % 251
+
+  /** TILED-layout fixture — the OTHER physical organization a real
+    * archive ships (TileWidth/TileLength/TileOffsets instead of
+    * strips, the rasterio/GDAL default for large rasters): one 8-bit
+    * LZW+Predictor-2 granule written by the JDK's own TIFF encoder
+    * with EXPLICIT 16×16 tiling over the 32×32 image, so all four
+    * tiles and both tile boundaries are actually crossed by the
+    * content. GeoTiffCodecSpec proves tile assembly bit-level; the
+    * query hash-gates tiles × LZW × predictor end-to-end through the
+    * same distributed readCube path as the strip fixtures. */
+  private lazy val geotiffTiledFixture: String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-tilefix-${ProcessHandle.current().pid()}")
+    if (!dir.isDirectory) {
+      dir.mkdirs()
+      import javax.imageio.ImageIO
+      import javax.imageio.plugins.tiff.{BaselineTIFFTagSet, TIFFDirectory, TIFFField}
+      val img = new java.awt.image.BufferedImage(LzwFixW, LzwFixH,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until LzwFixH; x <- 0 until LzwFixW)
+        img.getRaster.setSample(x, y, 0, TileFix8(y, x))
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val ios = ImageIO.createImageOutputStream(
+        new java.io.File(dir, "tiled_1.tif"))
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType("LZW")
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(16, 16, 0, 0)
+      var meta = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), param)
+      val d = TIFFDirectory.createFromMetadata(meta)
+      d.addTIFFField(new TIFFField(BaselineTIFFTagSet.getInstance()
+        .getTag(BaselineTIFFTagSet.TAG_PREDICTOR), 2))
+      meta = d.getAsMetadata
+      writer.write(null, new javax.imageio.IIOImage(img, null, meta), param)
+      ios.close()
+      writer.dispose()
+    }
+    dir.toString
+  }
+
+  def geotiffTiled(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark, geotiffTiledFixture + "/tiled_1.tif")
+      .select(
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        Num.roundEps(col("v"), 6).as("value"))
 
   def geotiffLzw(spark: SparkSession, dir: String): DataFrame =
     graft.sources.GeoTiff.readCube(spark, geotiffLzwFixture + "/*.tif")
@@ -1276,6 +1333,7 @@ object SkopeQueries {
     "skope_geotiff_uint16" -> (geotiffUint16 _),
     "skope_geotiff_int16" -> (geotiffInt16 _),
     "skope_geotiff_lzw" -> (geotiffLzw _),
+    "skope_geotiff_tiled" -> (geotiffTiled _),
     "skope_raster_series" -> (rasterSeries _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->
