@@ -1172,11 +1172,40 @@ object SkopeQueries {
     * every other geotiff query. GeoTiffCodecSpec holds the bit-level
     * proofs (hand-derived TIFF6 stream, early-change boundaries); this
     * query hash-gates the decode end-to-end in the driver's oracle. */
-  private lazy val geotiffLzwFixture: String = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-lzwfix-${ProcessHandle.current().pid()}")
+  /** Create a fixture directory ATOMICALLY: build the files in a
+    * staging sibling and rename into place, so a writer that dies
+    * mid-write can never leave a half-written directory that a later
+    * `isDirectory` guard mistakes for a complete fixture (exactly the
+    * torn-write class BENCH_r12 caught: one bench pass crashed in
+    * geotiffLzw because Scala re-entered the failed lazy-val init,
+    * found the partial directory, skipped regeneration and read a
+    * truncated .tif). A rename-loser (another writer completed first)
+    * discards its staging copy and uses the winner's — a directory at
+    * the final name is complete BY CONSTRUCTION, including one left by
+    * a reused PID after a container restart (content is deterministic).
+    * The recoverBucketed staging discipline applied to bench fixtures. */
+  private[cube] def atomicFixtureDir(dir: java.io.File)(
+      write: java.io.File => Unit): String = {
     if (!dir.isDirectory) {
-      dir.mkdirs()
+      val stage = new java.io.File(dir.getParentFile,
+        dir.getName + s".stage-${Thread.currentThread().getId}-${System.nanoTime()}")
+      stage.mkdirs()
+      write(stage)
+      if (!stage.renameTo(dir)) {
+        // lost the race (or a completed dir already existed): the final
+        // name is complete — drop the duplicate staging copy
+        if (!dir.isDirectory)
+          throw new java.io.IOException(s"fixture rename failed: $stage -> $dir")
+        stage.listFiles().foreach(_.delete())
+        stage.delete()
+      }
+    }
+    dir.toString
+  }
+
+  private lazy val geotiffLzwFixture: String =
+    atomicFixtureDir(new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-lzwfix-${ProcessHandle.current().pid()}")) { dir =>
       def write(name: String, sixteen: Boolean, predictor: Int,
           v: (Int, Int) => Int): Unit = {
         import javax.imageio.ImageIO
@@ -1208,8 +1237,6 @@ object SkopeQueries {
       write("lzw16_1.tif", sixteen = true, predictor = 1, LzwFix16)
       write("lzwpred_2.tif", sixteen = false, predictor = 2, LzwFix8)
     }
-    dir.toString
-  }
 
   // final => compile-time constants, safe to reference from the
   // `oracles` map regardless of object-initialization order
@@ -1228,11 +1255,9 @@ object SkopeQueries {
     * content. GeoTiffCodecSpec proves tile assembly bit-level; the
     * query hash-gates tiles × LZW × predictor end-to-end through the
     * same distributed readCube path as the strip fixtures. */
-  private lazy val geotiffTiledFixture: String = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-tilefix-${ProcessHandle.current().pid()}")
-    if (!dir.isDirectory) {
-      dir.mkdirs()
+  private lazy val geotiffTiledFixture: String =
+    atomicFixtureDir(new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-tilefix-${ProcessHandle.current().pid()}")) { dir =>
       import javax.imageio.ImageIO
       import javax.imageio.plugins.tiff.{BaselineTIFFTagSet, TIFFDirectory, TIFFField}
       val img = new java.awt.image.BufferedImage(LzwFixW, LzwFixH,
@@ -1258,8 +1283,6 @@ object SkopeQueries {
       ios.close()
       writer.dispose()
     }
-    dir.toString
-  }
 
   def geotiffTiled(spark: SparkSession, dir: String): DataFrame =
     graft.sources.GeoTiff.readCube(spark, geotiffTiledFixture + "/tiled_1.tif")
@@ -1268,8 +1291,12 @@ object SkopeQueries {
         col("y").cast("long").as("y"),
         Num.roundEps(col("v"), 6).as("value"))
 
+  // the DIRECTORY, not a /*.tif glob: a glob path makes the analyzer's
+  // streaming-sink probe getFileStatus the literal "*.tif" and log a
+  // (recovered) FileNotFoundException stack trace every run — the very
+  // noise that contaminated BENCH_r12's 2000-char output tail
   def geotiffLzw(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.GeoTiff.readCube(spark, geotiffLzwFixture + "/*.tif")
+    graft.sources.GeoTiff.readCube(spark, geotiffLzwFixture)
       .select(
         regexp_extract(col("path"), "_(\\d)\\.tif", 1)
           .cast("long").as("f"),

@@ -298,10 +298,17 @@ object GeoTiff {
     val predictor = ifd.long1(TagPredictor, default = 1L).toInt
     require(predictor == 1 || predictor == 2,
       s"unsupported TIFF predictor $predictor (1/2 supported)")
-    if (predictor == 2)
+    if (predictor == 2) {
       require(formats.forall(f => f == 1 || f == 2),
         "Predictor 2 (horizontal differencing) is only defined for " +
           "integer SampleFormat")
+      // undiff runs at bits(0)'s width for EVERY sample — a
+      // heterogeneous-depth file would be silently decoded wrong, so
+      // fail loudly instead (legal TIFF, but nothing emits it with
+      // differencing; revisit if a real archive does)
+      require(bits.forall(_ == bits(0)),
+        s"Predictor 2 requires uniform BitsPerSample, got ${bits.mkString(",")}")
+    }
 
     def undiff(seg: Array[Byte], cols: Int, segSamples: Int): Unit = {
       val rowElems = cols * segSamples

@@ -209,8 +209,9 @@ object TableIO {
     * is reading), then flow back through the same one-task-per-bucket
     * `writeBucketed` discipline under `SaveMode.Overwrite`, which
     * re-registers the bucket spec — planner trust in the layout is
-    * preserved across the rewrite. Returns the post-compaction file
-    * count (= numBuckets). */
+    * preserved across the rewrite. Returns the ACTUAL post-compaction
+    * data-file count (a bucket with no rows writes no file, so this
+    * can be < numBuckets — same contract as [[compactPartitioned]]). */
   def compactBucketed(spark: SparkSession, table: String,
       bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil): Int = {
@@ -225,7 +226,8 @@ object TableIO {
     val sPath = new org.apache.hadoop.fs.Path(staging)
     sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(sPath, true)
-    numBuckets
+    spark.catalog.refreshTable(table)
+    dataFileCount(spark, path)
   }
 
   /** Small-files compaction: rewrite a table directory into

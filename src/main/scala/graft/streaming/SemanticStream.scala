@@ -100,7 +100,15 @@ object SemanticStream {
     try {
       val n = graft.pipeline.Similarity.appendSemToIndex(spark, dir,
         SideTables.readAll(spark, postPath, PostSchema), sideVecs)
-      Seq(postPath, vecPath).foreach(SideTables.delete(spark, _))
+      // vecPath is the existence-guard key ABOVE, so it must go first:
+      // a crash between the two deletes then leaves the guard absent
+      // and the next start short-circuits cleanly (the orphaned
+      // postings partitions are already folded — appendSemToIndex is
+      // idempotent by vec_id, so a later fold re-reading them appends
+      // nothing). The old postPath-first order left vecPath present /
+      // postPath missing, and every restart threw reading the gone
+      // postings path.
+      Seq(vecPath, postPath).foreach(SideTables.delete(spark, _))
       n
     } finally sideVecs.unpersist()
   }
