@@ -928,7 +928,17 @@ object Similarity {
     val freshIdSeq = annFreshIds(spark, batchVecs, stored)
       .as[Long].collect().toSeq
     val vt = annStreamVecsTable(spark, dir)
-    val freshVecIds = annFreshIds(spark, batchVecs, vt)
+    // vector freshness is keyed on the vecs table's own ids PLUS the
+    // corpus: a batch vec_id that already lives in the corpus is
+    // (correctly) skipped by the code append — the base build encoded
+    // it — but a vecs-table-only key would still land its raw vector
+    // in graft_annvecs_, and annIvfPqRefine's corpus ∪ annvecs base
+    // would then carry the vec_id twice, filling two top-k rank slots
+    // with one candidate. The corpus is immutable across folds, so the
+    // torn-fold replay healing (per-table keying) is unaffected.
+    val freshVecIds = annFreshIds(spark, batchVecs,
+        vt.select(col("vec_id")).unionByName(
+          normedVecs(spark, dir).select(col("vec_id"))))
       .as[Long].collect().toSeq
     if (freshIdSeq.nonEmpty) {
       val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
@@ -1362,7 +1372,15 @@ object Similarity {
           Seq("vec_id"), "left_anti")
         .as[Long].collect().toSeq
     val freshPost = freshOf(storedPostIds)
-    val freshVecs = freshOf(storedVecIds)
+    // like appendAnnToIndex's vector half: a corpus-resident vec_id is
+    // already in the base postings (first-touch build assigns the whole
+    // corpus), so the posting append skips it — but a semvecs-only key
+    // would still append its raw vector, and dedupSemantic's
+    // corpus ∪ semvecs verification base would emit every pair for it
+    // TWICE. The corpus is immutable across folds; per-table healing
+    // keying is unaffected.
+    val corpusIds = normedVecs(spark, dir).select(col("vec_id"))
+    val freshVecs = freshOf(storedVecIds.unionByName(corpusIds))
     if (freshPost.nonEmpty)
       graft.sources.TableIO.appendBucketed(
         batchPost.join(broadcast(freshPost.toDF("vec_id")), "vec_id")

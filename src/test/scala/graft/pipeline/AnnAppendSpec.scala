@@ -207,4 +207,24 @@ class AnnAppendSpec extends SparkSpec {
     assert(Similarity.annIvfPqTrained(spark, cDir).collect()
       .map(_.toSeq).toSet === expected)
   }
+
+  test("a corpus-resident vec_id never lands in the vector extension") {
+    val before = Similarity.annStreamVecsTable(spark, cDir).count()
+    // batch = corpus rows under their OWN ids: every code table already
+    // carries them (the base build encoded the whole corpus), so the
+    // code append skips them — the vector append must skip them too,
+    // or annIvfPqRefine's corpus ∪ annvecs candidate base serves each
+    // vec_id twice and one duplicate fills two top-k rank slots
+    val corpusBatch = Similarity.normedOfBatch(
+      graft.Tables.embeddings(spark, cDir)
+        .filter(col("vec_id") < Similarity.NumProbes))
+    assert(Similarity.appendAnnToIndex(spark, cDir, corpusBatch, "md5") === 0L)
+    assert(Similarity.annStreamVecsTable(spark, cDir).count() === before,
+      "corpus-resident vec_ids duplicated into graft_annvecs_")
+    // and the refine output stays duplicate-free end-to-end
+    val dups = Similarity.annIvfPqRefine(spark, cDir)
+      .groupBy(col("probe_id"), col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0L, "duplicate (probe, candidate) rows in refine")
+  }
 }

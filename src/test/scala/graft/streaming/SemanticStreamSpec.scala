@@ -146,4 +146,32 @@ class SemanticStreamSpec extends SparkSpec {
     assert(batch.contains((src._1, n1, 1.0)),
       s"grown-corpus batch pair missing")
   }
+
+  test("a corpus-resident vec_id folds no duplicate into semvecs") {
+    import org.apache.spark.sql.functions._
+    val cDir = java.nio.file.Files
+      .createTempDirectory("graft_semdup").toString
+    graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
+      .write.parquet(cDir + "/embeddings.parquet")
+    val S = graft.pipeline.Similarity
+    // replay shape: a batch whose ids ALREADY live in the corpus — the
+    // posting append skips them (the first-touch build assigned the
+    // whole corpus), and the vector append must skip them too, or
+    // dedupSemantic's corpus ∪ semvecs verification base emits every
+    // pair for these ids twice
+    val corpusBatch = S.normedOfBatch(
+      graft.Tables.embeddings(spark, cDir).filter(col("vec_id") < 8))
+    import spark.implicits._
+    val post = S.semAssignOver(spark, cDir,
+      corpusBatch.select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)],
+      graft.pipeline.Dedup.BroadcastVerifyBytes)
+    assert(S.appendSemToIndex(spark, cDir, post, corpusBatch) === 0L)
+    assert(S.semStreamVecsTable(spark, cDir).count() === 0L,
+      "corpus-resident vec_ids duplicated into graft_semvecs_")
+    val dups = S.dedupSemantic(spark, cDir)
+      .groupBy(col("v1"), col("v2")).count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0L, "duplicate (v1, v2) pairs in dedup_semantic")
+  }
 }
