@@ -914,41 +914,78 @@ object Similarity {
       .join(broadcast(known), Seq("vec_id"), "left_anti")
   }
 
+  /** Encode a batch under `kind`'s STORED artifacts (no retrain) and
+    * pin its touched routing centroids on the driver — the fold's
+    * first step, factored out so AnnAppendSpec can pin the pruned
+    * probe's plan. The encode is localCheckpointed (batch-scale): one
+    * assignment job feeds the touched-list collect, the freshness
+    * probe AND the code append. */
+  private[graft] def encodeBatch(spark: SparkSession, dir: String,
+      batchVecs: DataFrame, kind: String): (DataFrame, Seq[Long]) = {
+    import spark.implicits._
+    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    val enc = encodeCodes(spark, batchVecs,
+      centsDf(spark, dir, centsOpt), cb, centsOpt, residual)
+      .localCheckpoint()
+    (enc, enc.select(col("cent_id")).distinct().as[Long].collect().toSeq)
+  }
+
+  /** The stored code table restricted to a fold batch's own touched
+    * inverted lists — the r12-verdict fold-cost fix: the "already
+    * indexed" probe used to scan the ENTIRE corpus-scale code table
+    * per micro-batch. A batch id that IS indexed sits in the partition
+    * its encoding routes to (assignment is deterministic under the
+    * stored books), so the probe partition-prunes to the batch's
+    * ≤|batch| touched lists and fold cost stays FLAT in the index
+    * size. Contract made explicit: vec_id is the vector's identity —
+    * content never changes under an id across replays (the same
+    * assumption the idempotent append itself rests on). */
+  private[graft] def prunedCodeProbe(spark: SparkSession, dir: String,
+      kind: String, touched: Seq[Long]): DataFrame =
+    codeTable(spark, dir, kind).filter(col("cent_id").isin(touched: _*))
+
   private[graft] def appendAnnToIndex(spark: SparkSession, dir: String,
       batchVecs: DataFrame, kind: String): Long = {
     import spark.implicits._
-    val stored = codeTable(spark, dir, kind) // first touch builds + trains
-    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    codeTable(spark, dir, kind) // first touch builds + trains
+    val (batchEnc, touched) = encodeBatch(spark, dir, batchVecs, kind)
     // BOTH fresh lists are keyed on their own target table and pinned
     // on the driver before any append lands: a crash between the code
     // and vector appends heals on replay (the landed table appends
     // nothing, the missing one catches up) — keying the vector append
     // on the code table, as the first cut did, would skip it forever
     // after such a crash and silently shrink every refine shortlist.
-    val freshIdSeq = annFreshIds(spark, batchVecs, stored)
+    val freshIdSeq = annFreshIds(spark, batchVecs,
+        prunedCodeProbe(spark, dir, kind, touched))
       .as[Long].collect().toSeq
     val vt = annStreamVecsTable(spark, dir)
-    // vector freshness is keyed on the vecs table's own ids PLUS the
-    // corpus: a batch vec_id that already lives in the corpus is
-    // (correctly) skipped by the code append — the base build encoded
-    // it — but a vecs-table-only key would still land its raw vector
-    // in graft_annvecs_, and annIvfPqRefine's corpus ∪ annvecs base
-    // would then carry the vec_id twice, filling two top-k rank slots
-    // with one candidate. The corpus is immutable across folds, so the
-    // torn-fold replay healing (per-table keying) is unaffected.
-    val freshVecIds = annFreshIds(spark, batchVecs,
-        vt.select(col("vec_id")).unionByName(
-          normedVecs(spark, dir).select(col("vec_id"))))
-      .as[Long].collect().toSeq
+    // vector freshness: keyed on the vecs table's own ids (torn-fold
+    // healing) MINUS corpus-resident ids — a batch vec_id that already
+    // lives in the corpus is (correctly) skipped by the code append,
+    // but landing its raw vector in graft_annvecs_ would make
+    // annIvfPqRefine's corpus ∪ annvecs base carry the vec_id twice,
+    // filling two top-k rank slots with one candidate. Corpus
+    // membership is derived WITHOUT an index- or corpus-sized scan:
+    // an id absent from vt but present in the pruned code probe is
+    // either a corpus row (skip) or a torn fold's code-only id (land);
+    // that ambiguous set is batch-bounded and empty on the common
+    // all-new-ids fold — only then is the corpus id column read at
+    // all, and with the id list pushed down to parquet.
+    val vtFresh = annFreshIds(spark, batchVecs, vt)
+      .as[Long].collect().toSet
+    val ambiguous = vtFresh -- freshIdSeq
+    val corpusKnown: Set[Long] =
+      if (ambiguous.isEmpty) Set.empty
+      else normedVecs(spark, dir).select(col("vec_id"))
+        .filter(col("vec_id").isin(ambiguous.toSeq: _*))
+        .as[Long].collect().toSet
+    val freshVecIds = (vtFresh -- corpusKnown).toSeq
     if (freshIdSeq.nonEmpty) {
       val freshIds = broadcast(freshIdSeq.toDF("vec_id"))
-      val fresh = batchVecs.join(freshIds, "vec_id")
-        .select(col("vec_id"), col("v"), col("nrm"))
       // one shuffle into the partition routing → ≤1 new file per
       // touched inverted list; insertInto appends by POSITION with the
       // partition column last, exactly this select's order
-      encodeCodes(spark, fresh, centsDf(spark, dir, centsOpt),
-        cb, centsOpt, residual)
+      batchEnc.join(freshIds, "vec_id")
         .repartition(col("cent_id"))
         .select(col("vec_id"), col("codes"), col("cent_id"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)

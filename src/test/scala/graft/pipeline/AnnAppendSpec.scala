@@ -139,6 +139,22 @@ class AnnAppendSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("the fold probe partition-prunes to the batch's touched lists") {
+    // r12 verdict item 3: the "already indexed" probe must not scan the
+    // whole stored code table per micro-batch — encode first, then
+    // probe ONLY the batch's own routed inverted lists
+    val (_, touched) = Similarity.encodeBatch(spark, cDir, batch, "trained")
+    assert(touched.nonEmpty && touched.size <= Similarity.NumProbes,
+      s"a ${Similarity.NumProbes}-vector batch touches at most that many lists")
+    val probe = Similarity.annFreshIds(spark, batch,
+      Similarity.prunedCodeProbe(spark, cDir, "trained", touched))
+    val plan = probe.queryExecution.executedPlan.toString()
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cent_id"),
+      s"fresh-id probe scan carries no cent_id partition filter:\n$plan")
+  }
+
   test("a torn fold (codes landed, vectors lost) heals on replay") {
     Similarity.appendAnnToIndex(spark, cDir, batch, "trained") // ensure folded
     // simulate the crash window between the two appends: the code
