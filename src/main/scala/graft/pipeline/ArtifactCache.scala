@@ -31,6 +31,7 @@ private[graft] object ArtifactCache {
     }
     Similarity.clearDriverCaches()
     Dedup.clearDriverCaches()
+    Bpe.clearCache()
   }
 
   def cached(spark: SparkSession, key: String)

@@ -1,0 +1,276 @@
+package graft.pipeline
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained byte-pair-encoding tokenizer — the r12-verdict
+  * tokenizer-exact budgeting item: docs_split / docs_mix_weights /
+  * docs_pack_sequences priced their token budgets in WHITESPACE tokens,
+  * but a training pipeline budgets in tokenizer tokens, and mixture
+  * shares / packing offsets shift materially under a real tokenizer.
+  *
+  * The tokenizer is deterministic end-to-end (the k-means-CTE
+  * discipline applied to merges) so the DuckDB oracle can replay the
+  * exact training:
+  *  - words are `[a-z]+` runs of the lowercased text;
+  *  - merge training runs a FIXED [[Merges]] iterations over the
+  *    corpus word-frequency table capped at the [[VocabCap]] most
+  *    frequent words (ties broken by word asc — the cap is the 100 TB
+  *    guard: training state is vocab-bounded, never corpus-bounded);
+  *  - each iteration merges the adjacent token pair with the highest
+  *    frequency-weighted count, total-ordered by (count desc, left
+  *    asc, right asc);
+  *  - merges apply left-to-right non-overlapping — exactly the
+  *    semantics of `replace()` over the `|tok||tok|` string encoding,
+  *    which is what BOTH engines execute.
+  *
+  * Spark-side plan shape: training is ONE word-count shuffle + a
+  * driver loop over the ≤[[VocabCap]]-row vocabulary (collected once
+  * per session, the trained-centroid sidecar pattern); application is
+  * a map-only chain of [[Merges]] codegen'd `replace` calls over a
+  * char-delimited form of each document — zero shuffle, zero UDF, one
+  * whole-stage-codegen span. The oracle replays training as chained
+  * MATERIALIZED CTEs (toks_i/pairs_i/best_i/vocab_i/docs_i per
+  * iteration) and applies the same `replace` per iteration.
+  */
+object Bpe {
+
+  /** Fixed merge count — small enough that the oracle's CTE chain
+    * stays tractable, large enough that frequent words collapse to
+    * single tokens (vocab-31 corpora fully exercise multi-level
+    * merges: char pairs, then pair+char, then word-sized tokens). */
+  val Merges = 24
+
+  /** Merge training reads only the top-VocabCap words by (frequency
+    * desc, word asc) — the bounded-training-state guard at 100 TB
+    * (the standard practice of training BPE on a corpus sample, made
+    * deterministic). */
+  val VocabCap = 4096
+
+  // trained merges per (session, corpus) — training is an action, so
+  // cache it like the other per-session derived artifacts
+  private val trained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private[pipeline] def clearCache(): Unit = trained.clear()
+
+  /** Left-to-right non-overlapping merge of (l, r) in a token array —
+    * the array mirror of `replace(repr, "|l||r|", "|lr|")`: the `|`
+    * delimiters make a partial-token match impossible, so the two
+    * formulations are equivalent (BpeSpec proves it property-style). */
+  private[pipeline] def mergeToks(toks: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < toks.length) {
+      if (j + 1 < toks.length && toks(j) == l && toks(j + 1) == r) {
+        out += (l + r); j += 2
+      } else { out += toks(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Train the merge sequence on `dir`'s documents (cached per
+    * session): distributed word count, top-VocabCap collect, driver
+    * merge loop over the bounded vocabulary. */
+  private[graft] def trainMerges(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val key = spark.sparkContext.applicationId + ":" + dir
+    trained.computeIfAbsent(key, _ => {
+      val vocab = Tables.documents(spark, dir)
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(VocabCap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var reprs: Array[(Array[String], Long)] =
+        vocab.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < Merges) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        reprs.foreach { case (toks, c) =>
+          var j = 0
+          while (j + 1 < toks.length) {
+            val k = (toks(j), toks(j + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + c)
+            j += 1
+          }
+        }
+        // fail LOUDLY if the pair stream dries before Merges — the
+        // oracle's fixed-length chain would silently diverge otherwise
+        require(counts.nonEmpty,
+          s"BPE pair stream dried up after ${merges.length} merges " +
+            s"(vocab too small for Merges=$Merges)")
+        val ((l, r), _) = counts.toSeq
+          .minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        merges += ((l, r))
+        reprs = reprs.map { case (toks, c) => (mergeToks(toks, l, r), c) }
+        i += 1
+      }
+      merges.toSeq
+    })
+  }
+
+  /** The `|tok||tok|` representation of a document's words after all
+    * trained merges — a chain of codegen'd `replace` calls (StringReplace,
+    * whole-stage codegen) over the char-delimited lowercased text. */
+  private def bpeRepr(merges: Seq[(String, String)]): Column = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z]+", " ")
+    val chars = regexp_replace(norm, "([a-z])", "|$1|")
+    merges.foldLeft(chars) { case (e, (l, r)) =>
+      call_function("replace", e, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+  }
+
+  /** BPE token count of a document under the trained merges: each
+    * token contributes exactly two `|` delimiters. */
+  private[pipeline] def tokenCount(spark: SparkSession,
+      dir: String): Column = {
+    val r = bpeRepr(trainMerges(spark, dir))
+    ((length(r) -
+      length(call_function("replace", r, lit("|"), lit("")))) / 2)
+      .cast("long")
+  }
+
+  private def wsCount: Column =
+    size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long")
+
+  /** Per-document BPE vs whitespace token accounting. */
+  def tokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = tokenCount(spark, dir)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      bpe.as("n_tokens_bpe"),
+      wsCount.as("n_tokens_ws"),
+      Num.roundEps(
+        bpe.cast("double") / nullif(wsCount, lit(0L)), 6)
+        .as("tokens_per_word"))
+  }
+
+  /** Token-exact split manifest (docs_split priced in BPE tokens). */
+  def splitBpe(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.splitReport(spark, dir, tokenCount(spark, dir))
+
+  /** Token-exact sequence packing (docs_pack_sequences offsets in BPE
+    * tokens — the quantity that actually addresses a training
+    * sequence). */
+  def packBpe(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.packSequences(spark, dir, tokenCount(spark, dir))
+
+  /** Token-exact mixture weights (docs_mix_weights shares in BPE
+    * tokens). */
+  def mixBpe(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.mixWeights(spark, dir, tokenCount(spark, dir))
+
+  // ------------------------------------------------------- oracle --
+
+  /** The oracle's replay of training + application: vocab_i / docs_i
+    * carry the word and document representations after merge i;
+    * toks_i / pairs_i / best_i recompute merge i exactly as the
+    * trainer does. MATERIALIZED is load-bearing: DuckDB would inline
+    * the chain into an exponentially exploding expression otherwise. */
+  private def chainSql: String = {
+    val head =
+      s"""docs_0 AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_ws,
+         |    regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+         |                   '([a-z])', '|\\1|', 'g') AS r
+         |  FROM documents),
+         |vocab_0 AS MATERIALIZED (
+         |  SELECT w, cnt, regexp_replace(w, '([a-z])', '|\\1|', 'g') AS r
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |              FROM documents) GROUP BY w
+         |        QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= $VocabCap))"""
+        .stripMargin
+    val iters = (1 to Merges).map { i =>
+      val p = i - 1
+      s"""toks_$i AS MATERIALIZED (
+         |  SELECT w, cnt, generate_subscripts(tk, 1) AS ix, unnest(tk) AS t
+         |  FROM (SELECT w, cnt, string_split(trim(r, '|'), '||') AS tk FROM vocab_$p)),
+         |pairs_$i AS MATERIALIZED (
+         |  SELECT a.t AS l, b.t AS r2, sum(a.cnt) AS c
+         |  FROM toks_$i a JOIN toks_$i b ON a.w = b.w AND b.ix = a.ix + 1 GROUP BY 1, 2),
+         |best_$i AS MATERIALIZED (SELECT l, r2 FROM pairs_$i ORDER BY c DESC, l, r2 LIMIT 1),
+         |vocab_$i AS MATERIALIZED (
+         |  SELECT w, cnt, replace(r, '|'||l||'||'||r2||'|', '|'||l||r2||'|') AS r
+         |  FROM vocab_$p, best_$i),
+         |docs_$i AS MATERIALIZED (
+         |  SELECT doc_id, source, n_ws, replace(r, '|'||l||'||'||r2||'|', '|'||l||r2||'|') AS r
+         |  FROM docs_$p, best_$i)""".stripMargin
+    }
+    (head +: iters).mkString("WITH ", ",\n", "")
+  }
+
+  /** docs_<Merges> projected to per-doc token counts — the shared tail
+    * of every BPE oracle. */
+  private def perDocSql: String =
+    s"""$chainSql,
+       |bpe AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST((length(r) - length(replace(r, '|', ''))) / 2 AS BIGINT) AS n_bpe,
+       |    CAST(n_ws AS BIGINT) AS n_ws
+       |  FROM docs_$Merges)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens_bpe" -> (tokensBpe _),
+    "docs_split_bpe" -> (splitBpe _),
+    "docs_pack_bpe" -> (packBpe _),
+    "docs_mix_bpe" -> (mixBpe _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens_bpe" ->
+      s"""$perDocSql
+         |SELECT doc_id, n_bpe AS n_tokens_bpe, n_ws AS n_tokens_ws,
+         |  round((CAST(n_bpe AS DOUBLE) / nullif(n_ws, 0)) + 1e-9, 6)
+         |    AS tokens_per_word
+         |FROM bpe""".stripMargin,
+    "docs_split_bpe" ->
+      s"""$perDocSql
+         |SELECT source,
+         |  CASE WHEN ${TrainingPrep.bucketSql} < ${TrainingPrep.TrainPct} THEN 'train'
+         |       WHEN ${TrainingPrep.bucketSql} < ${TrainingPrep.ValPct} THEN 'val'
+         |       ELSE 'test' END AS subset,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+         |FROM bpe
+         |GROUP BY source, subset""".stripMargin,
+    "docs_pack_bpe" ->
+      s"""$perDocSql,
+         |d AS (
+         |  SELECT source, doc_id % ${TrainingPrep.PackShards} AS shard, doc_id,
+         |    n_bpe AS n_tokens
+         |  FROM bpe),
+         |c AS (
+         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM d)
+         |SELECT source, shard, doc_id, n_tokens,
+         |  cum_before // ${TrainingPrep.SeqLen} AS seq_id,
+         |  cum_before % ${TrainingPrep.SeqLen} AS seq_offset
+         |FROM c""".stripMargin,
+    "docs_mix_bpe" ->
+      s"""$perDocSql,
+         |s AS (
+         |  SELECT source, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+         |  FROM bpe GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / tot AS share,
+         |    sqrt(CAST(n_tokens AS DOUBLE) / tot) AS w_raw
+         |  FROM s CROSS JOIN t),
+         |z AS (SELECT sum(w_raw) AS z FROM w)
+         |SELECT source, n_tokens,
+         |  round(share + 1e-9, 6) AS token_share,
+         |  round((w_raw / z) + 1e-9, 6) AS mix_weight
+         |FROM w CROSS JOIN z""".stripMargin
+  )
+}

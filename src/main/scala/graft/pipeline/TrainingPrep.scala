@@ -34,8 +34,15 @@ object TrainingPrep {
     * arithmetic as Curation.sampleHash. */
   private val bucketSpark =
     Portable.hexToLongSpark("md5(CAST(doc_id AS STRING))", 1, 15) + " % 100"
-  private val bucketSql =
+  private[pipeline] val bucketSql =
     Portable.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15) + " % 100"
+
+  /** The default token pricing: whitespace tokens. Every budgeting
+    * operator below takes the token column as a parameter so callers
+    * can swap in tokenizer-exact counts ([[Bpe.tokenCount]]) without a
+    * second implementation. */
+  private def wsTokens: org.apache.spark.sql.Column =
+    size(split(col("text"), " ")).cast("long")
 
   // -------------------------------------------------------- splits --
 
@@ -49,6 +56,10 @@ object TrainingPrep {
     * size its data mixture. Assignment is a map-only scan predicate;
     * the report is one small aggregation. */
   def splitReport(spark: SparkSession, dir: String): DataFrame =
+    splitReport(spark, dir, wsTokens)
+
+  def splitReport(spark: SparkSession, dir: String,
+      tokens: org.apache.spark.sql.Column): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("bucket", expr(bucketSpark))
       .withColumn("subset",
@@ -57,7 +68,7 @@ object TrainingPrep {
           .otherwise("test"))
       .groupBy(col("source"), col("subset"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        sum(tokens).as("n_tokens"))
 
   // ------------------------------------------------------- packing --
 
@@ -74,14 +85,18 @@ object TrainingPrep {
     * in and its token offset inside it. The prefix sum is a window
     * over (source, shard) — parallel across streams, sequential
     * within one, which is the inherent data dependency of packing. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir, wsTokens)
+
+  def packSequences(spark: SparkSession, dir: String,
+      tokens: org.apache.spark.sql.Column): DataFrame = {
     val w = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         (col("doc_id") % PackShards).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        tokens.as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"),
         expr(s"cum_before div $SeqLen").as("seq_id"),
@@ -178,10 +193,14 @@ object TrainingPrep {
     * temperature-scaled sampling weight a training job draws domains
     * with. Two tiny aggregations over one scan; the per-source table
     * is #sources rows, so the normalizing constants broadcast. */
-  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeights(spark, dir, wsTokens)
+
+  def mixWeights(spark: SparkSession, dir: String,
+      tokens: org.apache.spark.sql.Column): DataFrame = {
     val bySource = Tables.documents(spark, dir)
       .groupBy(col("source"))
-      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .agg(sum(tokens).as("n_tokens"))
     val tot = bySource.agg(sum(col("n_tokens")).as("tot"))
     val shared = bySource.crossJoin(broadcast(tot))
       .withColumn("share", col("n_tokens").cast("double") / col("tot"))

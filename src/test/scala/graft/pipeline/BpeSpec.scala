@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The corpus-trained BPE tokenizer (r12 verdict item 2): training
+  * determinism, the string-replace ≡ token-array merge equivalence the
+  * oracle rests on, per-document accounting invariants, and the
+  * token-exact budgeting variants' internal consistency.
+  */
+class BpeSpec extends SparkSpec {
+
+  // string-side merge exactly as both engines execute it
+  private def strMerge(repr: String, l: String, r: String): String =
+    repr.replace(s"|$l||$r|", s"|$l$r|")
+
+  private def charify(w: String): String =
+    w.toCharArray.map(c => s"|$c|").mkString
+
+  test("array merge ≡ string replace, including runs and shared prefixes") {
+    // adversarial shapes: odd/even runs (aaa, aaaa), merged-token
+    // boundaries (ab then b), tokens that are prefixes of others
+    val words = Seq("aaa", "aaaa", "aabab", "abab", "bab", "ba",
+      "abc", "cab", "aabbaabb", "b", "", "abcabc")
+    val mergeSeqs = Seq(
+      Seq(("a", "a")), Seq(("a", "b")), Seq(("a", "b"), ("ab", "c")),
+      Seq(("a", "b"), ("ab", "ab")), Seq(("b", "a"), ("ba", "b")),
+      Seq(("a", "a"), ("aa", "b"), ("aab", "aab")))
+    for (w <- words; ms <- mergeSeqs) {
+      var toks = w.toCharArray.map(_.toString)
+      var repr = charify(w)
+      ms.foreach { case (l, r) =>
+        toks = Bpe.mergeToks(toks, l, r)
+        repr = strMerge(repr, l, r)
+      }
+      assert(toks.map(t => s"|$t|").mkString === repr,
+        s"divergence on word '$w' under merges $ms")
+    }
+  }
+
+  test("trainer is deterministic and emits exactly Merges merges") {
+    val m1 = Bpe.trainMerges(spark, sfDir)
+    val m2 = Bpe.trainMerges(spark, sfDir)
+    assert(m1 === m2)
+    assert(m1.length === Bpe.Merges)
+    // merged tokens are concatenations of earlier tokens — every right
+    // side of a merge must be buildable (chars or earlier merges)
+    val known = scala.collection.mutable.Set.empty[String] ++
+      ('a' to 'z').map(_.toString)
+    m1.foreach { case (l, r) =>
+      assert(known(l) && known(r), s"merge ($l, $r) references unknown token")
+      known += (l + r)
+    }
+  }
+
+  test("per-doc counts: n_words <= n_bpe <= alpha chars") {
+    val rows = Bpe.tokensBpe(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+              .cast("long").as("n_alpha")),
+        "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bpe, ws, alpha) = (r.getAs[Long]("n_tokens_bpe"),
+        r.getAs[Long]("n_tokens_ws"), r.getAs[Long]("n_alpha"))
+      assert(ws <= bpe, s"merges cannot cross words: $r")
+      assert(bpe <= alpha, s"a token is at least one char: $r")
+    }
+    // merges actually fired on this corpus: strictly fewer tokens
+    // than characters overall
+    assert(rows.map(_.getAs[Long]("n_tokens_bpe")).sum <
+      rows.map(_.getAs[Long]("n_alpha")).sum)
+  }
+
+  test("the apply plan is map-only: no Exchange, no UDF") {
+    val plan = Bpe.tokensBpe(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"BPE apply must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"BPE apply must stay codegen-native:\n$plan")
+  }
+
+  test("token-exact budgeting variants are internally consistent") {
+    val perDoc = Bpe.tokensBpe(spark, sfDir)
+      .agg(sum(col("n_tokens_bpe"))).collect()(0).getLong(0)
+    val split = Bpe.splitBpe(spark, sfDir)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(split === perDoc, "split manifest must price the same tokens")
+    val mix = Bpe.mixBpe(spark, sfDir).collect()
+    assert(math.abs(mix.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(mix.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-4)
+    val pack = Bpe.packBpe(spark, sfDir)
+    assert(pack.filter(col("seq_offset") >= TrainingPrep.SeqLen).count() === 0L)
+    assert(pack.agg(sum(col("n_tokens"))).collect()(0).getLong(0) === perDoc)
+  }
+}
