@@ -286,8 +286,14 @@ object Api {
     * validate → select area → zonal statistic → transform → smoothers →
     * clip → summary stats.
     */
+  /** `serving = true` reads the per-session PERSISTED (band, cell)
+    * cube (EventCube.servingCube) instead of re-scanning the event log
+    * per request — the HttpApi path (r12 verdict item 4). Results are
+    * row-identical (ServingCacheSpec); the batch/oracle path keeps the
+    * scan-bound plan so the driver's correctness gate exercises the
+    * pushdown shape. */
   def extractTimeseries(spark: SparkSession, dir: String,
-      req: TimeseriesRequest): TimeseriesResult = {
+      req: TimeseriesRequest, serving: Boolean = false): TimeseriesResult = {
     if (!KnownDatasets(req.datasetId)) throw DatasetNotFoundError(req.datasetId)
     if (!KnownVariables(req.variableId))
       throw VariableNotFoundError(req.variableId, req.datasetId)
@@ -359,11 +365,6 @@ object Api {
       case ZScoreMovingInterval(w) => w
       case _ => 0
     }
-    def smootherAdj(s: Smoother): (Int, Int) = s match {
-      case NoSmoother => (0, 0)
-      case MovingAverageSmoother(true, w) => (w / 2, w / 2)
-      case MovingAverageSmoother(false, w) => (w, 0)
-    }
     // band_range_to_extract before the fixed-interval union: requested
     // range widened by the transform's and smoothers' needs
     // (get_desired_band_range_adjustment union, timeseries.py:402-415)
@@ -380,6 +381,25 @@ object Api {
         (math.min(extractBr0._1, rl), math.max(extractBr0._2, rh))
       case _ => extractBr0
     }
+
+    // ---- serving fast path (r12 verdict item 4) ----
+    // The per-request profile of the full DataFrame path is ~0.9 s of
+    // pure overhead: FOUR plans (series, stats, selection, time_range)
+    // each re-analyzed, re-codegen'd and re-EXECUTED per request, with
+    // stats re-running the whole window chain. The reference's own
+    // request shape is one bounded window read + NumPy series math —
+    // mirrored here: ONE cluster job (the zonal reduce over the cached
+    // cube — its input is MaxCells-bounded like the reference's
+    // rasterio window, its output ≤ #bands rows), then transforms /
+    // smoothers / stats run driver-side over the collected series with
+    // EXACTLY the batch path's window semantics (ServingCacheSpec
+    // sweeps row-identity; the Welford recurrence in ServingMath is
+    // CentralMomentAgg's own update rule, so the sd == 0 → NULL branch
+    // cannot drift). The batch path below stays fully distributed —
+    // that is the corpus-scale shape the oracle gates.
+    if (serving)
+      return servingResult(spark, dir, req, polyShapes, widened,
+        timeRangeFrame(spark, req, avail, extractBr0, tBack))
 
     val zonal = req.selectedArea match {
       case PointArea(cell) =>
@@ -433,27 +453,7 @@ object Api {
     // valid range, and every requested series gets a row even when the
     // window guard empties it (then gte > lte, signalling emptiness).
     // Driver-side literal frame — no extra job.
-    val timeRange = {
-      val extractBr = (math.max(extractBr0._1, avail._1),
-        math.min(extractBr0._2, avail._2))
-      val rows = req.requestedSeriesOptions.map { so =>
-        val sAdj = smootherAdj(so.smoother)
-        (so.name,
-          math.max(extractBr._1 + tBack + sAdj._1, req.bandRange._1),
-          math.min(extractBr._2 - sAdj._2, req.bandRange._2))
-      }
-      import spark.implicits._
-      // band bounds ride along (APPENDED — positional consumers of
-      // (series, time_gte, time_lte) are unaffected) so the response
-      // serializer can lay out the values axis without re-inverting the
-      // date strings
-      rows.toDF("series", "blo", "bhi")
-        .select(col("series"),
-          EventCube.bandStartString(req.resolution, col("blo")).as("time_gte"),
-          EventCube.bandStartString(req.resolution, col("bhi")).as("time_lte"),
-          col("blo").cast("long").as("band_gte"),
-          col("bhi").cast("long").as("band_lte"))
-    }
+    val timeRange = timeRangeFrame(spark, req, avail, extractBr0, tBack)
 
     // summary stats per requested series, plus the untransformed
     // "Original" series when a transform is applied — mirrors
@@ -499,6 +499,217 @@ object Api {
       EventCube.bandStartString(req.resolution, col("band")).as("band_date"))
 
     TimeseriesResult(seriesOut, stats, selection, timeRange,
+      datasetId = req.datasetId, variableId = req.variableId,
+      transform = req.transform, zonalStatistic = req.zonalStatistic)
+  }
+
+  private def smootherAdj(s: Smoother): (Int, Int) = s match {
+    case NoSmoother => (0, 0)
+    case MovingAverageSmoother(true, w) => (w / 2, w / 2)
+    case MovingAverageSmoother(false, w) => (w, 0)
+  }
+
+  /** Per-series time_range (get_time_range_after_transforms ∩
+    * requested, timeseries.py:419-431): pure band-range ARITHMETIC —
+    * the avail-clamped extraction range minus the transform's and the
+    * series' own adjustments, intersected with the request, translated
+    * back to dates (translate_band_range). Data-INDEPENDENT like the
+    * reference. Driver-side literal frame — no extra job. */
+  private def timeRangeFrame(spark: SparkSession, req: TimeseriesRequest,
+      avail: (Int, Int), extractBr0: (Int, Int), tBack: Int): DataFrame = {
+    val extractBr = (math.max(extractBr0._1, avail._1),
+      math.min(extractBr0._2, avail._2))
+    val rows = req.requestedSeriesOptions.map { so =>
+      val sAdj = smootherAdj(so.smoother)
+      (so.name,
+        math.max(extractBr._1 + tBack + sAdj._1, req.bandRange._1),
+        math.min(extractBr._2 - sAdj._2, req.bandRange._2))
+    }
+    import spark.implicits._
+    // band bounds ride along (APPENDED — positional consumers of
+    // (series, time_gte, time_lte) are unaffected) so the response
+    // serializer can lay out the values axis without re-inverting the
+    // date strings
+    rows.toDF("series", "blo", "bhi")
+      .select(col("series"),
+        EventCube.bandStartString(req.resolution, col("blo")).as("time_gte"),
+        EventCube.bandStartString(req.resolution, col("bhi")).as("time_lte"),
+        col("blo").cast("long").as("band_gte"),
+        col("bhi").cast("long").as("band_lte"))
+  }
+
+  // ------------------------------------------------------------------
+  // Serving fast path: driver-side series math over ONE bounded job
+  // ------------------------------------------------------------------
+
+  /** Driver-side mirrors of the batch path's window/aggregate
+    * semantics, over a band-sorted series. NULL behavior is copied
+    * from the Spark operators: window `avg`/`stddev_pop` skip nulls,
+    * `count(lit(1))` counts rows, `nullif(sd, 0)` nulls the z-score.
+    * `sdPop` runs CentralMomentAgg's OWN Welford update (n, delta,
+    * delta/n, m2 += delta·(delta − delta/n)) so the sd == 0 branch is
+    * taken on exactly the same inputs; `mean` is Avg's sum/count in
+    * frame order; `median` is Percentile's sorted interpolation
+    * lower + (higher − lower)·frac. */
+  private[api] object ServingMath {
+    type Ser = IndexedSeq[(Long, Option[Double])]
+
+    def mean(xs: Seq[Double]): Option[Double] =
+      if (xs.isEmpty) None else Some(xs.sum / xs.length)
+
+    def sdPop(xs: Seq[Double]): Option[Double] =
+      if (xs.isEmpty) None
+      else {
+        var n = 0.0; var avg = 0.0; var m2 = 0.0
+        xs.foreach { x =>
+          n += 1.0
+          val delta = x - avg
+          val deltaN = delta / n
+          avg += deltaN
+          m2 += delta * (delta - deltaN)
+        }
+        Some(math.sqrt(m2 / n))
+      }
+
+    def median(xs: Seq[Double]): Option[Double] = {
+      val s = xs.sorted
+      if (s.isEmpty) None
+      else {
+        val pos = (s.length - 1) * 0.5
+        val lo = pos.toInt
+        val frac = pos - lo
+        Some(if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * frac
+        else s(lo))
+      }
+    }
+
+    private def frameVals(s: Ser, from: Int, until: Int): Seq[Double] =
+      s.slice(math.max(from, 0), math.min(until, s.length)).flatMap(_._2)
+
+    /** Transforms.zscoreMoving: trailing [−w, −1] row frame, kept only
+      * when the frame holds exactly w ROWS, z null when sd = 0. */
+    def zscoreMoving(s: Ser, w: Int): Ser =
+      s.indices.collect { case i if i >= w =>
+        val f = frameVals(s, i - w, i)
+        val z = for {
+          x <- s(i)._2; m <- mean(f); sd <- sdPop(f); if sd != 0.0
+        } yield (x - m) / sd
+        (s(i)._1, z)
+      }
+
+    /** Transforms.zscoreFixed: reference stats over `ref`'s values. */
+    def zscoreFixed(s: Ser, ref: Ser): Ser = {
+      val rv = ref.flatMap(_._2)
+      val (m, sd) = (mean(rv), sdPop(rv))
+      s.map { case (b, x) =>
+        (b, for { v <- x; mm <- m; s0 <- sd; if s0 != 0.0 } yield (v - mm) / s0)
+      }
+    }
+
+    /** Smoothers.maCentered: [−k, k] row frame, kept at exactly
+      * 2k+1 rows; the smoothed value is the frame's null-skipping avg. */
+    def maCentered(s: Ser, w: Int): Ser = {
+      val k = w / 2
+      s.indices.collect { case i if i - k >= 0 && i + k < s.length =>
+        (s(i)._1, mean(frameVals(s, i - k, i + k + 1)))
+      }
+    }
+
+    /** Smoothers.maTrailing: [−w, −1] row frame at exactly w rows. */
+    def maTrailing(s: Ser, w: Int): Ser =
+      s.indices.collect { case i if i >= w =>
+        (s(i)._1, mean(frameVals(s, i - w, i)))
+      }
+  }
+
+  private def servingResult(spark: SparkSession, dir: String,
+      req: TimeseriesRequest, polyShapes: Option[Geometry.GridFeatureCollection],
+      widened: (Int, Int), timeRange: DataFrame): TimeseriesResult = {
+    import ServingMath._
+    // THE one cluster job: the zonal reduce over the persisted cube —
+    // identical aggregation expressions to the batch path, so zonal
+    // values cannot drift (parity additionally pinned by
+    // ServingCacheSpec's sweep)
+    val cube = EventCube.servingCube(spark, dir, req.datasetId,
+      req.resolution, req.variableId)
+      .filter(col("band").between(widened._1, widened._2))
+    val zonalDf = req.selectedArea match {
+      case PointArea(cell) =>
+        cube.filter(col("user_id") === cell)
+          .select(col("band"), col("v").as("zv"))
+      case BBoxArea(x0, x1, y0, y1) =>
+        cube.filter(EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y")))
+          .groupBy(col("band"))
+          .agg(EventCube.statAgg(req.zonalStatistic.name).as("zv"))
+      case _: PolygonArea | _: FeatureCollectionArea =>
+        cube.filter(polyShapes.get.mask(col("x"), col("y")))
+          .groupBy(col("band"))
+          .agg(EventCube.statAgg(req.zonalStatistic.name).as("zv"))
+    }
+    val zonal: Ser = zonalDf.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1).toIndexedSeq
+
+    val transformed: Ser = req.transform match {
+      case NoTransform => zonal
+      case ZScoreMovingInterval(w) => zscoreMoving(zonal, w)
+      case ZScoreFixedInterval(None) => zscoreFixed(zonal, zonal)
+      case ZScoreFixedInterval(Some((lo, hi))) =>
+        zscoreFixed(zonal, zonal.filter(r => r._1 >= lo && r._1 <= hi))
+    }
+    def clip(s: Ser): Ser =
+      s.filter(r => r._1 >= req.bandRange._1 && r._1 <= req.bandRange._2)
+
+    val seriesRows: Seq[(String, Long, Option[Double])] =
+      req.requestedSeriesOptions.flatMap { so =>
+        val sm = so.smoother match {
+          case NoSmoother => transformed
+          case MovingAverageSmoother(true, w) => maCentered(transformed, w)
+          case MovingAverageSmoother(false, w) => maTrailing(transformed, w)
+        }
+        clip(sm).map(r => (so.name, r._1, r._2.map(Num.roundEpsJvm(_, 6))))
+      }
+
+    val statsIn: Seq[(String, Option[Double])] =
+      seriesRows.map(r => (r._1, r._3)) ++
+        (if (req.transform == NoTransform) Nil
+         else clip(zonal).map(r =>
+           ("Original", r._2.map(Num.roundEpsJvm(_, 6)))))
+    val statsRows = statsIn.groupBy(_._1).toSeq.map { case (name, rs) =>
+      val vs = rs.flatMap(_._2)
+      (name,
+        mean(vs).map(Num.roundEpsJvm(_, 6)),
+        median(vs).map(Num.roundEpsJvm(_, 6)),
+        sdPop(vs).map(Num.roundEpsJvm(_, 6)))
+    }
+
+    // selection facts driver-side — coveredCells is the spec-pinned
+    // scalar twin of the Column mask (CellEnumerationSpec); the area
+    // sum can differ from the batch path's partition-merge order by
+    // float-association ulps, which nothing downstream rounds away —
+    // ServingCacheSpec compares it at 1e-12 relative
+    val (nCells, area) = req.selectedArea match {
+      case PointArea(cell) =>
+        (1L, Geometry.Geo.cellAreaM2((cell / EventCube.GridWidth).toInt))
+      case BBoxArea(x0, x1, y0, y1) =>
+        val ys = math.max(y0, 0) to math.min(y1, Geometry.GridHeight - 1)
+        val xs = math.max(x0, 0) to math.min(x1, EventCube.GridWidth - 1)
+        (ys.size.toLong * xs.size,
+          ys.map(y => Geometry.Geo.cellAreaM2(y) * xs.size).sum)
+      case _: PolygonArea | _: FeatureCollectionArea =>
+        val cells = polyShapes.get.coveredCells()
+        (cells.size.toLong,
+          cells.map { case (_, y) => Geometry.Geo.cellAreaM2(y.toInt) }.sum)
+    }
+
+    import spark.implicits._
+    val seriesOut = seriesRows.toDF("series", "band", "value")
+      .select(col("series"), col("band"), col("value"),
+        EventCube.bandStartString(req.resolution, col("band")).as("band_date"))
+    val statsOut = statsRows.toDF("series", "mean", "median", "stdev")
+    val selection = Seq((nCells, area)).toDF("n_cells", "area")
+
+    TimeseriesResult(seriesOut, statsOut, selection, timeRange,
       datasetId = req.datasetId, variableId = req.variableId,
       transform = req.transform, zonalStatistic = req.zonalStatistic)
   }

@@ -102,13 +102,14 @@ object HttpApi {
           case ("POST", "/timeseries") =>
             val req = RequestJson.parse(body)
             (200, materializeWithTimeout(spark, req.maxProcessingTimeMs) {
-              ResponseJson.toJson(req, extractTimeseries(spark, dir, req))
+              ResponseJson.toJson(req,
+                extractTimeseries(spark, dir, req, serving = sys.env.get("SPARK_GRAFT_SERVE_CACHE").forall(_ == "1")))
             })
           case ("POST", "/v1/timeseries") =>
             val (req, geom) = RequestJson.parseV1(body)
             (200, materializeWithTimeout(spark, req.maxProcessingTimeMs) {
               ResponseJson.toV1Json(req, geom,
-                extractTimeseries(spark, dir, req))
+                extractTimeseries(spark, dir, req, serving = sys.env.get("SPARK_GRAFT_SERVE_CACHE").forall(_ == "1")))
             })
           case _ => (404, """{"detail":"Not Found"}""")
         }
