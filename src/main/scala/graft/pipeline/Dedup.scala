@@ -1088,6 +1088,69 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** The APPLY step of SUBSTRING-level dedup (r12 verdict item 7 — the
+    * suffix-array-dedup family's second half, Lee et al.'s "dedup the
+    * training data" rewrite): excise from every document each character
+    * position covered by a SpanLen-char window that occurs ≥ 2 times
+    * anywhere in the corpus, keeping the complement in order.
+    * [[substringDup]] only REPORTS the duplicated fraction; this pass
+    * produces the scrubbed corpus.
+    *
+    * Scale shape: the same corpus-linear (doc, pos, span-hash) explode
+    * as substringDup; the duplicated-hash set joins back on the 8-byte
+    * hash key (shuffle join — the dup set grows with the corpus, so
+    * broadcasting it is exactly the unbounded-broadcast anti-pattern;
+    * AQE broadcasts only while it fits). Duplicated window starts
+    * aggregate per doc (bounded by doc length), and the excision is a
+    * per-document interval merge — inherently sequential WITHIN a row,
+    * embarrassingly parallel across rows, so it runs as one typed map
+    * over (text, starts), no extra shuffle. Engine-local xxhash64 keys
+    * stay inside the join; the oracle keys on span TEXT (the
+    * contamination-oracle policy) and mirrors the complement identity
+    * with an islands-and-gaps rewrite. */
+  def despan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val spans = docs.filter(length(col("text")) >= SpanLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
+          s" i -> struct(i, xxhash64(substring(text, i, $SpanLen)) AS h))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+    val dupHashes = spans.groupBy(col("h")).agg(count(lit(1)).as("tot"))
+      .filter(col("tot") >= 2).select(col("h"))
+    val dupStarts = spans.join(dupHashes, "h")
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
+    docs.select(col("doc_id"), col("text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .map { case (id, text, starts) =>
+        val kept = exciseSpans(text, starts.map(_.toArray).orNull)
+        (id, kept, kept.length.toLong, (text.length - kept.length).toLong)
+      }
+      .toDF("doc_id", "text_despan", "n_kept", "n_dropped")
+  }
+
+  /** Drop every position covered by [s, s + SpanLen − 1] for any start
+    * s — merged-interval excision, 1-based starts like the SQL mirror. */
+  private[pipeline] def exciseSpans(text: String,
+      starts: Array[Int]): String = {
+    if (starts == null || starts.isEmpty) return text
+    val sorted = starts.sorted
+    val sb = new java.lang.StringBuilder(text.length)
+    var pos = 1 // next uncopied position, 1-based
+    var k = 0
+    while (k < sorted.length) {
+      val s = sorted(k)
+      val e = s + SpanLen - 1
+      if (s > pos) sb.append(text, pos - 1, s - 1) // [pos, s-1] kept
+      if (e + 1 > pos) pos = e + 1
+      k += 1
+    }
+    if (pos <= text.length) sb.append(text, pos - 1, text.length)
+    sb.toString
+  }
+
   // ------------------------------------------------------------------
 
   private val shingleSql =
@@ -1186,7 +1249,54 @@ object Dedup {
     "dedup_incremental" ->
       s"""SELECT * FROM ($jaccardSql)
          |WHERE d1 % $DeltaMod = 0 OR d2 % $DeltaMod = 0""".stripMargin,
-    "dedup_simhash" -> simhashSql
+    "dedup_simhash" -> simhashSql,
+    // span keys are TEXT here too; only the rewritten text and counts
+    // cross to the compare. The rewrite mirrors the engine's interval
+    // merge as islands-and-gaps: covered = merged [i, i+SpanLen-1]
+    // ranges of duplicated starts, kept = ordered concat of the gaps.
+    "docs_despan" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, text, length(text) AS L FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT doc_id, text, unnest(generate_series(1, L - ${SpanLen - 1})) AS i
+         |  FROM d WHERE L >= $SpanLen),
+         |sp AS MATERIALIZED (
+         |  SELECT doc_id, i, substr(text, CAST(i AS INT), $SpanLen) AS s FROM sp0),
+         |cnt AS MATERIALIZED (SELECT s, count(*) AS tot FROM sp GROUP BY s),
+         |dup AS MATERIALIZED (
+         |  SELECT doc_id, i AS s0, i + ${SpanLen - 1} AS e0
+         |  FROM sp JOIN cnt USING (s) WHERE tot >= 2),
+         |isl AS MATERIALIZED (
+         |  SELECT doc_id, s0, e0,
+         |    max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM dup),
+         |grp AS MATERIALIZED (
+         |  SELECT doc_id, s0, e0,
+         |    sum(CASE WHEN pm IS NULL OR s0 > pm + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s0, e0) AS g
+         |  FROM isl),
+         |cov AS MATERIALIZED (
+         |  SELECT doc_id, min(s0) AS cs, max(e0) AS ce FROM grp GROUP BY doc_id, g),
+         |frag AS MATERIALIZED (
+         |  SELECT c.doc_id,
+         |    coalesce(lag(ce) OVER (PARTITION BY c.doc_id ORDER BY cs), 0) + 1 AS fs,
+         |    cs - 1 AS fe
+         |  FROM cov c
+         |  UNION ALL
+         |  SELECT d.doc_id, coalesce(mx.mce, 0) + 1 AS fs, d.L AS fe
+         |  FROM d LEFT JOIN (SELECT doc_id, max(ce) AS mce FROM cov GROUP BY doc_id) mx
+         |    USING (doc_id)),
+         |txt AS MATERIALIZED (
+         |  SELECT f.doc_id,
+         |    string_agg(substr(d.text, CAST(f.fs AS INT), CAST(f.fe - f.fs + 1 AS INT)), ''
+         |               ORDER BY f.fs) AS kept
+         |  FROM frag f JOIN d USING (doc_id) WHERE f.fe >= f.fs
+         |  GROUP BY f.doc_id)
+         |SELECT d.doc_id, coalesce(t.kept, '') AS text_despan,
+         |  CAST(length(coalesce(t.kept, '')) AS BIGINT) AS n_kept,
+         |  CAST(d.L - length(coalesce(t.kept, '')) AS BIGINT) AS n_dropped
+         |FROM d LEFT JOIN txt t USING (doc_id)""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1197,6 +1307,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_clusters" -> (clusters _),
     "docs_dedup_apply" -> (dedupApply _),
-    "dedup_substring" -> (substringDup _)
+    "dedup_substring" -> (substringDup _),
+    "docs_despan" -> (despan _)
   )
 }
