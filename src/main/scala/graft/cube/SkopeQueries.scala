@@ -915,6 +915,13 @@ object SkopeQueries {
          |  round(CAST((3 * r + 5 * c) % 251 AS DOUBLE) + 1e-9, 6)
          |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)"""
         .stripMargin,
+    // the hand-built BigTIFF fixture's closed-form content: the
+    // 43-magic 8-byte-offset format end-to-end through readCube
+    "skope_geotiff_big" ->
+      s"""SELECT CAST(c AS BIGINT) AS x, CAST(r AS BIGINT) AS y,
+         |  round(CAST((7 * r + 11 * c) % 251 AS DOUBLE) + 1e-9, 6) AS value
+         |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)"""
+        .stripMargin,
     // the tiled fixture's closed-form content: tiles × LZW ×
     // Predictor 2 through one end-to-end gate
     "skope_geotiff_tiled" ->
@@ -1245,6 +1252,69 @@ object SkopeQueries {
   private[cube] val LzwFix16: (Int, Int) => Int = (r, c) => 100 * r + 7 * c
   private[cube] val LzwFix8: (Int, Int) => Int = (r, c) => (3 * r + 5 * c) % 251
   private[cube] val TileFix8: (Int, Int) => Int = (r, c) => (13 * r + 3 * c) % 251
+  private[cube] val BigFix8: (Int, Int) => Int = (r, c) => (7 * r + 11 * c) % 251
+
+  /** BigTIFF fixture (r12 verdict item 8) — HAND-BUILT from the BigTIFF
+    * spec (magic 43, 8-byte offset size, u64 IFD counts and entry
+    * values, 20-byte entries, LONG8 strip tables): the JDK's ImageIO
+    * TIFF writer cannot emit BigTIFF, so the bytes are laid out
+    * directly, which also makes the fixture an independent
+    * cross-implementation check of the reader's 43-branch. Two strips,
+    * uint8, closed-form content; the LONG8 StripOffsets/ByteCounts
+    * arrays are deliberately OUT-OF-LINE (2 × 8 bytes > the 8-byte
+    * inline slot) so the offset-dereferencing path is exercised, not
+    * just inline values. */
+  private lazy val geotiffBigFixture: String =
+    atomicFixtureDir(new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-bigfix-${ProcessHandle.current().pid()}")) { dir =>
+      val w = LzwFixW; val h = LzwFixH
+      val rowsPerStrip = h / 2
+      val stripBytes = rowsPerStrip * w
+      val headerLen = 16
+      val strip0 = headerLen
+      val strip1 = strip0 + stripBytes
+      val ifdOff = strip1 + stripBytes
+      val nEntries = 10
+      val arrOff = ifdOff + 8 + nEntries * 20 + 8 // after count+entries+next
+      val total = arrOff + 2 * 8 * 2 // two LONG8[2] arrays
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // header: 'II' 43 8 0 firstIFD(u64)
+      bb.put('I'.toByte).put('I'.toByte).putShort(43)
+        .putShort(8).putShort(0).putLong(ifdOff.toLong)
+      for (r <- 0 until h; c <- 0 until w) bb.put(BigFix8(r, c).toByte)
+      // IFD: u64 count, then 20-byte entries ascending by tag
+      bb.putLong(nEntries.toLong)
+      def entry(tag: Int, typ: Int, count: Long)(value: java.nio.ByteBuffer => Unit): Unit = {
+        bb.putShort(tag.toShort).putShort(typ.toShort).putLong(count)
+        val slotEnd = bb.position() + 8
+        value(bb)
+        while (bb.position() < slotEnd) bb.put(0.toByte)
+      }
+      entry(256, 3, 1)(_.putShort(w.toShort)) // ImageWidth
+      entry(257, 3, 1)(_.putShort(h.toShort)) // ImageLength
+      entry(258, 3, 1)(_.putShort(8)) // BitsPerSample
+      entry(259, 3, 1)(_.putShort(1)) // Compression = none
+      entry(262, 3, 1)(_.putShort(1)) // Photometric = BlackIsZero
+      entry(273, 16, 2)(_.putLong(arrOff.toLong)) // StripOffsets → LONG8[2]
+      entry(277, 3, 1)(_.putShort(1)) // SamplesPerPixel
+      entry(278, 3, 1)(_.putShort(rowsPerStrip.toShort)) // RowsPerStrip
+      entry(279, 16, 2)(_.putLong(arrOff + 16L)) // StripByteCounts → LONG8[2]
+      entry(339, 3, 1)(_.putShort(1)) // SampleFormat = unsigned int
+      bb.putLong(0L) // next IFD
+      bb.putLong(strip0.toLong).putLong(strip1.toLong) // offsets array
+      bb.putLong(stripBytes.toLong).putLong(stripBytes.toLong) // counts array
+      require(bb.position() == total, s"BigTIFF layout drift: ${bb.position()} != $total")
+      val out = new java.io.FileOutputStream(new java.io.File(dir, "big_1.tif"))
+      try out.write(bb.array()) finally out.close()
+    }
+
+  def geotiffBig(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark, geotiffBigFixture + "/big_1.tif")
+      .select(
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        Num.roundEps(col("v"), 6).as("value"))
 
   /** TILED-layout fixture — the OTHER physical organization a real
     * archive ships (TileWidth/TileLength/TileOffsets instead of
@@ -1361,6 +1431,7 @@ object SkopeQueries {
     "skope_geotiff_int16" -> (geotiffInt16 _),
     "skope_geotiff_lzw" -> (geotiffLzw _),
     "skope_geotiff_tiled" -> (geotiffTiled _),
+    "skope_geotiff_big" -> (geotiffBig _),
     "skope_raster_series" -> (rasterSeries _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->

@@ -79,6 +79,7 @@ object GeoTiff {
     case 3 | 8 => 2 // SHORT/SSHORT
     case 4 | 9 | 11 => 4 // LONG/SLONG/FLOAT
     case 5 | 10 | 12 => 8 // RATIONAL/SRATIONAL/DOUBLE
+    case 16 | 17 | 18 => 8 // LONG8/SLONG8/IFD8 (BigTIFF)
     case other => throw new IllegalArgumentException(
       s"unsupported TIFF field type $other")
   }
@@ -101,9 +102,12 @@ object GeoTiff {
     def has(tag: Int): Boolean = entries.contains(tag)
 
     private def bytesOf(e: Entry): ByteBuffer = {
+      // inline capacity is the entry's value slot: 4 bytes in classic
+      // TIFF, 8 in BigTIFF (e.inline is sliced at the right width by
+      // the header parser)
       val size = typeSize(e.typ) * e.count
       val bb =
-        if (size <= 4) ByteBuffer.wrap(e.inline)
+        if (size <= e.inline.length) ByteBuffer.wrap(e.inline)
         else buf.duplicate().position(idx(e.valueOffset, s"tag ${e.tag} value"))
           .asInstanceOf[ByteBuffer]
       bb.order(buf.order())
@@ -122,6 +126,7 @@ object GeoTiff {
           case 8 => bb.getShort().toLong
           case 4 => bb.getInt() & 0xffffffffL
           case 9 => bb.getInt().toLong
+          case 16 | 17 | 18 => bb.getLong() // BigTIFF 64-bit
           case other => throw new IllegalArgumentException(
             s"tag $tag: expected integer type, got $other")
         }
@@ -183,25 +188,52 @@ object GeoTiff {
     }
     val buf = ByteBuffer.wrap(bytes).order(order)
     val magic = buf.getShort(2) & 0xffff
-    if (magic == 43) throw new IllegalArgumentException(
-      "BigTIFF is not supported (classic TIFF expected)")
-    require(magic == 42, s"not a TIFF: magic $magic")
+    // BigTIFF (magic 43, r12 verdict item 8): 8-byte offsets, 20-byte
+    // IFD entries, 8-byte counts, LONG8/SLONG8/IFD8 field types. A
+    // >4 GiB archive granule is real at 100 TB; this parser handles the
+    // FORMAT for any file that fits one binaryFile buffer (2 GiB — the
+    // idx() bound still names the limit for physically huge granules,
+    // which a DataSource V2 strip split would address, not the header).
+    val big = magic == 43
+    if (big) {
+      require((buf.getShort(4) & 0xffff) == 8,
+        s"BigTIFF offset size ${buf.getShort(4)} (8 expected)")
+      require(buf.getShort(6) == 0, "BigTIFF header reserved word != 0")
+    } else require(magic == 42, s"not a TIFF: magic $magic")
+    // per-IFD geometry: (entry size, count width, inline slot width)
+    val entrySize = if (big) 20 else 12
+    def ifdCount(at: Int): Int =
+      if (big) {
+        val n = buf.getLong(at)
+        require(n >= 0 && n <= 65535, s"implausible BigTIFF IFD count $n")
+        n.toInt
+      } else buf.getShort(at) & 0xffff
+    val countHeader = if (big) 8 else 2
 
-    var ifdOff = buf.getInt(4) & 0xffffffffL
+    var ifdOff = if (big) buf.getLong(8) else buf.getInt(4) & 0xffffffffL
     var pages = Vector.empty[Ifd]
     while (ifdOff != 0) {
-      val n = buf.getShort(idx(ifdOff, "IFD")) & 0xffff
+      val at = idx(ifdOff, "IFD")
+      val n = ifdCount(at)
       val entries = (0 until n).map { i =>
-        val off = idx(ifdOff, "IFD") + 2 + i * 12
+        val off = at + countHeader + i * entrySize
         val tag = buf.getShort(off) & 0xffff
         val typ = buf.getShort(off + 2) & 0xffff
-        val count = buf.getInt(off + 4)
-        val inline = java.util.Arrays.copyOfRange(bytes, off + 8, off + 12)
-        val vOff = buf.getInt(off + 8) & 0xffffffffL
+        val count =
+          if (big) {
+            val c = buf.getLong(off + 4)
+            require(c >= 0 && c <= Int.MaxValue, s"tag $tag count $c too large")
+            c.toInt
+          } else buf.getInt(off + 4)
+        val vSlot = off + (if (big) 12 else 8)
+        val inline = java.util.Arrays.copyOfRange(bytes, vSlot,
+          vSlot + (if (big) 8 else 4))
+        val vOff = if (big) buf.getLong(vSlot) else buf.getInt(vSlot) & 0xffffffffL
         tag -> Entry(tag, typ, count, vOff, inline)
       }.toMap
       pages = pages :+ new Ifd(buf, entries)
-      ifdOff = buf.getInt(idx(ifdOff, "IFD") + 2 + n * 12) & 0xffffffffL
+      val nextAt = at + countHeader + n * entrySize
+      ifdOff = if (big) buf.getLong(nextAt) else buf.getInt(nextAt) & 0xffffffffL
     }
     require(pages.nonEmpty, "TIFF has no IFD")
 
