@@ -52,7 +52,7 @@ object Bench {
     "skope_zonal_median_approx" -> "s_zmx", "skope_anomalies" -> "s_anm",
     "skope_polygon_mask" -> "s_pms", "skope_polygon_zonal" -> "s_pzn",
     "skope_polygon_hole" -> "s_phl", "skope_feature_union" -> "s_fun",
-    "skope_geodesic_area" -> "s_geo", "skope_gap_fill" -> "s_gap",
+    "skope_geodesic_area" -> "s_ge", "skope_gap_fill" -> "s_gp",
     "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gti",
     "skope_geotiff_export" -> "s_gex", "skope_geotiff_uint16" -> "s_u16",
     "skope_geotiff_monthly" -> "s_gtm", "skope_geotiff_int16" -> "s_i16",
@@ -61,35 +61,35 @@ object Bench {
     "skope_uncertainty_series" -> "s_unc",
     // text analysis
     "text_fingerprint" -> "t_fp", "text_langid" -> "t_lg",
-    "text_pii_scrub" -> "t_pii", "text_quality" -> "t_ql",
-    "text_repetition" -> "t_rep", "text_tokens" -> "t_tok",
-    "text_unigram_logprob" -> "t_lp", "text_vocab" -> "t_voc",
-    "text_bigrams" -> "t_big",
+    "text_pii_scrub" -> "t_pi", "text_quality" -> "t_ql",
+    "text_repetition" -> "t_rp", "text_tokens" -> "t_tk",
+    "text_unigram_logprob" -> "t_lp", "text_vocab" -> "t_vc",
+    "text_bigrams" -> "t_bg",
     // dedup family
     "dedup_clusters" -> "d_cc", "dedup_embedding" -> "d_emb",
     "dedup_exact" -> "d_ex", "dedup_minhash_lsh" -> "d_mh",
     "dedup_ngram_jaccard" -> "d_jac", "dedup_simhash" -> "d_sh",
-    "dedup_substring" -> "d_sub", "docs_dedup_apply" -> "d_ap",
+    "dedup_substring" -> "d_sb", "docs_dedup_apply" -> "d_ap",
     // ANN / embeddings
-    "ann_ivf" -> "a_ivf", "ann_lsh" -> "a_lsh", "ann_recall" -> "a_rec",
-    "ann_topk" -> "a_tk", "emb_centroids" -> "a_cen",
-    "emb_quantize" -> "a_qnt", "emb_pq" -> "a_pq",
-    "ann_ivfpq" -> "a_ip", "dedup_semantic" -> "d_sem",
+    "ann_ivf" -> "a_iv", "ann_lsh" -> "a_ls", "ann_recall" -> "a_rc",
+    "ann_topk" -> "a_tk", "emb_centroids" -> "a_ce",
+    "emb_quantize" -> "a_qn", "emb_pq" -> "a_pq",
+    "ann_ivfpq" -> "a_ip", "dedup_semantic" -> "d_sm",
     "ann_ivfpq_recall" -> "a_ipc", "ann_ivfpq_refine" -> "a_ipf",
-    "dedup_incremental" -> "d_inc",
-    "emb_pq_trained" -> "a_pqt", "ann_ivfpq_trained" -> "a_ipt",
+    "dedup_incremental" -> "d_ic",
+    "emb_pq_trained" -> "a_pt", "ann_ivfpq_trained" -> "a_ipt",
     "ann_ivfpq_trained_recall" -> "a_iptc",
     "ann_ivfpq_residual" -> "a_ipr",
     "ann_ivfpq_residual_recall" -> "a_iprc",
     // events
     "events_asof_click" -> "e_as", "events_attr_window" -> "e_at",
-    "events_funnel" -> "e_fun", "events_hourly_rollup" -> "e_rl",
-    "events_retention" -> "e_ret", "events_sessionize" -> "e_ss",
+    "events_funnel" -> "e_fn", "events_hourly_rollup" -> "e_rl",
+    "events_retention" -> "e_rt", "events_sessionize" -> "e_ss",
     "events_topk_users" -> "e_tk",
     // docs curation / training prep
     "docs_contamination" -> "c_cn", "docs_curation_pipeline" -> "c_pp",
-    "docs_mix_weights" -> "c_mix", "docs_pack_sequences" -> "c_pk",
-    "docs_sample_hash" -> "c_sm", "docs_source_cap" -> "c_cap",
+    "docs_mix_weights" -> "c_mx", "docs_pack_sequences" -> "c_pk",
+    "docs_sample_hash" -> "c_sm", "docs_source_cap" -> "c_cp",
     "docs_split" -> "c_sp", "docs_chunk" -> "c_ch",
     "docs_decontaminate" -> "c_dc",
     // multimodal
@@ -98,7 +98,14 @@ object Bench {
     "mm_audio_meta" -> "m_am", "mm_audio_features" -> "m_af",
     "mm_audio_resample" -> "m_ar",
     "mm_jpeg_meta" -> "m_jm", "mm_jpeg_features" -> "m_jf",
-    "mm_ahash" -> "m_ah", "skope_geotiff_tiled" -> "s_til"
+    "mm_ahash" -> "m_ah", "skope_geotiff_tiled" -> "s_til",
+    // BPE tokenizer family (round 13)
+    "text_tokens_bpe" -> "t_bpe", "docs_split_bpe" -> "c_spb",
+    "docs_pack_bpe" -> "c_pkb", "docs_mix_bpe" -> "c_mxb",
+    // span-level dedup apply (round 13)
+    "docs_despan" -> "d_dsp",
+    // BigTIFF ingest (round 13)
+    "skope_geotiff_big" -> "s_btf"
   )
 
   def main(args: Array[String]): Unit = {
