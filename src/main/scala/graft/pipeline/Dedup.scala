@@ -1108,15 +1108,18 @@ object Dedup {
     * stay inside the join; the oracle keys on span TEXT (the
     * contamination-oracle policy) and mirrors the complement identity
     * with an islands-and-gaps rewrite. */
-  def despan(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    // the span stream is consumed twice (global counts, then the
-    // position join); RE-RUNNING the codegen'd explode+hash is cheaper
-    // than materializing 100s of millions of rows (a localCheckpoint
-    // variant measured 40% SLOWER at sf10 — serializing the stream
-    // costs more than recomputing it)
-    val spans = docs.filter(length(col("text")) >= SpanLen)
+  /** The DISCOVERY pass: every duplicated span start as (doc_id, i).
+    * The span stream is consumed twice (global counts, then the
+    * position join); RE-RUNNING the codegen'd explode+hash is cheaper
+    * than materializing 100s of millions of rows (a localCheckpoint
+    * variant measured 40% SLOWER at sf10 — serializing the stream
+    * costs more than recomputing it), and a SHUFFLE_HASH hint on the
+    * dup join measured a wash inside box noise, so the defaults stay
+    * (AQE's skew handling splits a pathological universal-span
+    * partition either way). */
+  private def dupSpanStarts(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= SpanLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
           s" i -> struct(i, xxhash64(substring(text, i, $SpanLen)) AS h))"))
@@ -1124,11 +1127,38 @@ object Dedup {
       .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
     val dupHashes = spans.groupBy(col("h")).agg(count(lit(1)).as("tot"))
       .filter(col("tot") >= 2).select(col("h"))
-    // plain shuffle join on the 8-byte hash key: a SHUFFLE_HASH hint
-    // measured a wash inside box noise at sf10, so the default stays
-    // (AQE's skew handling splits a pathological universal-span
-    // partition either way)
-    val dupStarts = spans.join(dupHashes, "h")
+    spans.join(dupHashes, "h").select(col("doc_id"), col("i"))
+  }
+
+  /** Duplicated span starts as a PERSISTED bucketed lake table — the
+    * write-time artifact of the span-dedup family (the minhash /
+    * shingle / simhash discipline applied to spans): the discovery
+    * pass is two corpus-scale passes over the span-hash stream (233M
+    * rows at sf10) and runs ONCE per corpus content; what it learns —
+    * (doc_id, i) of every duplicated start — lands bucketed by doc_id,
+    * so [[despan]]'s per-doc aggregation runs straight off the
+    * bucketed scan with no exchange on the index side and any rerun or
+    * downstream consumer pays only the read. Write-once (no fold path:
+    * despan is a corpus-SNAPSHOT rewrite; a grown corpus has a new
+    * fingerprint and builds its own table). */
+  private[pipeline] def spanIndexTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = indexTableName(spark, dir, "graft_spanidx_")
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("doc_id"), IndexBuckets))
+        graft.sources.TableIO.writeBucketed(
+          dupSpanStarts(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
+    }
+    spark.table(tbl)
+  }
+
+  def despan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val dupStarts = spanIndexTable(spark, dir)
       .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
     docs.select(col("doc_id"), col("text"))
       .join(dupStarts, Seq("doc_id"), "left")

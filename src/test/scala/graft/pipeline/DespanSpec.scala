@@ -34,6 +34,17 @@ class DespanSpec extends SparkSpec {
     assert(Dedup.exciseSpans(text, Array(51)) === ("a" * 10) + ("b" * 40))
   }
 
+  test("the per-doc aggregation rides the STORED span index, no index-side Exchange") {
+    Dedup.despan(spark, sfDir).count() // first touch builds + stores
+    import org.apache.spark.sql.functions._
+    val agg = Dedup.spanIndexTable(spark, sfDir)
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(plan.contains("graft_spanidx_"), plan)
+    assert(!plan.contains("Exchange"),
+      s"doc_id-bucketed index scan must satisfy the aggregation:\n$plan")
+  }
+
   test("non-duplicated documents are preserved byte-identical") {
     val rep = Dedup.substringDup(spark, sfDir)
       .filter(col("n_dup_spans") === 0).select("doc_id")
