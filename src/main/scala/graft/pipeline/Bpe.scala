@@ -71,13 +71,42 @@ object Bpe {
     out.toArray
   }
 
-  /** Train the merge sequence on `dir`'s documents (cached per
-    * session): distributed word count, top-VocabCap collect, driver
-    * merge loop over the bounded vocabulary. */
+  /** Train the merge sequence on `dir`'s documents — or read it back
+    * from the fingerprint-named sidecar a previous session left: the
+    * trained tokenizer is a write-time artifact exactly like the PQ
+    * codebooks (persistedBook discipline), so a serving session never
+    * re-pays the corpus word count. The in-memory memo sits on top for
+    * repeat calls inside one session; training itself is one
+    * distributed word-count shuffle + a driver merge loop over the
+    * ≤VocabCap vocabulary. Strings round-trip parquet exactly, so the
+    * reloaded merges ARE the trained merges and the oracle stays
+    * exact. */
   private[graft] def trainMerges(spark: SparkSession,
       dir: String): Seq[(String, String)] = {
     val key = spark.sparkContext.applicationId + ":" + dir
     trained.computeIfAbsent(key, _ => {
+      val tbl = "graft_bpe_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        Dedup.corpusFingerprint(spark, dir)
+      if (spark.catalog.tableExists(tbl))
+        spark.table(tbl).collect()
+          .sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      else {
+        val merges = trainFresh(spark, dir)
+        import spark.implicits._
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+          .toDF("rank", "l", "r").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").option("path", path).saveAsTable(tbl)
+        merges
+      }
+    })
+  }
+
+  private def trainFresh(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
       val vocab = Tables.documents(spark, dir)
         .select(explode(
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
@@ -111,7 +140,6 @@ object Bpe {
         i += 1
       }
       merges.toSeq
-    })
   }
 
   /** The `|tok||tok|` representation of a document's words after all
