@@ -102,6 +102,9 @@ object Bench {
     // BPE tokenizer family (round 13)
     "text_tokens_bpe" -> "t_bpe", "docs_split_bpe" -> "c_spb",
     "docs_pack_bpe" -> "c_pkb", "docs_mix_bpe" -> "c_mxb",
+    "text_vocab_bpe" -> "t_bpv",
+    // PCA family (round 13)
+    "emb_pca" -> "a_pca", "emb_pca_project" -> "a_pcp",
     // span-level dedup apply (round 13)
     "docs_despan" -> "d_dsp",
     // BigTIFF ingest (round 13)

@@ -193,6 +193,40 @@ object Bpe {
   def mixBpe(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.mixWeights(spark, dir, tokenCount(spark, dir))
 
+  /** Apply the trained merges to one word (driver-side, the token-array
+    * mirror of the replace chain). */
+  private[pipeline] def tokensOf(w: String,
+      merges: Seq[(String, String)]): Array[String] =
+    merges.foldLeft(w.toCharArray.map(_.toString)) {
+      case (toks, (l, r)) => mergeToks(toks, l, r)
+    }
+
+  /** Tokenizer diagnostics: the BPE token frequency table over the
+    * TRAINING vocabulary (top 50 by frequency-weighted count, ties by
+    * token asc) — what a tokenizer owner inspects after training: which
+    * merges captured whole words, what the residual char-level tail
+    * looks like. Vocab-bounded by construction (the same ≤VocabCap word
+    * table training reads): one distributed word-count shuffle, then a
+    * driver fold over ≤VocabCap words — never a corpus-scale pass. */
+  def vocabBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(spark, dir)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    vocab.foreach { case (w, c) =>
+      tokensOf(w, merges).foreach(t =>
+        counts.update(t, counts.getOrElse(t, 0L) + c))
+    }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+    import spark.implicits._
+    top.toDF("token", "cnt")
+  }
+
   // ------------------------------------------------------- oracle --
 
   /** The oracle's replay of training + application: vocab_i / docs_i
@@ -248,7 +282,8 @@ object Bpe {
     "text_tokens_bpe" -> (tokensBpe _),
     "docs_split_bpe" -> (splitBpe _),
     "docs_pack_bpe" -> (packBpe _),
-    "docs_mix_bpe" -> (mixBpe _)
+    "docs_mix_bpe" -> (mixBpe _),
+    "text_vocab_bpe" -> (vocabBpe _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,6 +319,14 @@ object Bpe {
          |  cum_before // ${TrainingPrep.SeqLen} AS seq_id,
          |  cum_before % ${TrainingPrep.SeqLen} AS seq_offset
          |FROM c""".stripMargin,
+    "text_vocab_bpe" ->
+      s"""$chainSql,
+         |tok AS MATERIALIZED (
+         |  SELECT unnest(string_split(trim(r, '|'), '||')) AS token, cnt
+         |  FROM vocab_$Merges)
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM tok GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
     "docs_mix_bpe" ->
       s"""$perDocSql,
          |s AS (

@@ -288,6 +288,86 @@ object Similarity {
         Num.roundEps(col("qs").getItem(0), 6).as("scale"),
         Num.roundEps(col("qs").getItem(1), 6).as("mse"))
 
+  // ------------------------------------------------------------- PCA --
+
+  /** Power-iteration rounds for [[embPca]] — fixed, like Bpe.Merges and
+    * KmIters, so the oracle's CTE chain has the same length. */
+  val PcaIters = 8
+
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
+  /** First principal component of the embedding corpus by DETERMINISTIC
+    * power iteration — the k-means-trainer discipline applied to PCA
+    * (whitening / outlier scoring / drift diagnostics are standard
+    * embedding-pipeline passes): per-dim mean eps-rounded at 6 dp,
+    * v₀ = the centered LOWEST-vec_id vector normalized (data-determined,
+    * deterministic, and never orthogonal to itself), then PcaIters
+    * rounds of v ← round₆((Cᵀ(Cv)) / ‖·‖), with the per-vector scores
+    * rounded at 6 dp inside each round exactly as the oracle's s_i CTE.
+    *
+    * Scale shape: each round is ONE distributed pass with NO centered
+    * copy of the corpus — (x−μ)·v = x·v − μ·v (the native DotProduct
+    * kernel + a driver scalar), and the per-dim update
+    * Σᵢ sᵢ(x_id − μ_d) = Σᵢ sᵢx_id − μ_d Σᵢ sᵢ needs only
+    * posexplode → 64-group hash agg (map-side partials collapse the
+    * per-vector rows; the shuffle moves 64 rows per partition
+    * regardless of corpus size). Driver state is two 64-float arrays. */
+  private[pipeline] def pcaState(spark: SparkSession,
+      dir: String): (Array[Double], Array[Double]) = {
+    val key = spark.sparkContext.applicationId + ":" + dir
+    pcaCache.computeIfAbsent(key, _ => {
+      val data = vecs(spark, dir)
+      val mu = data.select(posexplode(col("v")).as(Seq("d", "val")))
+        .groupBy(col("d")).agg(avg(col("val")).as("m"))
+        .collect().map(r => (r.getInt(0), Num.roundEpsJvm(r.getDouble(1), 6)))
+        .sortBy(_._1).map(_._2)
+      val x0 = data.orderBy(col("vec_id")).limit(1)
+        .collect()(0).getSeq[Double](1).toArray
+      val f0 = x0.indices.map(d => x0(d) - mu(d)).toArray
+      val n0 = math.sqrt(f0.map(v => v * v).sum)
+      var v = f0.map(x => Num.roundEpsJvm(x / n0, 6))
+      var it = 0
+      while (it < PcaIters) {
+        val vl = typedlit(v.toSeq)
+        val muDotV = mu.indices.map(d => mu(d) * v(d)).sum
+        val sums = data
+          .withColumn("s", Num.roundEps(
+            graft.functions.VectorFunctions.dot_product(col("v"), vl)
+              - lit(muDotV), 6))
+          .select(col("s"), posexplode(col("v")).as(Seq("d", "val")))
+          .groupBy(col("d"))
+          .agg(sum(col("s") * col("val")).as("sx"), sum(col("s")).as("ss"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val w = sums.map { case (d, sx, ss) => sx - mu(d) * ss }
+        val nw = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(x => Num.roundEpsJvm(x / nw, 6))
+        it += 1
+      }
+      (mu, v)
+    })
+  }
+
+  /** (d, mu, pc1) — the trained component, 64 rows. */
+  def embPca(spark: SparkSession, dir: String): DataFrame = {
+    val (mu, v) = pcaState(spark, dir)
+    import spark.implicits._
+    mu.indices.map(d => (d, mu(d), v(d))).toDF("d", "mu", "pc1")
+  }
+
+  /** Per-vector projection onto the trained component — the outlier /
+    * drift score a curation pass thresholds on. Map-only: one native
+    * dot per row against the broadcast component. */
+  def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (mu, v) = pcaState(spark, dir)
+    val muDotV = mu.indices.map(d => mu(d) * v(d)).sum
+    vecs(spark, dir).select(col("vec_id"),
+      Num.roundEps(
+        graft.functions.VectorFunctions.dot_product(col("v"),
+          typedlit(v.toSeq)) - lit(muDotV), 6).as("score"))
+  }
+
   /** Product-quantization geometry: PqM subspaces of Dim/PqM dims,
     * PqK codes per subspace → a vector compresses to PqM 4-bit codes
     * (256 B float32 → 4 B), the standard ADC index layout. */
@@ -1252,6 +1332,7 @@ object Similarity {
   private[pipeline] def clearDriverCaches(): Unit = {
     cbCache.synchronized(cbCache.clear())
     countCache.synchronized(countCache.clear())
+    pcaCache.clear()
   }
 
   private def corpusCount(spark: SparkSession, dir: String): Long = {
@@ -2446,8 +2527,47 @@ object Similarity {
         |      x -> (x - floor(x * scale + 0.5) / scale)
         |         * (x - floor(x * scale + 0.5) / scale)))
         |    / len(vv)) + 1e-9, 6) AS mse
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "emb_pca" -> (s"$pcaChainSql\n" +
+      s"SELECT m.d AS d, m.mu AS mu, v.v AS pc1 FROM mu m JOIN v_$PcaIters v USING (d)"),
+    "emb_pca_project" ->
+      s"""$pcaChainSql,
+         |sf AS MATERIALIZED (
+         |  SELECT vec_id, ${Num.roundEpsSql("sum(cv * v)", 6)} AS score
+         |  FROM c JOIN v_$PcaIters USING (d) GROUP BY vec_id)
+         |SELECT vec_id, score FROM sf""".stripMargin
   )
+
+  /** The oracle's replay of [[pcaState]]: mu / centered table / v_0,
+    * then PcaIters (s_i, w_i, v_i) rounds — MATERIALIZED throughout
+    * (the iterative-CTE discipline; DuckDB would otherwise inline the
+    * chain exponentially). */
+  private def pcaChainSql: String = {
+    def r6(e: String) = Num.roundEpsSql(e, 6)
+    val head =
+      s"""x AS MATERIALIZED (
+         |  SELECT vec_id, d - 1 AS d, CAST(e AS DOUBLE) AS val
+         |  FROM (SELECT vec_id, unnest(embedding) AS e,
+         |               generate_subscripts(embedding, 1) AS d FROM embeddings)),
+         |mu AS MATERIALIZED (SELECT d, ${r6("avg(val)")} AS mu FROM x GROUP BY d),
+         |c AS MATERIALIZED (SELECT vec_id, x.d, val - mu AS cv FROM x JOIN mu USING (d)),
+         |f0 AS MATERIALIZED (SELECT d, cv FROM c WHERE vec_id = (SELECT min(vec_id) FROM c)),
+         |v_0 AS MATERIALIZED (
+         |  SELECT d, ${r6("cv / nrm")} AS v
+         |  FROM f0, (SELECT sqrt(sum(cv*cv)) AS nrm FROM f0) t)""".stripMargin
+    val iters = (1 to PcaIters).map { i =>
+      val p = i - 1
+      s"""s_$i AS MATERIALIZED (
+         |  SELECT vec_id, ${r6("sum(cv * v)")} AS s
+         |  FROM c JOIN v_$p USING (d) GROUP BY vec_id),
+         |w_$i AS MATERIALIZED (
+         |  SELECT d, sum(s * cv) AS w FROM c JOIN s_$i USING (vec_id) GROUP BY d),
+         |v_$i AS MATERIALIZED (
+         |  SELECT d, ${r6("w / nrm")} AS v
+         |  FROM w_$i, (SELECT sqrt(sum(w*w)) AS nrm FROM w_$i) t)""".stripMargin
+    }
+    (head +: iters).mkString("WITH ", ",\n", "")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
@@ -2466,6 +2586,8 @@ object Similarity {
     "ann_ivfpq_trained_recall" -> (annIvfPqTrainedRecall _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_recall" -> (annIvfPqResidualRecall _),
-    "dedup_semantic" -> (dedupSemantic _)
+    "dedup_semantic" -> (dedupSemantic _),
+    "emb_pca" -> (embPca _),
+    "emb_pca_project" -> (embPcaProject _)
   )
 }
