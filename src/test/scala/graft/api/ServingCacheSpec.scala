@@ -38,7 +38,15 @@ class ServingCacheSpec extends SparkSpec {
       requestedSeriesOptions = Seq(
         SeriesOptions("s", MovingAverageSmoother(centered = false, 4)))),
     "zscore fixed interval" -> base.copy(
-      transform = ZScoreFixedInterval(Some((8, 18)))))
+      transform = ZScoreFixedInterval(Some((8, 18)))),
+    // non-default resolution and variable: the serving cube is keyed
+    // per (dataset, resolution, variable) — a wrong cache key would
+    // serve the wrong axis or the wrong raster here
+    "hourly second dataset" -> base.copy(
+      datasetId = "view",
+      resolution = graft.cube.EventCube.Hourly, bandRange = (5, 80),
+      transform = ZScoreMovingInterval(4)),
+    "k variable" -> base.copy(variableId = "k", bandRange = (3, 20)))
 
   private def dump(r: TimeseriesResult): Seq[Set[Seq[Any]]] =
     Seq(r.series, r.summaryStats, r.timeRange)
