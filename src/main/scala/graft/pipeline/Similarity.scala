@@ -295,7 +295,8 @@ object Similarity {
   val PcaIters = 8
 
   private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Array[Double], Array[Double], Array[Double])]()
 
   /** First principal component of the embedding corpus by DETERMINISTIC
     * power iteration — the k-means-trainer discipline applied to PCA
@@ -314,7 +315,7 @@ object Similarity {
     * per-vector rows; the shuffle moves 64 rows per partition
     * regardless of corpus size). Driver state is two 64-float arrays. */
   private[pipeline] def pcaState(spark: SparkSession,
-      dir: String): (Array[Double], Array[Double]) = {
+      dir: String): (Array[Double], Array[Double], Array[Double]) = {
     val key = spark.sparkContext.applicationId + ":" + dir
     pcaCache.computeIfAbsent(key, _ => {
       val data = vecs(spark, dir)
@@ -324,43 +325,78 @@ object Similarity {
         .sortBy(_._1).map(_._2)
       val x0 = data.orderBy(col("vec_id")).limit(1)
         .collect()(0).getSeq[Double](1).toArray
-      val f0 = x0.indices.map(d => x0(d) - mu(d)).toArray
-      val n0 = math.sqrt(f0.map(v => v * v).sum)
-      var v = f0.map(x => Num.roundEpsJvm(x / n0, 6))
-      var it = 0
-      while (it < PcaIters) {
-        val vl = typedlit(v.toSeq)
-        val muDotV = mu.indices.map(d => mu(d) * v(d)).sum
-        val sums = data
-          .withColumn("s", Num.roundEps(
-            graft.functions.VectorFunctions.dot_product(col("v"), vl)
-              - lit(muDotV), 6))
-          .select(col("s"), posexplode(col("v")).as(Seq("d", "val")))
-          .groupBy(col("d"))
-          .agg(sum(col("s") * col("val")).as("sx"), sum(col("s")).as("ss"))
-          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-          .sortBy(_._1)
-        val w = sums.map { case (d, sx, ss) => sx - mu(d) * ss }
-        val nw = math.sqrt(w.map(x => x * x).sum)
-        v = w.map(x => Num.roundEpsJvm(x / nw, 6))
-        it += 1
+      def normRound(w: Array[Double]): Array[Double] = {
+        val n = math.sqrt(w.map(x => x * x).sum)
+        w.map(x => Num.roundEpsJvm(x / n, 6))
       }
-      (mu, v)
+      // the per-row score under component `comp` with deflation by
+      // (v1, per-row s): c2·u = x·u − μ·u − s·(v1·u)
+      def scoreCol(comp: Array[Double], defl: Option[Array[Double]]) = {
+        val muDot = mu.indices.map(d => mu(d) * comp(d)).sum
+        val base = graft.functions.VectorFunctions.dot_product(
+          col("v"), typedlit(comp.toSeq)) - lit(muDot)
+        defl match {
+          case None => Num.roundEps(base, 6)
+          case Some(v1) =>
+            val vDotU = v1.indices.map(d => v1(d) * comp(d)).sum
+            Num.roundEps(base - col("s") * lit(vDotU), 6)
+        }
+      }
+      // one power-iteration round: returns the UNnormalized per-dim
+      // update Σᵢ tᵢ(x_id − μ_d) [− v1_d Σᵢ tᵢsᵢ under deflation]
+      def round(comp: Array[Double],
+          defl: Option[Array[Double]]): Array[Double] = {
+        val withS = defl match {
+          case None => data.withColumn("s", lit(0.0))
+          case Some(v1) => data.withColumn("s", scoreCol(v1, None))
+        }
+        val sums = withS.withColumn("t", scoreCol(comp, defl))
+          .select(col("t"), col("s"), posexplode(col("v")).as(Seq("d", "val")))
+          .groupBy(col("d"))
+          .agg(sum(col("t") * col("val")).as("tx"), sum(col("t")).as("tt"),
+            sum(col("t") * col("s")).as("ts"))
+          .collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+          .sortBy(_._1)
+        defl match {
+          case None => sums.map { case (d, tx, tt, _) => tx - mu(d) * tt }
+          case Some(v1) =>
+            sums.map { case (d, tx, tt, ts) => tx - mu(d) * tt - v1(d) * ts }
+        }
+      }
+      def iterate(v0: Array[Double],
+          defl: Option[Array[Double]]): Array[Double] = {
+        var v = v0
+        var it = 0
+        while (it < PcaIters) { v = normRound(round(v, defl)); it += 1 }
+        v
+      }
+      val f0 = x0.indices.map(d => x0(d) - mu(d)).toArray
+      val v1 = iterate(normRound(f0), None)
+      // deflate the SAME seed vector: c2₀ = (x₀−μ) − s₀·v1
+      val s0 = Num.roundEpsJvm(
+        f0.indices.map(d => f0(d) * v1(d)).sum, 6)
+      val g0 = f0.indices.map(d => f0(d) - s0 * v1(d)).toArray
+      val v2 = iterate(normRound(g0), Some(v1))
+      (mu, v1, v2)
     })
   }
 
-  /** (d, mu, pc1) — the trained component, 64 rows. */
+  /** (d, mu, pc1, pc2) — the trained components, 64 rows; pc2 by
+    * deflation (power iteration over cv − (cv·v1)v1, the same rounding
+    * discipline, so v1·v2 ≈ 0 to the 6-dp grid — PcaSpec pins it). */
   def embPca(spark: SparkSession, dir: String): DataFrame = {
-    val (mu, v) = pcaState(spark, dir)
+    val (mu, v1, v2) = pcaState(spark, dir)
     import spark.implicits._
-    mu.indices.map(d => (d, mu(d), v(d))).toDF("d", "mu", "pc1")
+    mu.indices.map(d => (d, mu(d), v1(d), v2(d)))
+      .toDF("d", "mu", "pc1", "pc2")
   }
 
   /** Per-vector projection onto the trained component — the outlier /
     * drift score a curation pass thresholds on. Map-only: one native
     * dot per row against the broadcast component. */
   def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
-    val (mu, v) = pcaState(spark, dir)
+    val (mu, v, _) = pcaState(spark, dir)
     val muDotV = mu.indices.map(d => mu(d) * v(d)).sum
     vecs(spark, dir).select(col("vec_id"),
       Num.roundEps(
@@ -2528,8 +2564,9 @@ object Similarity {
         |         * (x - floor(x * scale + 0.5) / scale)))
         |    / len(vv)) + 1e-9, 6) AS mse
         |FROM m""".stripMargin,
-    "emb_pca" -> (s"$pcaChainSql\n" +
-      s"SELECT m.d AS d, m.mu AS mu, v.v AS pc1 FROM mu m JOIN v_$PcaIters v USING (d)"),
+    "emb_pca" -> (s"$pcaChainSql,\n$pcaDeflateSql\n" +
+      s"SELECT m.d AS d, m.mu AS mu, v.v AS pc1, u.v AS pc2 " +
+      s"FROM mu m JOIN v_$PcaIters v USING (d) JOIN u_$PcaIters u USING (d)"),
     "emb_pca_project" ->
       s"""$pcaChainSql,
          |sf AS MATERIALIZED (
@@ -2567,6 +2604,35 @@ object Similarity {
          |  FROM w_$i, (SELECT sqrt(sum(w*w)) AS nrm FROM w_$i) t)""".stripMargin
     }
     (head +: iters).mkString("WITH ", ",\n", "")
+  }
+
+  /** pc2 by deflation: c2 = cv − (cv·v1)v1, then the same power chain
+    * (u_i rounds) over c2 — appended after [[pcaChainSql]]. */
+  private def pcaDeflateSql: String = {
+    def r6(e: String) = Num.roundEpsSql(e, 6)
+    val head =
+      s"""sf AS MATERIALIZED (
+         |  SELECT vec_id, ${r6("sum(cv * v)")} AS s
+         |  FROM c JOIN v_$PcaIters USING (d) GROUP BY vec_id),
+         |c2 AS MATERIALIZED (
+         |  SELECT c.vec_id, c.d, c.cv - sf.s * v.v AS cv
+         |  FROM c JOIN sf USING (vec_id) JOIN v_$PcaIters v USING (d)),
+         |g0 AS MATERIALIZED (SELECT d, cv FROM c2 WHERE vec_id = (SELECT min(vec_id) FROM c2)),
+         |u_0 AS MATERIALIZED (
+         |  SELECT d, ${r6("cv / nrm")} AS v
+         |  FROM g0, (SELECT sqrt(sum(cv*cv)) AS nrm FROM g0) t)""".stripMargin
+    val iters = (1 to PcaIters).map { i =>
+      val p = i - 1
+      s"""t_$i AS MATERIALIZED (
+         |  SELECT vec_id, ${r6("sum(cv * v)")} AS s
+         |  FROM c2 JOIN u_$p USING (d) GROUP BY vec_id),
+         |y_$i AS MATERIALIZED (
+         |  SELECT d, sum(s * cv) AS w FROM c2 JOIN t_$i USING (vec_id) GROUP BY d),
+         |u_$i AS MATERIALIZED (
+         |  SELECT d, ${r6("w / nrm")} AS v
+         |  FROM y_$i, (SELECT sqrt(sum(w*w)) AS nrm FROM y_$i) t)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -8,14 +8,20 @@ import org.apache.spark.sql.functions._
   */
 class PcaSpec extends SparkSpec {
 
-  test("component is unit-norm (to the 6-dp rounding) and deterministic") {
-    val (mu1, v1) = Similarity.pcaState(spark, sfDir)
-    val (mu2, v2) = Similarity.pcaState(spark, sfDir)
+  test("components are unit-norm, near-orthogonal and deterministic") {
+    val (mu1, v1, u1) = Similarity.pcaState(spark, sfDir)
+    val (mu2, v2, u2) = Similarity.pcaState(spark, sfDir)
     assert(mu1.toSeq === mu2.toSeq)
     assert(v1.toSeq === v2.toSeq)
+    assert(u1.toSeq === u2.toSeq)
     assert(v1.length === Similarity.Dim)
-    val n = math.sqrt(v1.map(x => x * x).sum)
-    assert(math.abs(n - 1.0) < 1e-4, s"component norm $n")
+    Seq(v1, u1).foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"component norm $n")
+    }
+    // deflation: pc2 ⟂ pc1 up to the per-round 6-dp rounding
+    val dot = v1.indices.map(d => v1(d) * u1(d)).sum
+    assert(math.abs(dot) < 1e-3, s"pc1·pc2 = $dot")
   }
 
   test("projections are centered and capture the dominant variance") {
