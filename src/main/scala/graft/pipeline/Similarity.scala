@@ -1058,7 +1058,11 @@ object Similarity {
     * assumption the idempotent append itself rests on). */
   private[graft] def prunedCodeProbe(spark: SparkSession, dir: String,
       kind: String, touched: Seq[Long]): DataFrame =
-    codeTable(spark, dir, kind).filter(col("cent_id").isin(touched: _*))
+    // an empty micro-batch touches no list: probe nothing (lit(false)
+    // rather than isin() with zero operands, whose semantics are not a
+    // contract worth relying on)
+    if (touched.isEmpty) codeTable(spark, dir, kind).filter(lit(false))
+    else codeTable(spark, dir, kind).filter(col("cent_id").isin(touched: _*))
 
   private[graft] def appendAnnToIndex(spark: SparkSession, dir: String,
       batchVecs: DataFrame, kind: String): Long = {

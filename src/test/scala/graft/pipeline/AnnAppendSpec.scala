@@ -224,6 +224,23 @@ class AnnAppendSpec extends SparkSpec {
       .map(_.toSeq).toSet === expected)
   }
 
+  test("an EMPTY batch folds as a no-op (the idle micro-batch shape)") {
+    val codesBefore = spark.table(
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_anncodes_trained_"))
+        .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head).count()
+    val vecsBefore = Similarity.annStreamVecsTable(spark, cDir).count()
+    val empty = Similarity.normedOfBatch(
+      graft.Tables.embeddings(spark, cDir).filter(col("vec_id") < 0))
+    assert(Similarity.appendAnnToIndex(spark, cDir, empty, "trained") === 0L)
+    assert(Similarity.annStreamVecsTable(spark, cDir).count() === vecsBefore)
+    assert(spark.table(
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_anncodes_trained_"))
+        .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_"))).head).count()
+      === codesBefore)
+  }
+
   test("a corpus-resident vec_id never lands in the vector extension") {
     val before = Similarity.annStreamVecsTable(spark, cDir).count()
     // batch = corpus rows under their OWN ids: every code table already
