@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Typed mirror of the reference's request/response contract
   * (timeseries/app/schemas/timeseries.py — TimeseriesRequest /
-  * TimeseriesResponse), decoupled from HTTP: the FastAPI transport is
-  * deliberately not ported (SURVEY.md §6); this is the library surface
-  * an API server would call.
+  * TimeseriesResponse), decoupled from HTTP: this is the library
+  * surface a server calls — [[graft.api.HttpApi]] is that server (the
+  * reference's four routes over a JDK HttpServer, since r10).
   */
 object Api {
 
@@ -609,6 +609,9 @@ object Api {
     /** Smoothers.maCentered: [−k, k] row frame, kept at exactly
       * 2k+1 rows; the smoothed value is the frame's null-skipping avg. */
     def maCentered(s: Ser, w: Int): Ser = {
+      // same guard as Smoothers.maCentered — serving and batch must
+      // agree; an even width would silently widen the frame to w+1
+      require(w % 2 == 1, "window width must be odd for centered windows")
       val k = w / 2
       s.indices.collect { case i if i - k >= 0 && i + k < s.length =>
         (s(i)._1, mean(frameVals(s, i - k, i + k + 1)))

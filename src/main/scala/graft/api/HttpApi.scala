@@ -49,6 +49,15 @@ object HttpApi {
     * slots among however many of these are active. */
   private val HttpThreads = 8
 
+  /** Serving fast path (driver-side series math over one bounded
+    * cluster job) is default-ON; only an explicit opt-out value
+    * disables it — any enable-ish spelling ("1"/"true"/"yes"/unset)
+    * keeps it on, so SPARK_GRAFT_SERVE_CACHE=true no longer silently
+    * selects the slow scan path. Computed once at class init. */
+  private[api] val ServeFastPath: Boolean =
+    sys.env.get("SPARK_GRAFT_SERVE_CACHE")
+      .forall(v => !Set("0", "false", "no", "off").contains(v.trim.toLowerCase))
+
   final case class Server(http: HttpServer,
       pool: java.util.concurrent.ExecutorService) {
     def port: Int = http.getAddress.getPort
@@ -103,13 +112,13 @@ object HttpApi {
             val req = RequestJson.parse(body)
             (200, materializeWithTimeout(spark, req.maxProcessingTimeMs) {
               ResponseJson.toJson(req,
-                extractTimeseries(spark, dir, req, serving = sys.env.get("SPARK_GRAFT_SERVE_CACHE").forall(_ == "1")))
+                extractTimeseries(spark, dir, req, serving = ServeFastPath))
             })
           case ("POST", "/v1/timeseries") =>
             val (req, geom) = RequestJson.parseV1(body)
             (200, materializeWithTimeout(spark, req.maxProcessingTimeMs) {
               ResponseJson.toV1Json(req, geom,
-                extractTimeseries(spark, dir, req, serving = sys.env.get("SPARK_GRAFT_SERVE_CACHE").forall(_ == "1")))
+                extractTimeseries(spark, dir, req, serving = ServeFastPath))
             })
           case _ => (404, """{"detail":"Not Found"}""")
         }

@@ -265,6 +265,18 @@ object RequestJson {
                 .getOrElse(throw RequestParseError("smoother needs a method"))
               val width = Option(m.get("width")).map(_.asInt)
                 .getOrElse(throw RequestParseError("smoother needs a width"))
+              // schema validation parity (timeseries.py:83-97): method
+              // is a closed enum, width ∈ [1, 200], and centered
+              // windows must be odd — rejected HERE as a 422, not deep
+              // in a window frame (batch) or silently computed with a
+              // w+1-row window (serving fast path)
+              if (method != "centered" && method != "trailing")
+                throw RequestParseError(s"unknown smoother method $method")
+              if (width < 1 || width > 200)
+                throw RequestParseError("smoother width must be in [1, 200]")
+              if (method == "centered" && width % 2 == 0)
+                throw RequestParseError(
+                  "window width must be odd for centered windows")
               MovingAverageSmoother(centered = method == "centered", width)
             case Some(other) => throw RequestParseError(s"unknown smoother $other")
           }

@@ -1116,18 +1116,33 @@ object Dedup {
     * costs more than recomputing it), and a SHUFFLE_HASH hint on the
     * dup join measured a wash inside box noise, so the defaults stay
     * (AQE's skew handling splits a pathological universal-span
-    * partition either way). */
+    * partition either way).
+    *
+    * Key width: unlike the REPORT pass ([[substringDup]], where a
+    * 64-bit collision only perturbs one count), this pass DESTRUCTIVELY
+    * excises text, and a 100 TB corpus (~1e13-1e14 span positions) is
+    * far past the ~5e9-item birthday bound of a single 64-bit key — so
+    * the key is the PAIR (xxhash64(span), xxhash64(7, span)). Spark's
+    * multi-column xxhash64 chains the running hash as the next seed,
+    * so putting the literal FIRST yields a hash of the span under an
+    * independent seed (a trailing literal would be a pure function of
+    * the first hash and add nothing). Two-sided collision ≈ 2⁻¹²⁸:
+    * no false excision at any plausible corpus size, for 8 extra key
+    * bytes instead of carrying 40-char span text through the shuffle. */
   private def dupSpanStarts(spark: SparkSession, dir: String): DataFrame = {
     val spans = Tables.documents(spark, dir)
       .filter(length(col("text")) >= SpanLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
-          s" i -> struct(i, xxhash64(substring(text, i, $SpanLen)) AS h))"))
+          s" i -> struct(i, xxhash64(substring(text, i, $SpanLen)) AS h," +
+          s" xxhash64(7, substring(text, i, $SpanLen)) AS h2))"))
         .as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
-    val dupHashes = spans.groupBy(col("h")).agg(count(lit(1)).as("tot"))
-      .filter(col("tot") >= 2).select(col("h"))
-    spans.join(dupHashes, "h").select(col("doc_id"), col("i"))
+      .select(col("doc_id"), col("s.i").as("i"),
+        col("s.h").as("h"), col("s.h2").as("h2"))
+    val dupHashes = spans.groupBy(col("h"), col("h2"))
+      .agg(count(lit(1)).as("tot"))
+      .filter(col("tot") >= 2).select(col("h"), col("h2"))
+    spans.join(dupHashes, Seq("h", "h2")).select(col("doc_id"), col("i"))
   }
 
   /** Duplicated span starts as a PERSISTED bucketed lake table — the

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * writes for cubes like the reference fixtures (the .tif files under
   * timeseries/data/) and the common archive variations —
   *
-  *  - classic TIFF, either byte order (BigTIFF rejected with a clear
-  *    error — none of the reference archives are >4 GiB per file);
+  *  - classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte offsets —
+  *    for archives whose single files exceed 4 GiB), either byte order;
   *  - strip AND tile organization, chunky (PlanarConfiguration=1) and
   *    band-sequential (=2) layouts, multi-IFD (band-per-page) files;
   *  - uncompressed, Deflate/zlib (Compression 8 / 32946), LZW
@@ -105,7 +105,12 @@ object GeoTiff {
       // inline capacity is the entry's value slot: 4 bytes in classic
       // TIFF, 8 in BigTIFF (e.inline is sliced at the right width by
       // the header parser)
-      val size = typeSize(e.typ) * e.count
+      // Long arithmetic: a malformed count near Int.MaxValue would
+      // overflow Int to negative, silently selecting the inline path
+      // and reading garbage instead of failing loudly.
+      val size = typeSize(e.typ).toLong * e.count
+      require(size >= 0,
+        s"tag ${e.tag}: malformed value size $size (type ${e.typ} × count ${e.count})")
       val bb =
         if (size <= e.inline.length) ByteBuffer.wrap(e.inline)
         else buf.duplicate().position(idx(e.valueOffset, s"tag ${e.tag} value"))

@@ -321,4 +321,31 @@ class RequestJsonSpec extends SparkSpec {
       """{"dataset_id": "click"}"""))
     assert(noArea.getMessage.contains("selected_area"))
   }
+
+  test("smoother schema validation mirrors timeseries.py:83-97 at parse time") {
+    def withSmoother(method: String, width: Int): String =
+      s"""{"dataset_id": "click",
+         |  "selected_area": {"type": "Point", "coordinates": [2.0, 1.0]},
+         |  "requested_series_options": [
+         |    {"name": "s", "smoother": {"type": "MovingAverageSmoother",
+         |      "method": "$method", "width": $width}}]}""".stripMargin
+    // even centered width: the reference 422s at schema validation
+    // (width_is_valid_for_window_type); before this guard the batch
+    // path threw deep in a window require and the serving fast path
+    // silently computed a w+1-row window
+    val even = intercept[RequestParseError](parse(withSmoother("centered", 4)))
+    assert(even.getMessage.contains("odd"))
+    // width bounds (Field ge=1 le=200) and the closed method enum
+    assert(intercept[RequestParseError](parse(withSmoother("trailing", 0)))
+      .getMessage.contains("[1, 200]"))
+    assert(intercept[RequestParseError](parse(withSmoother("trailing", 201)))
+      .getMessage.contains("[1, 200]"))
+    assert(intercept[RequestParseError](parse(withSmoother("sideways", 3)))
+      .getMessage.contains("sideways"))
+    // valid spellings still parse
+    assert(parse(withSmoother("centered", 5)).requestedSeriesOptions.head
+      .smoother === MovingAverageSmoother(centered = true, 5))
+    assert(parse(withSmoother("trailing", 200)).requestedSeriesOptions.head
+      .smoother === MovingAverageSmoother(centered = false, 200))
+  }
 }
