@@ -86,7 +86,21 @@ object Api {
       datasetId: String = "",
       variableId: String = "value",
       transform: Transform = NoTransform,
-      zonalStatistic: ZonalStatistic = ZonalMean)
+      zonalStatistic: ZonalStatistic = ZonalMean,
+      // serving fast path only: the same surfaces as pre-collected
+      // driver rows, so ResponseJson can serialize without executing
+      // the four mini-plans above (they stay the API contract for
+      // every DataFrame consumer; LocalParitySpec pins identical JSON
+      // from both routes)
+      local: Option[LocalResult] = None)
+
+  /** Driver-side twin of the four response surfaces — row layouts
+    * match the DataFrames field-for-field. */
+  final case class LocalResult(
+      series: Seq[(String, Long, Option[Double])],
+      summaryStats: Seq[(String, Option[Double], Option[Double], Option[Double])],
+      nCells: Long, area: Double,
+      timeRange: Seq[(String, String, String, Long, Long)])
 
   final case class TimeseriesTimeoutError(ms: Long)
     extends RuntimeException(s"timeseries extraction exceeded $ms ms")
@@ -143,6 +157,14 @@ object Api {
     * TimeseriesRequest.max_processing_time is validated to
     * 0 ≤ t ≤ this and enforced at materialization). */
   val MaxProcessingTimeMs: Long = 15000L
+
+  /** Serving-path zonal jobs route through [[ServingCoalescer]]'s
+    * shared micro-batch plan by default; only an explicit opt-out
+    * value disables it (the ServeFastPath flag discipline). A var so
+    * CoalescerSpec can pin coalesced-vs-solo parity in one JVM. */
+  private[api] var ServeCoalesce: Boolean =
+    sys.env.get("SPARK_GRAFT_SERVE_COALESCE")
+      .forall(v => !Set("0", "false", "no", "off").contains(v.trim.toLowerCase))
 
   /** The reference's chunked-read planner
     * (SkopePolygonModel._make_band_range_groups, geometry.py:111-139):
@@ -399,7 +421,7 @@ object Api {
     // that is the corpus-scale shape the oracle gates.
     if (serving)
       return servingResult(spark, dir, req, polyShapes, widened,
-        timeRangeFrame(spark, req, avail, extractBr0, tBack))
+        avail, extractBr0, tBack)
 
     val zonal = req.selectedArea match {
       case PointArea(cell) =>
@@ -515,16 +537,23 @@ object Api {
     * series' own adjustments, intersected with the request, translated
     * back to dates (translate_band_range). Data-INDEPENDENT like the
     * reference. Driver-side literal frame — no extra job. */
-  private def timeRangeFrame(spark: SparkSession, req: TimeseriesRequest,
-      avail: (Int, Int), extractBr0: (Int, Int), tBack: Int): DataFrame = {
+  /** Per-series clipped band bounds — the shared arithmetic behind
+    * both the timeRange DataFrame and the serving path's local rows. */
+  private def timeRangeBands(req: TimeseriesRequest, avail: (Int, Int),
+      extractBr0: (Int, Int), tBack: Int): Seq[(String, Int, Int)] = {
     val extractBr = (math.max(extractBr0._1, avail._1),
       math.min(extractBr0._2, avail._2))
-    val rows = req.requestedSeriesOptions.map { so =>
+    req.requestedSeriesOptions.map { so =>
       val sAdj = smootherAdj(so.smoother)
       (so.name,
         math.max(extractBr._1 + tBack + sAdj._1, req.bandRange._1),
         math.min(extractBr._2 - sAdj._2, req.bandRange._2))
     }
+  }
+
+  private def timeRangeFrame(spark: SparkSession, req: TimeseriesRequest,
+      avail: (Int, Int), extractBr0: (Int, Int), tBack: Int): DataFrame = {
+    val rows = timeRangeBands(req, avail, extractBr0, tBack)
     import spark.implicits._
     // band bounds ride along (APPENDED — positional consumers of
     // (series, time_gte, time_lte) are unaffected) so the response
@@ -627,31 +656,44 @@ object Api {
 
   private def servingResult(spark: SparkSession, dir: String,
       req: TimeseriesRequest, polyShapes: Option[Geometry.GridFeatureCollection],
-      widened: (Int, Int), timeRange: DataFrame): TimeseriesResult = {
+      widened: (Int, Int), avail: (Int, Int), extractBr0: (Int, Int),
+      tBack: Int): TimeseriesResult = {
+    val timeRange = timeRangeFrame(spark, req, avail, extractBr0, tBack)
     import ServingMath._
     // THE one cluster job: the zonal reduce over the persisted cube —
     // identical aggregation expressions to the batch path, so zonal
     // values cannot drift (parity additionally pinned by
-    // ServingCacheSpec's sweep)
-    val cube = EventCube.servingCube(spark, dir, req.datasetId,
-      req.resolution, req.variableId)
-      .filter(col("band").between(widened._1, widened._2))
-    val zonalDf = req.selectedArea match {
-      case PointArea(cell) =>
-        cube.filter(col("user_id") === cell)
-          .select(col("band"), col("v").as("zv"))
-      case BBoxArea(x0, x1, y0, y1) =>
-        cube.filter(EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y")))
-          .groupBy(col("band"))
-          .agg(EventCube.statAgg(req.zonalStatistic.name).as("zv"))
-      case _: PolygonArea | _: FeatureCollectionArea =>
-        cube.filter(polyShapes.get.mask(col("x"), col("y")))
-          .groupBy(col("band"))
-          .agg(EventCube.statAgg(req.zonalStatistic.name).as("zv"))
-    }
-    val zonal: Ser = zonalDf.collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
-      .sortBy(_._1).toIndexedSeq
+    // ServingCacheSpec's sweep). Default route is the COALESCED plan
+    // (ServingCoalescer: concurrent requests for the same dataset
+    // share one broadcast-join micro-batch — r13 verdict item 1); the
+    // solo mask plan below is the opt-out twin the coalescer's parity
+    // is checked against (CoalescerSpec).
+    val zonal: Ser =
+      if (ServeCoalesce)
+        ServingCoalescer.zonal(spark, dir, req.datasetId, req.resolution,
+          req.variableId, enumerateCells(req.selectedArea),
+          widened._1, widened._2, req.zonalStatistic.name)
+      else {
+        val cube = EventCube.servingCube(spark, dir, req.datasetId,
+          req.resolution, req.variableId)
+          .filter(col("band").between(widened._1, widened._2))
+        val zonalDf = req.selectedArea match {
+          case PointArea(cell) =>
+            cube.filter(col("user_id") === cell)
+              .select(col("band"), col("v").as("zv"))
+          case BBoxArea(x0, x1, y0, y1) =>
+            cube.filter(EventCube.BBox(x0, x1, y0, y1).contains(col("x"), col("y")))
+              .groupBy(col("band"))
+              .agg(EventCube.statAgg(req.zonalStatistic.name).as("zv"))
+          case _: PolygonArea | _: FeatureCollectionArea =>
+            cube.filter(polyShapes.get.mask(col("x"), col("y")))
+              .groupBy(col("band"))
+              .agg(EventCube.statAgg(req.zonalStatistic.name).as("zv"))
+        }
+        zonalDf.collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+          .sortBy(_._1).toIndexedSeq
+      }
 
     val transformed: Ser = req.transform match {
       case NoTransform => zonal
@@ -712,9 +754,24 @@ object Api {
     val statsOut = statsRows.toDF("series", "mean", "median", "stdev")
     val selection = Seq((nCells, area)).toDF("n_cells", "area")
 
+    // pre-collected twin of the four surfaces: ResponseJson serializes
+    // straight from these rows, so an HTTP request never executes the
+    // LocalRelation mini-plans above (they stay lazy — built, unrun)
+    val localRows = LocalResult(
+      series = seriesRows,
+      summaryStats = statsRows,
+      nCells = nCells, area = area,
+      timeRange = timeRangeBands(req, avail, extractBr0, tBack).map {
+        case (name, blo, bhi) =>
+          (name, EventCube.bandStartStringJvm(req.resolution, blo.toLong),
+            EventCube.bandStartStringJvm(req.resolution, bhi.toLong),
+            blo.toLong, bhi.toLong)
+      })
+
     TimeseriesResult(seriesOut, statsOut, selection, timeRange,
       datasetId = req.datasetId, variableId = req.variableId,
-      transform = req.transform, zonalStatistic = req.zonalStatistic)
+      transform = req.transform, zonalStatistic = req.zonalStatistic,
+      local = Some(localRows))
   }
 
   // ------------------------------------------------------------------

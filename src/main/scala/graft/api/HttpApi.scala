@@ -45,9 +45,12 @@ import graft.api.Api._
 object HttpApi {
 
   /** HTTP worker threads — bounds concurrent in-flight extractions.
-    * Each request is one Spark job; FAIR scheduling divides executor
-    * slots among however many of these are active. */
-  private val HttpThreads = 8
+    * Handlers on the serving path mostly BLOCK on the coalescer's
+    * shared micro-batch (cheap driver-side math around one await), so
+    * the pool is sized to admit a full client burst into ONE batch
+    * rather than to ration executor slots; the batch path's heavier
+    * per-request jobs still share slots via FAIR scheduling. */
+  private val HttpThreads = 48
 
   /** Serving fast path (driver-side series math over one bounded
     * cluster job) is default-ON; only an explicit opt-out value

@@ -1,0 +1,186 @@
+package graft.api
+
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ArrayBuffer
+import scala.concurrent.{Await, Promise}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cube.EventCube
+
+/** Micro-batching front end for the serving fast path (r13 verdict
+  * item 1): concurrent HTTP requests against the same dataset used to
+  * run one zonal plan EACH (~30 ms of per-request driver work —
+  * analysis, optimization, codegen — for a job whose data work is
+  * microseconds), capping the serving floor near 30 req/s while the
+  * batch extractor does ~1.2 ms/selection. This coalescer closes that
+  * gap with the batch extractor's own shape:
+  *
+  *  - handler threads enqueue their zonal-series need (enumerated
+  *    cells + band window + statistic) and block on a promise;
+  *  - one worker gathers everything that arrives within a few-ms
+  *    window (under load the queue is already full — the window only
+  *    prices the idle case), groups by (session, dataset, resolution,
+  *    variable), and runs ONE plan per group: the serving cube joined
+  *    to a broadcast (sid, cell, lo, hi) local relation, aggregated by
+  *    (sid, band) — exactly [[Api.extractTimeseriesBatch]]'s join-not-
+  *    mask-fan discipline;
+  *  - per-selection series fan back out through the promises, and each
+  *    request's transforms/smoothers/stats stay driver-side in
+  *    [[Api.ServingMath]], untouched.
+  *
+  * The plan SHAPE is constant across micro-batches (cells and band
+  * bounds travel as broadcast-side DATA, never literals), so whole-
+  * stage codegen is compiled once and every later batch reuses it —
+  * per-request driver cost becomes per-BATCH cost divided by the
+  * requests it carries. Zonal parity with the solo mask plan holds
+  * row-for-row because [[Api.enumerateCells]] is the spec-pinned
+  * scalar twin of the mask Column (CellEnumerationSpec) and the
+  * aggregation expressions are [[EventCube.statAgg]]'s own; the full
+  * response parity is swept by ServingCacheSpec (which now exercises
+  * this path) and CoalescerSpec adds the genuinely-concurrent sweep.
+  *
+  * Scale: a micro-batch is bounded by [[MaxBatch]] requests and
+  * [[Api.BatchDriverCellLimit]] total cells (a batch that would exceed
+  * it splits), each selection is MaxCells-bounded upstream, and the
+  * worker holds no state between batches — the same bounded-driver
+  * discipline as the rest of the serving layer.
+  */
+private[graft] object ServingCoalescer {
+
+  /** One zonal series: (band, value) sorted by band, None where the
+    * aggregate is null — ServingMath's Ser element shape. */
+  type Ser = IndexedSeq[(Long, Option[Double])]
+
+  private final case class Key(spark: SparkSession, dir: String,
+      dataset: String, resolution: EventCube.Resolution, variable: String)
+
+  private final case class Pending(key: Key, cells: Seq[Long],
+      lo: Int, hi: Int, stat: String, promise: Promise[Ser])
+
+  /** Gather window once the first request of an idle period arrives.
+    * Under sustained load the queue refills during execution, so the
+    * window is only ever paid by an isolated request. */
+  private val WindowMs = 2L
+  private val MaxBatch = 256
+
+  // spec-visible counters: micro-batches executed / requests served
+  private[api] val batchesRun = new AtomicLong(0L)
+  private[api] val requestsServed = new AtomicLong(0L)
+
+  private val queue = new LinkedBlockingQueue[Pending]()
+
+  private lazy val worker: Thread = {
+    val t = new Thread(() => loop(), "graft-serving-coalescer")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Blocking request: enumerate-side inputs in, zonal series out.
+    * Called from HTTP handler threads; failures inside the shared plan
+    * surface here as this request's exception (→ the 500 envelope). */
+  def zonal(spark: SparkSession, dir: String, dataset: String,
+      resolution: EventCube.Resolution, variable: String,
+      cells: Seq[Long], lo: Int, hi: Int, stat: String): Ser = {
+    worker // ensure started
+    val p = Pending(Key(spark, dir, dataset, resolution, variable),
+      cells, lo, hi, stat, Promise[Ser]())
+    queue.put(p)
+    // the HTTP layer owns the request's real processing-time budget;
+    // this bound only prevents an unkillable hang if the worker dies
+    Await.result(p.promise.future, 15.minutes)
+  }
+
+  private def loop(): Unit = {
+    while (true) {
+      try {
+        val first = queue.take()
+        if (WindowMs > 0) Thread.sleep(WindowMs)
+        val batch = new java.util.ArrayList[Pending]()
+        batch.add(first)
+        queue.drainTo(batch, MaxBatch - 1)
+        import scala.jdk.CollectionConverters._
+        batch.asScala.toSeq.groupBy(_.key).foreach { case (key, ps) =>
+          // split oversized groups so one micro-batch never enumerates
+          // more than the batch extractor's driver-side cell budget
+          val chunks = ArrayBuffer(ArrayBuffer.empty[Pending])
+          var cellsInChunk = 0L
+          ps.foreach { p =>
+            if (chunks.last.nonEmpty &&
+                cellsInChunk + p.cells.length > Api.BatchDriverCellLimit) {
+              chunks += ArrayBuffer.empty[Pending]
+              cellsInChunk = 0L
+            }
+            chunks.last += p
+            cellsInChunk += p.cells.length
+          }
+          chunks.foreach(c => runGroup(key, c.toSeq))
+        }
+      } catch {
+        case _: InterruptedException => return
+        case scala.util.control.NonFatal(_) => () // runGroup already failed its promises
+      }
+    }
+  }
+
+  private val selSchema = StructType(Seq(
+    StructField("sid", IntegerType, nullable = false),
+    StructField("cell", LongType, nullable = false),
+    StructField("lo", IntegerType, nullable = false),
+    StructField("hi", IntegerType, nullable = false)))
+
+  private def runGroup(key: Key, ps: Seq[Pending]): Unit = {
+    try {
+      val spark = key.spark
+      // same FAIR pool as the HTTP handlers this work arrives from
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_http")
+      val rows = new java.util.ArrayList[Row]()
+      ps.zipWithIndex.foreach { case (p, sid) =>
+        p.cells.foreach(c => rows.add(Row(sid, c, p.lo, p.hi)))
+      }
+      val sel = spark.createDataFrame(rows, selSchema)
+      val cube = EventCube.servingCube(spark, key.dir, key.dataset,
+        key.resolution, key.variable)
+      val joined = cube.join(broadcast(sel),
+        cube("user_id") === sel("cell") &&
+          cube("band") >= sel("lo") && cube("band") <= sel("hi"))
+      // two stable plan shapes (mean-only / mean+median), each
+      // codegen-compiled once; the median aggregate is only carried
+      // when some request in the group needs it
+      val needMedian = ps.exists(_.stat == "median")
+      val aggs =
+        if (needMedian)
+          Seq(EventCube.statAgg("mean").as("zv_mean"),
+            EventCube.statAgg("median").as("zv_median"))
+        else Seq(EventCube.statAgg("mean").as("zv_mean"))
+      val out = joined.groupBy(col("sid"), col("band"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+
+      val bySid = out.groupBy(_.getInt(0))
+      ps.zipWithIndex.foreach { case (p, sid) =>
+        val statIdx = if (p.stat == "median" && needMedian) 3 else 2
+        val ser: Ser = bySid.getOrElse(sid, Array.empty[Row])
+          .map(r => (r.getLong(1),
+            if (r.isNullAt(statIdx)) None else Some(r.getDouble(statIdx))))
+          .sortBy(_._1).toIndexedSeq
+        p.promise.trySuccess(ser)
+      }
+      batchesRun.incrementAndGet()
+      requestsServed.addAndGet(ps.size.toLong)
+    } catch {
+      case t: Throwable =>
+        ps.foreach(_.promise.tryFailure(t))
+        t match {
+          case scala.util.control.NonFatal(_) => ()
+          case fatal => throw fatal
+        }
+    }
+  }
+}

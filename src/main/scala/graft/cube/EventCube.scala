@@ -74,6 +74,24 @@ object EventCube {
         lit(":00"))
   }
 
+  /** Driver-side scalar twin of [[bandStartString]] — the serving fast
+    * path renders response time_range strings without a plan. Clamping
+    * parity: java.time's plusMonths clamps month-end exactly like
+    * Spark's add_months, and floorDiv/floorMod match SQL floor((b−1)/24)
+    * / pmod on negative bands (differentially pinned in
+    * ServingCacheSpec across resolutions). */
+  def bandStartStringJvm(r: Resolution, band: Long): String = {
+    val origin = java.time.LocalDate.parse(Origin)
+    r match {
+      case Daily => origin.plusDays(band - 1).toString
+      case Monthly => origin.plusMonths(band - 1).toString
+      case Yearly => origin.plusMonths((band - 1) * 12).toString
+      case Hourly =>
+        val day = origin.plusDays(Math.floorDiv(band - 1, 24L)).toString
+        f"$day ${Math.floorMod(band - 1, 24L)}%02d:00"
+    }
+  }
+
   case object Daily extends Resolution("day") {
     def band(ts: Column): Column =
       (floor((unix_seconds(ts) - OriginEpochSec) / 86400L) + 1).cast("long")
