@@ -201,6 +201,161 @@ object Bpe {
       case (toks, (l, r)) => mergeToks(toks, l, r)
     }
 
+  // ------------------------------------------- rank-table kernel --
+
+  /** Per-pair merge ranks, ascending (a pair CAN train at two ranks
+    * when later merges re-create it in the vocab reprs — rare, but the
+    * kernel must replay even that exactly). Key is `l + ' ' + r`
+    * (tokens are [a-z]+, so space cannot collide). */
+  private[pipeline] def rankTable(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.computeIfAbsent(l + " " + r, _ =>
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+    }
+    val out = new java.util.HashMap[String, Array[Int]]()
+    m.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  /** Single-pass BPE apply (r13 verdict item 2): ONE greedy
+    * heap-ordered sweep per word over the broadcast rank table —
+    * O(len·log len + merges applied), FLAT in the merge count, where
+    * the replace chain is O(Merges) full passes per document and
+    * cannot carry a production 32k-merge vocabulary.
+    *
+    * Exactness contract: byte-identical token output to the
+    * sequential chain (`tokensOf`, = the `replace` chain by BpeSpec's
+    * encoding proof) on EVERY input, pinned property-style in BpeSpec
+    * and oracle-gated end-to-end by text_tokens_bpek. The sequential
+    * semantics are replayed by three rules:
+    *  - candidates pop in (rank, position) order, so each rank's
+    *    occurrences merge left-to-right before any later rank — the
+    *    chain's pass order;
+    *  - a popped candidate whose rank is BELOW the highest rank
+    *    already processed re-arms at the pair's next rank ≥ the
+    *    cursor if one exists, else drops: an occurrence of pair i
+    *    created by a later merge j > i stays UNMERGED, exactly as the
+    *    chain (whose pass i already ran) leaves it;
+    *  - merging (l, r) can never create a new (l, r) adjacency (lr
+    *    equals neither l nor r), so within one rank the left-to-right
+    *    non-overlap of `mergeToks` is preserved by lazy invalidation
+    *    alone.
+    */
+  private[pipeline] def applyRanked(word: String,
+      ranks: java.util.HashMap[String, Array[Int]]): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val tok = new Array[String](n)
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      tok(i) = String.valueOf(word.charAt(i))
+      nxt(i) = if (i + 1 < n) i + 1 else -1
+      prv(i) = i - 1
+      alive(i) = true
+      i += 1
+    }
+    // (rank, pos) packed into one Long: natural ordering = pop order
+    val heap = new java.util.PriorityQueue[java.lang.Long]()
+    def push(pos: Int, minRank: Int): Unit = {
+      val q = nxt(pos)
+      if (q != -1) {
+        val rs = ranks.get(tok(pos) + " " + tok(q))
+        if (rs != null) {
+          // smallest trained rank >= minRank (rs is ascending, tiny)
+          var k = 0
+          while (k < rs.length && rs(k) < minRank) k += 1
+          if (k < rs.length)
+            heap.add((rs(k).toLong << 32) | pos.toLong)
+        }
+      }
+    }
+    i = 0
+    while (i < n) { push(i, 0); i += 1 }
+    var cursor = 0
+    while (!heap.isEmpty) {
+      val v = heap.poll().longValue()
+      val r = (v >>> 32).toInt
+      val p = (v & 0xffffffffL).toInt
+      val q = if (alive(p)) nxt(p) else -1
+      if (q != -1 && alive(q)) {
+        val rs = ranks.get(tok(p) + " " + tok(q))
+        // stale unless this exact rank is still trained for the pair
+        // now at p (the tokens may have changed since the push)
+        if (rs != null && java.util.Arrays.binarySearch(rs, r) >= 0) {
+          if (r < cursor) push(p, cursor) // re-arm at the next rank
+          else {
+            cursor = r
+            tok(p) = tok(p) + tok(q)
+            alive(q) = false
+            nxt(p) = nxt(q)
+            if (nxt(q) != -1) prv(nxt(q)) = p
+            if (prv(p) != -1) push(prv(p), cursor)
+            push(p, cursor)
+          }
+        }
+      }
+    }
+    // merged tokens live at their leftmost original position, so the
+    // alive positions in index order ARE the token sequence
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    i = 0
+    while (i < n) { if (alive(i)) out += tok(i); i += 1 }
+    out.toArray
+  }
+
+  /** Per-document BPE accounting through [[applyRanked]] — the
+    * production-merge-count twin of [[tokensBpe]] (same output schema,
+    * same oracle): one typed mapPartitions over the corpus with the
+    * broadcast rank table, a per-partition word→count memo riding the
+    * Zipfian word distribution (the per-partition in-memory reuse
+    * discipline the multimodal codecs use). Zero shuffle, zero UDF;
+    * per-doc cost is flat in the merge count where the replace chain
+    * pays O(Merges) passes. */
+  def tokensBpeKernel(spark: SparkSession, dir: String): DataFrame =
+    tokensBpeKernelWith(spark, dir, trainMerges(spark, dir))
+
+  /** Kernel apply under an explicit merge table — the bench hook for
+    * the production-merge-count point (BpeKernelBench pads the trained
+    * table to 4096 ranks to show per-doc cost flat in merge count). */
+  private[graft] def tokensBpeKernelWith(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val mergesB = spark.sparkContext.broadcast(merges.toArray)
+    val wordRe = java.util.regex.Pattern.compile("[a-z]+")
+    val out = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = rankTable(mergesB.value.toSeq)
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, t) =>
+          val m = wordRe.matcher(t)
+          var nBpe = 0L
+          var nWs = 0L
+          while (m.find()) {
+            val w = m.group()
+            var c = memo.get(w)
+            if (c == null) {
+              c = Integer.valueOf(applyRanked(w, ranks).length)
+              memo.put(w, c)
+            }
+            nBpe += c.intValue()
+            nWs += 1L
+          }
+          (id, nBpe, nWs)
+        }
+      }
+    out.toDF("doc_id", "n_tokens_bpe", "n_tokens_ws")
+      .select(col("doc_id"), col("n_tokens_bpe"), col("n_tokens_ws"),
+        Num.roundEps(col("n_tokens_bpe").cast("double") /
+          nullif(col("n_tokens_ws"), lit(0L)), 6).as("tokens_per_word"))
+  }
+
   /** Tokenizer diagnostics: the BPE token frequency table over the
     * TRAINING vocabulary (top 50 by frequency-weighted count, ties by
     * token asc) — what a tokenizer owner inspects after training: which
@@ -280,6 +435,7 @@ object Bpe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens_bpe" -> (tokensBpe _),
+    "text_tokens_bpek" -> (tokensBpeKernel _),
     "docs_split_bpe" -> (splitBpe _),
     "docs_pack_bpe" -> (packBpe _),
     "docs_mix_bpe" -> (mixBpe _),
@@ -288,6 +444,15 @@ object Bpe {
 
   val oracles: Map[String, String] = Map(
     "text_tokens_bpe" ->
+      s"""$perDocSql
+         |SELECT doc_id, n_bpe AS n_tokens_bpe, n_ws AS n_tokens_ws,
+         |  round((CAST(n_bpe AS DOUBLE) / nullif(n_ws, 0)) + 1e-9, 6)
+         |    AS tokens_per_word
+         |FROM bpe""".stripMargin,
+    // the kernel path replays the SAME training + apply semantics, so
+    // its oracle IS text_tokens_bpe's — the driver gates the rank-table
+    // kernel against the replayed replace chain end-to-end
+    "text_tokens_bpek" ->
       s"""$perDocSql
          |SELECT doc_id, n_bpe AS n_tokens_bpe, n_ws AS n_tokens_ws,
          |  round((CAST(n_bpe AS DOUBLE) / nullif(n_ws, 0)) + 1e-9, 6)

@@ -124,4 +124,76 @@ class BpeSpec extends SparkSpec {
     assert(pack.filter(col("seq_offset") >= TrainingPrep.SeqLen).count() === 0L)
     assert(pack.agg(sum(col("n_tokens"))).collect()(0).getLong(0) === perDoc)
   }
+
+  // --------------------------------------- rank-table kernel (r14) --
+
+  test("rank kernel ≡ sequential chain on randomized merge tables") {
+    // deterministic adversarial fuzz: random short words over a tiny
+    // alphabet (forces dense pair collisions) × random merge tables
+    // built the way training builds them (each side is a char or an
+    // earlier merge result), INCLUDING duplicate pairs at two ranks
+    // and pairs re-created by later merges — the exact corners where
+    // a lazy-heap apply can drift from the chain
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab c".filter(_ != ' ') // a, b, c
+    (0 until 300).foreach { trial =>
+      val known = scala.collection.mutable.ArrayBuffer[String](
+        alphabet.map(_.toString): _*)
+      val nMerges = 1 + rnd.nextInt(12)
+      val merges = (0 until nMerges).map { _ =>
+        val l = known(rnd.nextInt(known.length))
+        val r = known(rnd.nextInt(known.length))
+        known += (l + r)
+        (l, r)
+      }
+      val ranks = Bpe.rankTable(merges)
+      (0 until 20).foreach { _ =>
+        val w = Array.fill(rnd.nextInt(14))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        val viaChain = Bpe.tokensOf(w, merges).toSeq
+        val viaKernel = Bpe.applyRanked(w, ranks).toSeq
+        assert(viaKernel === viaChain,
+          s"trial $trial word '$w' merges $merges: " +
+            s"kernel $viaKernel vs chain $viaChain")
+      }
+    }
+    // the documented corner explicitly: pair (a,b) trained at rank 0
+    // AND rank 2, with rank 1 re-creating an (a,b) adjacency
+    val dup = Seq(("a", "b"), ("c", "a"), ("a", "b"))
+    assert(Bpe.applyRanked("acab", Bpe.rankTable(dup)).toSeq ===
+      Bpe.tokensOf("acab", dup).toSeq)
+  }
+
+  test("kernel token accounting matches the chain on the corpus") {
+    val chain = Bpe.tokensBpe(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = Bpe.tokensBpeKernel(spark, sfDir).collect()
+    assert(kernel.length === chain.size)
+    kernel.foreach { r =>
+      assert(r.getLong(1) === chain(r.getLong(0)),
+        s"doc ${r.getLong(0)} kernel ${r.getLong(1)} != chain")
+    }
+  }
+
+  test("kernel cost is flat in merge count; the chain's is not") {
+    // trained 24 merges padded with never-occurring pairs to 4096
+    // ranks: the kernel's per-word work is O(len log len) regardless
+    // of table size. Timing-free pin (box noise makes wall-clock
+    // flakey in CI): identical OUTPUT under 170× padding plus a
+    // work-counter bound via the result shape — the wall-clock curve
+    // is recorded in BASELINE.md from BpeKernelBench.
+    val merges = Bpe.trainMerges(spark, sfDir)
+    val padded = merges ++ (0 until (4096 - merges.length)).map { i =>
+      // [a-z]+ tokens that cannot occur: 'q' repeated beyond any
+      // corpus word length, unique per rank
+      ("q" * (50 + i % 7), "q" * (57 + i % 11))
+    }
+    val ranks24 = Bpe.rankTable(merges)
+    val ranks4096 = Bpe.rankTable(padded)
+    Seq("interdependencies", "aaa", "the", "qqq", "dataprocessing")
+      .foreach { w =>
+        assert(Bpe.applyRanked(w, ranks4096).toSeq ===
+          Bpe.applyRanked(w, ranks24).toSeq)
+      }
+  }
 }
