@@ -558,7 +558,9 @@ object Dedup {
     val specs = Seq(
       ("graft_minhash_idx_", Seq("k")),
       ("graft_shingles_", Seq("doc_id")),
-      ("graft_simhash_idx_", Seq("k")))
+      ("graft_simhash_idx_", Seq("k")),
+      ("graft_spanidx_", Seq("doc_id")),
+      ("graft_spanpost_", Seq("h", "h2")))
     specs.count { case (prefix, cols) =>
       val tbl = indexTableName(spark, dir, prefix)
       val present = spark.catalog.tableExists(tbl)
@@ -1129,16 +1131,20 @@ object Dedup {
     * the first hash and add nothing). Two-sided collision ≈ 2⁻¹²⁸:
     * no false excision at any plausible corpus size, for 8 extra key
     * bytes instead of carrying 40-char span text through the shuffle. */
+  /** Every span position of `docs` as (doc_id, i, h, h2) — the shared
+    * explode of the report, snapshot-discovery, and fold passes. */
+  private def spansOf(docs: DataFrame): DataFrame = docs
+    .filter(length(col("text")) >= SpanLen)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
+        s" i -> struct(i, xxhash64(substring(text, i, $SpanLen)) AS h," +
+        s" xxhash64(7, substring(text, i, $SpanLen)) AS h2))"))
+      .as("s"))
+    .select(col("doc_id"), col("s.i").as("i"),
+      col("s.h").as("h"), col("s.h2").as("h2"))
+
   private def dupSpanStarts(spark: SparkSession, dir: String): DataFrame = {
-    val spans = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= SpanLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
-          s" i -> struct(i, xxhash64(substring(text, i, $SpanLen)) AS h," +
-          s" xxhash64(7, substring(text, i, $SpanLen)) AS h2))"))
-        .as("s"))
-      .select(col("doc_id"), col("s.i").as("i"),
-        col("s.h").as("h"), col("s.h2").as("h2"))
+    val spans = spansOf(Tables.documents(spark, dir))
     val dupHashes = spans.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("tot"))
       .filter(col("tot") >= 2).select(col("h"), col("h2"))
@@ -1153,9 +1159,9 @@ object Dedup {
     * (doc_id, i) of every duplicated start — lands bucketed by doc_id,
     * so [[despan]]'s per-doc aggregation runs straight off the
     * bucketed scan with no exchange on the index side and any rerun or
-    * downstream consumer pays only the read. Write-once (no fold path:
-    * despan is a corpus-SNAPSHOT rewrite; a grown corpus has a new
-    * fingerprint and builds its own table). */
+    * downstream consumer pays only the read. The snapshot build is
+    * write-once; daily growth folds in through [[appendSpanToIndex]]
+    * (r13 verdict item 3) instead of re-paying the discovery pass. */
   private[pipeline] def spanIndexTable(spark: SparkSession,
       dir: String): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_spanidx_")
@@ -1168,6 +1174,118 @@ object Dedup {
           dupSpanStarts(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
     }
     spark.table(tbl)
+  }
+
+  /** The span-hash POSTING table — the fold substrate the r13 verdict
+    * asked for: per (span-hash, doc), the first position and in-doc
+    * occurrence count, bucketed by (h, h2) — the full join key, so a
+    * delta probe joins with no exchange on the stored side (subset
+    * bucketing would not co-partition under
+    * requireAllClusterKeysForCoPartition). The snapshot path deliberately does NOT build
+    * this (re-running the codegen'd explode beat materializing the
+    * stream — BASELINE r13); the first APPEND builds it once from the
+    * corpus, and from then on every batch pays only its own spans.
+    * Corpus-linear like the minhash posting table — the price of
+    * incrementality, amortized over every later fold. */
+  private[pipeline] def spanPostTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = indexTableName(spark, dir, "graft_spanpost_")
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("h", "h2"), IndexBuckets))
+        graft.sources.TableIO.writeBucketed(
+          spansOf(Tables.documents(spark, dir))
+            .groupBy(col("h"), col("h2"), col("doc_id"))
+            .agg(min(col("i")).as("i"), count(lit(1)).as("c")),
+          tbl, path, Seq("h", "h2"), IndexBuckets)
+    }
+    spark.table(tbl)
+  }
+
+  /** Fold a batch of documents into the stored span index — the
+    * incremental path that was missing from the despan family (every
+    * other persisted dedup artifact already had one): new docs' spans
+    * probe the stored per-hash counts; a count crossing 2 promotes the
+    * stored singleton's position, and every batch position of a
+    * now-duplicated hash lands too, so [[despan]] over the grown
+    * corpus equals a full rebuild (SpanAppendSpec pins it).
+    *
+    * The [[appendShingles]] treatment, adapted:
+    *  - IDEMPOTENT at doc granularity, keyed on the POSTING table's
+    *    own doc set (driver-pinned, batch-bounded): a replayed batch
+    *    restricts to docs the posting table is missing, so the probe
+    *    never double-counts a doc against its own landed postings;
+    *  - torn-write healing: the spanidx append lands FIRST, postings
+    *    second — a crash between them replays with the same fresh
+    *    set, and re-appended spanidx rows are HARMLESS duplicates
+    *    ([[exciseSpans]] interval-merges them away; [[despan]] reads
+    *    via collect_list into exactly that merge), while the posting
+    *    append completes;
+    *  - probe shape: batch postings join the bucketed stored table on
+    *    (h, h2) — no stored-side exchange, no corpus rescan; AQE
+    *    broadcasts the batch side while it fits (the family's
+    *    drop-set discipline).
+    * Returns the number of docs actually folded. */
+  private[graft] def appendSpanToIndex(spark: SparkSession, dir: String,
+      batchDocs: DataFrame): Long = {
+    import spark.implicits._
+    val idxTbl = indexTableName(spark, dir, "graft_spanidx_")
+    val postTbl = indexTableName(spark, dir, "graft_spanpost_")
+    spanIndexTable(spark, dir) // ensure both exist (first fold builds)
+    val stored = spanPostTable(spark, dir)
+    // driver-pinned fresh-doc list keyed on the posting table itself
+    val batchIds = broadcast(batchDocs.select(col("doc_id")).distinct())
+    val known = stored.select(col("doc_id")).join(batchIds, "doc_id").distinct()
+    val freshSeq = batchDocs.select(col("doc_id")).distinct()
+      .join(broadcast(known), Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSeq
+    if (freshSeq.isEmpty) return 0L
+
+    val fresh = batchDocs.join(broadcast(freshSeq.toDF("doc_id")), "doc_id")
+    val spans = spansOf(fresh).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchAgg = spans.groupBy(col("h"), col("h2"))
+        .agg(count(lit(1)).as("bc"))
+      // stored rows for the batch's hashes only: join-first, then
+      // aggregate the (batch-bounded) matches — never a full-table agg
+      val relevant = stored.join(batchAgg, Seq("h", "h2"))
+        .groupBy(col("h"), col("h2"))
+        .agg(sum(col("c")).as("tot"), max(col("bc")).as("bc"),
+          any_value(struct(col("doc_id"), col("i"))).as("owner"))
+      // hashes now duplicated: any stored match (stored >= 1 + batch
+      // >= 1 crosses 2 by construction) plus intra-batch repeats
+      val dupHashes = relevant.select(col("h"), col("h2"))
+        .unionAll(batchAgg.filter(col("bc") >= 2)
+          .join(relevant.select(col("h"), col("h2")), Seq("h", "h2"),
+            "left_anti")
+          .select(col("h"), col("h2")))
+      val batchDup = spans.join(dupHashes, Seq("h", "h2"))
+        .select(col("doc_id"), col("i"))
+      // stored singletons the batch just duplicated: promote the owner
+      val promoted = relevant.filter(col("tot") === 1)
+        .select(col("owner.doc_id").as("doc_id"), col("owner.i").as("i"))
+      graft.sources.TableIO.appendBucketed(
+        batchDup.unionAll(promoted), idxTbl, Seq("doc_id"), IndexBuckets)
+      graft.sources.TableIO.appendBucketed(
+        spans.groupBy(col("h"), col("h2"), col("doc_id"))
+          .agg(min(col("i")).as("i"), count(lit(1)).as("c")),
+        postTbl, Seq("h", "h2"), IndexBuckets)
+      freshSeq.length.toLong
+    } finally { spans.unpersist(); () }
+  }
+
+  /** Compaction for the span tables (the [[compactIndex]] shape). */
+  private[graft] def compactSpanIndex(spark: SparkSession,
+      dir: String): Unit = {
+    graft.sources.TableIO.compactBucketed(spark,
+      indexTableName(spark, dir, "graft_spanidx_"),
+      Seq("doc_id"), IndexBuckets)
+    graft.sources.TableIO.compactBucketed(spark,
+      indexTableName(spark, dir, "graft_spanpost_"),
+      Seq("h", "h2"), IndexBuckets)
   }
 
   def despan(spark: SparkSession, dir: String): DataFrame = {
