@@ -915,6 +915,13 @@ object SkopeQueries {
          |  round(CAST((3 * r + 5 * c) % 251 AS DOUBLE) + 1e-9, 6)
          |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)"""
         .stripMargin,
+    // the hand-built deflate + Predictor-3 float32 fixture's
+    // closed-form content: TTN3 byte-plane differencing end-to-end
+    "skope_geotiff_f32pred" ->
+      s"""SELECT CAST(c AS BIGINT) AS x, CAST(r AS BIGINT) AS y,
+         |  round(CAST(100 * r + 7 * c - 800 AS DOUBLE) + 1e-9, 6) AS value
+         |FROM range(0, $LzwFixH) tr(r), range(0, $LzwFixW) tc(c)"""
+        .stripMargin,
     // the hand-built BigTIFF fixture's closed-form content: the
     // 43-magic 8-byte-offset format end-to-end through readCube
     "skope_geotiff_big" ->
@@ -1253,6 +1260,9 @@ object SkopeQueries {
   private[cube] val LzwFix8: (Int, Int) => Int = (r, c) => (3 * r + 5 * c) % 251
   private[cube] val TileFix8: (Int, Int) => Int = (r, c) => (13 * r + 3 * c) % 251
   private[cube] val BigFix8: (Int, Int) => Int = (r, c) => (7 * r + 11 * c) % 251
+  // integer-valued float32 content: exact under the 2^24 bound, minus
+  // an offset so negative floats (sign-bit plane) are exercised too
+  private[cube] val F32Fix: (Int, Int) => Int = (r, c) => 100 * r + 7 * c - 800
 
   /** BigTIFF fixture (r12 verdict item 8) — HAND-BUILT from the BigTIFF
     * spec (magic 43, 8-byte offset size, u64 IFD counts and entry
@@ -1311,6 +1321,83 @@ object SkopeQueries {
 
   def geotiffBig(spark: SparkSession, dir: String): DataFrame =
     graft.sources.GeoTiff.readCube(spark, geotiffBigFixture + "/big_1.tif")
+      .select(
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        Num.roundEps(col("v"), 6).as("value"))
+
+  /** Deflate + Predictor-3 float32 fixture (r13 verdict item 4) —
+    * GDAL's standard compressed layout for float32 rasters, which the
+    * reference's variables are. HAND-BUILT (the JDK encoder emits
+    * neither float TIFFs nor Predictor 3): each row's IEEE values are
+    * split into byte planes most-significant-first and
+    * byte-differenced per TechNote 3, then the payload is deflated.
+    * Content is closed-form integer-valued float32 (exact under the
+    * 2²⁴ bound), so the driver's oracle gate is bit-for-bit;
+    * GeoTiffCodecSpec holds the hand-derived TTN3 byte vectors. */
+  private lazy val geotiffF32PredFixture: String =
+    atomicFixtureDir(new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-f32predfix-${ProcessHandle.current().pid()}")) { dir =>
+      val w = LzwFixW; val h = LzwFixH
+      // TTN3 encode per row, then deflate the whole strip payload
+      val shuffled = new Array[Byte](w * h * 4)
+      for (r <- 0 until h) {
+        val base = r * w * 4
+        for (c <- 0 until w) {
+          val bits = java.lang.Float.floatToIntBits(F32Fix(r, c).toFloat)
+          shuffled(base + c) = ((bits >>> 24) & 0xff).toByte
+          shuffled(base + w + c) = ((bits >>> 16) & 0xff).toByte
+          shuffled(base + 2 * w + c) = ((bits >>> 8) & 0xff).toByte
+          shuffled(base + 3 * w + c) = (bits & 0xff).toByte
+        }
+        var i = base + w * 4 - 1
+        while (i > base) {
+          shuffled(i) = (shuffled(i) - shuffled(i - 1)).toByte
+          i -= 1
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(shuffled); defl.finish()
+      val packed = new Array[Byte](shuffled.length + 64)
+      val packedLen = defl.deflate(packed)
+      defl.end()
+      require(defl.finished(), "fixture deflate did not fit one buffer")
+
+      val nTags = 11
+      val ifdSize = 2 + nTags * 12 + 4
+      val dataOff = 8 + ifdSize
+      val bb = java.nio.ByteBuffer.allocate(dataOff + packedLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      bb.putShort(nTags.toShort)
+      def tag(id: Int, typ: Int, count: Int, value: Long): Unit = {
+        bb.putShort(id.toShort); bb.putShort(typ.toShort); bb.putInt(count)
+        val mark = bb.position()
+        if (typ == 3 && count == 1) bb.putShort(value.toShort)
+        else bb.putInt(value.toInt)
+        bb.position(mark + 4)
+      }
+      tag(256, 4, 1, w)            // ImageWidth
+      tag(257, 4, 1, h)            // ImageLength
+      tag(258, 3, 1, 32)           // BitsPerSample
+      tag(259, 3, 1, 8)            // Compression = Deflate
+      tag(262, 3, 1, 1)            // Photometric
+      tag(273, 4, 1, dataOff)      // StripOffsets
+      tag(277, 3, 1, 1)            // SamplesPerPixel
+      tag(279, 4, 1, packedLen)    // StripByteCounts
+      tag(284, 3, 1, 1)            // chunky
+      tag(317, 3, 1, 3)            // Predictor 3
+      tag(339, 3, 1, 3)            // SampleFormat = IEEE float
+      bb.putInt(0)
+      bb.put(packed, 0, packedLen)
+      val out = new java.io.FileOutputStream(
+        new java.io.File(dir, "f32pred_1.tif"))
+      try out.write(bb.array()) finally out.close()
+    }
+
+  def geotiffF32Pred(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GeoTiff.readCube(spark,
+        geotiffF32PredFixture + "/f32pred_1.tif")
       .select(
         col("x").cast("long").as("x"),
         col("y").cast("long").as("y"),
@@ -1432,6 +1519,7 @@ object SkopeQueries {
     "skope_geotiff_lzw" -> (geotiffLzw _),
     "skope_geotiff_tiled" -> (geotiffTiled _),
     "skope_geotiff_big" -> (geotiffBig _),
+    "skope_geotiff_f32pred" -> (geotiffF32Pred _),
     "skope_raster_series" -> (rasterSeries _),
     "skope_uncertainty_series" -> (uncertaintySeries _),
     "skope_settings" ->

@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   *    (Compression 5, TIFF6 early-change variant) and PackBits
   *    (Compression 32773) payloads — the GDAL/rasterio archive
   *    defaults plus the baseline-TIFF codecs — with horizontal
-  *    differencing (Predictor 2) undone after decompression for the
-  *    integer sample types it is defined on;
+  *    differencing undone after decompression: Predictor 2 for the
+  *    integer sample types and Predictor 3 (TechNote 3 floating-point
+  *    byte-plane differencing, GDAL's standard combo for float32
+  *    rasters) for IEEE samples;
   *  - samples of uint8/16/32, int8/16/32, float32/64 (SampleFormat +
   *    BitsPerSample, per-sample);
   *  - GDAL_NODATA (tag 42113, incl. the "nan" spelling) → null cells,
@@ -333,8 +335,8 @@ object GeoTiff {
     // stride is the SEGMENT's width — tile width for tiled files, the
     // image width for strips.
     val predictor = ifd.long1(TagPredictor, default = 1L).toInt
-    require(predictor == 1 || predictor == 2,
-      s"unsupported TIFF predictor $predictor (1/2 supported)")
+    require(predictor == 1 || predictor == 2 || predictor == 3,
+      s"unsupported TIFF predictor $predictor (1/2/3 supported)")
     if (predictor == 2) {
       require(formats.forall(f => f == 1 || f == 2),
         "Predictor 2 (horizontal differencing) is only defined for " +
@@ -345,6 +347,16 @@ object GeoTiff {
       // differencing; revisit if a real archive does)
       require(bits.forall(_ == bits(0)),
         s"Predictor 2 requires uniform BitsPerSample, got ${bits.mkString(",")}")
+    }
+    if (predictor == 3) {
+      // TIFF Technical Note 3 (floating-point horizontal differencing)
+      // — GDAL's standard compressed layout for float32 rasters, and
+      // the reference's variables ARE float32 (r13 verdict item 4)
+      require(formats.forall(_ == 3),
+        "Predictor 3 (floating-point differencing) is only defined " +
+          "for IEEE SampleFormat")
+      require(bits.forall(b => b == bits(0) && (b == 32 || b == 64)),
+        s"Predictor 3 requires uniform 32/64-bit samples, got ${bits.mkString(",")}")
     }
 
     def undiff(seg: Array[Byte], cols: Int, segSamples: Int): Unit = {
@@ -391,10 +403,50 @@ object GeoTiff {
       }
     }
 
+    // Predictor 3 (TechNote 3): the encoder split each row's IEEE
+    // values into per-significance byte PLANES (plane 0 = most
+    // significant byte, always — independent of the file's byte
+    // order), then byte-differenced the plane stream at a stride of
+    // samples-per-pixel. Decode = byte-accumulate the row, then
+    // de-shuffle plane bytes back into per-value positions IN THE
+    // FILE'S byte order so the shared readVal path applies unchanged.
+    def undiffFp(seg: Array[Byte], cols: Int, segSamples: Int): Unit = {
+      val bps = bits(0) / 8
+      val rowBytes = cols * segSamples * bps
+      val wc = cols * segSamples
+      val little = buf.order() == ByteOrder.LITTLE_ENDIAN
+      val tmp = new Array[Byte](rowBytes)
+      var base = 0
+      while (base < seg.length) {
+        val n = math.min(rowBytes, seg.length - base)
+        // byte accumulation, stride = samples per pixel (libtiff fpAcc)
+        var i = segSamples
+        while (i < n) {
+          seg(base + i) = (seg(base + i) + seg(base + i - segSamples)).toByte
+          i += 1
+        }
+        // de-shuffle: value k's byte j (big-endian significance) lives
+        // at plane j, column k
+        System.arraycopy(seg, base, tmp, 0, n)
+        var k = 0
+        while (k < wc && k * bps < n) {
+          var j = 0
+          while (j < bps) {
+            val srcPlane = if (little) bps - 1 - j else j
+            seg(base + k * bps + j) = tmp(srcPlane * wc + k)
+            j += 1
+          }
+          k += 1
+        }
+        base += rowBytes
+      }
+    }
+
     def decodeSeg(raw: Array[Byte], expected: Int, cols: Int,
         segSamples: Int): Array[Byte] = {
       val seg = inflate(raw, expected)
       if (predictor == 2) undiff(seg, cols, segSamples)
+      if (predictor == 3) undiffFp(seg, cols, segSamples)
       seg
     }
 

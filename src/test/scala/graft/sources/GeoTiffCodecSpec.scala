@@ -231,4 +231,126 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GeoTiff.parse(bytes))
     assert(e.getMessage.contains("Predictor 2"))
   }
+
+  // ---------------------------------------- Predictor 3 (TechNote 3) --
+
+  /** Minimal single-IFD float TIFF with Predictor 3: payload is the
+    * row-wise TTN3 encoding (byte planes most-significant-first,
+    * byte-differenced at stride = samples) of `value`, built by this
+    * spec's OWN encoder — an implementation of the TechNote
+    * independent of the reader's decode. */
+  private def pred3Tiff(order: ByteOrder, w: Int, h: Int, samples: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val nTags = 10
+    val ifdSize = 2 + nTags * 12 + 4
+    val auxOff = 8 + ifdSize
+    val fmtOff = auxOff + 2 * samples
+    val dataOff = fmtOff + 2 * samples
+    val bb = ByteBuffer.allocate(dataOff + payload.length).order(order)
+    bb.put((if (order == ByteOrder.LITTLE_ENDIAN) "II" else "MM").getBytes)
+    bb.putShort(42)
+    bb.putInt(8)
+    bb.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(id.toShort); bb.putShort(typ.toShort); bb.putInt(count)
+      val mark = bb.position()
+      if (typ == 3 && count <= 2) bb.putShort(value.toShort)
+      else bb.putInt(value.toInt)
+      bb.position(mark + 4)
+    }
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    if (samples == 1) tag(258, 3, 1, 32) else tag(258, 3, samples, auxOff)
+    tag(259, 3, 1, 1) // uncompressed
+    tag(273, 4, 1, dataOff)
+    tag(277, 3, 1, samples)
+    tag(279, 4, 1, payload.length)
+    tag(317, 3, 1, 3) // Predictor 3
+    if (samples == 1) tag(339, 3, 1, 3) else tag(339, 3, samples, fmtOff)
+    tag(284, 3, 1, 1) // chunky
+    bb.putInt(0)
+    bb.position(auxOff)
+    for (_ <- 0 until samples) bb.putShort(32)
+    bb.position(fmtOff)
+    for (_ <- 0 until samples) bb.putShort(3)
+    bb.position(dataOff)
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** TTN3 row encode: split float32s into 4 byte planes ordered
+    * most-significant-first, concatenate planes, byte-difference at
+    * `stride` — written from the TechNote, not from the reader. */
+  private def ttn3Encode(rows: Seq[Seq[Float]], stride: Int): Array[Byte] = {
+    rows.flatMap { row =>
+      val wc = row.length
+      val planes = new Array[Byte](wc * 4)
+      row.zipWithIndex.foreach { case (f, k) =>
+        val b = java.lang.Float.floatToIntBits(f)
+        planes(k) = ((b >>> 24) & 0xff).toByte
+        planes(wc + k) = ((b >>> 16) & 0xff).toByte
+        planes(2 * wc + k) = ((b >>> 8) & 0xff).toByte
+        planes(3 * wc + k) = (b & 0xff).toByte
+      }
+      val out = planes.clone()
+      var i = out.length - 1
+      while (i >= stride) { out(i) = (out(i) - out(i - stride)).toByte; i -= 1 }
+      out.toSeq
+    }.toArray
+  }
+
+  test("Predictor 3 hand vector: [1.0, 2.0, -0.5] byte-plane stream") {
+    // IEEE bits: 1.0f=3F800000, 2.0f=40000000, -0.5f=BF000000.
+    // Planes (MSB-first): [3F 40 BF][80 00 00][00 00 00][00 00 00]
+    // Differenced (stride 1): 3F 01 7F C1 80 00 00 00 00 00 00 00
+    val hand = Array(0x3F, 0x01, 0x7F, 0xC1, 0x80, 0, 0, 0, 0, 0, 0, 0)
+      .map(_.toByte)
+    assert(ttn3Encode(Seq(Seq(1.0f, 2.0f, -0.5f)), 1).toSeq === hand.toSeq,
+      "spec encoder drifted from the hand-derived stream")
+    val r = GeoTiff.parse(pred3Tiff(ByteOrder.LITTLE_ENDIAN, 3, 1, 1, hand))
+    assert(r.value(1, 0, 0) === 1.0)
+    assert(r.value(1, 0, 1) === 2.0)
+    assert(r.value(1, 0, 2) === -0.5)
+  }
+
+  test("Predictor 3: multi-row, both byte orders, exact float32 round-trip") {
+    val w = 7; val h = 4
+    def v(y: Int, x: Int): Float = (100 * y + 7 * x).toFloat / 4.0f - 20.5f
+    val payload = ttn3Encode(
+      (0 until h).map(y => (0 until w).map(x => v(y, x))), 1)
+    for (order <- Seq(ByteOrder.LITTLE_ENDIAN, ByteOrder.BIG_ENDIAN)) {
+      val r = GeoTiff.parse(pred3Tiff(order, w, h, 1, payload))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(r.value(1, y, x) === v(y, x).toDouble, s"$order ($x,$y)")
+    }
+  }
+
+  test("Predictor 3: chunky three-sample stride") {
+    // 3 samples: the bits/format arrays go out-of-line (> the 4-byte
+    // inline slot, like predictorTiff's case) and the accumulation
+    // stride is a genuine multi-byte step
+    val w = 5; val h = 2; val s = 3
+    def v(smp: Int, y: Int, x: Int): Float = (1000 * smp + 10 * y + x) * 0.25f
+    val payload = ttn3Encode(
+      (0 until h).map(y =>
+        (0 until w).flatMap(x => (0 until s).map(smp => v(smp, y, x)))),
+      stride = s)
+    val r = GeoTiff.parse(pred3Tiff(ByteOrder.LITTLE_ENDIAN, w, h, s, payload))
+    for (smp <- 0 until s; y <- 0 until h; x <- 0 until w)
+      assert(r.value(1 + smp, y, x) === v(smp, y, x).toDouble,
+        s"sample $smp ($x,$y)")
+  }
+
+  test("Predictor 3 on integer samples is rejected loudly") {
+    val bytes = pred3Tiff(ByteOrder.LITTLE_ENDIAN, 2, 1, 1,
+      ttn3Encode(Seq(Seq(1.0f, 2.0f)), 1))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 10
+    for (_ <- 0 until 10) {
+      if ((bb.getShort(off) & 0xffff) == 339) bb.putShort(off + 8, 2)
+      off += 12
+    }
+    val e = intercept[IllegalArgumentException](GeoTiff.parse(bytes))
+    assert(e.getMessage.contains("Predictor 3"))
+  }
 }
