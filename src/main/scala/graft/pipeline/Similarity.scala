@@ -294,9 +294,15 @@ object Similarity {
     * KmIters, so the oracle's CTE chain has the same length. */
   val PcaIters = 8
 
+  /** Components trained by [[pcaStateK]] (r13 verdict item 5): the
+    * standard embedding-pipeline use is project-onto-top-k + whiten,
+    * not just pc1/pc2. The deflation recursion is linear in k on both
+    * engines. */
+  val PcaK = 4
+
   private val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Array[Double], Array[Double], Array[Double])]()
+      (Array[Double], Array[Array[Double]])]()
 
   /** First principal component of the embedding corpus by DETERMINISTIC
     * power iteration — the k-means-trainer discipline applied to PCA
@@ -314,8 +320,17 @@ object Similarity {
     * posexplode → 64-group hash agg (map-side partials collapse the
     * per-vector rows; the shuffle moves 64 rows per partition
     * regardless of corpus size). Driver state is two 64-float arrays. */
-  private[pipeline] def pcaState(spark: SparkSession,
-      dir: String): (Array[Double], Array[Double], Array[Double]) = {
+  /** Top-[[PcaK]] components by DETERMINISTIC deflated power
+    * iteration. The deflation recursion (component j trains over
+    * c_j = c − Σ_{l<j} s_l·v_l with the per-row chain
+    * s_l = round₆(c_l·v_l)) is carried as dot IDENTITIES against the
+    * broadcast components — per round still ONE distributed pass, a
+    * 64-group map-side agg, and driver state of k 64-float arrays; no
+    * centered or deflated corpus copy at any k. For j ≤ 2 the
+    * recursion reduces exactly to the r13 pc1/pc2 formulation, so the
+    * emb_pca oracle is unchanged. */
+  private[pipeline] def pcaStateK(spark: SparkSession,
+      dir: String): (Array[Double], Array[Array[Double]]) = {
     val key = spark.sparkContext.applicationId + ":" + dir
     pcaCache.computeIfAbsent(key, _ => {
       val data = vecs(spark, dir)
@@ -329,57 +344,81 @@ object Similarity {
         val n = math.sqrt(w.map(x => x * x).sum)
         w.map(x => Num.roundEpsJvm(x / n, 6))
       }
-      // the per-row score under component `comp` with deflation by
-      // (v1, per-row s): c2·u = x·u − μ·u − s·(v1·u)
-      def scoreCol(comp: Array[Double], defl: Option[Array[Double]]) = {
-        val muDot = mu.indices.map(d => mu(d) * comp(d)).sum
+      def dotArr(a: Array[Double], b: Array[Double]): Double =
+        a.indices.map(d => a(d) * b(d)).sum
+      // round₆(x·u − μ·u − Σ_l s_l (v_l·u)) — the deflated score of
+      // component candidate `u` given prior components and their
+      // (already-computed) per-row score columns s_1..s_{j-1}
+      def scoreCol(u: Array[Double], prior: Seq[Array[Double]]) = {
         val base = graft.functions.VectorFunctions.dot_product(
-          col("v"), typedlit(comp.toSeq)) - lit(muDot)
-        defl match {
-          case None => Num.roundEps(base, 6)
-          case Some(v1) =>
-            val vDotU = v1.indices.map(d => v1(d) * comp(d)).sum
-            Num.roundEps(base - col("s") * lit(vDotU), 6)
-        }
+          col("v"), typedlit(u.toSeq)) - lit(dotArr(mu, u))
+        Num.roundEps(prior.zipWithIndex.foldLeft(base) {
+          case (e, (vl, l)) => e - col(s"s${l + 1}") * lit(dotArr(vl, u))
+        }, 6)
       }
-      // one power-iteration round: returns the UNnormalized per-dim
-      // update Σᵢ tᵢ(x_id − μ_d) [− v1_d Σᵢ tᵢsᵢ under deflation]
-      def round(comp: Array[Double],
-          defl: Option[Array[Double]]): Array[Double] = {
-        val withS = defl match {
-          case None => data.withColumn("s", lit(0.0))
-          case Some(v1) => data.withColumn("s", scoreCol(v1, None))
-        }
-        val sums = withS.withColumn("t", scoreCol(comp, defl))
-          .select(col("t"), col("s"), posexplode(col("v")).as(Seq("d", "val")))
-          .groupBy(col("d"))
-          .agg(sum(col("t") * col("val")).as("tx"), sum(col("t")).as("tt"),
-            sum(col("t") * col("s")).as("ts"))
+      // the per-row deflation chain s_1..s_{j-1}, each rounded like
+      // the oracle's per-component sf CTE (shared with embWhiten)
+      def withScores(prior: Seq[Array[Double]]): DataFrame =
+        pcaDeflatedScores(data, mu, prior)
+      // one power round: Σᵢ tᵢ·c_j(i)_d = Σtᵢx_id − μ_d Σtᵢ − Σ_l v_l,d Σtᵢs_l,i
+      def round(u: Array[Double], prior: Seq[Array[Double]]): Array[Double] = {
+        val aggs = Seq(sum(col("t") * col("val")).as("tx"),
+          sum(col("t")).as("tt")) ++
+          prior.indices.map(l => sum(col("t") * col(s"s${l + 1}")).as(s"ts${l + 1}"))
+        val sums = withScores(prior).withColumn("t", scoreCol(u, prior))
+          .select((col("t") +: posexplode(col("v")).as(Seq("d", "val")) +:
+            prior.indices.map(l => col(s"s${l + 1}"))): _*)
+          .groupBy(col("d")).agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+            prior.indices.map(l => r.getDouble(3 + l))))
           .sortBy(_._1)
-        defl match {
-          case None => sums.map { case (d, tx, tt, _) => tx - mu(d) * tt }
-          case Some(v1) =>
-            sums.map { case (d, tx, tt, ts) => tx - mu(d) * tt - v1(d) * ts }
+        sums.map { case (d, tx, tt, ts) =>
+          tx - mu(d) * tt - prior.indices.map(l => prior(l)(d) * ts(l)).sum
         }
       }
       def iterate(v0: Array[Double],
-          defl: Option[Array[Double]]): Array[Double] = {
+          prior: Seq[Array[Double]]): Array[Double] = {
         var v = v0
         var it = 0
-        while (it < PcaIters) { v = normRound(round(v, defl)); it += 1 }
+        while (it < PcaIters) { v = normRound(round(v, prior)); it += 1 }
         v
       }
-      val f0 = x0.indices.map(d => x0(d) - mu(d)).toArray
-      val v1 = iterate(normRound(f0), None)
-      // deflate the SAME seed vector: c2₀ = (x₀−μ) − s₀·v1
-      val s0 = Num.roundEpsJvm(
-        f0.indices.map(d => f0(d) * v1(d)).sum, 6)
-      val g0 = f0.indices.map(d => f0(d) - s0 * v1(d)).toArray
-      val v2 = iterate(normRound(g0), Some(v1))
-      (mu, v1, v2)
+      // seed vector deflated progressively: g_1 = x₀ − μ;
+      // g_{j+1} = g_j − round₆(g_j·v_j)·v_j
+      val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var g = x0.indices.map(d => x0(d) - mu(d)).toArray
+      while (comps.length < PcaK) {
+        val v = iterate(normRound(g), comps.toSeq)
+        val s0 = Num.roundEpsJvm(dotArr(g, v), 6)
+        g = g.indices.map(d => g(d) - s0 * v(d)).toArray
+        comps += v
+      }
+      (mu, comps.toArray)
     })
+  }
+
+  private[pipeline] def pcaState(spark: SparkSession,
+      dir: String): (Array[Double], Array[Double], Array[Double]) = {
+    val (mu, comps) = pcaStateK(spark, dir)
+    (mu, comps(0), comps(1))
+  }
+
+  /** Adds the per-row deflated score chain s_1..s_k for `comps`:
+    * s_j = round₆(x·v_j − μ·v_j − Σ_{l<j} s_l·(v_l·v_j)) — every term
+    * a dot identity against broadcast arrays, map-only. */
+  private def pcaDeflatedScores(df: DataFrame, mu: Array[Double],
+      comps: Seq[Array[Double]]): DataFrame = {
+    def dotArr(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(d => a(d) * b(d)).sum
+    comps.zipWithIndex.foldLeft(df) { case (d, (vj, j)) =>
+      val base = graft.functions.VectorFunctions.dot_product(
+        col("v"), typedlit(vj.toSeq)) - lit(dotArr(mu, vj))
+      d.withColumn(s"s${j + 1}", Num.roundEps(
+        (0 until j).foldLeft(base) { (e, l) =>
+          e - col(s"s${l + 1}") * lit(dotArr(comps(l), vj))
+        }, 6))
+    }
   }
 
   /** (d, mu, pc1, pc2) — the trained components, 64 rows; pc2 by
@@ -390,6 +429,41 @@ object Similarity {
     import spark.implicits._
     mu.indices.map(d => (d, mu(d), v1(d), v2(d)))
       .toDF("d", "mu", "pc1", "pc2")
+  }
+
+  /** (d, mu, pc1..pc4) — the top-[[PcaK]] trained components
+    * (r13 verdict item 5): the deflation loop generalized past pc2
+    * under the same per-round rounding; PcaSpec pins pairwise
+    * orthogonality on the 6-dp grid and pc1/pc2 identity with
+    * [[embPca]]. */
+  def embPcaK(spark: SparkSession, dir: String): DataFrame = {
+    val (mu, comps) = pcaStateK(spark, dir)
+    import spark.implicits._
+    mu.indices.map(d => (d, mu(d), comps(0)(d), comps(1)(d),
+        comps(2)(d), comps(3)(d)))
+      .toDF("d", "mu", "pc1", "pc2", "pc3", "pc4")
+  }
+
+  /** Whitened top-k projection — project each vector onto the trained
+    * components and scale each coordinate to unit variance
+    * (w_j = s_j / √var_j, var_j the population variance of s_j): the
+    * standard embedding-pipeline normalization before clustering /
+    * retrieval. Map-only scoring plus ONE bounded variance pass
+    * (k scalars to the driver); the oracle replays the score chain
+    * and the variance division exactly. */
+  def embWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val (mu, comps) = pcaStateK(spark, dir)
+    val scored = pcaDeflatedScores(vecs(spark, dir), mu, comps.toSeq)
+    val varAggs = comps.indices.map(j =>
+      (sum(col(s"s${j + 1}") * col(s"s${j + 1}")) /
+        count(lit(1))).as(s"var${j + 1}"))
+    val vars = scored.agg(varAggs.head, varAggs.tail: _*).collect()(0)
+    val outCols = col("vec_id") +: comps.indices.map { j =>
+      val vj = Num.roundEpsJvm(vars.getDouble(j), 6)
+      Num.roundEps(col(s"s${j + 1}") /
+        lit(math.sqrt(vj)), 6).as(s"w${j + 1}")
+    }
+    scored.select(outCols: _*)
   }
 
   /** Per-vector projection onto the trained component — the outlier /
@@ -2576,8 +2650,75 @@ object Similarity {
          |sf AS MATERIALIZED (
          |  SELECT vec_id, ${Num.roundEpsSql("sum(cv * v)", 6)} AS score
          |  FROM c JOIN v_$PcaIters USING (d) GROUP BY vec_id)
-         |SELECT vec_id, score FROM sf""".stripMargin
+         |SELECT vec_id, score FROM sf""".stripMargin,
+    "emb_pca_k" -> (s"$pcaKChainSql\n" +
+      s"SELECT m.d AS d, m.mu AS mu, " +
+      (1 to PcaK).map(j => s"p$j.v AS pc$j").mkString(", ") +
+      s" FROM pmu m " +
+      (1 to PcaK).map(j => s"JOIN pv${j}_$PcaIters p$j USING (d)").mkString(" ")),
+    "emb_whiten" -> (s"$pcaKChainSql,\n" +
+      (1 to PcaK).map(j =>
+        s"vr_$j AS MATERIALIZED (SELECT " +
+          Num.roundEpsSql("sum(s * s) / count(*)", 6) +
+          s" AS vr FROM psf_$j)").mkString(",\n") + "\n" +
+      s"SELECT f1.vec_id, " +
+      (1 to PcaK).map(j =>
+        Num.roundEpsSql(s"f$j.s / sqrt(vr_$j.vr)", 6) + s" AS w$j")
+        .mkString(", ") +
+      s" FROM psf_1 f1 " +
+      (2 to PcaK).map(j => s"JOIN psf_$j f$j USING (vec_id)").mkString(" ") +
+      ", " + (1 to PcaK).map(j => s"vr_$j").mkString(", "))
   )
+
+  /** The oracle's replay of [[pcaStateK]]: own x/mu/centered head
+    * (px/pmu/cc_1 — kept separate from pcaChainSql so the r13
+    * emb_pca oracle stays byte-identical), then per component j a
+    * seed + PcaIters power rounds over the deflated table cc_j, the
+    * final per-row scores psf_j, and cc_{j+1} = cc_j − psf_j·v_j.
+    * Linear in k; MATERIALIZED throughout. */
+  private def pcaKChainSql: String = {
+    def r6(e: String) = Num.roundEpsSql(e, 6)
+    val head =
+      s"""px AS MATERIALIZED (
+         |  SELECT vec_id, d - 1 AS d, CAST(e AS DOUBLE) AS val
+         |  FROM (SELECT vec_id, unnest(embedding) AS e,
+         |               generate_subscripts(embedding, 1) AS d FROM embeddings)),
+         |pmu AS MATERIALIZED (SELECT d, ${r6("avg(val)")} AS mu FROM px GROUP BY d),
+         |cc_1 AS MATERIALIZED (SELECT vec_id, px.d, val - mu AS cv FROM px JOIN pmu USING (d))"""
+        .stripMargin
+    val comps = (1 to PcaK).map { j =>
+      val seed =
+        s"""g${j}_0 AS MATERIALIZED (
+           |  SELECT d, cv FROM cc_$j WHERE vec_id = (SELECT min(vec_id) FROM cc_$j)),
+           |pv${j}_0 AS MATERIALIZED (
+           |  SELECT d, ${r6("cv / nrm")} AS v
+           |  FROM g${j}_0, (SELECT sqrt(sum(cv*cv)) AS nrm FROM g${j}_0) t)""".stripMargin
+      val iters = (1 to PcaIters).map { i =>
+        val p = i - 1
+        s"""ps${j}_$i AS MATERIALIZED (
+           |  SELECT vec_id, ${r6("sum(cv * v)")} AS s
+           |  FROM cc_$j JOIN pv${j}_$p USING (d) GROUP BY vec_id),
+           |pw${j}_$i AS MATERIALIZED (
+           |  SELECT d, sum(s * cv) AS w FROM cc_$j JOIN ps${j}_$i USING (vec_id) GROUP BY d),
+           |pv${j}_$i AS MATERIALIZED (
+           |  SELECT d, ${r6("w / nrm")} AS v
+           |  FROM pw${j}_$i, (SELECT sqrt(sum(w*w)) AS nrm FROM pw${j}_$i) t)""".stripMargin
+      }
+      val scores =
+        s"""psf_$j AS MATERIALIZED (
+           |  SELECT vec_id, ${r6("sum(cv * v)")} AS s
+           |  FROM cc_$j JOIN pv${j}_$PcaIters USING (d) GROUP BY vec_id)""".stripMargin
+      val next =
+        if (j == PcaK) Nil
+        else Seq(
+          s"""cc_${j + 1} AS MATERIALIZED (
+             |  SELECT c.vec_id, c.d, c.cv - f.s * v.v AS cv
+             |  FROM cc_$j c JOIN psf_$j f USING (vec_id)
+             |  JOIN pv${j}_$PcaIters v USING (d))""".stripMargin)
+      (Seq(seed) ++ iters ++ Seq(scores) ++ next).mkString(",\n")
+    }
+    (head +: comps).mkString("WITH ", ",\n", "")
+  }
 
   /** The oracle's replay of [[pcaState]]: mu / centered table / v_0,
     * then PcaIters (s_i, w_i, v_i) rounds — MATERIALIZED throughout
@@ -2658,6 +2799,8 @@ object Similarity {
     "ann_ivfpq_residual_recall" -> (annIvfPqResidualRecall _),
     "dedup_semantic" -> (dedupSemantic _),
     "emb_pca" -> (embPca _),
-    "emb_pca_project" -> (embPcaProject _)
+    "emb_pca_project" -> (embPcaProject _),
+    "emb_pca_k" -> (embPcaK _),
+    "emb_whiten" -> (embWhiten _)
   )
 }

@@ -51,4 +51,56 @@ class PcaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  // ------------------------------------------------- top-k + whiten --
+
+  test("k=4: unit-norm, pairwise near-orthogonal, pc1/pc2 unchanged") {
+    val (_, comps) = Similarity.pcaStateK(spark, sfDir)
+    assert(comps.length === Similarity.PcaK)
+    comps.zipWithIndex.foreach { case (v, j) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"pc${j + 1} norm $n")
+    }
+    // the 6-dp per-round grid holds orthogonality through pc4 (the
+    // r13 open question): measure every pair, not just v1·v2
+    for (a <- comps.indices; b <- comps.indices if a < b) {
+      val dot = comps(a).indices.map(d => comps(a)(d) * comps(b)(d)).sum
+      assert(math.abs(dot) < 2e-3,
+        s"pc${a + 1}·pc${b + 1} = $dot - deflation drifted off the grid")
+    }
+    // the generalized recursion reduces to the r13 state at k <= 2
+    val (_, v1, v2) = Similarity.pcaState(spark, sfDir)
+    assert(comps(0).toSeq === v1.toSeq)
+    assert(comps(1).toSeq === v2.toSeq)
+  }
+
+  test("whitened coordinates have unit population variance per axis") {
+    val rows = Similarity.embWhiten(spark, sfDir).collect()
+    (1 to Similarity.PcaK).foreach { j =>
+      val ws = rows.map(_.getAs[Double](s"w$j"))
+      val m = ws.sum / ws.length
+      val v = ws.map(w => (w - m) * (w - m)).sum / ws.length
+      // variance of s_j/sqrt(var_j) is 1 up to the projection's mean
+      // offset (scores are centered only up to 6-dp rounding)
+      assert(math.abs(v - 1.0) < 2e-2, s"w$j variance $v")
+    }
+  }
+
+  test("explained variance is non-increasing across components") {
+    val (mu, comps) = Similarity.pcaStateK(spark, sfDir)
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val vars = comps.map { v =>
+      val ss = rows.map { x =>
+        x.indices.map(d => (x(d) - mu(d)) * v(d)).sum
+      }
+      val m = ss.sum / ss.length
+      ss.map(s => (s - m) * (s - m)).sum / ss.length
+    }
+    vars.sliding(2).foreach { case Array(a, b) =>
+      // 2% slack: fixed 8-round convergence, not an exact eigenbasis
+      assert(b <= a * 1.02, s"variance order violated: ${vars.mkString(", ")}")
+    }
+  }
 }
