@@ -108,7 +108,11 @@ object Bench {
     // span-level dedup apply (round 13)
     "docs_despan" -> "d_dsp",
     // BigTIFF ingest (round 13)
-    "skope_geotiff_big" -> "s_btf"
+    "skope_geotiff_big" -> "s_btf",
+    // round 14 additions (rank-table BPE, PCA top-k + whitening,
+    // GeoTIFF Predictor 3)
+    "text_tokens_bpek" -> "t_bpk", "emb_pca_k" -> "a_pck",
+    "emb_whiten" -> "a_wh", "skope_geotiff_f32pred" -> "s_fpr"
   )
 
   def main(args: Array[String]): Unit = {

@@ -75,11 +75,21 @@ private[graft] object ServingCoalescer {
 
   private val queue = new LinkedBlockingQueue[Pending]()
 
-  private lazy val worker: Thread = {
-    val t = new Thread(() => loop(), "graft-serving-coalescer")
-    t.setDaemon(true)
-    t.start()
-    t
+  // The worker is restartable, not a lazy singleton: a fatal error
+  // (OOM, LinkageError) that escapes loop() must not leave the serving
+  // layer permanently headless — the next request notices the dead
+  // thread and starts a fresh one.
+  @volatile private var worker: Thread = null
+  private def ensureWorker(): Unit = {
+    val w = worker
+    if (w == null || !w.isAlive) synchronized {
+      if (worker == null || !worker.isAlive) {
+        val t = new Thread(() => loop(), "graft-serving-coalescer")
+        t.setDaemon(true)
+        t.start()
+        worker = t
+      }
+    }
   }
 
   /** Blocking request: enumerate-side inputs in, zonal series out.
@@ -88,7 +98,7 @@ private[graft] object ServingCoalescer {
   def zonal(spark: SparkSession, dir: String, dataset: String,
       resolution: EventCube.Resolution, variable: String,
       cells: Seq[Long], lo: Int, hi: Int, stat: String): Ser = {
-    worker // ensure started
+    ensureWorker()
     val p = Pending(Key(spark, dir, dataset, resolution, variable),
       cells, lo, hi, stat, Promise[Ser]())
     queue.put(p)
@@ -98,14 +108,13 @@ private[graft] object ServingCoalescer {
   }
 
   private def loop(): Unit = {
+    import scala.jdk.CollectionConverters._
     while (true) {
+      val batch = new java.util.ArrayList[Pending]()
       try {
-        val first = queue.take()
+        batch.add(queue.take())
         if (WindowMs > 0) Thread.sleep(WindowMs)
-        val batch = new java.util.ArrayList[Pending]()
-        batch.add(first)
         queue.drainTo(batch, MaxBatch - 1)
-        import scala.jdk.CollectionConverters._
         batch.asScala.toSeq.groupBy(_.key).foreach { case (key, ps) =>
           // split oversized groups so one micro-batch never enumerates
           // more than the batch extractor's driver-side cell budget
@@ -123,8 +132,18 @@ private[graft] object ServingCoalescer {
           chunks.foreach(c => runGroup(key, c.toSeq))
         }
       } catch {
-        case _: InterruptedException => return
-        case scala.util.control.NonFatal(_) => () // runGroup already failed its promises
+        case ie: InterruptedException =>
+          // shutdown path: nothing blocks on an abandoned promise
+          batch.asScala.foreach(_.promise.tryFailure(ie))
+          return
+        case t: Throwable =>
+          // A Throwable escaping runGroup (fatal — NonFatal is handled
+          // there after failing its own promises) must not strand the
+          // rest of the drained batch: fail every promise still pending
+          // (tryFailure is a no-op on completed ones) and keep serving;
+          // if the error was severe enough to kill this thread anyway,
+          // ensureWorker() restarts it on the next request.
+          batch.asScala.foreach(_.promise.tryFailure(t))
       }
     }
   }

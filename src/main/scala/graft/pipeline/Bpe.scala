@@ -233,11 +233,12 @@ object Bpe {
     *  - candidates pop in (rank, position) order, so each rank's
     *    occurrences merge left-to-right before any later rank — the
     *    chain's pass order;
-    *  - a popped candidate whose rank is BELOW the highest rank
-    *    already processed re-arms at the pair's next rank ≥ the
-    *    cursor if one exists, else drops: an occurrence of pair i
-    *    created by a later merge j > i stays UNMERGED, exactly as the
-    *    chain (whose pass i already ran) leaves it;
+    *  - every push arms at the pair's smallest trained rank ≥ the
+    *    cursor (the highest rank already processed) and drops the pair
+    *    if none exists: an occurrence of pair i created by a later
+    *    merge j > i stays UNMERGED, exactly as the chain (whose pass i
+    *    already ran) leaves it — the re-arm happens at PUSH time, so a
+    *    polled candidate always has rank ≥ cursor (asserted below);
     *  - merging (l, r) can never create a new (l, r) adjacency (lr
     *    equals neither l nor r), so within one rank the left-to-right
     *    non-overlap of `mergeToks` is preserved by lazy invalidation
@@ -287,16 +288,16 @@ object Bpe {
         // stale unless this exact rank is still trained for the pair
         // now at p (the tokens may have changed since the push)
         if (rs != null && java.util.Arrays.binarySearch(rs, r) >= 0) {
-          if (r < cursor) push(p, cursor) // re-arm at the next rank
-          else {
-            cursor = r
-            tok(p) = tok(p) + tok(q)
-            alive(q) = false
-            nxt(p) = nxt(q)
-            if (nxt(q) != -1) prv(nxt(q)) = p
-            if (prv(p) != -1) push(prv(p), cursor)
-            push(p, cursor)
-          }
+          // ranks pop ascending and every push armed at minRank =
+          // cursor, so a polled rank can never be below the cursor
+          assert(r >= cursor, s"BPE kernel invariant: rank $r < cursor $cursor")
+          cursor = r
+          tok(p) = tok(p) + tok(q)
+          alive(q) = false
+          nxt(p) = nxt(q)
+          if (nxt(q) != -1) prv(nxt(q)) = p
+          if (prv(p) != -1) push(prv(p), cursor)
+          push(p, cursor)
         }
       }
     }
@@ -319,11 +320,20 @@ object Bpe {
   def tokensBpeKernel(spark: SparkSession, dir: String): DataFrame =
     tokensBpeKernelWith(spark, dir, trainMerges(spark, dir))
 
+  /** Bound on the per-partition word→count memo: on Zipfian text the
+    * hit rate is what makes the kernel fast, but a high-entropy
+    * partition (random identifiers) would otherwise grow the HashMap
+    * with every distinct word — unbounded executor memory. Past the
+    * cap new words compute through unmemoized; output is identical
+    * either way (BpeKernelSpec pins cap=0 ≡ uncapped). */
+  private[pipeline] val KernelMemoCap = 1 << 20
+
   /** Kernel apply under an explicit merge table — the bench hook for
     * the production-merge-count point (BpeKernelBench pads the trained
     * table to 4096 ranks to show per-doc cost flat in merge count). */
   private[graft] def tokensBpeKernelWith(spark: SparkSession, dir: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      memoCap: Int = KernelMemoCap): DataFrame = {
     import spark.implicits._
     val mergesB = spark.sparkContext.broadcast(merges.toArray)
     val wordRe = java.util.regex.Pattern.compile("[a-z]+")
@@ -342,7 +352,7 @@ object Bpe {
             var c = memo.get(w)
             if (c == null) {
               c = Integer.valueOf(applyRanked(w, ranks).length)
-              memo.put(w, c)
+              if (memo.size < memoCap) memo.put(w, c)
             }
             nBpe += c.intValue()
             nWs += 1L

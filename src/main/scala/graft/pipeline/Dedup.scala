@@ -1235,10 +1235,16 @@ object Dedup {
     val postTbl = indexTableName(spark, dir, "graft_spanpost_")
     spanIndexTable(spark, dir) // ensure both exist (first fold builds)
     val stored = spanPostTable(spark, dir)
-    // driver-pinned fresh-doc list keyed on the posting table itself
-    val batchIds = broadcast(batchDocs.select(col("doc_id")).distinct())
+    // driver-pinned fresh-doc list keyed on the posting table itself.
+    // Docs shorter than SpanLen produce ZERO spans (spansOf filters
+    // them), so they can never land a posting row — include them in
+    // the fresh set and a fully-replayed batch would report a nonzero
+    // fold forever, breaking replay-folds-0 idempotency. They have no
+    // index footprint by definition, so exclude them up front.
+    val spannable = batchDocs.filter(length(col("text")) >= SpanLen)
+    val batchIds = broadcast(spannable.select(col("doc_id")).distinct())
     val known = stored.select(col("doc_id")).join(batchIds, "doc_id").distinct()
-    val freshSeq = batchDocs.select(col("doc_id")).distinct()
+    val freshSeq = spannable.select(col("doc_id")).distinct()
       .join(broadcast(known), Seq("doc_id"), "left_anti")
       .as[Long].collect().toSeq
     if (freshSeq.isEmpty) return 0L

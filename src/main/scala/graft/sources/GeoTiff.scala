@@ -419,6 +419,11 @@ object GeoTiff {
       var base = 0
       while (base < seg.length) {
         val n = math.min(rowBytes, seg.length - base)
+        // a valid TIFF segment holds whole rows — a truncated final row
+        // would de-shuffle zero-filled plane bytes into silent garbage
+        // floats, so fail loudly like the rest of the parser does
+        require(n == rowBytes,
+          s"Predictor 3 segment truncated: row has $n of $rowBytes bytes")
         // byte accumulation, stride = samples per pixel (libtiff fpAcc)
         var i = segSamples
         while (i < n) {

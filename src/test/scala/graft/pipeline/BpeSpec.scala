@@ -196,4 +196,22 @@ class BpeSpec extends SparkSpec {
           Bpe.applyRanked(w, ranks24).toSeq)
       }
   }
+
+  test("kernel memo is an optimization only: cap=0 output-identical") {
+    // the per-partition word→count memo is bounded (KernelMemoCap) so
+    // a high-entropy partition cannot grow executor memory without
+    // bound; past the cap words compute through unmemoized. Pin that
+    // the memo NEVER changes output: disable it entirely (cap=0) and
+    // compare row-for-row against the default-capped run.
+    val merges = Bpe.trainMerges(spark, sfDir)
+    val withMemo = Bpe.tokensBpeKernelWith(spark, sfDir, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val noMemo = Bpe.tokensBpeKernelWith(spark, sfDir, merges, memoCap = 0)
+      .collect()
+    assert(noMemo.length === withMemo.size)
+    noMemo.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) === withMemo(r.getLong(0)),
+        s"doc ${r.getLong(0)} diverges with the memo disabled")
+    }
+  }
 }

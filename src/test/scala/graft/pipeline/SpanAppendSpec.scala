@@ -111,6 +111,27 @@ class SpanAppendSpec extends SparkSpec {
     assert(Dedup.appendSpanToIndex(spark, cDir, day1) === 0L)
   }
 
+  test("sub-SpanLen docs cannot break replay idempotency") {
+    // a doc shorter than SpanLen produces ZERO spans, so it can never
+    // land a posting row — if it counted as "fresh" a replayed batch
+    // containing one would fold nonzero forever (ADVICE r14)
+    val d = java.nio.file.Files.createTempDirectory("graft_span_short")
+      .toString
+    import spark.implicits._
+    val long = "b" + ("shared boilerplate sentence for span tests " * 3)
+    Seq((1L, long, "s")).toDF("doc_id", "text", "source")
+      .write.parquet(d + "/documents.parquet")
+    val batch = Seq((10L, long, "s"), (11L, "tiny", "s"), (12L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    // first fold: only the spannable doc counts
+    assert(Dedup.appendSpanToIndex(spark, d, batch) === 1L)
+    // replay folds 0 even though the short docs still have no postings
+    assert(Dedup.appendSpanToIndex(spark, d, batch) === 0L)
+    // an all-short batch is a no-op fold from the start
+    val shortOnly = Seq((20L, "abc", "s")).toDF("doc_id", "text", "source")
+    assert(Dedup.appendSpanToIndex(spark, d, shortOnly) === 0L)
+  }
+
   test("a torn append (idx landed, postings lost) heals on replay") {
     val d = java.nio.file.Files.createTempDirectory("graft_span_torn")
       .toString

@@ -353,4 +353,17 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GeoTiff.parse(bytes))
     assert(e.getMessage.contains("Predictor 3"))
   }
+
+  test("Predictor 3 with a truncated final row fails loudly") {
+    // a valid TIFF segment holds whole rows; a truncated payload must
+    // not silently de-shuffle zero-filled plane bytes into garbage
+    // floats (ADVICE r14)
+    val w = 4; val h = 2
+    val payload = ttn3Encode(
+      (0 until h).map(y => (0 until w).map(x => (y * w + x).toFloat)), 1)
+    val cut = payload.take(payload.length - 3) // rip 3 bytes off row 2
+    val e = intercept[IllegalArgumentException](
+      GeoTiff.parse(pred3Tiff(ByteOrder.LITTLE_ENDIAN, w, h, 1, cut)))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
 }
