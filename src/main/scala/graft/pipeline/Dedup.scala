@@ -1162,7 +1162,7 @@ object Dedup {
     * downstream consumer pays only the read. The snapshot build is
     * write-once; daily growth folds in through [[appendSpanToIndex]]
     * (r13 verdict item 3) instead of re-paying the discovery pass. */
-  private[pipeline] def spanIndexTable(spark: SparkSession,
+  private[graft] def spanIndexTable(spark: SparkSession,
       dir: String): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_spanidx_")
     if (!spark.catalog.tableExists(tbl)) {
@@ -1187,7 +1187,7 @@ object Dedup {
     * corpus, and from then on every batch pays only its own spans.
     * Corpus-linear like the minhash posting table — the price of
     * incrementality, amortized over every later fold. */
-  private[pipeline] def spanPostTable(spark: SparkSession,
+  private[graft] def spanPostTable(spark: SparkSession,
       dir: String): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_spanpost_")
     if (!spark.catalog.tableExists(tbl)) {
@@ -1279,9 +1279,27 @@ object Dedup {
         spans.groupBy(col("h"), col("h2"), col("doc_id"))
           .agg(min(col("i")).as("i"), count(lit(1)).as("c")),
         postTbl, Seq("h", "h2"), IndexBuckets)
+      // the appends ride batchDocs' OWN session — under foreachBatch
+      // that is the micro-batch CLONE, whose saveAsTable invalidates
+      // only the clone's relation cache. Refresh through the caller's
+      // handle so this session (and clones forked from it later) see
+      // the appended files instead of a stale cached listing (the
+      // appendAnnToIndex discipline, Similarity.scala).
+      spark.catalog.refreshTable(idxTbl)
+      spark.catalog.refreshTable(postTbl)
       freshSeq.length.toLong
     } finally { spans.unpersist(); () }
   }
+
+  /** Replay-stable per-doc span accounting of a batch — (doc_id,
+    * n_spans) for every spannable doc, straight off the text length.
+    * SpanStream's sink content: deterministic given the batch rows
+    * alone (never the fold state), so a checkpoint replay rewrites
+    * identical partition content. */
+  private[graft] def spanCountsOfDocs(docs: DataFrame): DataFrame = docs
+    .filter(length(col("text")) >= SpanLen)
+    .select(col("doc_id"),
+      (length(col("text")) - (SpanLen - 1)).cast("long").as("n_spans"))
 
   /** Compaction for the span tables (the [[compactIndex]] shape). */
   private[graft] def compactSpanIndex(spark: SparkSession,
