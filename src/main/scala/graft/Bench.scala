@@ -112,7 +112,10 @@ object Bench {
     // round 14 additions (rank-table BPE, PCA top-k + whitening,
     // GeoTIFF Predictor 3)
     "text_tokens_bpek" -> "t_bpk", "emb_pca_k" -> "a_pck",
-    "emb_whiten" -> "a_wh", "skope_geotiff_f32pred" -> "s_fpr"
+    "emb_whiten" -> "a_wh", "skope_geotiff_f32pred" -> "s_fpr",
+    // OPQ family (round 15): o=opq, trailing c=recall
+    "emb_pq_opq" -> "a_pqo", "ann_ivfpq_opq" -> "a_ipo",
+    "ann_ivfpq_opq_recall" -> "a_ipoc"
   )
 
   def main(args: Array[String]): Unit = {

@@ -22,7 +22,7 @@ object Maintenance {
   /** Compact every persisted index table for `dir`; returns
     * family → tables rewritten (families with nothing on disk absent). */
   def compactAll(spark: SparkSession, dir: String,
-      annKinds: Seq[String] = Seq("md5", "trained", "residual"))
+      annKinds: Seq[String] = Seq("md5", "trained", "residual", "opq"))
       : Map[String, Int] = {
     val counts = Seq(
       "dedup" -> Dedup.compactDedupIfPresent(spark, dir),

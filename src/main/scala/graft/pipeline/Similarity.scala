@@ -843,6 +843,77 @@ object Similarity {
       Array(cc) // wrap to fit the 3-level cache/sidecar value type
     }.head
 
+  /** v permuted so position i holds v(perm(i)) — the OPQ rotation
+    * applied (a permutation matrix is orthogonal, so this IS R·v). */
+  private def permuteArr(v: Array[Double], perm: Array[Int]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(perm(i)); i += 1 }
+    out
+  }
+
+  /** OPQ dimension allocation (r13/r14 verdict item: the remaining
+    * standard FAISS lever) — the rotation family RESTRICTED to a
+    * permutation matrix: Ge et al.'s parametric OPQ allocates
+    * dimensions to subspaces so each subspace carries a balanced
+    * variance share (the objective the full SVD rotation optimizes
+    * under a Gaussian-independence assumption). A permutation is an
+    * orthogonal rotation trained by the same fixed-discipline
+    * statistics as the rest of the family — one distributed pass —
+    * and, unlike an SVD alternation, carries an exact SQL oracle.
+    * (The full rotation has ~nothing further to exploit on this
+    * corpus: per-dim variance spread is 1.31× — BASELINE.md r15.)
+    *
+    * Allocation: rank dims by (6-dp-rounded variance desc, dim asc),
+    * then deal ranks across the PqMTrained subspaces in SNAKE order
+    * (round r gives subspace s its r-th dim from alternating ends),
+    * so every subspace receives one dim per round — the greedy
+    * balanced-allocation heuristic as a closed-form function of rank,
+    * which is what keeps it SQL-expressible. perm(newPos) = oldDim.
+    * Scale: one corpus scan into a 64-group map-side agg; the
+    * permutation is 64 ints of driver state, persisted as a sidecar
+    * like every trained artifact. */
+  private[pipeline] def opqPermutation(spark: SparkSession,
+      dir: String): Array[Int] =
+    persistedBook(spark, dir, "opqperm") {
+      // per-dim mean and raw second moment, each 6-dp rounded (the
+      // trainer-aggregate discipline that absorbs summation-order
+      // noise between engines); variance = rounded m2 − mu²
+      val stats = Tables.embeddings(spark, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(Num.roundEps(avg(col("x").cast("double")), 6).as("mu"),
+          Num.roundEps(avg(col("x").cast("double") * col("x").cast("double")),
+            6).as("m2"))
+        .collect()
+        .map(r => (r.getInt(0),
+          Num.roundEpsJvm(r.getDouble(2) - r.getDouble(1) * r.getDouble(1), 6)))
+      require(stats.length == Dim, s"expected $Dim dims, got ${stats.length}")
+      val ranked = stats.sortBy { case (d, v) => (-v, d) }.map(_._1)
+      val perm = new Array[Int](Dim)
+      ranked.zipWithIndex.foreach { case (oldDim, rr) =>
+        val round = rr / PqMTrained
+        val posInRound = rr % PqMTrained
+        val subspace =
+          if (round % 2 == 0) posInRound else PqMTrained - 1 - posInRound
+        perm(subspace * PqSubDimTrained + round) = oldDim
+      }
+      Array(Array(perm.map(_.toDouble)))
+    }.head.head.map(_.toInt)
+
+  /** PQ codebook trained on OPQ-PERMUTED vectors — the same Lloyd's
+    * loop as [[trainedCodebook]] over R·v (R = [[opqPermutation]]);
+    * the oracle re-runs the trainer CTE chain over the permuted
+    * vector CTE. */
+  private[pipeline] def opqCodebook(spark: SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    persistedBook(spark, dir, "pqopq") {
+      import spark.implicits._
+      val perm = opqPermutation(spark, dir)
+      trainKmCodebook(spark, vecs(spark, dir).as[(Long, Array[Double])]
+        .map { case (id, v) => (id, permuteArr(v, perm)) })
+    }
+
   /** Product quantization — the write-time compression pass of a PQ/ADC
     * vector index (between emb_quantize's scalar int8 and the IVF
     * bucketing): each vector's PqM subvectors map to their nearest
@@ -872,6 +943,21 @@ object Similarity {
     * [[trainedCodebook]] documents. */
   def embPqTrained(spark: SparkSession, dir: String): DataFrame =
     embPqWith(spark, dir, trainedCodebook(spark, dir))
+
+  /** PQ codes under the OPQ-rotated trained codebook — emb_pq_trained
+    * with the [[opqPermutation]] applied before encoding (R·v against
+    * a book trained on R·v). Same map-only shape; the rotation is 64
+    * ints riding the closure. */
+  def embPqOpq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cb = opqCodebook(spark, dir)
+    val perm = opqPermutation(spark, dir)
+    vecs(spark, dir).as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        pqAssignWith(cb, permuteArr(v, perm)).iterator
+          .map(c => c.copy(vec_id = id))
+      }).toDF()
+  }
 
   /** IVF+PQ (ADC) search — the two index artifacts composed the way a
     * production vector index serves queries: coarse IVF routing picks
@@ -911,20 +997,42 @@ object Similarity {
   def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
     ivfPqRanked(spark, dir, "residual")
 
+  /** ADC search under the OPQ-rotated codebook — trained routing in
+    * the original space (a permutation preserves inner products, so
+    * the assignments are the trained kind's own), codes and probe
+    * tables in the rotated frame. The measured question this answers:
+    * does balanced-variance dimension allocation buy recall at the
+    * 16×256 rate on this corpus? (BASELINE.md r15 pins the delta —
+    * the per-dim variance spread is only 1.31×, so the honest
+    * expectation is ≈0.) */
+  def annIvfPqOpq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(spark, dir, "opq")
+
   /** Code-table kind → (codebook, routing centroids when trained,
-    * residual frame?). "md5" = the deterministic untrained book over
-    * seed-vector routing; "trained"/"residual" = the Lloyd's-trained
-    * books over trained routing. */
+    * residual frame?, OPQ permutation when rotated). "md5" = the
+    * deterministic untrained book over seed-vector routing;
+    * "trained"/"residual" = the Lloyd's-trained books over trained
+    * routing; "opq" = the trained book over OPQ-permuted vectors
+    * (routing stays in the original space — a permutation preserves
+    * inner products, so rotating the routing would only reorder
+    * float summation under the same assignments). */
   private def pqKind(spark: SparkSession, dir: String, kind: String)
-      : (Array[Array[Array[Double]]], Option[Array[Array[Double]]], Boolean) =
+      : (Array[Array[Array[Double]]], Option[Array[Array[Double]]], Boolean,
+         Option[Array[Int]]) =
     kind match {
-      case "md5" => (pqCodebook, None, false)
+      case "md5" => (pqCodebook, None, false, None)
       case "trained" =>
-        (trainedCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)), false)
+        (trainedCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)),
+          false, None)
       case "residual" =>
-        (residualCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)), true)
+        (residualCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)),
+          true, None)
+      case "opq" =>
+        (opqCodebook(spark, dir), Some(trainedIvfCentroids(spark, dir)),
+          false, Some(opqPermutation(spark, dir)))
       case other => throw new IllegalArgumentException(
-        s"unknown ANN index kind '$other' — supported: md5, trained, residual")
+        s"unknown ANN index kind '$other' — supported: md5, trained, " +
+          "residual, opq")
     }
 
   /** ADC search of the stored `kind` index for ARBITRARY query vectors
@@ -985,9 +1093,9 @@ object Similarity {
     * index stores. */
   private def buildCodeTable(spark: SparkSession, dir: String,
       kind: String): DataFrame = {
-    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    val (cb, centsOpt, residual, permOpt) = pqKind(spark, dir, kind)
     encodeCodes(spark, normedVecs(spark, dir),
-      centsDf(spark, dir, centsOpt), cb, centsOpt, residual)
+      centsDf(spark, dir, centsOpt), cb, centsOpt, residual, permOpt)
   }
 
   /** The encode kernel of the write pass, over an ARBITRARY
@@ -997,7 +1105,7 @@ object Similarity {
   private def encodeCodes(spark: SparkSession, vecs: DataFrame,
       cents: DataFrame, cb: Array[Array[Array[Double]]],
       centsOpt: Option[Array[Array[Double]]],
-      residual: Boolean): DataFrame = {
+      residual: Boolean, permOpt: Option[Array[Int]] = None): DataFrame = {
     import spark.implicits._
     val assigned = vecs.crossJoin(broadcast(cents))
       .withColumn("ccos",
@@ -1007,9 +1115,10 @@ object Similarity {
         struct(col("ccos"), (-col("cent_id")).as("tb"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"), col("m.cent_id").as("cent_id"))
     val ccArr: Array[Array[Double]] = if (residual) centsOpt.get else null
+    val permArr: Array[Int] = permOpt.orNull
     assigned.as[(Long, Array[Double], Long)].mapPartitions(_.map {
       case (vid, v, cent) =>
-        val input =
+        val base =
           if (ccArr == null) v
           else {
             val cvec = ccArr(cent.toInt)
@@ -1018,6 +1127,7 @@ object Similarity {
             while (d < v.length) { r(d) = v(d) - cvec(d); d += 1 }
             r
           }
+        val input = if (permArr == null) base else permuteArr(base, permArr)
         (vid, pqAssignWith(cb, input).map(_.code.toInt), cent)
     }).toDF("vec_id", "codes", "cent_id")
   }
@@ -1113,9 +1223,9 @@ object Similarity {
   private[graft] def encodeBatch(spark: SparkSession, dir: String,
       batchVecs: DataFrame, kind: String): (DataFrame, Seq[Long]) = {
     import spark.implicits._
-    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    val (cb, centsOpt, residual, permOpt) = pqKind(spark, dir, kind)
     val enc = encodeCodes(spark, batchVecs,
-      centsDf(spark, dir, centsOpt), cb, centsOpt, residual)
+      centsDf(spark, dir, centsOpt), cb, centsOpt, residual, permOpt)
       .localCheckpoint()
     (enc, enc.select(col("cent_id")).distinct().as[Long].collect().toSeq)
   }
@@ -1274,7 +1384,7 @@ object Similarity {
       kind: String, useStored: Boolean = true,
       probesOpt: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val (cb, centsOpt, residual) = pqKind(spark, dir, kind)
+    val (cb, centsOpt, residual, permOpt) = pqKind(spark, dir, kind)
     val all = normedVecs(spark, dir)
     val cents = centsDf(spark, dir, centsOpt)
     // probe frame contract: (probe_id, pv, pn). Default = the bench
@@ -1308,12 +1418,16 @@ object Similarity {
         col("cent_id"))
       .as[(Long, Array[Double], Long, Array[Int], Long)]
     if (!residual) {
+      // under the OPQ kind the stored codes describe R·v, so the
+      // probe's ADC table must be built from R·pv — the same frame
+      val permArr: Array[Int] = permOpt.orNull
       joined.mapPartitions { it =>
         val nm = cb.length
         val tables =
           scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
         it.map { case (pid, pv, vid, codes, _) =>
-          val table = tables.getOrElseUpdate(pid, adcTable(cb, pv, null))
+          val table = tables.getOrElseUpdate(pid, adcTable(cb,
+            if (permArr == null) pv else permuteArr(pv, permArr), null))
           var adist = 0.0
           var m = 0
           while (m < nm) { adist += table(m)(codes(m)); m += 1 }
@@ -2078,6 +2192,13 @@ object Similarity {
   def annIvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annIvfPqResidual(spark, dir))(spark, dir)
 
+  /** ADC-only recall of the OPQ-rotated index — read against
+    * ann_ivfpq_trained_recall (same routing, same 16×256×4 rate, only
+    * the frame differs): the rotation's measured worth on this
+    * corpus. */
+  def annIvfPqOpqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvfPqOpq(spark, dir))(spark, dir)
+
   private def recallOf(approx: DataFrame)(
       spark: SparkSession, dir: String): DataFrame = {
     val brute = annTopK(spark, dir).select(col("probe_id"), col("vec_id"))
@@ -2409,6 +2530,95 @@ object Similarity {
        |  vec_id, adist
        |FROM adc QUALIFY rank <= $TopK""".stripMargin
 
+  // exact mirror of opqPermutation: per-dim variance from the
+  // 6-dp-rounded mean and raw second moment (the trainer-aggregate
+  // rounding that absorbs summation-order noise), rank by (variance
+  // desc, dim asc), snake-deal ranks across the subspaces — the same
+  // closed-form allocation, then vp = the corpus in the rotated frame
+  private val opqPermSql = {
+    val m = PqMTrained
+    val sd = PqSubDimTrained
+    s"""dimstats AS MATERIALIZED (
+       |  SELECT i AS pos,
+       |    round(avg(vv[i]) + 1e-9, 6) AS mu,
+       |    round(avg(vv[i] * vv[i]) + 1e-9, 6) AS m2
+       |  FROM v CROSS JOIN generate_series(1, $Dim) t(i)
+       |  GROUP BY i),
+       |dimrank AS (
+       |  SELECT pos,
+       |    row_number() OVER (ORDER BY round(m2 - mu * mu + 1e-9, 6) DESC,
+       |      pos) - 1 AS rr
+       |  FROM dimstats),
+       |perm AS MATERIALIZED (
+       |  SELECT (CASE WHEN (rr // $m) % 2 = 0 THEN rr % $m
+       |          ELSE $m - 1 - (rr % $m) END) * $sd + (rr // $m) + 1 AS newpos,
+       |    pos AS olddim
+       |  FROM dimrank),
+       |vp AS MATERIALIZED (
+       |  SELECT v.vec_id, list(v.vv[p.olddim] ORDER BY p.newpos) AS vv, v.nrm
+       |  FROM v CROSS JOIN perm p GROUP BY v.vec_id, v.nrm)""".stripMargin
+  }
+
+  // code assignment against the OPQ codebook over the rotated corpus
+  private val pqCodesOpqSql =
+    s"""dstO AS (
+       |  SELECT v.vec_id, cb.m, cb.k,
+       |    round(list_sum(list_transform(generate_series(1, $PqSubDimTrained),
+       |      i -> (v.vv[cb.m * $PqSubDimTrained + i] - cb.c[i])
+       |         * (v.vv[cb.m * $PqSubDimTrained + i] - cb.c[i]))) + 1e-9, 6) AS dist
+       |  FROM vp v CROSS JOIN cbo$KmIters cb),
+       |codesO AS (
+       |  SELECT vec_id, m, k, dist
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |          ORDER BY dist, k) AS r FROM dstO)
+       |  WHERE r = 1)""".stripMargin
+
+  // exact mirror of annIvfPqOpq: trained routing over the ORIGINAL
+  // frame (permutations preserve inner products), trainer CTE chain
+  // re-run over vp (tag "o"), ADC with the probe's PERMUTED vector
+  private val annIvfPqOpqSql = {
+    val sd = PqSubDimTrained
+    s"""WITH $vecSql,
+       |$opqPermSql,
+       |${kmCbSqlOver("vp", "o")},
+       |$pqCodesOpqSql,
+       |$trainedCentSql,
+       |asg AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT x.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        round((${dotSqlOf("x.vv", "c.cv")} / (c.cn * x.nrm)) + 1e-9, 6) DESC,
+       |        c.cent_id) AS r
+       |    FROM v x CROSS JOIN c) WHERE r = 1),
+       |p AS (SELECT vec_id AS probe_id, vv AS pv, nrm AS pn FROM v
+       |      WHERE vec_id < $NumProbes),
+       |pb AS (
+       |  SELECT probe_id, cent_id FROM (
+       |    SELECT p.probe_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |        round((${dotSqlOf("p.pv", "c.cv")} / (c.cn * p.pn)) + 1e-9, 6) DESC,
+       |        c.cent_id) AS r
+       |    FROM p CROSS JOIN c) WHERE r <= $IvfNProbe),
+       |cand AS (
+       |  SELECT pb.probe_id, a.vec_id
+       |  FROM pb JOIN asg a USING (cent_id)
+       |  WHERE a.vec_id <> pb.probe_id),
+       |adc AS (
+       |  SELECT cand.probe_id, cand.vec_id,
+       |    round(sum(list_sum(list_transform(generate_series(1, $sd),
+       |      i -> (pp.vv[cd.m * $sd + i] - cb.c[i])
+       |         * (pp.vv[cd.m * $sd + i] - cb.c[i])))) + 1e-9, 6) AS adist
+       |  FROM cand
+       |  JOIN codesO cd ON cd.vec_id = cand.vec_id
+       |  JOIN cbo$KmIters cb ON cb.m = cd.m AND cb.k = cd.k
+       |  JOIN vp pp ON pp.vec_id = cand.probe_id
+       |  GROUP BY cand.probe_id, cand.vec_id)
+       |SELECT probe_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank,
+       |  vec_id, adist
+       |FROM adc QUALIFY rank <= $TopK""".stripMargin
+  }
+
   // exact mirror of annIvfPqResidual: trained routing CTEs, the
   // residual table vres = v − assigned centroid (raw IEEE subtraction,
   // exact in both engines), the SAME trainer CTE chain re-run over
@@ -2543,6 +2753,25 @@ object Similarity {
          |  dist
          |FROM codesT""".stripMargin,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
+    // OPQ variant: the permutation (variance ranking + snake
+    // allocation) and the trainer chain over the rotated corpus are
+    // both regenerated in SQL — the rotation itself carries the exact
+    // oracle, like the rest of the trained family
+    "emb_pq_opq" ->
+      s"""WITH $vecSql,
+         |$opqPermSql,
+         |${kmCbSqlOver("vp", "o")},
+         |$pqCodesOpqSql
+         |SELECT vec_id, CAST(m AS BIGINT) AS sub, CAST(k AS BIGINT) AS code,
+         |  dist
+         |FROM codesO""".stripMargin,
+    "ann_ivfpq_opq" -> annIvfPqOpqSql,
+    "ann_ivfpq_opq_recall" ->
+      s"""SELECT b.probe_id, count(i.vec_id) AS n_hit,
+         |  round((CAST(count(i.vec_id) AS DOUBLE) / $TopK) + 1e-9, 6) AS recall
+         |FROM ($annTopkSql) b LEFT JOIN ($annIvfPqOpqSql) i
+         |  ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+         |GROUP BY b.probe_id""".stripMargin,
     // residual variant: the trainer CTE chain runs a second time over
     // the vres residual table, so FAISS's by_residual default carries
     // the same exact training-included oracle as the trained family
@@ -2797,6 +3026,9 @@ object Similarity {
     "ann_ivfpq_trained_recall" -> (annIvfPqTrainedRecall _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_recall" -> (annIvfPqResidualRecall _),
+    "emb_pq_opq" -> (embPqOpq _),
+    "ann_ivfpq_opq" -> (annIvfPqOpq _),
+    "ann_ivfpq_opq_recall" -> (annIvfPqOpqRecall _),
     "dedup_semantic" -> (dedupSemantic _),
     "emb_pca" -> (embPca _),
     "emb_pca_project" -> (embPcaProject _),
