@@ -56,6 +56,15 @@ object BpeKernelBench {
         minOf2(sumTokens(Bpe.tokensBpeKernelWith(spark, sfDir, pad(4096))))
       require(tok24 == tok4096,
         s"padded table changed the output: $tok24 vs $tok4096")
+      // the PRODUCTION-shaped path (r14 verdict item 7): merge table
+      // trained to the MergesTrainedCap (early-stops when the corpus
+      // vocabulary dries), applied by the same kernel — corpus
+      // tokenization wall at the trained table
+      val trainedK = Bpe.trainMergesK(spark, sfDir, Bpe.MergesTrainedCap)
+      val (kTrained, tokTrained) =
+        minOf2(sumTokens(Bpe.tokensBpeTrained(spark, sfDir)))
+      require(tokTrained <= tok24,
+        s"more merges increased tokens: $tokTrained vs $tok24")
       val (c24, ctok) = minOf2(sumTokens(Bpe.tokensBpe(spark, sfDir)))
       require(ctok == tok24, s"kernel diverged from chain: $tok24 vs $ctok")
       // the chain's wall, demonstrated directly: linear growth while
@@ -82,7 +91,7 @@ object BpeKernelBench {
         s""""chain_$m":$t"""
       }
       println(
-        f"""{"metric":"bpe_apply","unit":"sec","sf":"$sfDir","kernel_24":$k24%.2f,"kernel_4096":$k4096%.2f,"chain_24":$c24%.2f,${chainPts.mkString(",")},"total_tokens":$tok24}""")
+        f"""{"metric":"bpe_apply","unit":"sec","sf":"$sfDir","kernel_24":$k24%.2f,"kernel_4096":$k4096%.2f,"kernel_trained":$kTrained%.2f,"ranks_trained":${trainedK.length},"tokens_trained":$tokTrained,"chain_24":$c24%.2f,${chainPts.mkString(",")},"total_tokens":$tok24}""")
     } finally spark.stop()
   }
 }
