@@ -31,7 +31,7 @@ object HttpBench {
     * points walk the grid's cell centers; every third request is a
     * 2×2-cell triangle polygon; alternating trailing/centered
     * smoothers keep the transform stack realistic. */
-  private def body(i: Int): String = {
+  private def body(i: Int, mixed: Boolean): String = {
     // selected_area coordinates are GRID coordinates (x in [0,10),
     // y in [0,15)) — the RequestJson wire contract, same as the
     // BatchBench selections
@@ -48,9 +48,17 @@ object HttpBench {
         s"""{"type":"Point","coordinates":[$px,$py]}"""
       }
     val method = if (i % 2 == 0) "trailing" else "centered"
+    // MIXED mode (r14 verdict item 3): 4 datasets × 2 resolutions = 8
+    // coalescer groups, the multi-dataset serving workload the
+    // single-key protocol never exercised. Single-key mode keeps the
+    // r13/r14-comparable number.
+    val dataset =
+      if (mixed) Seq("click", "view", "purchase", "error")(i % 4)
+      else "click"
+    val resolution = if (mixed && (i / 4) % 2 == 1) "hour" else "day"
     s"""{
-       |"resolution":"day",
-       |"dataset_id":"click",
+       |"resolution":"$resolution",
+       |"dataset_id":"$dataset",
        |"variable_id":"value",
        |"time_range":{"gte":{"year":2024,"month":1,"day":3},
        |              "lte":{"year":2024,"month":1,"day":29}},
@@ -68,6 +76,7 @@ object HttpBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.get("SPARK_GRAFT_HTTP_N").map(_.toInt).getOrElse(200)
     val conc = sys.env.get("SPARK_GRAFT_HTTP_C").map(_.toInt).getOrElse(32)
+    val mixed = sys.env.contains("SPARK_GRAFT_HTTP_MIXED")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,7 +109,7 @@ object HttpBench {
               val resp = client.send(
                 HttpRequest.newBuilder(uri)
                   .header("Content-Type", "application/json")
-                  .POST(HttpRequest.BodyPublishers.ofString(body(i))).build(),
+                  .POST(HttpRequest.BodyPublishers.ofString(body(i, mixed))).build(),
                 HttpResponse.BodyHandlers.ofString())
               if (resp.statusCode() == 200) ok.incrementAndGet()
               else if (failSample.get() == null)
@@ -128,7 +137,8 @@ object HttpBench {
       require(ok1 == n && ok2 == n,
         s"non-200 responses: $ok1/$n, $ok2/$n; sample: ${failSample.get()}")
       val best = math.min(t1, t2)
-      println(f"""{"metric":"http_loop","value":$best%.2f,"unit":"sec","requests":$n,"concurrency":$conc,"rps":${n / best}%.1f}""")
+      val keyField = if (mixed) ""","keys":8""" else ""
+      println(f"""{"metric":"http_loop","value":$best%.2f,"unit":"sec","requests":$n,"concurrency":$conc,"rps":${n / best}%.1f$keyField}""")
     } finally {
       srv.stop()
       spark.stop()

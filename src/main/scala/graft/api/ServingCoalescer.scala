@@ -75,6 +75,26 @@ private[graft] object ServingCoalescer {
 
   private val queue = new LinkedBlockingQueue[Pending]()
 
+  /** Group-execution parallelism (r14 verdict item 3): a drain cycle
+    * with several (dataset, resolution, variable) groups used to run
+    * them SEQUENTIALLY on the worker thread, so a mixed-dataset
+    * workload serialized one collect() at a time — measured 36 req/s
+    * at 8 keys vs 91-107 single-key. Groups now run on this small
+    * fixed pool (each group's job lands in the same FAIR pool the
+    * HTTP handlers use, so Spark-side fairness is unchanged); the
+    * worker still AWAITS the whole cycle before the next drain, so
+    * every drained Pending is settled when the cycle ends — the
+    * failure contract of loop()'s catch-all is preserved. */
+  private val GroupPar = 8
+  private lazy val groupPool = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    java.util.concurrent.Executors.newFixedThreadPool(GroupPar, r => {
+      val t = new Thread(r, s"graft-serving-group-${n.getAndIncrement()}")
+      t.setDaemon(true)
+      t
+    })
+  }
+
   // The worker is restartable, not a lazy singleton: a fatal error
   // (OOM, LinkageError) that escapes loop() must not leave the serving
   // layer permanently headless — the next request notices the dead
@@ -115,21 +135,39 @@ private[graft] object ServingCoalescer {
         batch.add(queue.take())
         if (WindowMs > 0) Thread.sleep(WindowMs)
         queue.drainTo(batch, MaxBatch - 1)
-        batch.asScala.toSeq.groupBy(_.key).foreach { case (key, ps) =>
-          // split oversized groups so one micro-batch never enumerates
-          // more than the batch extractor's driver-side cell budget
-          val chunks = ArrayBuffer(ArrayBuffer.empty[Pending])
-          var cellsInChunk = 0L
-          ps.foreach { p =>
-            if (chunks.last.nonEmpty &&
-                cellsInChunk + p.cells.length > Api.BatchDriverCellLimit) {
-              chunks += ArrayBuffer.empty[Pending]
-              cellsInChunk = 0L
+        val tasks = batch.asScala.toSeq.groupBy(_.key).toSeq.flatMap {
+          case (key, ps) =>
+            // split oversized groups so one micro-batch never enumerates
+            // more than the batch extractor's driver-side cell budget
+            val chunks = ArrayBuffer(ArrayBuffer.empty[Pending])
+            var cellsInChunk = 0L
+            ps.foreach { p =>
+              if (chunks.last.nonEmpty &&
+                  cellsInChunk + p.cells.length > Api.BatchDriverCellLimit) {
+                chunks += ArrayBuffer.empty[Pending]
+                cellsInChunk = 0L
+              }
+              chunks.last += p
+              cellsInChunk += p.cells.length
             }
-            chunks.last += p
-            cellsInChunk += p.cells.length
+            chunks.map(c => (key, c.toSeq))
+        }
+        if (tasks.sizeIs == 1) runGroup(tasks.head._1, tasks.head._2)
+        else {
+          val futs = tasks.map { case (key, ps) =>
+            groupPool.submit(new Runnable {
+              def run(): Unit = runGroup(key, ps)
+            })
           }
-          chunks.foreach(c => runGroup(key, c.toSeq))
+          // await the cycle; unwrap so a fatal reaches the catch-all
+          // below exactly as it did on the sequential path
+          futs.foreach { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
         }
       } catch {
         case ie: InterruptedException =>
