@@ -360,28 +360,53 @@ object Similarity {
       // the oracle's per-component sf CTE (shared with embWhiten)
       def withScores(prior: Seq[Array[Double]]): DataFrame =
         pcaDeflatedScores(data, mu, prior)
-      // one power round: Σᵢ tᵢ·c_j(i)_d = Σtᵢx_id − μ_d Σtᵢ − Σ_l v_l,d Σtᵢs_l,i
-      def round(u: Array[Double], prior: Seq[Array[Double]]): Array[Double] = {
-        val aggs = Seq(sum(col("t") * col("val")).as("tx"),
-          sum(col("t")).as("tt")) ++
-          prior.indices.map(l => sum(col("t") * col(s"s${l + 1}")).as(s"ts${l + 1}"))
-        val sums = withScores(prior).withColumn("t", scoreCol(u, prior))
-          .select((col("t") +: posexplode(col("v")).as(Seq("d", "val")) +:
-            prior.indices.map(l => col(s"s${l + 1}"))): _*)
-          .groupBy(col("d")).agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
-            prior.indices.map(l => r.getDouble(3 + l))))
-          .sortBy(_._1)
-        sums.map { case (d, tx, tt, ts) =>
-          tx - mu(d) * tt - prior.indices.map(l => prior(l)(d) * ts(l)).sum
+      // one power round: Σᵢ tᵢ·c_j(i)_d = Σtᵢx_id − μ_d Σtᵢ − Σ_l v_l,d Σtᵢs_l,i.
+      // The r13 spelling posexploded to 64 (d, val) rows per vector —
+      // a 64× row expansion through a hash agg that, measured at sf10,
+      // WAS the training cost (13.2 s; caching the input moved
+      // nothing). Now: fixed-size per-partition partials (tx[64], tt,
+      // ts[k] — independent of corpus size) reduced by the k-means
+      // trainer's deterministic pid-ordered tree combine, so the
+      // summation order is a pure function of the partition count
+      // (stricter than the hash agg's scheduler-dependent partial
+      // merges) and the 6-dp round at the end absorbs the order change
+      // exactly as it absorbs DuckDB's — the oracle is unchanged.
+      def round(scored: DataFrame, u: Array[Double],
+          prior: Seq[Array[Double]]): Array[Double] = {
+        val k = prior.length
+        val cols = col("t") +: col("v") +:
+          prior.indices.map(l => col(s"s${l + 1}"))
+        val (sums, _) = treeCombinePartials(
+          scored.withColumn("t", scoreCol(u, prior)).select(cols: _*)
+            .rdd.mapPartitionsWithIndex { (pid, it) =>
+              val acc = new Array[Double](Dim + 1 + k)
+              it.foreach { row =>
+                val t = row.getDouble(0)
+                val v = row.getSeq[Double](1)
+                var d = 0
+                while (d < Dim) { acc(d) += t * v(d); d += 1 }
+                acc(Dim) += t
+                var l = 0
+                while (l < k) { acc(Dim + 1 + l) += t * row.getDouble(2 + l); l += 1 }
+              }
+              Iterator.single((pid, (acc, Array.empty[Long])))
+            })
+        Array.tabulate(Dim) { d =>
+          sums(d) - mu(d) * sums(Dim) -
+            prior.indices.map(l => prior(l)(d) * sums(Dim + 1 + l)).sum
         }
       }
+      // Persisting the scored frame across a component's rounds was
+      // measured a wash at sf10 (6.3 s cached vs 6.7 s recomputed) —
+      // and a corpus-scale cache per component is exactly what a
+      // 100 TB training pass must not hold, so the rounds recompute
+      // the map-only scan+deflate (the r13 localCheckpoint lesson).
       def iterate(v0: Array[Double],
           prior: Seq[Array[Double]]): Array[Double] = {
+        val scored = withScores(prior)
         var v = v0
         var it = 0
-        while (it < PcaIters) { v = normRound(round(v, prior)); it += 1 }
+        while (it < PcaIters) { v = normRound(round(scored, v, prior)); it += 1 }
         v
       }
       // seed vector deflated progressively: g_1 = x₀ − μ;
