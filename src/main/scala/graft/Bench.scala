@@ -15,8 +15,9 @@ object Bench {
     * HEADROOM (round 13, the r12-verdict headroom item): shortened to
     * ≤6-char aliases — worst-case line ~1.63k chars, ≥15 new queries of
     * headroom (BenchLineSpec asserts it). Key to the dense suffixes:
-    * ann family `a_ip*` = ivf+pq, then t=trained, r=residual, c=recall,
-    * f=refine; skope geotiff `s_gti/s_gex/s_u16/s_i16/s_lzw/s_til` =
+    * ann family `a_ip*` = ivf+pq, then t=trained, r=residual, o=opq,
+    * trailing c=recall, f=refine; skope geotiff
+    * `s_gti/s_gex/s_u6/s_i6/s_lz/s_tl` =
     * ingest/export/uint16/int16/lzw/tiled; mm `m_b*`=binary, `m_a*`=
     * audio (m_ah=ahash), `m_j*`=jpeg; curation c_cn/c_pp/c_pk/c_sm/
     * c_sp/c_ch/c_dc = contamination/pipeline/pack/sample/split/chunk/
@@ -36,7 +37,7 @@ object Bench {
     "q12_ship_class" -> "q12", "q20_excess_supp" -> "q20",
     "q21_wait_supp" -> "q21",
     // skope core
-    "skope_metadata" -> "s_met", "skope_band_index" -> "s_bnd",
+    "skope_metadata" -> "s_me", "skope_band_index" -> "s_bnd",
     "skope_yearly_band_index" -> "s_yr", "skope_batch_extract" -> "s_bat",
     "skope_select_point" -> "s_pnt", "skope_zonal_mean" -> "s_zmn",
     "skope_zonal_median" -> "s_zmd", "skope_cube_zonal" -> "s_cuz",
@@ -48,15 +49,15 @@ object Bench {
     "skope_v1_timeseries" -> "s_v1", "skope_quantiles" -> "s_qnt",
     "skope_variable_props" -> "s_vpr", "skope_multi_area" -> "s_mar",
     "skope_hourly_zonal" -> "s_hr", "skope_zonal_profile" -> "s_prf",
-    "skope_monthly_zonal" -> "s_mon", "skope_quantiles_approx" -> "s_qax",
-    "skope_zonal_median_approx" -> "s_zmx", "skope_anomalies" -> "s_anm",
+    "skope_monthly_zonal" -> "s_mon", "skope_quantiles_approx" -> "s_qx",
+    "skope_zonal_median_approx" -> "s_zx", "skope_anomalies" -> "s_anm",
     "skope_polygon_mask" -> "s_pms", "skope_polygon_zonal" -> "s_pzn",
     "skope_polygon_hole" -> "s_phl", "skope_feature_union" -> "s_fun",
     "skope_geodesic_area" -> "s_ge", "skope_gap_fill" -> "s_gp",
     "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gti",
-    "skope_geotiff_export" -> "s_gex", "skope_geotiff_uint16" -> "s_u16",
-    "skope_geotiff_monthly" -> "s_gtm", "skope_geotiff_int16" -> "s_i16",
-    "skope_geotiff_lzw" -> "s_lzw",
+    "skope_geotiff_export" -> "s_gex", "skope_geotiff_uint16" -> "s_u6",
+    "skope_geotiff_monthly" -> "s_gm", "skope_geotiff_int16" -> "s_i6",
+    "skope_geotiff_lzw" -> "s_lz",
     "skope_raster_series" -> "s_rsr",
     "skope_uncertainty_series" -> "s_unc",
     // text analysis
@@ -78,9 +79,9 @@ object Bench {
     "ann_ivfpq_recall" -> "a_ipc", "ann_ivfpq_refine" -> "a_ipf",
     "dedup_incremental" -> "d_ic",
     "emb_pq_trained" -> "a_pt", "ann_ivfpq_trained" -> "a_ipt",
-    "ann_ivfpq_trained_recall" -> "a_iptc",
+    "ann_ivfpq_trained_recall" -> "a_itc",
     "ann_ivfpq_residual" -> "a_ipr",
-    "ann_ivfpq_residual_recall" -> "a_iprc",
+    "ann_ivfpq_residual_recall" -> "a_irc",
     // events
     "events_asof_click" -> "e_as", "events_attr_window" -> "e_at",
     "events_funnel" -> "e_fn", "events_hourly_rollup" -> "e_rl",
@@ -94,11 +95,11 @@ object Bench {
     "docs_decontaminate" -> "c_dc",
     // multimodal
     "mm_binary_meta" -> "m_bm", "mm_features" -> "m_bf",
-    "mm_frame_sample" -> "m_frm", "mm_resize" -> "m_rsz",
+    "mm_frame_sample" -> "m_fr", "mm_resize" -> "m_rs",
     "mm_audio_meta" -> "m_am", "mm_audio_features" -> "m_af",
     "mm_audio_resample" -> "m_ar",
     "mm_jpeg_meta" -> "m_jm", "mm_jpeg_features" -> "m_jf",
-    "mm_ahash" -> "m_ah", "skope_geotiff_tiled" -> "s_til",
+    "mm_ahash" -> "m_ah", "skope_geotiff_tiled" -> "s_tl",
     // BPE tokenizer family (round 13)
     "text_tokens_bpe" -> "t_bpe", "docs_split_bpe" -> "c_spb",
     "docs_pack_bpe" -> "c_pkb", "docs_mix_bpe" -> "c_mxb",
@@ -108,14 +109,16 @@ object Bench {
     // span-level dedup apply (round 13)
     "docs_despan" -> "d_dsp",
     // BigTIFF ingest (round 13)
-    "skope_geotiff_big" -> "s_btf",
+    "skope_geotiff_big" -> "s_bt",
     // round 14 additions (rank-table BPE, PCA top-k + whitening,
     // GeoTIFF Predictor 3)
     "text_tokens_bpek" -> "t_bpk", "emb_pca_k" -> "a_pck",
-    "emb_whiten" -> "a_wh", "skope_geotiff_f32pred" -> "s_fpr",
+    "emb_whiten" -> "a_wh", "skope_geotiff_f32pred" -> "s_fp",
     // OPQ family (round 15): o=opq, trailing c=recall
     "emb_pq_opq" -> "a_pqo", "ann_ivfpq_opq" -> "a_ipo",
-    "ann_ivfpq_opq_recall" -> "a_ipoc"
+    "ann_ivfpq_opq_recall" -> "a_ioc",
+    // epoch-capped mixture + bigram LM score (round 15)
+    "docs_mix_epochs" -> "c_mep", "text_bigram_logprob" -> "t_blp"
   )
 
   def main(args: Array[String]): Unit = {

@@ -212,6 +212,106 @@ object TrainingPrep {
         Num.roundEps(col("w_raw") / col("z"), 6).as("mix_weight"))
   }
 
+  // ------------------------------------------- epoch-capped mixture --
+
+  /** Token budget as a multiple of the corpus, and the repetition cap
+    * (a tiny source cannot be repeated without bound — the
+    * data-repetition constraint of Muennighoff et al., "Scaling
+    * Data-Constrained Language Models"). Renormalization runs a FIXED
+    * number of rounds (the KmIters discipline) so the oracle's CTE
+    * chain has the same length; each round can only grow the capped
+    * set, and with ≤ a handful of sources four rounds reach the fixed
+    * point on any input this engine serves. */
+  val MixBudgetFactor = 3
+  val MaxEpochs = 4
+  val RenormRounds = 4
+
+  /** Epoch-capped mixture allocation — what a pipeline owner actually
+    * schedules from [[mixWeights]]'s shares: a token budget
+    * (MixBudgetFactor × corpus) split by the sqrt-mixture weights,
+    * with any source that would repeat more than [[MaxEpochs]] times
+    * frozen at the cap and its excess redistributed over the uncapped
+    * sources by their weights, for [[RenormRounds]] deterministic
+    * rounds (re-capping as sources cross the limit).
+    *
+    * Scale shape: ONE distributed token-count shuffle (the mixWeights
+    * aggregation); everything after operates on the SOURCE dimension —
+    * bounded driver state like the BPE vocabulary, never
+    * corpus-scaled. Every scalar that feeds a comparison or a later
+    * round is 6-dp rounded in both engines, so the capped-set
+    * evolution is engine-exact. */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val rows = mixWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    val tot = rows.map(_._2).sum
+    val budget = (MixBudgetFactor * tot).toDouble
+    val capped = scala.collection.mutable.Set.empty[String]
+    var alloc = Map.empty[String, Double]
+    for (_ <- 1 to RenormRounds) {
+      val fixed = rows.filter(r => capped(r._1)).map(_._2 * MaxEpochs).sum
+      val wrem = Num.roundEpsJvm(
+        rows.filter(r => !capped(r._1)).map(_._3).sum, 6)
+      alloc = rows.map { case (s, n, w) =>
+        s -> (if (capped(s)) (MaxEpochs * n).toDouble
+              else Num.roundEpsJvm(w / wrem * (budget - fixed), 6))
+      }.toMap
+      rows.foreach { case (s, n, _) =>
+        if (Num.roundEpsJvm(alloc(s) / n, 6) > MaxEpochs) capped += s
+      }
+    }
+    import spark.implicits._
+    rows.map { case (s, n, w) =>
+      (s, n, w, Num.roundEpsJvm(alloc(s), 6),
+        Num.roundEpsJvm(alloc(s) / n, 6), capped(s))
+    }.toSeq
+      .toDF("source", "n_tokens", "mix_weight", "alloc_tokens", "epochs",
+        "capped")
+  }
+
+  // ------------------------------------------------- bigram logprob --
+
+  /** Interpolation weight of the bigram term; the unigram LM carries
+    * the remainder (Jelinek-Mercer smoothing — the CCNet-style LM
+    * quality filter one rung above [[unigramLogprob]]). */
+  val BigramLambda = 0.9
+
+  /** Bigram LM quality score: per-document mean log-probability of
+    * its adjacent token pairs under the corpus's own interpolated
+    * bigram model, p(w₂|w₁) = λ·cnt(w₁w₂)/cnt(w₁·) + (1−λ)·p₁(w₂)
+    * (cnt(w₁·) = occurrences of w₁ as a bigram left side; p₁ the
+    * unigram distribution over all tokens). Documents with fewer than
+    * two tokens have no bigrams and drop out, like every gram-keyed
+    * pass. Scale shape: the bigram stream is corpus-linear
+    * (explode of per-row index sequences, no window function); both
+    * frequency tables are vocabulary-sized joins that AQE broadcasts
+    * while they fit — the unigramLogprob discipline with one more
+    * join. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cnt1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("tot"))
+    bi.join(cnt2, Seq("w1", "w2"))
+      .join(cnt1, Seq("w1"))
+      .join(uni.withColumnRenamed("token", "w2"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.roundEps(avg(log(
+          lit(BigramLambda) * col("c2").cast("double") / col("c1") +
+            lit(1 - BigramLambda) * col("cu").cast("double") / col("tot"))), 6)
+          .as("avg_logprob"))
+  }
+
   // ------------------------------------------------------ chunking --
 
   /** Sliding-window chunk geometry: window length and stride in
@@ -375,7 +475,82 @@ object TrainingPrep {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(ln(CAST(cnt AS DOUBLE) / tot)) + 1e-9, 6) AS avg_logprob
         |FROM toks JOIN freq USING (token) CROSS JOIN total
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+    // exact mirror of mixEpochs: the mixWeights CTEs, then
+    // RenormRounds fixed cap/redistribute rounds — every scalar that
+    // feeds a comparison or a later round is 6-dp rounded in both
+    // engines, so the capped-set evolution is engine-exact. The
+    // interpolation constant (1.0 - 0.9) is spelled as the same IEEE
+    // subtraction both sides.
+    "docs_mix_epochs" -> {
+      val rounds = (1 to RenormRounds).map { r =>
+        s"""fix$r AS (
+           |  SELECT coalesce(sum(CASE WHEN c.capped
+           |      THEN $MaxEpochs.0 * w.n_tokens END), 0) AS fixed,
+           |    round(sum(CASE WHEN NOT c.capped THEN w.mw END) + 1e-9, 6)
+           |      AS wrem
+           |  FROM w JOIN cap${r - 1} c USING (source)),
+           |alloc$r AS (
+           |  SELECT w.source,
+           |    CASE WHEN c.capped THEN $MaxEpochs.0 * w.n_tokens
+           |      ELSE round((w.mw / f.wrem * (b.budget - f.fixed)) + 1e-9, 6)
+           |    END AS alloc
+           |  FROM w JOIN cap${r - 1} c USING (source)
+           |  CROSS JOIN fix$r f CROSS JOIN b),
+           |cap$r AS (
+           |  SELECT w.source,
+           |    c.capped OR round((a.alloc / w.n_tokens) + 1e-9, 6) > $MaxEpochs
+           |      AS capped
+           |  FROM w JOIN cap${r - 1} c USING (source)
+           |  JOIN alloc$r a USING (source))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+         |w0 AS (
+         |  SELECT source, n_tokens,
+         |    sqrt(CAST(n_tokens AS DOUBLE) / tot) AS w_raw
+         |  FROM s CROSS JOIN t),
+         |z AS (SELECT sum(w_raw) AS z FROM w0),
+         |w AS (SELECT source, n_tokens, round((w_raw / z) + 1e-9, 6) AS mw
+         |      FROM w0 CROSS JOIN z),
+         |b AS (SELECT CAST($MixBudgetFactor * tot AS DOUBLE) AS budget FROM t),
+         |cap0 AS (SELECT source, FALSE AS capped FROM w),
+         |$rounds
+         |SELECT w.source, w.n_tokens, w.mw AS mix_weight,
+         |  round(a.alloc + 1e-9, 6) AS alloc_tokens,
+         |  round((a.alloc / w.n_tokens) + 1e-9, 6) AS epochs,
+         |  c.capped AS capped
+         |FROM w JOIN alloc$RenormRounds a USING (source)
+         |JOIN cap$RenormRounds c USING (source)""".stripMargin
+    },
+    // gram keys are TEXT (the contamination-oracle policy); the
+    // interpolated probability mirrors term-for-term with the same
+    // IEEE (1.0 - lambda) remainder
+    "text_bigram_logprob" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+         |    FROM d WHERE len(ws) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |toks AS (SELECT unnest(string_split(text, ' ')) AS token
+         |         FROM documents),
+         |uni AS (SELECT token, count(*) AS cu FROM toks GROUP BY token),
+         |total AS (SELECT sum(cu) AS tot FROM uni)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(ln($BigramLambda * CAST(c2.c2 AS DOUBLE) / c1.c1
+         |    + (1.0 - $BigramLambda) * CAST(uni.cu AS DOUBLE) / tot)) + 1e-9, 6)
+         |    AS avg_logprob
+         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |JOIN uni ON uni.token = bg.w2 CROSS JOIN total
+         |GROUP BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -384,7 +559,9 @@ object TrainingPrep {
     "docs_contamination" -> (contamination _),
     "docs_decontaminate" -> (decontaminate _),
     "docs_mix_weights" -> (mixWeights _),
+    "docs_mix_epochs" -> (mixEpochs _),
     "docs_chunk" -> (chunkDocs _),
-    "text_unigram_logprob" -> (unigramLogprob _)
+    "text_unigram_logprob" -> (unigramLogprob _),
+    "text_bigram_logprob" -> (bigramLogprob _)
   )
 }

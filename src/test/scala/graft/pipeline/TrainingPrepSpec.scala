@@ -144,4 +144,64 @@ class TrainingPrepSpec extends SparkSpec {
     val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
     assert(byDoc.values.max > byDoc.values.min)
   }
+
+  test("mixEpochs: cap respected, budget conserved (natural corpus)") {
+    // the synthetic corpus's 20 near-uniform sources all land near
+    // budget/corpus = 3 epochs, below the cap — the no-cap path the
+    // sf0.01 oracle also pins; the cap semantics are exercised on the
+    // skewed corpus below
+    val rows = TrainingPrep.mixEpochs(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val budget = TrainingPrep.MixBudgetFactor.toDouble *
+      rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Double]("epochs") <= TrainingPrep.MaxEpochs + 1e-6,
+        s"source ${r.getString(0)} exceeds the cap")
+    }
+    val total = rows.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(total - budget) / budget < 1e-4,
+      s"allocation $total drifted from budget $budget")
+  }
+
+  test("mixEpochs: a skewed corpus caps the tail and redistributes") {
+    // one dominant source + two tiny ones: the sqrt mixture wants
+    // ~25 epochs of the tiny sources — the cap freezes them at
+    // MaxEpochs and the dominant source absorbs the excess
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mix_skew").toString
+    def doc(id: Long, words: Int, src: String) =
+      (id, Seq.fill(words)("w").mkString(" "), src)
+    ((0 until 10).map(i => doc(i.toLong, 1000, "big")) ++
+      Seq(doc(100L, 100, "tinyA"), doc(101L, 100, "tinyB")))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(d + "/documents.parquet")
+    val rows = TrainingPrep.mixEpochs(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("epochs"), r.getAs[Boolean]("capped"))).toMap
+    assert(rows("tinyA")._2 && rows("tinyB")._2, s"tiny sources not capped: $rows")
+    assert(rows("tinyA")._1 === TrainingPrep.MaxEpochs.toDouble)
+    assert(rows("tinyB")._1 === TrainingPrep.MaxEpochs.toDouble)
+    assert(!rows("big")._2, "dominant source must stay uncapped")
+    // the dominant source absorbed the tails' excess: above its
+    // uncapped-naive share, below the cap
+    assert(rows("big")._1 > TrainingPrep.MixBudgetFactor.toDouble - 0.3 &&
+      rows("big")._1 <= TrainingPrep.MaxEpochs.toDouble, s"big: ${rows("big")}")
+  }
+
+  test("bigramLogprob: negative scores, bigram counts, short docs drop") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rows = TrainingPrep.bigramLogprob(spark, sfDir).collect()
+    val nMulti = docs.filter(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong === nMulti)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0)
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+    // interpolation keeps every score finite even for once-seen bigrams
+    assert(rows.forall(r => !r.getAs[Double]("avg_logprob").isInfinite))
+  }
 }
