@@ -82,6 +82,43 @@ class CoalescerSpec extends SparkSpec {
       s"no coalescing happened: $batches batches for $served requests")
   }
 
+  test("multi-dataset concurrency: groups run on the pool, rows stay solo-exact") {
+    // r15: a drain cycle with several (dataset, resolution, variable)
+    // groups executes them on the fixed group pool instead of
+    // serializing on the worker thread — this pins row-parity through
+    // that path (every earlier case was single-group)
+    val n = 16
+    val datasets = Seq("click", "view", "purchase", "error")
+    def dreq(i: Int) = req(i).copy(datasetId = datasets(i % datasets.length))
+    val before = Api.ServeCoalesce
+    val solo =
+      try { Api.ServeCoalesce = false; (0 until n).map(i => dump(extractTimeseries(spark, sfDir, dreq(i), serving = true))) }
+      finally Api.ServeCoalesce = before
+
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new Array[Either[Throwable, Seq[Set[Seq[Any]]]]](n)
+    val done = new CountDownLatch(n)
+    (0 until n).foreach { i =>
+      pool.execute { () =>
+        start.await()
+        results(i) =
+          try Right(dump(extractTimeseries(spark, sfDir, dreq(i), serving = true)))
+          catch { case t: Throwable => Left(t) }
+        done.countDown()
+      }
+    }
+    start.countDown()
+    assert(done.await(5, TimeUnit.MINUTES), "multi-dataset requests hung")
+    pool.shutdown()
+    (0 until n).foreach { i =>
+      results(i) match {
+        case Left(t) => fail(s"request $i failed under multi-group concurrency", t)
+        case Right(d) => assert(d === solo(i), s"request $i diverged from solo")
+      }
+    }
+  }
+
   test("a failing request fails alone - batch neighbors are unaffected") {
     // an unknown variable passes request validation? no - it throws
     // upstream; instead poison one request with a dataset filter that
