@@ -1301,6 +1301,13 @@ object Dedup {
     .select(col("doc_id"),
       (length(col("text")) - (SpanLen - 1)).cast("long").as("n_spans"))
 
+  /** Whether this corpus's span tables exist yet — SpanStream's
+    * restart-compaction guard (a first-ever start has nothing to
+    * compact; the first fold builds the snapshot). */
+  private[graft] def spanTablesExist(spark: SparkSession,
+      dir: String): Boolean =
+    spark.catalog.tableExists(indexTableName(spark, dir, "graft_spanidx_"))
+
   /** Compaction for the span tables (the [[compactIndex]] shape). */
   private[graft] def compactSpanIndex(spark: SparkSession,
       dir: String): Unit = {

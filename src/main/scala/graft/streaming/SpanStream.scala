@@ -50,9 +50,18 @@ object SpanStream {
   /** Start the continuous span-index fold over a stream of document
     * rows (doc_id, text). `dir` locates the corpus whose stored
     * spanidx/spanpost tables receive the folds; `sinkPath` receives
-    * batch_id-partitioned per-doc span accounting. */
+    * batch_id-partitioned per-doc span accounting. On every (re)start
+    * the span tables compact back toward one file per bucket
+    * (`compactOnStart`, the AnnStream maintenance shape) — each fold
+    * appends ≤1 file per touched bucket to BOTH tables, and file
+    * count is the bucketed scan's bottleneck over a long-lived
+    * stream. */
   def start(spark: SparkSession, dir: String, docs: DataFrame,
-      sinkPath: String, checkpoint: String): StreamingQuery =
+      sinkPath: String, checkpoint: String,
+      compactOnStart: Boolean = true): StreamingQuery = {
+    if (compactOnStart &&
+        graft.pipeline.Dedup.spanTablesExist(spark, dir))
+      graft.pipeline.Dedup.compactSpanIndex(spark, dir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -60,4 +69,5 @@ object SpanStream {
         processBatch(spark, dir, batch, sinkPath, batchId)
       }
       .start()
+  }
 }

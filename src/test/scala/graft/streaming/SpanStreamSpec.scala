@@ -106,6 +106,48 @@ class SpanStreamSpec extends SparkSpec {
     assert(after.count(_._1 == 20L) === nSpans, "batch-2 positions missing")
   }
 
+  test("restart compacts the span tables back toward one file per bucket") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("spst_cmp").toString
+    val txt = "d" + ("restart compaction boilerplate sentence for spans " * 3)
+    Seq((1L, txt, "s")).toDF("doc_id", "text", "source")
+      .write.parquet(d + "/documents.parquet")
+    val sink = java.nio.file.Files.createTempDirectory("spst_c_sink").toString
+    // two folds: snapshot build + two appends → multi-file buckets
+    SpanStream.processBatch(spark, d,
+      Seq((10L, txt)).toDF("doc_id", "text"), sink, 0L)
+    SpanStream.processBatch(spark, d,
+      Seq((20L, txt)).toDF("doc_id", "text"), sink, 1L)
+    val before = starts(graft.pipeline.Dedup.spanIndexTable(spark, d))
+    assert(before.nonEmpty)
+    def dataFiles(prefix: String): Int = {
+      val tbl = spark.catalog.listTables().collect().map(_.name)
+        .filter(n => n.startsWith(prefix) &&
+          n.contains(d.replaceAll("[^A-Za-z0-9]", "_"))).head
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl")
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(root)
+    }
+    val filesBefore = dataFiles("graft_spanidx_")
+    // restart: compactOnStart (default) runs before the stream begins
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("spst_c_ckpt").toString
+    val q = SpanStream.start(spark, d,
+      input.toDF().toDF("doc_id", "text"), sink, ckpt)
+    q.stop()
+    assert(starts(graft.pipeline.Dedup.spanIndexTable(spark, d)) === before,
+      "compaction changed the index content")
+    assert(dataFiles("graft_spanidx_") < filesBefore,
+      s"compaction did not reduce the file count from $filesBefore")
+    assert(dataFiles("graft_spanidx_") <= graft.pipeline.Dedup.IndexBuckets)
+    assert(dataFiles("graft_spanpost_") <= graft.pipeline.Dedup.IndexBuckets)
+  }
+
   test("a replayed micro-batch folds nothing and rewrites identical sink rows") {
     val s = spark
     import s.implicits._
