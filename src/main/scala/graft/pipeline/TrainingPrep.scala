@@ -288,28 +288,43 @@ object TrainingPrep {
     * while they fit — the unigramLogprob discipline with one more
     * join. */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // gram keys are engine-local 64-bit xxhashes (the shingle-kernel
+    // policy: only counts cross to the oracle, which keys on TEXT) —
+    // string bigram keys measured 9.1 s at sf10, long keys cut the
+    // corpus-scale join+agg stream to fixed-width rows
     val bi = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1)," +
-          " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cnt2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val cnt1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val toks = Tables.documents(spark, dir)
+          " i -> struct(xxhash64(ws[i - 1], ws[i]) AS kb," +
+          " xxhash64(ws[i - 1]) AS k1, xxhash64(ws[i]) AS k2))")).as("b"))
+      .select(col("doc_id"), col("b.kb").as("kb"),
+        col("b.k1").as("k1"), col("b.k2").as("k2"))
+    // the interpolated probability is a function of the bigram TYPE
+    // alone, so score the vocabulary-sized type table once (the log
+    // evaluates per type, not per occurrence) and pay ONE corpus-scale
+    // join: bigram-left counts fold out of the type counts (no second
+    // bigram pass), only the unigram table needs its own (lighter)
+    // token pass. AQE broadcasts the type side while it fits.
+    val types = bi.groupBy(col("kb"), col("k1"), col("k2"))
+      .agg(count(lit(1)).as("c2"))
+    val cnt1 = types.groupBy(col("k1")).agg(sum(col("c2")).as("c1"))
+    val uni = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
-    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      .select(xxhash64(col("token")).as("k2"))
+      .groupBy(col("k2")).agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum(col("cu")).as("tot"))
-    bi.join(cnt2, Seq("w1", "w2"))
-      .join(cnt1, Seq("w1"))
-      .join(uni.withColumnRenamed("token", "w2"), Seq("w2"))
+    val scored = types.join(cnt1, Seq("k1")).join(uni, Seq("k2"))
       .crossJoin(broadcast(tot))
+      .select(col("kb"), log(
+        lit(BigramLambda) * col("c2").cast("double") / col("c1") +
+          lit(1 - BigramLambda) * col("cu").cast("double") / col("tot"))
+        .as("lp"))
+    bi.select(col("doc_id"), col("kb"))
+      .join(scored, Seq("kb"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        Num.roundEps(avg(log(
-          lit(BigramLambda) * col("c2").cast("double") / col("c1") +
-            lit(1 - BigramLambda) * col("cu").cast("double") / col("tot"))), 6)
-          .as("avg_logprob"))
+        Num.roundEps(avg(col("lp")), 6).as("avg_logprob"))
   }
 
   // ------------------------------------------------------ chunking --
