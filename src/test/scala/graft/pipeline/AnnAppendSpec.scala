@@ -123,6 +123,22 @@ class AnnAppendSpec extends SparkSpec {
     }
   }
 
+  test("opq ADC serves a folded batch in the rotated frame") {
+    // r15: the fold encodes the batch through the stored permutation
+    // sidecar (encodeBatch's permOpt path) — an exact copy of a probe
+    // rotates to the probe's own rotated vector, so it must come back
+    assert(Similarity.appendAnnToIndex(spark, cDir, batch, "opq")
+      === Similarity.NumProbes.toLong)
+    val after = hits(Similarity.annIvfPqOpq(spark, cDir))
+    (0L until Similarity.NumProbes).foreach { p =>
+      assert(after.contains((p, p + Off)),
+        s"probe $p must retrieve its appended copy through opq codes")
+    }
+    // and the fold trained nothing: the permutation + opq book
+    // sidecars predate the fold (bookTables is append-stable)
+    assert(Similarity.appendAnnToIndex(spark, cDir, batch, "opq") === 0L)
+  }
+
   test("the fresh-id probe broadcasts: zero Exchange on the index side") {
     // force join-strategy honesty: without the explicit broadcasts the
     // corpus-scale stored table would land on a shuffled build side
