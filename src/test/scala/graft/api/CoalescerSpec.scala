@@ -119,6 +119,54 @@ class CoalescerSpec extends SparkSpec {
     }
   }
 
+  test("per-key lanes: two waves of mixed-key churn settle every request") {
+    // r16: per-key lanes with independent drain replaced the central
+    // cycle+barrier (one slow group gated the other seven, and a fatal
+    // in one group could spuriously fail promises of groups still
+    // running). This pins the lane enqueue/exit handshake under churn:
+    // requests arrive WHILE lanes drain, lanes go idle between waves
+    // and must wake again, and the serving counter accounts for every
+    // request exactly once.
+    val n = 12
+    val datasets = Seq("click", "view", "purchase", "error")
+    def dreq(i: Int) = req(i).copy(datasetId = datasets(i % datasets.length))
+    val before = Api.ServeCoalesce
+    val solo =
+      try { Api.ServeCoalesce = false; (0 until n).map(i => dump(extractTimeseries(spark, sfDir, dreq(i), serving = true))) }
+      finally Api.ServeCoalesce = before
+
+    val r0 = ServingCoalescer.requestsServed.get()
+    (1 to 2).foreach { wave =>
+      val pool = Executors.newFixedThreadPool(8)
+      val start = new CountDownLatch(1)
+      val results = new Array[Either[Throwable, Seq[Set[Seq[Any]]]]](n)
+      val done = new CountDownLatch(n)
+      (0 until n).foreach { i =>
+        pool.execute { () =>
+          start.await()
+          results(i) =
+            try Right(dump(extractTimeseries(spark, sfDir, dreq(i), serving = true)))
+            catch { case t: Throwable => Left(t) }
+          done.countDown()
+        }
+      }
+      start.countDown()
+      assert(done.await(5, TimeUnit.MINUTES), s"wave $wave hung")
+      pool.shutdown()
+      (0 until n).foreach { i =>
+        results(i) match {
+          case Left(t) => fail(s"wave $wave request $i failed", t)
+          case Right(d) => assert(d === solo(i), s"wave $wave request $i diverged")
+        }
+      }
+      // lanes are idle between waves — the next wave's first enqueue
+      // must re-claim each lane (the exit handshake's lost-wakeup case)
+      Thread.sleep(50)
+    }
+    assert(ServingCoalescer.requestsServed.get() - r0 === 2L * n,
+      "every request must be served by exactly one lane chunk")
+  }
+
   test("a failing request fails alone - batch neighbors are unaffected") {
     // an unknown variable passes request validation? no - it throws
     // upstream; instead poison one request with a dataset filter that
