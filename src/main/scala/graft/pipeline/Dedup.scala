@@ -461,7 +461,8 @@ object Dedup {
     * computed — the streaming fold path reuses the side table's stored
     * arrays instead of re-shingling. Caller owns persistence. */
   private[graft] def appendShingles(spark: SparkSession, dir: String,
-      batchSh: DataFrame): Long = {
+      batchSh: DataFrame): Long = Maintenance.IndexLocks
+      .withLock("dedup", dir) {
     val shingleTbl = indexTableName(spark, dir, "graft_shingles_")
     val minhashTbl = indexTableName(spark, dir, "graft_minhash_idx_")
     // ensure both tables exist before appending (first ingest into a
@@ -505,7 +506,8 @@ object Dedup {
     * (TableIO.compactBucketed — bucket spec re-registered, planner
     * trust preserved; IndexAppendSpec pins results and the
     * zero-index-side-Exchange property across the rewrite). */
-  private[graft] def compactIndex(spark: SparkSession, dir: String): Unit = {
+  private[graft] def compactIndex(spark: SparkSession, dir: String): Unit =
+      Maintenance.IndexLocks.withLock("dedup", dir) {
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_minhash_idx_"),
       Seq("k"), IndexBuckets)
@@ -522,7 +524,8 @@ object Dedup {
     * the fold path reuses them instead of re-hashing text. Returns the
     * number of docs actually appended. */
   private[graft] def appendSimhashToIndex(spark: SparkSession, dir: String,
-      batchPost: DataFrame): Long = {
+      batchPost: DataFrame): Long = Maintenance.IndexLocks
+      .withLock("simhash", dir) {
     val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
     val storedIds = simhashIndexTable(spark, dir).select(col("doc_id"))
     val batchIds = broadcast(batchPost.select(col("doc_id")).distinct())
@@ -543,7 +546,7 @@ object Dedup {
 
   /** Compaction for the simhash index (the [[compactIndex]] shape). */
   private[graft] def compactSimhashIndex(spark: SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit = Maintenance.IndexLocks.withLock("simhash", dir) {
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_simhash_idx_"),
       Seq("k"), IndexBuckets)
@@ -555,18 +558,23 @@ object Dedup {
     * compact). Returns the number of tables rewritten. */
   private[graft] def compactDedupIfPresent(spark: SparkSession,
       dir: String): Int = {
+    // each table compacts under ITS family's maintenance lock so a
+    // concurrent fold of that family serializes against the rewrite
+    // while the other families keep folding
     val specs = Seq(
-      ("graft_minhash_idx_", Seq("k")),
-      ("graft_shingles_", Seq("doc_id")),
-      ("graft_simhash_idx_", Seq("k")),
-      ("graft_spanidx_", Seq("doc_id")),
-      ("graft_spanpost_", Seq("h", "h2")))
-    specs.count { case (prefix, cols) =>
-      val tbl = indexTableName(spark, dir, prefix)
-      val present = spark.catalog.tableExists(tbl)
-      if (present)
-        graft.sources.TableIO.compactBucketed(spark, tbl, cols, IndexBuckets)
-      present
+      ("graft_minhash_idx_", Seq("k"), "dedup"),
+      ("graft_shingles_", Seq("doc_id"), "dedup"),
+      ("graft_simhash_idx_", Seq("k"), "simhash"),
+      ("graft_spanidx_", Seq("doc_id"), "span"),
+      ("graft_spanpost_", Seq("h", "h2"), "span"))
+    specs.count { case (prefix, cols, family) =>
+      Maintenance.IndexLocks.withLock(family, dir) {
+        val tbl = indexTableName(spark, dir, prefix)
+        val present = spark.catalog.tableExists(tbl)
+        if (present)
+          graft.sources.TableIO.compactBucketed(spark, tbl, cols, IndexBuckets)
+        present
+      }
     }
   }
 
@@ -1229,7 +1237,8 @@ object Dedup {
     *    drop-set discipline).
     * Returns the number of docs actually folded. */
   private[graft] def appendSpanToIndex(spark: SparkSession, dir: String,
-      batchDocs: DataFrame): Long = {
+      batchDocs: DataFrame): Long = Maintenance.IndexLocks
+      .withLock("span", dir) {
     import spark.implicits._
     val idxTbl = indexTableName(spark, dir, "graft_spanidx_")
     val postTbl = indexTableName(spark, dir, "graft_spanpost_")
@@ -1247,8 +1256,10 @@ object Dedup {
     val freshSeq = spannable.select(col("doc_id")).distinct()
       .join(broadcast(known), Seq("doc_id"), "left_anti")
       .as[Long].collect().toSeq
-    if (freshSeq.isEmpty) return 0L
-
+    // no `return`: a non-local return from inside the lock's by-name
+    // block would unwind through the monitor via control-flow throw
+    if (freshSeq.isEmpty) 0L
+    else {
     val fresh = batchDocs.join(broadcast(freshSeq.toDF("doc_id")), "doc_id")
     val spans = spansOf(fresh).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1289,6 +1300,7 @@ object Dedup {
       spark.catalog.refreshTable(postTbl)
       freshSeq.length.toLong
     } finally { spans.unpersist(); () }
+    }
   }
 
   /** Replay-stable per-doc span accounting of a batch — (doc_id,
@@ -1310,7 +1322,7 @@ object Dedup {
 
   /** Compaction for the span tables (the [[compactIndex]] shape). */
   private[graft] def compactSpanIndex(spark: SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit = Maintenance.IndexLocks.withLock("span", dir) {
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_spanidx_"),
       Seq("doc_id"), IndexBuckets)

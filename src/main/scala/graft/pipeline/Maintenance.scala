@@ -19,6 +19,31 @@ import org.apache.spark.sql.SparkSession
   * created as a side effect of maintaining it. */
 object Maintenance {
 
+  /** Per-(family, corpus) maintenance mutex (r15 verdict item 6): a
+    * compaction stages a table out, DROPS it, and rewrites — an append
+    * landing inside that window is silently lost with the overwrite,
+    * and a fold's probe read inside the drop window throws. Every
+    * fold (stream processBatch / batch append) and every compactor
+    * takes its family's lock for the corpus dir it touches, so
+    * fold-vs-compact and compact-vs-restart-compact serialize per
+    * family while DIFFERENT families (and different corpora) stay
+    * fully concurrent — the contention unit is one index family of
+    * one corpus, never the session. Intrinsic monitors are reentrant,
+    * so a locked fold calling its (locked) append helper is fine.
+    * Driver-side JVM state: all lake mutations are driver-coordinated
+    * (a lake table has ONE owner process — the standard no-transaction-
+    * log discipline); cross-process writers are out of contract.
+    * Reader-vs-compact (a concurrent QUERY scanning a table mid-
+    * rewrite) remains the documented nightly-window caveat — snapshot
+    * isolation is a table-format feature this engine does not owe. */
+  private[graft] object IndexLocks {
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    def withLock[T](family: String, dir: String)(f: => T): T =
+      locks.computeIfAbsent(s"$family:$dir", _ => new Object)
+        .synchronized(f)
+  }
+
   /** Compact every persisted index table for `dir`; returns
     * family → tables rewritten (families with nothing on disk absent). */
   def compactAll(spark: SparkSession, dir: String,

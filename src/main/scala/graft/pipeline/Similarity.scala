@@ -1295,7 +1295,8 @@ object Similarity {
     else codeTable(spark, dir, kind).filter(col("cent_id").isin(touched: _*))
 
   private[graft] def appendAnnToIndex(spark: SparkSession, dir: String,
-      batchVecs: DataFrame, kind: String): Long = {
+      batchVecs: DataFrame, kind: String): Long = Maintenance.IndexLocks
+      .withLock("ann", dir) {
     import spark.implicits._
     codeTable(spark, dir, kind) // first touch builds + trains
     val (batchEnc, touched) = encodeBatch(spark, dir, batchVecs, kind)
@@ -1379,7 +1380,7 @@ object Similarity {
     * it — the annvecs half of AnnStream's restart maintenance (each
     * fold appends ≤1 file per bucket there too). */
   private[graft] def compactAnnVecsIfPresent(spark: SparkSession,
-      dir: String): Int = {
+      dir: String): Int = Maintenance.IndexLocks.withLock("ann", dir) {
     val tbl = semTableName(spark, dir, "graft_annvecs_")
     if (spark.catalog.tableExists(tbl))
       graft.sources.TableIO.compactBucketed(spark, tbl,
@@ -1393,7 +1394,7 @@ object Similarity {
     * SemanticStream restart is one), and nothing folded those files
     * back until now. Returns the number of tables rewritten. */
   private[graft] def compactSemIfPresent(spark: SparkSession,
-      dir: String): Int = {
+      dir: String): Int = Maintenance.IndexLocks.withLock("sem", dir) {
     val specs = Seq(
       ("graft_sempost_", Seq("cent_id")),
       ("graft_semvecs_", Seq("vec_id")))
@@ -1416,9 +1417,10 @@ object Similarity {
     * post-compaction data-file count — one per NON-EMPTY list, so a
     * corpus populating 11 of 16 lists compacts to 11 files. */
   private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
-      kind: String): Int =
+      kind: String): Int = Maintenance.IndexLocks.withLock("ann", dir) {
     graft.sources.TableIO.compactPartitioned(spark,
       annCodeName(spark, dir, kind), Seq("cent_id"), IvfCentroids)
+  }
 
   /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
     * kernel of annIvfPq / annIvfPqTrained / annIvfPqResidual (pure ADC
@@ -1743,7 +1745,8 @@ object Similarity {
     * the lakehouse semantics of ingesting into the index. Returns the
     * number of vectors actually appended. */
   private[graft] def appendSemToIndex(spark: SparkSession, dir: String,
-      batchPost: DataFrame, batchVecs: DataFrame): Long = {
+      batchPost: DataFrame, batchVecs: DataFrame): Long = Maintenance
+      .IndexLocks.withLock("sem", dir) {
     val storedPostIds = semPostingTable(spark, dir, Dedup.BroadcastVerifyBytes)
       .select(col("vec_id"))
     val storedVecIds = semStreamVecsTable(spark, dir).select(col("vec_id"))

@@ -35,7 +35,8 @@ object AnnStream {
     * fold into every kind in `kinds`, the lookup runs on `kinds.head`. */
   private[graft] def processBatch(spark: SparkSession, dir: String,
       batch: DataFrame, sinkPath: String, batchId: Long,
-      kinds: Seq[String]): Unit = {
+      kinds: Seq[String]): Unit =
+      graft.pipeline.Maintenance.IndexLocks.withLock("ann", dir) {
     val batchVecs = graft.pipeline.Similarity.normedOfBatch(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

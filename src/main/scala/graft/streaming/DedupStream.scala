@@ -64,7 +64,8 @@ object DedupStream {
     * row-level equality. Deterministic given (corpus, prior side
     * tables, batch rows, batchId). */
   private[graft] def processBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, sinkPath: String, batchId: Long): Unit = {
+      batch: DataFrame, sinkPath: String, batchId: Long): Unit =
+      graft.pipeline.Maintenance.IndexLocks.withLock("dedup", dir) {
     val postPath = sinkPath + "_idx_postings"
     val shPath = sinkPath + "_idx_shingles"
     val priorPost = sideRead(spark, postPath, PostingsSchema, batchId)
@@ -112,17 +113,20 @@ object DedupStream {
     * so the batch_id-keyed dynamic overwrite still rewrites identical
     * content. */
   def foldSideIndex(spark: SparkSession, dir: String,
-      sinkPath: String): Long = {
+      sinkPath: String): Long =
+      graft.pipeline.Maintenance.IndexLocks.withLock("dedup", dir) {
     val shPath = sinkPath + "_idx_shingles"
     val postPath = sinkPath + "_idx_postings"
-    if (!SideTables.exists(spark, shPath)) return 0L
-    val sideSh = SideTables.readAll(spark, shPath, ShingleSchema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = graft.pipeline.Dedup.appendShingles(spark, dir, sideSh)
-      Seq(shPath, postPath).foreach(SideTables.delete(spark, _))
-      n
-    } finally sideSh.unpersist()
+    if (!SideTables.exists(spark, shPath)) 0L
+    else {
+      val sideSh = SideTables.readAll(spark, shPath, ShingleSchema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = graft.pipeline.Dedup.appendShingles(spark, dir, sideSh)
+        Seq(shPath, postPath).foreach(SideTables.delete(spark, _))
+        n
+      } finally sideSh.unpersist()
+    }
   }
 
   /** Start the continuous dedup over a stream of document rows

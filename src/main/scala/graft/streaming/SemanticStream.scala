@@ -42,7 +42,8 @@ object SemanticStream {
   /** One micro-batch — deterministic given (corpus, prior side tables,
     * batch rows, batchId). `batch` carries (vec_id, embedding). */
   private[graft] def processBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, sinkPath: String, batchId: Long): Unit = {
+      batch: DataFrame, sinkPath: String, batchId: Long): Unit =
+      graft.pipeline.Maintenance.IndexLocks.withLock("sem", dir) {
     val postPath = sinkPath + "_idx_postings"
     val vecPath = sinkPath + "_idx_vectors"
     val priorPost = sideRead(spark, postPath, PostSchema, batchId)
@@ -91,10 +92,12 @@ object SemanticStream {
     * with an empty side chain, and the batch query now sees the grown
     * corpus. */
   def foldSideIndex(spark: SparkSession, dir: String,
-      sinkPath: String): Long = {
+      sinkPath: String): Long =
+      graft.pipeline.Maintenance.IndexLocks.withLock("sem", dir) {
     val postPath = sinkPath + "_idx_postings"
     val vecPath = sinkPath + "_idx_vectors"
-    if (!SideTables.exists(spark, vecPath)) return 0L
+    if (!SideTables.exists(spark, vecPath)) 0L
+    else {
     val sideVecs = SideTables.readAll(spark, vecPath, VecSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -111,6 +114,7 @@ object SemanticStream {
       Seq(vecPath, postPath).foreach(SideTables.delete(spark, _))
       n
     } finally sideVecs.unpersist()
+    }
   }
 
   /** Start the continuous semantic dedup over a stream of embedding

@@ -47,7 +47,8 @@ object SimhashStream {
   /** One micro-batch — deterministic given (corpus, prior side table,
     * batch rows, batchId); factored out for replay-idempotency specs. */
   private[graft] def processBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, sinkPath: String, batchId: Long): Unit = {
+      batch: DataFrame, sinkPath: String, batchId: Long): Unit =
+      graft.pipeline.Maintenance.IndexLocks.withLock("simhash", dir) {
     val postPath = sinkPath + "_idx_postings"
     val priorPost = sideRead(spark, postPath, batchId)
     val batchPost = graft.pipeline.Dedup.simhashPostingsOfDocs(
@@ -84,16 +85,19 @@ object SimhashStream {
     * replayed in-flight batch finds the folded docs through the stored
     * index instead of the side read — identical pair emission. */
   def foldSideIndex(spark: SparkSession, dir: String,
-      sinkPath: String): Long = {
+      sinkPath: String): Long =
+      graft.pipeline.Maintenance.IndexLocks.withLock("simhash", dir) {
     val postPath = sinkPath + "_idx_postings"
-    if (!SideTables.exists(spark, postPath)) return 0L
-    val side = SideTables.readAll(spark, postPath, PostSchema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = graft.pipeline.Dedup.appendSimhashToIndex(spark, dir, side)
-      SideTables.delete(spark, postPath)
-      n
-    } finally side.unpersist()
+    if (!SideTables.exists(spark, postPath)) 0L
+    else {
+      val side = SideTables.readAll(spark, postPath, PostSchema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = graft.pipeline.Dedup.appendSimhashToIndex(spark, dir, side)
+        SideTables.delete(spark, postPath)
+        n
+      } finally side.unpersist()
+    }
   }
 
   /** Start the continuous simhash pass over a stream of document rows

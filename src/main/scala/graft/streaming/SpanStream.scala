@@ -41,7 +41,8 @@ object SpanStream {
     * replay-stable accounting partition. Factored out for the
     * replay-idempotency spec. */
   private[graft] def processBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, sinkPath: String, batchId: Long): Unit = {
+      batch: DataFrame, sinkPath: String, batchId: Long): Unit =
+      graft.pipeline.Maintenance.IndexLocks.withLock("span", dir) {
     graft.pipeline.Dedup.appendSpanToIndex(spark, dir, batch)
     overwritePartition(
       graft.pipeline.Dedup.spanCountsOfDocs(batch), batchId, sinkPath)
