@@ -267,11 +267,21 @@ object EventCube {
     * row-identical to the scan-bound path because [[bandRangeNanos]]'
     * ts window is exactly the bands' [lo, hi] coverage
     * (ServingCacheSpec pins the parity). */
+  /** Cached-partition count for the serving cube: the artifact is
+    * raster-geometry bounded (a few MB), but the aggregation that
+    * builds it runs at spark.sql.shuffle.partitions — caching THAT
+    * layout makes every serving micro-batch pay one near-empty scan
+    * task per shuffle partition per cube (256 tasks for an 8-key
+    * union chunk, the r16 mixed-key residual). Coalesce to a handful
+    * before caching so a chunk's cube side costs O(keys) tasks. */
+  val ServingCubeSlices = 4
+
   def servingCube(spark: SparkSession, dir: String, dataset: String,
       resolution: Resolution, variable: String): DataFrame =
     graft.pipeline.ArtifactCache.cached(spark,
       s"servecube:$dataset:${resolution.getClass.getSimpleName}:$variable:$dir") {
       cube(spark, dir, dataset, resolution, variable, None)
+        .coalesce(ServingCubeSlices)
     }
 
   /** Zonal series over a bbox selection: one row per band with the

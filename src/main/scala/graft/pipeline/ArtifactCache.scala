@@ -34,6 +34,14 @@ private[graft] object ArtifactCache {
     Bpe.clearCache()
   }
 
+  /** Unpersist and forget one artifact (e.g. a superseded serving
+    * union when its key set widens). No-op if absent. */
+  def drop(spark: SparkSession, key: String): Unit = {
+    val perSession = cache.synchronized(Option(cache.get(spark)))
+    perSession.flatMap(_.remove(key)).foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+  }
+
   def cached(spark: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     val perSession = cache.synchronized {

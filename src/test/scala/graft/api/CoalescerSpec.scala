@@ -119,12 +119,15 @@ class CoalescerSpec extends SparkSpec {
     }
   }
 
-  test("per-key lanes: two waves of mixed-key churn settle every request") {
-    // r16: per-key lanes with independent drain replaced the central
-    // cycle+barrier (one slow group gated the other seven, and a fatal
-    // in one group could spuriously fail promises of groups still
-    // running). This pins the lane enqueue/exit handshake under churn:
-    // requests arrive WHILE lanes drain, lanes go idle between waves
+  test("session lane: two waves of mixed-key churn settle every request") {
+    // r16: the session lane batches ACROSS serving keys (the cube id
+    // travels as broadcast-side data into a union-of-cubes plan), so a
+    // mixed-key workload runs the same sequential batched job stream
+    // as a single-key one — replacing both the r14 central
+    // cycle+barrier (one slow group gated the rest) and the r15
+    // per-key lanes (8× the jobs at an eighth the batch size). This
+    // pins the lane enqueue/exit handshake under churn: requests
+    // arrive WHILE the lane drains, the lane goes idle between waves
     // and must wake again, and the serving counter accounts for every
     // request exactly once.
     val n = 12
