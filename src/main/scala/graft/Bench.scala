@@ -37,11 +37,11 @@ object Bench {
     "q12_ship_class" -> "q12", "q20_excess_supp" -> "q20",
     "q21_wait_supp" -> "q21",
     // skope core
-    "skope_metadata" -> "s_me", "skope_band_index" -> "s_bnd",
-    "skope_yearly_band_index" -> "s_yr", "skope_batch_extract" -> "s_bat",
+    "skope_metadata" -> "s_me", "skope_band_index" -> "s_bn",
+    "skope_yearly_band_index" -> "s_yr", "skope_batch_extract" -> "s_ba",
     "skope_select_point" -> "s_pnt", "skope_zonal_mean" -> "s_zmn",
-    "skope_zonal_median" -> "s_zmd", "skope_cube_zonal" -> "s_cuz",
-    "skope_cube_spatial" -> "s_cus",
+    "skope_zonal_median" -> "s_zmd", "skope_cube_zonal" -> "s_cz",
+    "skope_cube_spatial" -> "s_cs",
     "skope_ncells_area" -> "s_ncl", "skope_ma_centered" -> "s_mac",
     "skope_ma_trailing" -> "s_mat", "skope_zscore_moving" -> "s_zsm",
     "skope_zscore_fixed" -> "s_zsf", "skope_zscore_selected" -> "s_zss",
@@ -50,12 +50,12 @@ object Bench {
     "skope_variable_props" -> "s_vpr", "skope_multi_area" -> "s_mar",
     "skope_hourly_zonal" -> "s_hr", "skope_zonal_profile" -> "s_prf",
     "skope_monthly_zonal" -> "s_mon", "skope_quantiles_approx" -> "s_qx",
-    "skope_zonal_median_approx" -> "s_zx", "skope_anomalies" -> "s_anm",
+    "skope_zonal_median_approx" -> "s_zx", "skope_anomalies" -> "s_an",
     "skope_polygon_mask" -> "s_pms", "skope_polygon_zonal" -> "s_pzn",
-    "skope_polygon_hole" -> "s_phl", "skope_feature_union" -> "s_fun",
+    "skope_polygon_hole" -> "s_phl", "skope_feature_union" -> "s_fu",
     "skope_geodesic_area" -> "s_ge", "skope_gap_fill" -> "s_gp",
     "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gti",
-    "skope_geotiff_export" -> "s_gex", "skope_geotiff_uint16" -> "s_u6",
+    "skope_geotiff_export" -> "s_gx", "skope_geotiff_uint16" -> "s_u6",
     "skope_geotiff_monthly" -> "s_gm", "skope_geotiff_int16" -> "s_i6",
     "skope_geotiff_lzw" -> "s_lz",
     "skope_raster_series" -> "s_rsr",
@@ -101,9 +101,9 @@ object Bench {
     "mm_jpeg_meta" -> "m_jm", "mm_jpeg_features" -> "m_jf",
     "mm_ahash" -> "m_ah", "skope_geotiff_tiled" -> "s_tl",
     // BPE tokenizer family (round 13)
-    "text_tokens_bpe" -> "t_bpe", "docs_split_bpe" -> "c_spb",
+    "text_tokens_bpe" -> "t_bp", "docs_split_bpe" -> "c_spb",
     "docs_pack_bpe" -> "c_pkb", "docs_mix_bpe" -> "c_mxb",
-    "text_vocab_bpe" -> "t_bpv",
+    "text_vocab_bpe" -> "t_bv",
     // PCA family (round 13)
     "emb_pca" -> "a_pca", "emb_pca_project" -> "a_pcp",
     // span-level dedup apply (round 13)
@@ -112,13 +112,14 @@ object Bench {
     "skope_geotiff_big" -> "s_bt",
     // round 14 additions (rank-table BPE, PCA top-k + whitening,
     // GeoTIFF Predictor 3)
-    "text_tokens_bpek" -> "t_bpk", "emb_pca_k" -> "a_pck",
+    "text_tokens_bpek" -> "t_bk", "emb_pca_k" -> "a_pck",
     "emb_whiten" -> "a_wh", "skope_geotiff_f32pred" -> "s_fp",
     // OPQ family (round 15): o=opq, trailing c=recall
     "emb_pq_opq" -> "a_pqo", "ann_ivfpq_opq" -> "a_ipo",
     "ann_ivfpq_opq_recall" -> "a_ioc",
     // epoch-capped mixture + bigram LM score (round 15)
-    "docs_mix_epochs" -> "c_mep", "text_bigram_logprob" -> "t_blp"
+    "docs_mix_epochs" -> "c_mep", "text_bigram_logprob" -> "t_bl",
+    "docs_lm_buckets" -> "c_lb"
   )
 
   def main(args: Array[String]): Unit = {

@@ -381,6 +381,71 @@ object TrainingPrep {
         Num.roundEps(avg(col("lp")), 6).as("avg_logprob"))
   }
 
+  // ---------------------------------------------- LM quality buckets --
+
+  /** Coarse-band width for the tercile cut: per-score cumulative
+    * counts are prefix sums within 0.1-wide log-prob bands (a
+    * partitioned window over the score HISTOGRAM), with the
+    * cross-band offsets computed on the driver from the per-band
+    * totals — a two-level prefix sum whose driver state is bounded by
+    * the score RANGE (≈ ln of the corpus token count over 0.1 — a few
+    * hundred bands at any corpus size), never by the corpus. */
+  val LmBandScale = 10
+
+  /** CCNet-style LM quality bucketing (Wenzek et al., CCNet; the
+    * head/middle/tail perplexity split used to stratify web-crawl
+    * corpora before sampling): rank documents by their
+    * [[bigramLogprob]] score under the corpus's OWN bigram LM and
+    * assign equal-count terciles — `head` = best-scoring third
+    * (lowest perplexity). Cut points are COUNT-based on the 6-dp
+    * score lattice: a document's bucket is decided by how many
+    * documents score strictly better, so every document of one score
+    * shares one bucket (deterministic under ties in both engines; the
+    * tercile bounds are ceil(n/3), ceil(2n/3)).
+    *
+    * Scale shape: one corpus-scale bigram pass builds the per-score
+    * histogram — LATTICE-bounded (score range / 1e-6), not
+    * corpus-bounded — which is checkpointed and carries the whole
+    * cut: per-band totals → driver offsets (bounded, the mixEpochs
+    * bounded-dimension discipline), strictly-better counts as a
+    * window PARTITIONED by band (never an unpartitioned window), and
+    * the resulting score→bucket map joins back to the doc-level
+    * scores (AQE broadcasts the lattice side). The only other
+    * corpus-scale work is the final scoring pass itself. */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val scored = bigramLogprob(spark, dir)
+    val hist = scored.groupBy(col("avg_logprob"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("band",
+        floor(col("avg_logprob") * LmBandScale).cast("long"))
+      .localCheckpoint()
+    // per-band totals, score-descending: bounded driver state
+    val bands = hist.groupBy(col("band")).agg(sum(col("cnt")).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val n = bands.map(_._2).sum
+    val n1 = (n + 2) / 3
+    val n2 = (2 * n + 2) / 3
+    var acc = 0L
+    val offs = bands.map { case (b, bc) =>
+      val o = acc; acc += bc; (b, o)
+    }.toSeq.toDF("band", "off")
+    val w = Window.partitionBy(col("band"))
+      .orderBy(col("avg_logprob").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = hist
+      .withColumn("wb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(broadcast(offs), Seq("band"))
+      .select(col("avg_logprob"),
+        when(col("wb") + col("off") < n1, lit("head"))
+          .when(col("wb") + col("off") < n2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    scored.join(buckets, Seq("avg_logprob"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+        col("bucket"))
+  }
+
   // ------------------------------------------------------ chunking --
 
   /** Sliding-window chunk geometry: window length and stride in
@@ -624,7 +689,46 @@ object TrainingPrep {
          |    AS avg_logprob
          |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
          |JOIN uni ON uni.token = bg.w2 CROSS JOIN total
-         |GROUP BY doc_id""".stripMargin
+         |GROUP BY doc_id""".stripMargin,
+    // the bigram chain verbatim, then the count-based tercile cut:
+    // better = docs scoring STRICTLY above this 6-dp lattice value
+    // (one plain desc window here — the oracle has no plan pins);
+    // integer ceil via (n + 2) // 3
+    "docs_lm_buckets" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+         |    FROM d WHERE len(ws) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |toks AS (SELECT unnest(string_split(text, ' ')) AS token
+         |         FROM documents),
+         |uni AS (SELECT token, count(*) AS cu FROM toks GROUP BY token),
+         |total AS (SELECT sum(cu) AS tot FROM uni),
+         |scored AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    round(avg(ln($BigramLambda * CAST(c2.c2 AS DOUBLE) / c1.c1
+         |      + (1.0 - $BigramLambda) * CAST(uni.cu AS DOUBLE) / tot))
+         |      + 1e-9, 6) AS avg_logprob
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |  JOIN uni ON uni.token = bg.w2 CROSS JOIN total
+         |  GROUP BY doc_id),
+         |nn AS (SELECT count(*) AS n FROM scored),
+         |hist AS (SELECT avg_logprob AS s, count(*) AS cnt
+         |         FROM scored GROUP BY 1),
+         |cum AS (SELECT s, coalesce(sum(cnt) OVER (ORDER BY s DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS better FROM hist)
+         |SELECT scored.doc_id, scored.n_bigrams, scored.avg_logprob,
+         |  CASE WHEN c.better < (nn.n + 2) // 3 THEN 'head'
+         |       WHEN c.better < (2 * nn.n + 2) // 3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored JOIN cum c ON scored.avg_logprob = c.s
+         |CROSS JOIN nn""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -636,6 +740,7 @@ object TrainingPrep {
     "docs_mix_epochs" -> (mixEpochs _),
     "docs_chunk" -> (chunkDocs _),
     "text_unigram_logprob" -> (unigramLogprob _),
-    "text_bigram_logprob" -> (bigramLogprob _)
+    "text_bigram_logprob" -> (bigramLogprob _),
+    "docs_lm_buckets" -> (lmBuckets _)
   )
 }

@@ -253,4 +253,35 @@ class TrainingPrepSpec extends SparkSpec {
     // interpolation keeps every score finite even for once-seen bigrams
     assert(rows.forall(r => !r.getAs[Double]("avg_logprob").isInfinite))
   }
+
+  test("lmBuckets: equal-count terciles up to tie-sharing, score-ordered") {
+    val rows = TrainingPrep.lmBuckets(spark, sfDir).collect()
+    val n = rows.length.toLong
+    assert(n === TrainingPrep.bigramLogprob(spark, sfDir).count(),
+      "every scored doc gets exactly one bucket")
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Double]("avg_logprob"))).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // strict ordering between strata: every head score >= every middle
+    // score >= every tail score (the tercile cut is a total order cut)
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // counts are the ceil(n/3) boundaries up to tie-sharing: a bucket
+    // can only exceed its third by docs TIED on its boundary score
+    val n1 = (n + 2) / 3
+    val n2 = (2 * n + 2) / 3
+    val ties = rows.groupBy(_.getAs[Double]("avg_logprob"))
+      .view.mapValues(_.length.toLong).toMap
+    val headN = byBucket("head").length.toLong
+    val midN = byBucket("middle").length.toLong
+    assert(headN >= n1 - ties(byBucket("head").min) + 1 && headN <= n1 - 1 +
+      ties(byBucket("head").min),
+      s"head=$headN n1=$n1 boundary ties=${ties(byBucket("head").min)}")
+    assert(headN + midN >= n2 - ties(byBucket("middle").min) + 1 &&
+      headN + midN <= n2 - 1 + ties(byBucket("middle").min))
+    // ties share a bucket: one score value never spans two buckets
+    rows.groupBy(_.getAs[Double]("avg_logprob")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[String]("bucket")).toSet.size === 1)
+    }
+  }
 }
