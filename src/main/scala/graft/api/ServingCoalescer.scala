@@ -104,8 +104,18 @@ private[graft] object ServingCoalescer {
     val busy = new AtomicBoolean(false)
   }
 
-  private val lanes =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Lane]()
+  /** Session → lane, weak-keyed like ArtifactCache's artifact map so a
+    * churned-and-dropped SparkSession's lane (and registry below) dies
+    * with it instead of pinning the session forever — the serving
+    * front end is the longest-lived object in a deployment. */
+  private val lanes = new java.util.WeakHashMap[SparkSession, Lane]()
+
+  private def laneOf(spark: SparkSession): Lane =
+    lanes.synchronized {
+      Option(lanes.get(spark)).getOrElse {
+        val l = new Lane; lanes.put(spark, l); l
+      }
+    }
 
   /** Pump pool: one task per actively-draining session lane (the pool
     * is shared across sessions; each chunk's job lands in the same
@@ -127,7 +137,7 @@ private[graft] object ServingCoalescer {
   def zonal(spark: SparkSession, dir: String, dataset: String,
       resolution: EventCube.Resolution, variable: String,
       cells: Seq[Long], lo: Int, hi: Int, stat: String): Ser = {
-    val lane = lanes.computeIfAbsent(spark, _ => new Lane)
+    val lane = laneOf(spark)
     val p = Pending(Key(dir, dataset, resolution, variable),
       cells, lo, hi, stat, Promise[Ser]())
     lane.q.add(p)
@@ -211,8 +221,14 @@ private[graft] object ServingCoalescer {
     var unionFp: String = ""
   }
 
-  private val registries =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Registry]()
+  private val registries = new java.util.WeakHashMap[SparkSession, Registry]()
+
+  private def registryOf(spark: SparkSession): Registry =
+    registries.synchronized {
+      Option(registries.get(spark)).getOrElse {
+        val r = new Registry; registries.put(spark, r); r
+      }
+    }
 
   /** The cached union of every registered cube for this session.
     * Cached under a key-set fingerprint: registering a NEW key builds
@@ -238,7 +254,7 @@ private[graft] object ServingCoalescer {
   }
 
   private def runChunk(spark: SparkSession, all: Seq[Pending]): Unit = {
-    val reg = registries.computeIfAbsent(spark, _ => new Registry)
+    val reg = registryOf(spark)
     // key registration is driver-side and per-key: a key whose serving
     // cube cannot be constructed (unknown dataset/variable) fails only
     // its own pendings; the shared job proceeds over the healthy keys.
