@@ -12,16 +12,20 @@ object Bench {
     * a=ann/embedding, e=events, c=docs/curation, m=multimodal, TPC-H
     * keeps its q-number.
     *
-    * HEADROOM (round 13, the r12-verdict headroom item): shortened to
-    * ≤6-char aliases — worst-case line ~1.63k chars, ≥15 new queries of
-    * headroom (BenchLineSpec asserts it). Key to the dense suffixes:
-    * ann family `a_ip*` = ivf+pq, then t=trained, r=residual, o=opq,
-    * trailing c=recall, f=refine; skope geotiff
-    * `s_gti/s_gex/s_u6/s_i6/s_lz/s_tl` =
-    * ingest/export/uint16/int16/lzw/tiled; mm `m_b*`=binary, `m_a*`=
-    * audio (m_ah=ahash), `m_j*`=jpeg; curation c_cn/c_pp/c_pk/c_sm/
-    * c_sp/c_ch/c_dc = contamination/pipeline/pack/sample/split/chunk/
-    * decontaminate.
+    * HEADROOM (r13 shortened to ≤6 chars; r17 dropped the family
+    * underscore — the rename wave the r16 verdict prescribed instead
+    * of shaving one char at a time): aliases are now the r13-r16 names
+    * minus "_" (`s_me`→`sme`, `c_lb`→`clb`, `a_ipt`→`aipt` — the
+    * BENCH_r{1..16}.json keys map 1:1 by deleting the underscore), so
+    * cross-round tables stay readable. Worst-case line ~1.56k chars,
+    * ≥15 new queries of headroom (BenchLineSpec asserts it). Key to
+    * the dense suffixes: ann family `aip*` = ivf+pq, then t=trained,
+    * r=residual, o=opq, trailing c=recall, f=refine; skope geotiff
+    * `sgti/sgx/su6/si6/slz/stl` = ingest/export/uint16/int16/lzw/
+    * tiled; mm `mb*`=binary, `ma*`=audio (mah=ahash), `mj*`=jpeg;
+    * curation ccn/cpp/cpk/csm/csp/cch/cdc = contamination/pipeline/
+    * pack/sample/split/chunk/decontaminate; tqc/cqa = the r17 trained
+    * quality classifier score/apply.
     */
   val alias: Map[String, String] = Map(
     // TPC-H
@@ -37,89 +41,90 @@ object Bench {
     "q12_ship_class" -> "q12", "q20_excess_supp" -> "q20",
     "q21_wait_supp" -> "q21",
     // skope core
-    "skope_metadata" -> "s_me", "skope_band_index" -> "s_bn",
-    "skope_yearly_band_index" -> "s_yr", "skope_batch_extract" -> "s_ba",
-    "skope_select_point" -> "s_pnt", "skope_zonal_mean" -> "s_zmn",
-    "skope_zonal_median" -> "s_zmd", "skope_cube_zonal" -> "s_cz",
-    "skope_cube_spatial" -> "s_cs",
-    "skope_ncells_area" -> "s_ncl", "skope_ma_centered" -> "s_mac",
-    "skope_ma_trailing" -> "s_mat", "skope_zscore_moving" -> "s_zsm",
-    "skope_zscore_fixed" -> "s_zsf", "skope_zscore_selected" -> "s_zss",
-    "skope_multi_series" -> "s_msr", "skope_summary_stats" -> "s_sts",
-    "skope_v1_timeseries" -> "s_v1", "skope_quantiles" -> "s_qnt",
-    "skope_variable_props" -> "s_vpr", "skope_multi_area" -> "s_mar",
-    "skope_hourly_zonal" -> "s_hr", "skope_zonal_profile" -> "s_prf",
-    "skope_monthly_zonal" -> "s_mon", "skope_quantiles_approx" -> "s_qx",
-    "skope_zonal_median_approx" -> "s_zx", "skope_anomalies" -> "s_an",
-    "skope_polygon_mask" -> "s_pms", "skope_polygon_zonal" -> "s_pzn",
-    "skope_polygon_hole" -> "s_phl", "skope_feature_union" -> "s_fu",
-    "skope_geodesic_area" -> "s_ge", "skope_gap_fill" -> "s_gp",
-    "skope_settings" -> "s_set", "skope_geotiff_ingest" -> "s_gti",
-    "skope_geotiff_export" -> "s_gx", "skope_geotiff_uint16" -> "s_u6",
-    "skope_geotiff_monthly" -> "s_gm", "skope_geotiff_int16" -> "s_i6",
-    "skope_geotiff_lzw" -> "s_lz",
-    "skope_raster_series" -> "s_rsr",
-    "skope_uncertainty_series" -> "s_unc",
+    "skope_metadata" -> "sme", "skope_band_index" -> "sbn",
+    "skope_yearly_band_index" -> "syr", "skope_batch_extract" -> "sba",
+    "skope_select_point" -> "spnt", "skope_zonal_mean" -> "szmn",
+    "skope_zonal_median" -> "szmd", "skope_cube_zonal" -> "scz",
+    "skope_cube_spatial" -> "scs",
+    "skope_ncells_area" -> "sncl", "skope_ma_centered" -> "smac",
+    "skope_ma_trailing" -> "smat", "skope_zscore_moving" -> "szsm",
+    "skope_zscore_fixed" -> "szsf", "skope_zscore_selected" -> "szss",
+    "skope_multi_series" -> "smsr", "skope_summary_stats" -> "ssts",
+    "skope_v1_timeseries" -> "sv1", "skope_quantiles" -> "sqnt",
+    "skope_variable_props" -> "svpr", "skope_multi_area" -> "smar",
+    "skope_hourly_zonal" -> "shr", "skope_zonal_profile" -> "sprf",
+    "skope_monthly_zonal" -> "smon", "skope_quantiles_approx" -> "sqx",
+    "skope_zonal_median_approx" -> "szx", "skope_anomalies" -> "san",
+    "skope_polygon_mask" -> "spms", "skope_polygon_zonal" -> "spzn",
+    "skope_polygon_hole" -> "sphl", "skope_feature_union" -> "sfu",
+    "skope_geodesic_area" -> "sge", "skope_gap_fill" -> "sgp",
+    "skope_settings" -> "sset", "skope_geotiff_ingest" -> "sgti",
+    "skope_geotiff_export" -> "sgx", "skope_geotiff_uint16" -> "su6",
+    "skope_geotiff_monthly" -> "sgm", "skope_geotiff_int16" -> "si6",
+    "skope_geotiff_lzw" -> "slz",
+    "skope_raster_series" -> "srsr",
+    "skope_uncertainty_series" -> "sunc",
     // text analysis
-    "text_fingerprint" -> "t_fp", "text_langid" -> "t_lg",
-    "text_pii_scrub" -> "t_pi", "text_quality" -> "t_ql",
-    "text_repetition" -> "t_rp", "text_tokens" -> "t_tk",
-    "text_unigram_logprob" -> "t_lp", "text_vocab" -> "t_vc",
-    "text_bigrams" -> "t_bg",
+    "text_fingerprint" -> "tfp", "text_langid" -> "tlg",
+    "text_pii_scrub" -> "tpi", "text_quality" -> "tql",
+    "text_repetition" -> "trp", "text_tokens" -> "ttk",
+    "text_unigram_logprob" -> "tlp", "text_vocab" -> "tvc",
+    "text_bigrams" -> "tbg",
     // dedup family
-    "dedup_clusters" -> "d_cc", "dedup_embedding" -> "d_emb",
-    "dedup_exact" -> "d_ex", "dedup_minhash_lsh" -> "d_mh",
-    "dedup_ngram_jaccard" -> "d_jac", "dedup_simhash" -> "d_sh",
-    "dedup_substring" -> "d_sb", "docs_dedup_apply" -> "d_ap",
+    "dedup_clusters" -> "dcc", "dedup_embedding" -> "demb",
+    "dedup_exact" -> "dex", "dedup_minhash_lsh" -> "dmh",
+    "dedup_ngram_jaccard" -> "djac", "dedup_simhash" -> "dsh",
+    "dedup_substring" -> "dsb", "docs_dedup_apply" -> "dap",
     // ANN / embeddings
-    "ann_ivf" -> "a_iv", "ann_lsh" -> "a_ls", "ann_recall" -> "a_rc",
-    "ann_topk" -> "a_tk", "emb_centroids" -> "a_ce",
-    "emb_quantize" -> "a_qn", "emb_pq" -> "a_pq",
-    "ann_ivfpq" -> "a_ip", "dedup_semantic" -> "d_sm",
-    "ann_ivfpq_recall" -> "a_ipc", "ann_ivfpq_refine" -> "a_ipf",
-    "dedup_incremental" -> "d_ic",
-    "emb_pq_trained" -> "a_pt", "ann_ivfpq_trained" -> "a_ipt",
-    "ann_ivfpq_trained_recall" -> "a_itc",
-    "ann_ivfpq_residual" -> "a_ipr",
-    "ann_ivfpq_residual_recall" -> "a_irc",
+    "ann_ivf" -> "aiv", "ann_lsh" -> "als", "ann_recall" -> "arc",
+    "ann_topk" -> "atk", "emb_centroids" -> "ace",
+    "emb_quantize" -> "aqn", "emb_pq" -> "apq",
+    "ann_ivfpq" -> "aip", "dedup_semantic" -> "dsm",
+    "ann_ivfpq_recall" -> "aipc", "ann_ivfpq_refine" -> "aipf",
+    "dedup_incremental" -> "dic",
+    "emb_pq_trained" -> "apt", "ann_ivfpq_trained" -> "aipt",
+    "ann_ivfpq_trained_recall" -> "aitc",
+    "ann_ivfpq_residual" -> "aipr",
+    "ann_ivfpq_residual_recall" -> "airc",
     // events
-    "events_asof_click" -> "e_as", "events_attr_window" -> "e_at",
-    "events_funnel" -> "e_fn", "events_hourly_rollup" -> "e_rl",
-    "events_retention" -> "e_rt", "events_sessionize" -> "e_ss",
-    "events_topk_users" -> "e_tk",
+    "events_asof_click" -> "eas", "events_attr_window" -> "eat",
+    "events_funnel" -> "efn", "events_hourly_rollup" -> "erl",
+    "events_retention" -> "ert", "events_sessionize" -> "ess",
+    "events_topk_users" -> "etk",
     // docs curation / training prep
-    "docs_contamination" -> "c_cn", "docs_curation_pipeline" -> "c_pp",
-    "docs_mix_weights" -> "c_mx", "docs_pack_sequences" -> "c_pk",
-    "docs_sample_hash" -> "c_sm", "docs_source_cap" -> "c_cp",
-    "docs_split" -> "c_sp", "docs_chunk" -> "c_ch",
-    "docs_decontaminate" -> "c_dc",
+    "docs_contamination" -> "ccn", "docs_curation_pipeline" -> "cpp",
+    "docs_mix_weights" -> "cmx", "docs_pack_sequences" -> "cpk",
+    "docs_sample_hash" -> "csm", "docs_source_cap" -> "ccp",
+    "docs_split" -> "csp", "docs_chunk" -> "cch",
+    "docs_decontaminate" -> "cdc",
     // multimodal
-    "mm_binary_meta" -> "m_bm", "mm_features" -> "m_bf",
-    "mm_frame_sample" -> "m_fr", "mm_resize" -> "m_rs",
-    "mm_audio_meta" -> "m_am", "mm_audio_features" -> "m_af",
-    "mm_audio_resample" -> "m_ar",
-    "mm_jpeg_meta" -> "m_jm", "mm_jpeg_features" -> "m_jf",
-    "mm_ahash" -> "m_ah", "skope_geotiff_tiled" -> "s_tl",
+    "mm_binary_meta" -> "mbm", "mm_features" -> "mbf",
+    "mm_frame_sample" -> "mfr", "mm_resize" -> "mrs",
+    "mm_audio_meta" -> "mam", "mm_audio_features" -> "maf",
+    "mm_audio_resample" -> "mar",
+    "mm_jpeg_meta" -> "mjm", "mm_jpeg_features" -> "mjf",
+    "mm_ahash" -> "mah", "skope_geotiff_tiled" -> "stl",
     // BPE tokenizer family (round 13)
-    "text_tokens_bpe" -> "t_bp", "docs_split_bpe" -> "c_spb",
-    "docs_pack_bpe" -> "c_pkb", "docs_mix_bpe" -> "c_mxb",
-    "text_vocab_bpe" -> "t_bv",
+    "text_tokens_bpe" -> "tbp", "docs_split_bpe" -> "cspb",
+    "docs_pack_bpe" -> "cpkb", "docs_mix_bpe" -> "cmxb",
+    "text_vocab_bpe" -> "tbv",
     // PCA family (round 13)
-    "emb_pca" -> "a_pca", "emb_pca_project" -> "a_pcp",
+    "emb_pca" -> "apca", "emb_pca_project" -> "apcp",
     // span-level dedup apply (round 13)
-    "docs_despan" -> "d_dsp",
+    "docs_despan" -> "ddsp",
     // BigTIFF ingest (round 13)
-    "skope_geotiff_big" -> "s_bt",
+    "skope_geotiff_big" -> "sbt",
     // round 14 additions (rank-table BPE, PCA top-k + whitening,
     // GeoTIFF Predictor 3)
-    "text_tokens_bpek" -> "t_bk", "emb_pca_k" -> "a_pck",
-    "emb_whiten" -> "a_wh", "skope_geotiff_f32pred" -> "s_fp",
+    "text_tokens_bpek" -> "tbk", "emb_pca_k" -> "apck",
+    "emb_whiten" -> "awh", "skope_geotiff_f32pred" -> "sfp",
     // OPQ family (round 15): o=opq, trailing c=recall
-    "emb_pq_opq" -> "a_pqo", "ann_ivfpq_opq" -> "a_ipo",
-    "ann_ivfpq_opq_recall" -> "a_ioc",
+    "emb_pq_opq" -> "apqo", "ann_ivfpq_opq" -> "aipo",
+    "ann_ivfpq_opq_recall" -> "aioc",
     // epoch-capped mixture + bigram LM score (round 15)
-    "docs_mix_epochs" -> "c_mep", "text_bigram_logprob" -> "t_bl",
-    "docs_lm_buckets" -> "c_lb"
+    "docs_mix_epochs" -> "cmep", "text_bigram_logprob" -> "tbl",
+    "docs_lm_buckets" -> "clb", "text_quality_clf" -> "tqc",
+    "docs_quality_apply" -> "cqa"
   )
 
   def main(args: Array[String]): Unit = {

@@ -50,7 +50,8 @@ object SparkEntry {
     "q21_wait_supp" -> (TpchQueries.q21 _)
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries ++
-    Curation.queries ++ TrainingPrep.queries ++ graft.pipeline.Bpe.queries
+    Curation.queries ++ TrainingPrep.queries ++ graft.pipeline.Bpe.queries ++
+    graft.pipeline.QualityClf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +59,5 @@ object SparkEntry {
     TpchQueries.oracles ++ SkopeQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       EventOps.oracles ++ Curation.oracles ++ TrainingPrep.oracles ++
-      graft.pipeline.Bpe.oracles
+      graft.pipeline.Bpe.oracles ++ graft.pipeline.QualityClf.oracles
 }

@@ -32,6 +32,7 @@ private[graft] object ArtifactCache {
     Similarity.clearDriverCaches()
     Dedup.clearDriverCaches()
     Bpe.clearCache()
+    QualityClf.clearCache()
   }
 
   /** Unpersist and forget one artifact (e.g. a superseded serving

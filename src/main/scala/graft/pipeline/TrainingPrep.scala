@@ -348,9 +348,8 @@ object TrainingPrep {
     * aggregation-order difference between two materializations can
     * flip a 6-dp rounding and drop a doc. */
   private[graft] def bigramScoredTable(spark: SparkSession,
-      dir: String): DataFrame = {
-    val tbl = "graft_lmscore_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + Dedup.corpusFingerprint(spark, dir)
+      dir: String, raw: Boolean = false): DataFrame = {
+    val tbl = lmScoreName(spark, dir)
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
@@ -360,12 +359,54 @@ object TrainingPrep {
           bigramScore(spark, dir), tbl, path, Seq("doc_id"),
           Dedup.IndexBuckets)
     }
-    spark.table(tbl)
+    if (raw) spark.table(tbl)
+    else Tombstones.minus(spark, spark.table(tbl),
+      lmScoreName(spark, dir, tomb = true), "doc_id")
+  }
+
+  private def lmScoreName(spark: SparkSession, dir: String,
+      tomb: Boolean = false): String =
+    (if (tomb) "graft_tomb_lmscore_" else "graft_lmscore_") +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Dedup.corpusFingerprint(spark, dir)
+
+  /** Takedown for the scored artifact — CONTENT-removal semantics
+    * (the BPE-merge rule applied to scores): the doc's row leaves the
+    * artifact, but the LM the scores were computed under is a trained
+    * corpus-level model and is not re-fit per takedown — exactly how
+    * production LM-filter sidecars behave (the fingerprint-named
+    * artifact rebuilds in full when the corpus content changes).
+    * Returns how many ids were newly recorded. */
+  private[graft] def removeFromScoredTable(spark: SparkSession,
+      dir: String, docIds: Seq[Long]): Long = Maintenance.IndexLocks
+      .withLock("lmscore", dir) {
+    Tombstones.add(spark, lmScoreName(spark, dir, tomb = true), docIds)
+  }
+
+  /** Materialize + forget the scored artifact's deletions — the
+    * compactAll hook (the artifact is write-once otherwise, so this
+    * is its only rewrite path). */
+  private[graft] def compactScoredIfPresent(spark: SparkSession,
+      dir: String): Int = Maintenance.IndexLocks.withLock("lmscore", dir) {
+    val tbl = lmScoreName(spark, dir)
+    if (!spark.catalog.tableExists(tbl)) 0
+    else {
+      val tomb = lmScoreName(spark, dir, tomb = true)
+      graft.sources.TableIO.compactBucketed(spark, tbl,
+        Seq("doc_id"), Dedup.IndexBuckets,
+        transform = df => Tombstones.minus(spark, df, tomb, "doc_id"))
+      Tombstones.clear(spark, tomb)
+      1
+    }
   }
 
   /** The corpus-scale scoring pass behind [[bigramScoredTable]] — runs
-    * once per corpus content, at artifact-build time. */
-  private def bigramScore(spark: SparkSession, dir: String): DataFrame = {
+    * once per corpus content, at artifact-build time. private[pipeline]
+    * so GramKeySpec pins the two-seed key widths on the plan that
+    * actually runs the gram joins (the public bigramLogprob is a table
+    * read once the artifact exists). */
+  private[pipeline] def bigramScore(spark: SparkSession,
+      dir: String): DataFrame = {
     // gram keys are engine-local xxhashes (the shingle-kernel policy:
     // only counts cross to the oracle, which keys on TEXT) — string
     // bigram keys measured 9.1 s at sf10, fixed-width keys cut the
@@ -739,34 +780,7 @@ object TrainingPrep {
     // (one plain desc window here — the oracle has no plan pins);
     // integer ceil via (n + 2) // 3
     "docs_lm_buckets" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |bg AS MATERIALIZED (
-         |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      generate_series(1, len(ws) - 1),
-         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
-         |    FROM d WHERE len(ws) >= 2)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         |toks AS (SELECT unnest(string_split(text, ' ')) AS token
-         |         FROM documents),
-         |uni AS (SELECT token, count(*) AS cu FROM toks GROUP BY token),
-         |total AS (SELECT sum(cu) AS tot FROM uni),
-         |scored AS MATERIALIZED (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |    round(avg(ln($BigramLambda * CAST(c2.c2 AS DOUBLE) / c1.c1
-         |      + (1.0 - $BigramLambda) * CAST(uni.cu AS DOUBLE) / tot))
-         |      + 1e-9, 6) AS avg_logprob
-         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-         |  JOIN uni ON uni.token = bg.w2 CROSS JOIN total
-         |  GROUP BY doc_id),
-         |nn AS (SELECT count(*) AS n FROM scored),
-         |hist AS (SELECT avg_logprob AS s, count(*) AS cnt
-         |         FROM scored GROUP BY 1),
-         |cum AS (SELECT s, coalesce(sum(cnt) OVER (ORDER BY s DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    AS better FROM hist)
+      s"""WITH $lmChainSql
          |SELECT scored.doc_id, scored.n_bigrams, scored.avg_logprob,
          |  CASE WHEN c.better < (nn.n + 2) // 3 THEN 'head'
          |       WHEN c.better < (2 * nn.n + 2) // 3 THEN 'middle'
@@ -774,6 +788,40 @@ object TrainingPrep {
          |FROM scored JOIN cum c ON scored.avg_logprob = c.s
          |CROSS JOIN nn""".stripMargin
   )
+
+  /** The scored-frame + tercile-cut CTE chain shared by the
+    * docs_lm_buckets oracle and the quality-classifier oracles (which
+    * derive their LABELS from the same cut): everything up to `cum`,
+    * without the WITH keyword or a final SELECT. */
+  private[pipeline] def lmChainSql: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(ws) - 1),
+       |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+       |    FROM d WHERE len(ws) >= 2)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |toks AS (SELECT unnest(string_split(text, ' ')) AS token
+       |         FROM documents),
+       |uni AS (SELECT token, count(*) AS cu FROM toks GROUP BY token),
+       |total AS (SELECT sum(cu) AS tot FROM uni),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    round(avg(ln($BigramLambda * CAST(c2.c2 AS DOUBLE) / c1.c1
+       |      + (1.0 - $BigramLambda) * CAST(uni.cu AS DOUBLE) / tot))
+       |      + 1e-9, 6) AS avg_logprob
+       |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |  JOIN uni ON uni.token = bg.w2 CROSS JOIN total
+       |  GROUP BY doc_id),
+       |nn AS (SELECT count(*) AS n FROM scored),
+       |hist AS (SELECT avg_logprob AS s, count(*) AS cnt
+       |         FROM scored GROUP BY 1),
+       |cum AS (SELECT s, coalesce(sum(cnt) OVER (ORDER BY s DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS better FROM hist)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_split" -> (splitReport _),

@@ -60,7 +60,10 @@ class GramKeySpec extends SparkSpec {
   }
 
   test("bigramLogprob joins every gram table on two-seed key pairs") {
-    assertPaired(TrainingPrep.bigramLogprob(spark, sfDir),
+    // pin the artifact-BUILD plan (bigramScore): the public
+    // bigramLogprob reads the stored score table once built (r17),
+    // so its plan carries no gram joins to inspect
+    assertPaired(TrainingPrep.bigramScore(spark, sfDir),
       "bigramLogprob", Set("kb", "k1", "k2"))
   }
 }
