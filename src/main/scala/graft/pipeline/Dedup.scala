@@ -393,7 +393,7 @@ object Dedup {
     * builds hash tables straight off the scan. Written once per
     * corpus alongside [[minhashIndexTable]]. */
   private[graft] def shingleIndexTable(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_shingles_")
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
@@ -406,7 +406,12 @@ object Dedup {
         graft.sources.TableIO.writeBucketed(
           shingleArrays(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
     }
-    spark.table(tbl)
+    // raw = the PHYSICAL table (append-path freshness probes, so a
+    // tombstoned doc stays "known" and replays stay no-ops); default
+    // view subtracts the family's deletion sidecar
+    if (raw) spark.table(tbl)
+    else Tombstones.minus(spark, spark.table(tbl),
+      indexTableName(spark, dir, "graft_tomb_dedup_"), "doc_id")
   }
 
   /** The minhash posting index as a PERSISTED bucketed lake table —
@@ -418,7 +423,7 @@ object Dedup {
     * (catalog existence check), read back through the catalog so the
     * planner trusts the bucket spec. */
   private[pipeline] def minhashIndexTable(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_minhash_idx_")
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
@@ -428,7 +433,9 @@ object Dedup {
         graft.sources.TableIO.writeBucketed(
           minhashPostings(spark, dir), tbl, path, Seq("k"), IndexBuckets)
     }
-    spark.table(tbl)
+    if (raw) spark.table(tbl)
+    else Tombstones.minus(spark, spark.table(tbl),
+      indexTableName(spark, dir, "graft_tomb_dedup_"), "doc_id")
   }
 
   /** Append a batch of documents into BOTH stored index tables — the
@@ -467,8 +474,13 @@ object Dedup {
     val minhashTbl = indexTableName(spark, dir, "graft_minhash_idx_")
     // ensure both tables exist before appending (first ingest into a
     // fresh corpus creates them from the corpus itself)
-    val storedShIds = shingleIndexTable(spark, dir).select(col("doc_id"))
-    val storedMhIds = minhashIndexTable(spark, dir).select(col("doc_id"))
+    // PHYSICAL tables (raw): a tombstoned doc must stay "known" here,
+    // or every replay of a batch containing it would re-append its
+    // rows (Tombstones' sticky-until-compaction contract)
+    val storedShIds = shingleIndexTable(spark, dir, raw = true)
+      .select(col("doc_id"))
+    val storedMhIds = minhashIndexTable(spark, dir, raw = true)
+      .select(col("doc_id"))
     val batchIds = broadcast(batchSh.select(col("doc_id")))
     // EACH table's fresh list is keyed on that table's OWN ids, and
     // both are pinned on the DRIVER (bounded: batch scale) before any
@@ -508,12 +520,89 @@ object Dedup {
     * zero-index-side-Exchange property across the rewrite). */
   private[graft] def compactIndex(spark: SparkSession, dir: String): Unit =
       Maintenance.IndexLocks.withLock("dedup", dir) {
+    val tomb = indexTableName(spark, dir, "graft_tomb_dedup_")
+    val f: DataFrame => DataFrame =
+      df => Tombstones.minus(spark, df, tomb, "doc_id")
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_minhash_idx_"),
-      Seq("k"), IndexBuckets)
+      Seq("k"), IndexBuckets, transform = f)
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_shingles_"),
-      Seq("doc_id"), IndexBuckets)
+      Seq("doc_id"), IndexBuckets, transform = f)
+    // both tables rewritten without the tombstoned docs — the deletion
+    // is physical now; forget the sidecar (a crash before this line
+    // only re-filters rows that are already gone)
+    Tombstones.clear(spark, tomb)
+  }
+
+  /** Takedown / right-to-be-forgotten for the minhash+shingle family
+    * (r16 verdict item 2): record `docIds` in the family's deletion
+    * sidecar (Tombstones — the equality-delete design); every read
+    * path (probe joins, incremental dedup, the streaming twins)
+    * subtracts it immediately, and the next [[compactIndex]] pass
+    * materializes it physically. Idempotent; nothing corpus-scale
+    * moves at delete time. Returns how many ids were newly recorded. */
+  private[graft] def removeFromIndex(spark: SparkSession, dir: String,
+      docIds: Seq[Long]): Long = Maintenance.IndexLocks
+      .withLock("dedup", dir) {
+    Tombstones.add(spark,
+      indexTableName(spark, dir, "graft_tomb_dedup_"), docIds)
+  }
+
+  /** [[removeFromIndex]] for the simhash family. */
+  private[graft] def removeSimhashFromIndex(spark: SparkSession,
+      dir: String, docIds: Seq[Long]): Long = Maintenance.IndexLocks
+      .withLock("simhash", dir) {
+    Tombstones.add(spark,
+      indexTableName(spark, dir, "graft_tomb_simhash_"), docIds)
+  }
+
+  /** [[removeFromIndex]] for the span family — the one deletion that
+    * must run the fold path in REVERSE: the span index stores DERIVED
+    * duplicated-start markers, and deleting a doc can turn another
+    * doc's marked span back into a singleton (the inverse of the
+    * append's promotion). For each span hash the dropped docs carry,
+    * the surviving occurrence count is probed bucket-pruned against
+    * the (h,h2)-bucketed posting table; hashes left with exactly ONE
+    * surviving occurrence demote that survivor's (doc_id, i) into the
+    * pair sidecar [[spanIndexTable]] subtracts. Demotions land BEFORE
+    * the doc ids are recorded, so a crash between the writes replays
+    * the whole computation (duplicate demote rows anti-join away).
+    * Returns how many ids were newly recorded. */
+  private[graft] def removeSpanFromIndex(spark: SparkSession, dir: String,
+      docIds: Seq[Long]): Long = Maintenance.IndexLocks
+      .withLock("span", dir) {
+    import spark.implicits._
+    val tomb = indexTableName(spark, dir, "graft_tomb_span_")
+    val demoteTbl = indexTableName(spark, dir, "graft_tombsp_span_")
+    val recorded: Set[Long] =
+      if (spark.catalog.tableExists(tomb))
+        spark.table(tomb).as[Long].collect().toSet
+      else Set.empty
+    val fresh = docIds.distinct.filterNot(recorded)
+    if (fresh.isEmpty) 0L
+    else {
+      // first touch builds both tables — the demotion probe needs the
+      // posting counts
+      spanIndexTable(spark, dir, raw = true)
+      val stored = spanPostTable(spark, dir, raw = true)
+      // the POSTING table is the authoritative record of what the
+      // index holds for a doc (a streamed doc's text lives in no
+      // corpus parquet) — one map-only scan with the id list pushed
+      // down to the parquet filters, batch-bounded output
+      val touched = stored.filter(col("doc_id").isin(fresh: _*))
+        .select(col("h"), col("h2")).distinct()
+      val allDropped = (recorded ++ fresh).toSeq
+      val surv = stored.join(broadcast(touched), Seq("h", "h2"))
+        .filter(!col("doc_id").isin(allDropped: _*))
+      val demote = surv.groupBy(col("h"), col("h2"))
+        .agg(sum(col("c")).as("stot"),
+          any_value(struct(col("doc_id"), col("i"))).as("owner"))
+        .filter(col("stot") === 1)
+        .select(col("owner.doc_id").as("doc_id"), col("owner.i").as("i"))
+      Tombstones.addRows(spark, demoteTbl, demote)
+      Tombstones.add(spark, tomb, fresh)
+    }
   }
 
   /** [[appendToIndex]]'s simhash twin: fold a batch's triple-key
@@ -527,7 +616,8 @@ object Dedup {
       batchPost: DataFrame): Long = Maintenance.IndexLocks
       .withLock("simhash", dir) {
     val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
-    val storedIds = simhashIndexTable(spark, dir).select(col("doc_id"))
+    val storedIds = simhashIndexTable(spark, dir, raw = true)
+      .select(col("doc_id"))
     val batchIds = broadcast(batchPost.select(col("doc_id")).distinct())
     val known = storedIds.join(batchIds, "doc_id").distinct()
     // driver-pinned fresh id list (the appendShingles discipline):
@@ -547,9 +637,12 @@ object Dedup {
   /** Compaction for the simhash index (the [[compactIndex]] shape). */
   private[graft] def compactSimhashIndex(spark: SparkSession,
       dir: String): Unit = Maintenance.IndexLocks.withLock("simhash", dir) {
+    val tomb = indexTableName(spark, dir, "graft_tomb_simhash_")
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_simhash_idx_"),
-      Seq("k"), IndexBuckets)
+      Seq("k"), IndexBuckets,
+      transform = df => Tombstones.minus(spark, df, tomb, "doc_id"))
+    Tombstones.clear(spark, tomb)
   }
 
   /** Compact whichever of this corpus's dedup lake tables exist —
@@ -561,21 +654,47 @@ object Dedup {
     // each table compacts under ITS family's maintenance lock so a
     // concurrent fold of that family serializes against the rewrite
     // while the other families keep folding
+    val dedupTomb = indexTableName(spark, dir, "graft_tomb_dedup_")
+    val simhashTomb = indexTableName(spark, dir, "graft_tomb_simhash_")
+    val spanTomb = indexTableName(spark, dir, "graft_tomb_span_")
+    val spanDemote = indexTableName(spark, dir, "graft_tombsp_span_")
+    def docMinus(tomb: String): DataFrame => DataFrame =
+      df => Tombstones.minus(spark, df, tomb, "doc_id")
     val specs = Seq(
-      ("graft_minhash_idx_", Seq("k"), "dedup"),
-      ("graft_shingles_", Seq("doc_id"), "dedup"),
-      ("graft_simhash_idx_", Seq("k"), "simhash"),
-      ("graft_spanidx_", Seq("doc_id"), "span"),
-      ("graft_spanpost_", Seq("h", "h2"), "span"))
-    specs.count { case (prefix, cols, family) =>
+      ("graft_minhash_idx_", Seq("k"), "dedup", docMinus(dedupTomb)),
+      ("graft_shingles_", Seq("doc_id"), "dedup", docMinus(dedupTomb)),
+      ("graft_simhash_idx_", Seq("k"), "simhash", docMinus(simhashTomb)),
+      ("graft_spanidx_", Seq("doc_id"), "span",
+        (df: DataFrame) => Tombstones.minusRows(spark,
+          docMinus(spanTomb)(df), spanDemote, Seq("doc_id", "i"))),
+      ("graft_spanpost_", Seq("h", "h2"), "span", docMinus(spanTomb)))
+    val compacted = specs.map { case (prefix, cols, family, f) =>
       Maintenance.IndexLocks.withLock(family, dir) {
         val tbl = indexTableName(spark, dir, prefix)
         val present = spark.catalog.tableExists(tbl)
         if (present)
-          graft.sources.TableIO.compactBucketed(spark, tbl, cols, IndexBuckets)
-        present
+          graft.sources.TableIO.compactBucketed(spark, tbl, cols,
+            IndexBuckets, transform = f)
+        (family, present)
       }
     }
+    // a family's sidecars clear only when EVERY table of that family
+    // was present and rewritten — a tombstone recorded before the
+    // index was ever built must survive until a build+compact
+    // materializes it
+    def familyDone(family: String): Boolean = {
+      val fs = compacted.filter(_._1 == family)
+      fs.nonEmpty && fs.forall(_._2)
+    }
+    if (familyDone("dedup")) Maintenance.IndexLocks
+      .withLock("dedup", dir)(Tombstones.clear(spark, dedupTomb))
+    if (familyDone("simhash")) Maintenance.IndexLocks
+      .withLock("simhash", dir)(Tombstones.clear(spark, simhashTomb))
+    if (familyDone("span")) Maintenance.IndexLocks.withLock("span", dir) {
+      Tombstones.clear(spark, spanTomb)
+      Tombstones.clear(spark, spanDemote)
+    }
+    compacted.count(_._2)
   }
 
   /** Incremental (delta-vs-corpus) fuzzy dedup — how a 100 TB lake
@@ -732,7 +851,7 @@ object Dedup {
     * payload for the hamming filter), t (triple id, payload for the
     * canonical-emission filter). */
   private[graft] def simhashIndexTable(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
@@ -743,7 +862,9 @@ object Dedup {
           simhashPostingsOfDocs(simhashSigs(spark, dir)), tbl, path,
           Seq("k"), IndexBuckets)
     }
-    spark.table(tbl)
+    if (raw) spark.table(tbl)
+    else Tombstones.minus(spark, spark.table(tbl),
+      indexTableName(spark, dir, "graft_tomb_simhash_"), "doc_id")
   }
 
   /** Triple-key posting rows for an arbitrary (doc_id, sim) signature
@@ -1171,7 +1292,7 @@ object Dedup {
     * write-once; daily growth folds in through [[appendSpanToIndex]]
     * (r13 verdict item 3) instead of re-paying the discovery pass. */
   private[graft] def spanIndexTable(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_spanidx_")
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
@@ -1181,7 +1302,16 @@ object Dedup {
         graft.sources.TableIO.writeBucketed(
           dupSpanStarts(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
     }
-    spark.table(tbl)
+    // deletion view: the doc sidecar drops the deleted docs' own rows;
+    // the (doc_id, i) demotion sidecar drops SURVIVING docs' rows whose
+    // span stopped being duplicated when its only other occurrence was
+    // deleted ([[removeSpanFromIndex]]'s reverse of the append's
+    // singleton promotion)
+    if (raw) spark.table(tbl)
+    else Tombstones.minusRows(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        indexTableName(spark, dir, "graft_tomb_span_"), "doc_id"),
+      indexTableName(spark, dir, "graft_tombsp_span_"), Seq("doc_id", "i"))
   }
 
   /** The span-hash POSTING table — the fold substrate the r13 verdict
@@ -1196,7 +1326,7 @@ object Dedup {
     * Corpus-linear like the minhash posting table — the price of
     * incrementality, amortized over every later fold. */
   private[graft] def spanPostTable(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_spanpost_")
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
@@ -1209,7 +1339,9 @@ object Dedup {
             .agg(min(col("i")).as("i"), count(lit(1)).as("c")),
           tbl, path, Seq("h", "h2"), IndexBuckets)
     }
-    spark.table(tbl)
+    if (raw) spark.table(tbl)
+    else Tombstones.minus(spark, spark.table(tbl),
+      indexTableName(spark, dir, "graft_tomb_span_"), "doc_id")
   }
 
   /** Fold a batch of documents into the stored span index — the
@@ -1242,7 +1374,13 @@ object Dedup {
     import spark.implicits._
     val idxTbl = indexTableName(spark, dir, "graft_spanidx_")
     val postTbl = indexTableName(spark, dir, "graft_spanpost_")
-    spanIndexTable(spark, dir) // ensure both exist (first fold builds)
+    spanIndexTable(spark, dir, raw = true) // ensure both exist
+    // freshness probes against the PHYSICAL table (tombstoned docs
+    // stay "known", replays stay no-ops)...
+    val storedProbe = spanPostTable(spark, dir, raw = true)
+    // ...but duplicate COUNTING against the deletion view: a span
+    // shared only with a tombstoned doc is NOT duplicated (and a
+    // tombstoned owner must never be promoted)
     val stored = spanPostTable(spark, dir)
     // driver-pinned fresh-doc list keyed on the posting table itself.
     // Docs shorter than SpanLen produce ZERO spans (spansOf filters
@@ -1252,7 +1390,8 @@ object Dedup {
     // index footprint by definition, so exclude them up front.
     val spannable = batchDocs.filter(length(col("text")) >= SpanLen)
     val batchIds = broadcast(spannable.select(col("doc_id")).distinct())
-    val known = stored.select(col("doc_id")).join(batchIds, "doc_id").distinct()
+    val known = storedProbe.select(col("doc_id")).join(batchIds, "doc_id")
+      .distinct()
     val freshSeq = spannable.select(col("doc_id")).distinct()
       .join(broadcast(known), Seq("doc_id"), "left_anti")
       .as[Long].collect().toSeq
@@ -1320,15 +1459,25 @@ object Dedup {
       dir: String): Boolean =
     spark.catalog.tableExists(indexTableName(spark, dir, "graft_spanidx_"))
 
-  /** Compaction for the span tables (the [[compactIndex]] shape). */
+  /** Compaction for the span tables (the [[compactIndex]] shape);
+    * materializes BOTH deletion sidecars — the doc tombstones and the
+    * (doc_id, i) demotions — then forgets them. */
   private[graft] def compactSpanIndex(spark: SparkSession,
       dir: String): Unit = Maintenance.IndexLocks.withLock("span", dir) {
+    val tomb = indexTableName(spark, dir, "graft_tomb_span_")
+    val demoteTbl = indexTableName(spark, dir, "graft_tombsp_span_")
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_spanidx_"),
-      Seq("doc_id"), IndexBuckets)
+      Seq("doc_id"), IndexBuckets,
+      transform = df => Tombstones.minusRows(spark,
+        Tombstones.minus(spark, df, tomb, "doc_id"),
+        demoteTbl, Seq("doc_id", "i")))
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_spanpost_"),
-      Seq("h", "h2"), IndexBuckets)
+      Seq("h", "h2"), IndexBuckets,
+      transform = df => Tombstones.minus(spark, df, tomb, "doc_id"))
+    Tombstones.clear(spark, tomb)
+    Tombstones.clear(spark, demoteTbl)
   }
 
   def despan(spark: SparkSession, dir: String): DataFrame = {

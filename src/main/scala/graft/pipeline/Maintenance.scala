@@ -49,12 +49,24 @@ object Maintenance {
   def compactAll(spark: SparkSession, dir: String,
       annKinds: Seq[String] = Seq("md5", "trained", "residual", "opq"))
       : Map[String, Int] = {
+    // sweep every ann kind table that PHYSICALLY exists, not just the
+    // caller's list — the deletion sidecar may only clear once every
+    // kind materialized it (Similarity.removeFromAnnIndex's contract)
+    val presentKinds = Similarity.annCodeKindsPresent(spark, dir)
+    val sweepKinds = (annKinds ++ presentKinds).distinct
     val counts = Seq(
       "dedup" -> Dedup.compactDedupIfPresent(spark, dir),
       "semantic" -> Similarity.compactSemIfPresent(spark, dir),
-      "ann_codes" -> annKinds.map(k =>
+      "ann_codes" -> sweepKinds.map(k =>
         Similarity.compactAnnIndexIfPresent(spark, dir, k) min 1).sum,
-      "ann_vecs" -> Similarity.compactAnnVecsIfPresent(spark, dir).min(1))
+      "ann_vecs" -> Similarity.compactAnnVecsIfPresent(spark, dir).min(1),
+      "lmscore" -> TrainingPrep.compactScoredIfPresent(spark, dir))
+    // every existing ann table (all kinds + the refine vecs) has now
+    // rewritten without the tombstoned vecs — forget the sidecar. A
+    // sidecar recorded before ANY ann table was built survives (the
+    // future first-touch build re-derives from the corpus, which
+    // still contains the vec).
+    if (presentKinds.nonEmpty) Similarity.clearAnnTombstones(spark, dir)
     counts.filter(_._2 > 0).toMap
   }
 }

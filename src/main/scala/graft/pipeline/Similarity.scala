@@ -1190,7 +1190,7 @@ object Similarity {
     * paid (the r11 verdict's top item: a_ivfpqt/a_ivfpqr's 11-12 s of
     * per-session training + encode topped the sf10 bench). */
   private[pipeline] def codeTable(spark: SparkSession, dir: String,
-      kind: String): DataFrame = {
+      kind: String, raw: Boolean = false): DataFrame = {
     val tbl = annCodeName(spark, dir, kind)
     if (!spark.catalog.tableExists(tbl)) {
       val path = new java.io.File(
@@ -1204,7 +1204,14 @@ object Similarity {
           buildCodeTable(spark, dir, kind), tbl, path,
           Seq("cent_id"), IvfCentroids)
     }
-    spark.table(tbl)
+    // default view subtracts the ann deletion sidecar (a removed vec
+    // can never be short-listed); raw = the physical table, for the
+    // fold path's freshness probes. FAISS remove_ids semantics: the
+    // TRAINED artifacts (codebooks, centroids) are never retrained by
+    // a delete — only the vec's code rows go.
+    if (raw) spark.table(tbl)
+    else Tombstones.minus(spark, spark.table(tbl),
+      semTableName(spark, dir, "graft_tomb_ann_"), "vec_id")
   }
 
   private def annCodeName(spark: SparkSession, dir: String,
@@ -1223,12 +1230,19 @@ object Similarity {
   private def annStreamVecsIfAny(spark: SparkSession,
       dir: String): Option[DataFrame] = {
     val tbl = semTableName(spark, dir, "graft_annvecs_")
-    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl)) else None
+    if (spark.catalog.tableExists(tbl))
+      Some(Tombstones.minus(spark, spark.table(tbl),
+        semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"))
+    else None
   }
 
   private[graft] def annStreamVecsTable(spark: SparkSession,
-      dir: String): DataFrame =
-    vecsExtensionTable(spark, dir, "graft_annvecs_")
+      dir: String, raw: Boolean = false): DataFrame = {
+    val t = vecsExtensionTable(spark, dir, "graft_annvecs_")
+    if (raw) t
+    else Tombstones.minus(spark, t,
+      semTableName(spark, dir, "graft_tomb_ann_"), "vec_id")
+  }
 
   /** Fold a batch of NEW vectors into the persisted ANN index for
     * `kind` — ENCODE-ONLY maintenance, the production ingest of an IVF
@@ -1287,18 +1301,19 @@ object Similarity {
     * content never changes under an id across replays (the same
     * assumption the idempotent append itself rests on). */
   private[graft] def prunedCodeProbe(spark: SparkSession, dir: String,
-      kind: String, touched: Seq[Long]): DataFrame =
+      kind: String, touched: Seq[Long], raw: Boolean = false): DataFrame =
     // an empty micro-batch touches no list: probe nothing (lit(false)
     // rather than isin() with zero operands, whose semantics are not a
     // contract worth relying on)
-    if (touched.isEmpty) codeTable(spark, dir, kind).filter(lit(false))
-    else codeTable(spark, dir, kind).filter(col("cent_id").isin(touched: _*))
+    if (touched.isEmpty) codeTable(spark, dir, kind, raw).filter(lit(false))
+    else codeTable(spark, dir, kind, raw)
+      .filter(col("cent_id").isin(touched: _*))
 
   private[graft] def appendAnnToIndex(spark: SparkSession, dir: String,
       batchVecs: DataFrame, kind: String): Long = Maintenance.IndexLocks
       .withLock("ann", dir) {
     import spark.implicits._
-    codeTable(spark, dir, kind) // first touch builds + trains
+    codeTable(spark, dir, kind, raw = true) // first touch builds + trains
     val (batchEnc, touched) = encodeBatch(spark, dir, batchVecs, kind)
     // BOTH fresh lists are keyed on their own target table and pinned
     // on the driver before any append lands: a crash between the code
@@ -1306,10 +1321,12 @@ object Similarity {
     // nothing, the missing one catches up) — keying the vector append
     // on the code table, as the first cut did, would skip it forever
     // after such a crash and silently shrink every refine shortlist.
+    // PHYSICAL probes (raw): a tombstoned vec stays "known" so replays
+    // of a batch containing it stay no-ops (the Tombstones contract)
     val freshIdSeq = annFreshIds(spark, batchVecs,
-        prunedCodeProbe(spark, dir, kind, touched))
+        prunedCodeProbe(spark, dir, kind, touched, raw = true))
       .as[Long].collect().toSeq
-    val vt = annStreamVecsTable(spark, dir)
+    val vt = annStreamVecsTable(spark, dir, raw = true)
     // vector freshness: keyed on the vecs table's own ids (torn-fold
     // healing) MINUS corpus-resident ids — a batch vec_id that already
     // lives in the corpus is (correctly) skipped by the code append,
@@ -1384,8 +1401,60 @@ object Similarity {
     val tbl = semTableName(spark, dir, "graft_annvecs_")
     if (spark.catalog.tableExists(tbl))
       graft.sources.TableIO.compactBucketed(spark, tbl,
-        Seq("vec_id"), Dedup.IndexBuckets)
+        Seq("vec_id"), Dedup.IndexBuckets,
+        transform = df => Tombstones.minus(spark, df,
+          semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"))
     else 0
+  }
+
+  /** Takedown / right-to-be-forgotten for the ANN family (r16 verdict
+    * item 2) — FAISS `remove_ids` semantics on the lake layout: record
+    * `vecIds` in the family's deletion sidecar; every code-table and
+    * refine-vector read subtracts it immediately (a removed vec can
+    * never be short-listed or re-ranked), and the nightly compaction
+    * sweep materializes it across ALL kind tables before the sidecar
+    * clears ([[Maintenance.compactAll]] owns the clear — one kind's
+    * compaction must not forget ids another kind still carries).
+    * Trained artifacts (codebooks, centroids, OPQ permutations) are
+    * never retrained by a delete, exactly like FAISS. Idempotent;
+    * returns how many ids were newly recorded. */
+  private[graft] def removeFromAnnIndex(spark: SparkSession, dir: String,
+      vecIds: Seq[Long]): Long = Maintenance.IndexLocks
+      .withLock("ann", dir) {
+    Tombstones.add(spark,
+      semTableName(spark, dir, "graft_tomb_ann_"), vecIds)
+  }
+
+  /** [[removeFromAnnIndex]] for the semantic-dedup family. Cluster
+    * assignments are per-vec rows (no cross-vec derived state — the
+    * pair emission happens at query time), so the doc-family sidecar
+    * discipline applies unchanged; [[compactSemIfPresent]]
+    * materializes and clears. */
+  private[graft] def removeFromSemIndex(spark: SparkSession, dir: String,
+      vecIds: Seq[Long]): Long = Maintenance.IndexLocks
+      .withLock("sem", dir) {
+    Tombstones.add(spark,
+      semTableName(spark, dir, "graft_tomb_sem_"), vecIds)
+  }
+
+  /** The ann code-table kinds with a PHYSICAL table for this corpus —
+    * [[Maintenance.compactAll]]'s sweep list, so a deletion sidecar
+    * only clears after every kind that exists has materialized it. */
+  private[graft] def annCodeKindsPresent(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val prefix = "graft_anncodes_"
+    val suffix = "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      embFingerprint(spark, dir)
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+      .map(n => n.stripPrefix(prefix).stripSuffix(suffix)).toSeq
+  }
+
+  /** Forget the ann deletion sidecar — called by compactAll AFTER the
+    * full kind + vecs sweep materialized it everywhere. */
+  private[graft] def clearAnnTombstones(spark: SparkSession,
+      dir: String): Unit = Maintenance.IndexLocks.withLock("ann", dir) {
+    Tombstones.clear(spark, semTableName(spark, dir, "graft_tomb_ann_"))
   }
 
   /** Compact whichever semantic-dedup lake tables exist — the
@@ -1395,17 +1464,25 @@ object Similarity {
     * back until now. Returns the number of tables rewritten. */
   private[graft] def compactSemIfPresent(spark: SparkSession,
       dir: String): Int = Maintenance.IndexLocks.withLock("sem", dir) {
+    val tomb = semTableName(spark, dir, "graft_tomb_sem_")
     val specs = Seq(
       ("graft_sempost_", Seq("cent_id")),
       ("graft_semvecs_", Seq("vec_id")))
-    specs.count { case (prefix, cols) =>
+    val n = specs.count { case (prefix, cols) =>
       val tbl = semTableName(spark, dir, prefix)
       val present = spark.catalog.tableExists(tbl)
       if (present)
         graft.sources.TableIO.compactBucketed(spark, tbl, cols,
-          Dedup.IndexBuckets)
+          Dedup.IndexBuckets,
+          transform = df => Tombstones.minus(spark, df, tomb, "vec_id"))
       present
     }
+    // the base posting table is the corpus-derived artifact: a sidecar
+    // recorded before it was ever built must survive until a
+    // build+compact materializes it (the compactDedupIfPresent rule)
+    if (spark.catalog.tableExists(semTableName(spark, dir, "graft_sempost_")))
+      Tombstones.clear(spark, tomb)
+    n
   }
 
   /** Rewrite the `kind` code table back to ONE file per inverted list —
@@ -1418,8 +1495,13 @@ object Similarity {
     * corpus populating 11 of 16 lists compacts to 11 files. */
   private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
       kind: String): Int = Maintenance.IndexLocks.withLock("ann", dir) {
+    // materializes the deletion sidecar for THIS kind's rows; the
+    // sidecar itself clears only in compactAll's full-family sweep
+    // (another kind's table may still carry the tombstoned vecs)
     graft.sources.TableIO.compactPartitioned(spark,
-      annCodeName(spark, dir, kind), Seq("cent_id"), IvfCentroids)
+      annCodeName(spark, dir, kind), Seq("cent_id"), IvfCentroids,
+      transform = df => Tombstones.minus(spark, df,
+        semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"))
   }
 
   /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
@@ -1663,7 +1745,7 @@ object Similarity {
     * off the bucket layout with zero Exchange (pinned in
     * SemanticDedupSpec). */
   private[graft] def semPostingTable(spark: SparkSession, dir: String,
-      broadcastBound: Long): DataFrame = {
+      broadcastBound: Long, raw: Boolean = false): DataFrame = {
     val tbl = "graft_sempost_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + embFingerprint(spark, dir)
     if (!spark.catalog.tableExists(tbl)) {
@@ -1677,7 +1759,9 @@ object Similarity {
           buildSemPosting(spark, dir, broadcastBound), tbl, path,
           Seq("cent_id"), Dedup.IndexBuckets)
     }
-    spark.table(tbl)
+    if (raw) spark.table(tbl)
+    else Tombstones.minus(spark, spark.table(tbl),
+      semTableName(spark, dir, "graft_tomb_sem_"), "vec_id")
   }
 
   /** Lake extension table for STREAMED vectors — the semantic family's
@@ -1698,12 +1782,18 @@ object Similarity {
   private def semStreamVecsIfAny(spark: SparkSession,
       dir: String): Option[DataFrame] = {
     val tbl = semTableName(spark, dir, "graft_semvecs_")
-    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl)) else None
+    if (spark.catalog.tableExists(tbl))
+      Some(Tombstones.minus(spark, spark.table(tbl),
+        semTableName(spark, dir, "graft_tomb_sem_"), "vec_id"))
+    else None
   }
 
   private[graft] def semStreamVecsTable(spark: SparkSession,
-      dir: String): DataFrame = {
-    vecsExtensionTable(spark, dir, "graft_semvecs_")
+      dir: String, raw: Boolean = false): DataFrame = {
+    val t = vecsExtensionTable(spark, dir, "graft_semvecs_")
+    if (raw) t
+    else Tombstones.minus(spark, t,
+      semTableName(spark, dir, "graft_tomb_sem_"), "vec_id")
   }
 
   /** Shared creator for the (vec_id, v, nrm) extension tables — the
@@ -1747,9 +1837,12 @@ object Similarity {
   private[graft] def appendSemToIndex(spark: SparkSession, dir: String,
       batchPost: DataFrame, batchVecs: DataFrame): Long = Maintenance
       .IndexLocks.withLock("sem", dir) {
-    val storedPostIds = semPostingTable(spark, dir, Dedup.BroadcastVerifyBytes)
+    // PHYSICAL probes (raw): a tombstoned vec stays "known" so replays
+    // of a batch containing it stay no-ops (the Tombstones contract)
+    val storedPostIds = semPostingTable(spark, dir,
+      Dedup.BroadcastVerifyBytes, raw = true).select(col("vec_id"))
+    val storedVecIds = semStreamVecsTable(spark, dir, raw = true)
       .select(col("vec_id"))
-    val storedVecIds = semStreamVecsTable(spark, dir).select(col("vec_id"))
     val batchIds = broadcast(batchVecs.select(col("vec_id")).distinct())
     // EACH table's fresh list is keyed on that table's OWN ids, both
     // pinned on the DRIVER (bounded: micro-batch scale) before any

@@ -184,14 +184,19 @@ object TableIO {
     * rewrite one-file-per-partition-value, delete staging, refresh.
     * Returns the actual post-compaction data-file count. */
   def compactPartitioned(spark: SparkSession, table: String,
-      partCols: Seq[String], numTasks: Int): Int = {
+      partCols: Seq[String], numTasks: Int,
+      transform: DataFrame => DataFrame = identity): Int = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val path = meta.location.toString
     val schema = spark.table(table).schema
     val staging = stagingOf(path)
+    // the staging snapshot is UNFILTERED — a crash in the rewrite's
+    // drop window recovers the full pre-compaction state (deletion
+    // sidecars, if any, are cleared only after the rewrite commits)
     spark.table(table).write.mode(SaveMode.Overwrite).parquet(staging)
-    writePartitionedTable(spark.read.schema(schema).parquet(staging),
+    writePartitionedTable(
+      transform(spark.read.schema(schema).parquet(staging)),
       table, path, partCols, numTasks)
     val sPath = new org.apache.hadoop.fs.Path(staging)
     sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -214,14 +219,16 @@ object TableIO {
     * can be < numBuckets — same contract as [[compactPartitioned]]). */
   def compactBucketed(spark: SparkSession, table: String,
       bucketCols: Seq[String], numBuckets: Int,
-      sortCols: Seq[String] = Nil): Int = {
+      sortCols: Seq[String] = Nil,
+      transform: DataFrame => DataFrame = identity): Int = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val path = meta.location.toString
     val schema = spark.table(table).schema
     val staging = stagingOf(path)
+    // staging snapshot stays UNFILTERED — see compactPartitioned
     spark.table(table).write.mode(SaveMode.Overwrite).parquet(staging)
-    writeBucketed(spark.read.schema(schema).parquet(staging),
+    writeBucketed(transform(spark.read.schema(schema).parquet(staging)),
       table, path, bucketCols, numBuckets, sortCols)
     val sPath = new org.apache.hadoop.fs.Path(staging)
     sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
