@@ -58,7 +58,9 @@ import graft.cube.EventCube
   * O(ServingCubeSlices) tasks however many keys it carries.
   *
   * Failure semantics: a key whose cube cannot be BUILT (driver-side,
-  * before the job — e.g. an unknown dataset) fails only its own
+  * before the job — e.g. an unknown variable or an unreadable dir;
+  * an unknown DATASET is rejected upstream by KnownDatasets and would
+  * merely build an empty cube here) fails only its own
   * pendings and the chunk proceeds without it; a failure inside the
   * shared JOB fails the whole chunk's promises — the honest shared
   * fate of a shared plan (there are no concurrently-running sibling
@@ -89,6 +91,22 @@ private[graft] object ServingCoalescer {
       lo: Int, hi: Int, stat: String, promise: Promise[Ser])
 
   private val MaxBatch = 256
+
+  /** Chunk cost budget in JOINED ROWS (Σ cells × bands) — the unit the
+    * shared job's data work actually scales with (r16 verdict item 3:
+    * request COUNT alone let one hourly body, ~24× a daily one's
+    * bands, ride a chunk sized for daily bodies, so mixed-weight lanes
+    * ran one oversized job while daily lanes ran balanced ones).
+    * Sized so the protocol's daily workloads still drain in one
+    * MaxBatch chunk (256 requests × ~135 weight ≈ 35k) while an
+    * hourly-heavy lane closes near the same per-chunk row cost
+    * instead of ~12× it. A chunk always takes at least one pending,
+    * so an oversized single selection still runs (MaxCells-bounded
+    * upstream). */
+  private[graft] val MaxChunkWeight = 90000L
+
+  private def weightOf(p: Pending): Long =
+    p.cells.length.toLong * math.max(1, p.hi - p.lo + 1)
 
   // spec-visible counters: micro-batches executed / requests served
   private[graft] val batchesRun = new AtomicLong(0L)
@@ -160,17 +178,21 @@ private[graft] object ServingCoalescer {
       while (true) {
         val chunk = ArrayBuffer.empty[Pending]
         var cellsInChunk = 0L
+        var weightInChunk = 0L
         var next = lane.q.peek()
         // a chunk always takes at least one pending (an oversized
         // single selection is MaxCells-bounded upstream), and closes
         // before exceeding the batch extractor's driver-side cell
-        // budget or MaxBatch
+        // budget (broadcast row bound), the cells×bands weight budget
+        // (job row bound), or MaxBatch
         while (next != null && chunk.size < MaxBatch &&
             (chunk.isEmpty ||
-              cellsInChunk + next.cells.length <= Api.BatchDriverCellLimit)) {
+              (cellsInChunk + next.cells.length <= Api.BatchDriverCellLimit &&
+                weightInChunk + weightOf(next) <= MaxChunkWeight))) {
           lane.q.poll()
           chunk += next
           cellsInChunk += next.cells.length
+          weightInChunk += weightOf(next)
           next = lane.q.peek()
         }
         if (chunk.nonEmpty) runChunk(spark, chunk.toSeq)
@@ -274,7 +296,13 @@ private[graft] object ServingCoalescer {
           ps.foreach(_.promise.tryFailure(t))
           t match {
             case scala.util.control.NonFatal(_) => None
-            case fatal => throw fatal
+            case fatal =>
+              // every pending of this chunk is already off the queue —
+              // settle ALL of them (not just this key's) before the
+              // lane dies, mirroring the job-phase catch; otherwise
+              // the other keys' handlers block out their full Await
+              all.foreach(_.promise.tryFailure(fatal))
+              throw fatal
           }
       }
     }

@@ -170,6 +170,54 @@ class CoalescerSpec extends SparkSpec {
       "every request must be served by exactly one lane chunk")
   }
 
+  test("mixed-weight churn: hourly bodies next to daily ones stay solo-exact") {
+    // r17 (r16 verdict item 3): chunks close on a cells×bands WEIGHT
+    // budget, not request count — an hourly selection carries ~24× a
+    // daily one's bands, and before the budget one hourly body rode a
+    // chunk sized for daily bodies. This pins row-parity through the
+    // weight-budgeted drain with both weights in one lane: heavy
+    // (hourly, wide band window) and light (daily) requests interleave
+    // concurrently and every response must equal its solo twin.
+    val n = 16
+    def wreq(i: Int): TimeseriesRequest =
+      if (i % 2 == 0)
+        req(i).copy(resolution = graft.cube.EventCube.Hourly,
+          selectedArea = BBoxArea(0, 9, 0, 9), bandRange = (0, 500))
+      else req(i)
+    val before = Api.ServeCoalesce
+    val solo =
+      try { Api.ServeCoalesce = false; (0 until n).map(i => dump(extractTimeseries(spark, sfDir, wreq(i), serving = true))) }
+      finally Api.ServeCoalesce = before
+
+    // the heavy half alone overflows the chunk weight budget, so the
+    // lane MUST split — the budget path is exercised, not just typed
+    val heavyWeight = 8L * 150L * 501L // 8 hourly reqs × 150 cells × 501 bands
+    assert(heavyWeight > ServingCoalescer.MaxChunkWeight)
+
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new Array[Either[Throwable, Seq[Set[Seq[Any]]]]](n)
+    val done = new CountDownLatch(n)
+    (0 until n).foreach { i =>
+      pool.execute { () =>
+        start.await()
+        results(i) =
+          try Right(dump(extractTimeseries(spark, sfDir, wreq(i), serving = true)))
+          catch { case t: Throwable => Left(t) }
+        done.countDown()
+      }
+    }
+    start.countDown()
+    assert(done.await(5, TimeUnit.MINUTES), "mixed-weight requests hung")
+    pool.shutdown()
+    (0 until n).foreach { i =>
+      results(i) match {
+        case Left(t) => fail(s"mixed-weight request $i failed", t)
+        case Right(d) => assert(d === solo(i), s"mixed-weight request $i diverged")
+      }
+    }
+  }
+
   test("a failing request fails alone - batch neighbors are unaffected") {
     // an unknown variable passes request validation? no - it throws
     // upstream; instead poison one request with a dataset filter that
