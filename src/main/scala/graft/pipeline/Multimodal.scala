@@ -206,12 +206,25 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     videoAssets(spark, dir).mapPartitions(_.flatMap { a =>
-      val frames = Png.decodeFrames(a.payload)
-      require(frames.length == NFrames, s"container held ${frames.length} frames")
-      (0 until NFrames by FrameStride).iterator.map { f =>
-        Frame(a.doc_id, f.toLong,
-          frames(f).pixels.map(b => f"${b & 0xff}%02x").mkString)
+      // decode ONLY the sampled frames; non-sampled ones advance via
+      // Png.skipAt's chunk-length walk (no inflate/defilter — the
+      // measured 2/3 of the container's decode work, r16 verdict
+      // item 7). The walk still counts every frame, so the
+      // container-shape contract stays enforced.
+      val out = Vector.newBuilder[Frame]
+      var off = 0
+      var f = 0
+      while (off < a.payload.length) {
+        if (f % FrameStride == 0) {
+          val (img, next) = Png.decodeAt(a.payload, off)
+          out += Frame(a.doc_id, f.toLong,
+            img.pixels.map(b => f"${b & 0xff}%02x").mkString)
+          off = next
+        } else off = Png.skipAt(a.payload, off)
+        f += 1
       }
+      require(f == NFrames, s"container held $f frames")
+      out.result().iterator
     }).toDF()
       .withColumn("frame_digest", md5(col("frame_hex")))
   }

@@ -255,6 +255,33 @@ object Png {
   }
 
   /** Split + decode a concatenated-PNG "video" container. */
+  /** Advance past one PNG starting at `off` WITHOUT decoding it: a
+    * signature check plus a chunk-length walk to IEND. The
+    * frame-sampling fast path (r16 verdict item 7): a container's
+    * non-sampled frames pay a ~per-chunk pointer walk instead of
+    * inflate + defilter + pixel copy. Structural bounds are still
+    * validated (bad lengths fail loudly); CRCs and pixel data are not
+    * touched — the sampled frames' full decode keeps the container
+    * honest, and a skipped frame's corruption surfaces the moment any
+    * consumer decodes it. */
+  def skipAt(bytes: Array[Byte], off: Int): Int = {
+    if (off + 8 > bytes.length ||
+        !java.util.Arrays.equals(bytes, off, off + 8, Signature, 0, 8))
+      throw PngError(s"bad PNG signature at offset $off")
+    var p = off + 8
+    var done = false
+    while (!done) {
+      if (p + 8 > bytes.length) throw PngError("truncated chunk header")
+      val len = getInt(bytes, p)
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (len < 0 || p + 12 + len > bytes.length)
+        throw PngError(s"truncated $typ chunk (len=$len)")
+      done = typ == "IEND"
+      p += 12 + len
+    }
+    p
+  }
+
   def decodeFrames(container: Array[Byte]): Vector[Image] = {
     val out = Vector.newBuilder[Image]
     var off = 0

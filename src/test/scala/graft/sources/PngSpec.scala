@@ -164,4 +164,22 @@ class PngSpec extends AnyFunSuite {
       assert(img.pixels.toSeq == pixels(4, f).toSeq, s"frame $f")
     }
   }
+
+  test("skipAt lands exactly where decodeAt does, for every frame boundary") {
+    // the frame-sampling fast path must agree with the full decode on
+    // container framing, or a skipped frame would desynchronize every
+    // frame index after it
+    val frames = (0 until 5).map(f => Png.encodeGray(2, 2, pixels(4, f), f % 2 == 0))
+    val container = frames.reduce(_ ++ _)
+    var off = 0
+    (0 until 5).foreach { f =>
+      val (_, next) = Png.decodeAt(container, off)
+      assert(Png.skipAt(container, off) == next, s"frame $f boundary")
+      off = next
+    }
+    assert(off == container.length)
+    // structural errors still surface without a decode
+    intercept[Png.PngError](Png.skipAt(container, 3))
+    intercept[Png.PngError](Png.skipAt(container.take(20), 0))
+  }
 }
