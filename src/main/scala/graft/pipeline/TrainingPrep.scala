@@ -531,6 +531,32 @@ object TrainingPrep {
         col("bucket"))
   }
 
+  // --------------------------------------------- LM-stratified sample --
+
+  /** Per-stratum keep rates (percent) — CCNet's downstream move:
+    * sample the head hard, thin the tail. Deterministic md5-bucket
+    * membership (the Curation.sampleHash discipline), so the sampled
+    * set is engine-exact with no RNG. */
+  val LmSampleRates: Map[String, Int] =
+    Map("head" -> 90, "middle" -> 50, "tail" -> 10)
+
+  /** The sampling pass [[lmBuckets]] exists to feed (Wenzek et al.
+    * sample per perplexity stratum before training): keep a document
+    * iff its portable md5 bucket falls under its STRATUM's rate.
+    * Scale shape: lmBuckets' stored-artifact read + broadcast bucket
+    * map, then a map-only hash predicate — no new shuffle at any
+    * corpus size. */
+  def lmSample(spark: SparkSession, dir: String): DataFrame = {
+    val rateCase = LmSampleRates.toSeq.sortBy(_._1)
+      .map { case (b, r) => s"WHEN '$b' THEN $r" }
+      .mkString("CASE bucket ", " ", " ELSE 0 END")
+    lmBuckets(spark, dir)
+      .withColumn("hmod", expr(bucketSpark))
+      .filter(col("hmod") < expr(rateCase))
+      .select(col("doc_id"), col("avg_logprob"), col("bucket"),
+        col("hmod").cast("long").as("hmod"))
+  }
+
   // ------------------------------------------------------ chunking --
 
   /** Sliding-window chunk geometry: window length and stride in
@@ -786,7 +812,25 @@ object TrainingPrep {
          |       WHEN c.better < (2 * nn.n + 2) // 3 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM scored JOIN cum c ON scored.avg_logprob = c.s
-         |CROSS JOIN nn""".stripMargin
+         |CROSS JOIN nn""".stripMargin,
+    // the tercile chain, then the per-stratum hash gate — the same
+    // portable md5 bucket as docs_sample_hash
+    "docs_lm_sample" -> {
+      val rateCase = LmSampleRates.toSeq.sortBy(_._1)
+        .map { case (b, r) => s"WHEN '$b' THEN $r" }
+        .mkString("CASE bucket ", " ", " ELSE 0 END")
+      s"""WITH $lmChainSql,
+         |lb AS (
+         |  SELECT scored.doc_id, scored.avg_logprob,
+         |    CASE WHEN c.better < (nn.n + 2) // 3 THEN 'head'
+         |         WHEN c.better < (2 * nn.n + 2) // 3 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM scored JOIN cum c ON scored.avg_logprob = c.s
+         |  CROSS JOIN nn)
+         |SELECT doc_id, avg_logprob, bucket, $bucketSql AS hmod
+         |FROM lb
+         |WHERE $bucketSql < ($rateCase)""".stripMargin
+    }
   )
 
   /** The scored-frame + tercile-cut CTE chain shared by the
@@ -833,6 +877,7 @@ object TrainingPrep {
     "docs_chunk" -> (chunkDocs _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
-    "docs_lm_buckets" -> (lmBuckets _)
+    "docs_lm_buckets" -> (lmBuckets _),
+    "docs_lm_sample" -> (lmSample _)
   )
 }
