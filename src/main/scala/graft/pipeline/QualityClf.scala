@@ -143,20 +143,47 @@ object QualityClf {
       }
     }
     perSession.getOrElseUpdate(dir, {
-      val train = trainFrame(spark, dir)
-      var w = Array.fill(NumFeatures)(0.0)
-      for (_ <- 1 to TrainRounds) {
-        val gradCols = (lit(1.0) +: featNames.map(col)).zipWithIndex.map {
-          case (x, j) =>
-            Num.roundEps(avg((col("p") - col("y")) * x), 6).as(s"g$j")
-        }
-        val row: Row = train.withColumn("p", pExpr(w))
-          .agg(gradCols.head, gradCols.tail: _*).head()
-        w = w.indices.map(j =>
-          Num.roundEpsJvm(w(j) - row.getDouble(j), 6)).toArray
+      // persisted like the PQ codebooks (persistedBook discipline):
+      // the trained weights are a write-time artifact — a fresh
+      // session reloads them instead of re-paying the TrainRounds
+      // aggregation passes, and doubles round-trip parquet
+      // bit-exactly so the reloaded model IS the trained model
+      val tbl = "graft_qclf_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Dedup.corpusFingerprint(spark, dir)
+      if (spark.catalog.tableExists(tbl)) {
+        spark.table(tbl).collect()
+          .map(r => (r.getInt(0), r.getDouble(1)))
+          .sortBy(_._1).map(_._2)
+      } else {
+        val w = train(spark, dir)
+        import spark.implicits._
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        w.zipWithIndex.map { case (v, j) => (j, v) }.toSeq
+          .toDF("j", "w").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").option("path", path).saveAsTable(tbl)
+        w
       }
-      w
     })
+  }
+
+  /** The actual TrainRounds GD loop (runs once per corpus content, at
+    * artifact-build time). */
+  private def train(spark: SparkSession, dir: String): Array[Double] = {
+    val train = trainFrame(spark, dir)
+    var w = Array.fill(NumFeatures)(0.0)
+    for (_ <- 1 to TrainRounds) {
+      val gradCols = (lit(1.0) +: featNames.map(col)).zipWithIndex.map {
+        case (x, j) =>
+          Num.roundEps(avg((col("p") - col("y")) * x), 6).as(s"g$j")
+      }
+      val row: Row = train.withColumn("p", pExpr(w))
+        .agg(gradCols.head, gradCols.tail: _*).head()
+      w = w.indices.map(j =>
+        Num.roundEpsJvm(w(j) - row.getDouble(j), 6)).toArray
+    }
+    w
   }
 
   // -------------------------------------------------------- queries --

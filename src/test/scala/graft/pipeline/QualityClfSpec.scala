@@ -17,10 +17,27 @@ class QualityClfSpec extends SparkSpec {
 
   test("training is deterministic: retrain after cache clear gives identical weights") {
     val w1 = QualityClf.trainedWeights(spark, sfDir)
+    // (a) reload path: memo cleared, persisted sidecar present — the
+    // reloaded model must BE the trained model (parquet doubles
+    // round-trip bit-exactly, the persistedBook discipline)
     QualityClf.clearCache()
     ArtifactCache.drop(spark, s"quality_train_$sfDir")
     val w2 = QualityClf.trainedWeights(spark, sfDir)
     assert(w1.toSeq == w2.toSeq)
+    // (b) true retrain: drop the sidecar too, so the whole GD chain
+    // re-runs — fixed-round determinism, not just storage identity
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_qclf_"))
+      .filter(_.contains(sfDir.replaceAll("[^A-Za-z0-9]", "_"))).head
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+    spark.sql(s"DROP TABLE $tbl")
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    QualityClf.clearCache()
+    ArtifactCache.drop(spark, s"quality_train_$sfDir")
+    val w3 = QualityClf.trainedWeights(spark, sfDir)
+    assert(w1.toSeq == w3.toSeq)
     // every weight sits on the 6-dp lattice the oracle mirrors
     w1.foreach(w => assert(graft.Num.roundEpsJvm(w, 6) == w))
   }
