@@ -421,45 +421,165 @@ object TrainingPrep {
     // the docstring contract: without it, sequence(1, 0) steps DOWN
     // ([1, 0]) and transform would fabricate two null-padded bigram
     // rows per short doc (the Dedup.spansOf gotcha, judge-advice r15).
-    val bi = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1)," +
-          " i -> struct(xxhash64(ws[i - 1], ws[i]) AS kb," +
-          " xxhash64(7, ws[i - 1], ws[i]) AS kb2," +
-          " xxhash64(ws[i - 1]) AS k1, xxhash64(7, ws[i - 1]) AS k1b," +
-          " xxhash64(ws[i]) AS k2, xxhash64(7, ws[i]) AS k2b))")).as("b"))
-      .select(col("doc_id"), col("b.kb").as("kb"), col("b.kb2").as("kb2"),
-        col("b.k1").as("k1"), col("b.k1b").as("k1b"),
-        col("b.k2").as("k2"), col("b.k2b").as("k2b"))
-    // the interpolated probability is a function of the bigram TYPE
-    // alone, so score the vocabulary-sized type table once (the log
-    // evaluates per type, not per occurrence) and pay ONE corpus-scale
-    // join: bigram-left counts fold out of the type counts (no second
-    // bigram pass), only the unigram table needs its own (lighter)
-    // token pass. AQE broadcasts the type side while it fits.
+    val bi = bigramStream(Tables.documents(spark, dir))
+    bi.select(col("doc_id"), col("kb"), col("kb2"))
+      .join(lmTypeLp(spark, dir, bi), Seq("kb", "kb2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.roundEps(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
+  /** The per-doc bigram occurrence stream with the full two-seed key
+    * set — the shared explode of the corpus scoring pass and the
+    * frozen-LM fold. */
+  private def bigramStream(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .filter(size(col("ws")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws) - 1)," +
+        " i -> struct(xxhash64(ws[i - 1], ws[i]) AS kb," +
+        " xxhash64(7, ws[i - 1], ws[i]) AS kb2," +
+        " xxhash64(ws[i - 1]) AS k1, xxhash64(7, ws[i - 1]) AS k1b," +
+        " xxhash64(ws[i]) AS k2, xxhash64(7, ws[i]) AS k2b))")).as("b"))
+    .select(col("doc_id"), col("b.kb").as("kb"), col("b.kb2").as("kb2"),
+      col("b.k1").as("k1"), col("b.k1b").as("k1b"),
+      col("b.k2").as("k2"), col("b.k2b").as("k2b"))
+
+  /** The per-bigram-TYPE interpolated log-prob table (kb, kb2, lp) —
+    * the LM itself. The interpolated probability is a function of the
+    * bigram TYPE alone, so the vocabulary-sized type table scores once
+    * (the log evaluates per type, not per occurrence) and the corpus
+    * scoring pass pays ONE corpus-scale join: bigram-left counts fold
+    * out of the type counts (no second bigram pass), only the unigram
+    * table needs its own (lighter) token pass. AQE broadcasts the
+    * type side while it fits. */
+  private def lmTypeLp(spark: SparkSession, dir: String,
+      bi: DataFrame): DataFrame = {
     val types = bi.groupBy(col("kb"), col("kb2"), col("k1"), col("k1b"),
       col("k2"), col("k2b")).agg(count(lit(1)).as("c2"))
     val cnt1 = types.groupBy(col("k1"), col("k1b"))
       .agg(sum(col("c2")).as("c1"))
-    val uni = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .select(xxhash64(col("token")).as("k2"),
-        xxhash64(lit(7), col("token")).as("k2b"))
-      .groupBy(col("k2"), col("k2b")).agg(count(lit(1)).as("cu"))
+    val uni = lmUnigrams(spark, dir)
     val tot = uni.agg(sum(col("cu")).as("tot"))
-    val scored = types.join(cnt1, Seq("k1", "k1b")).join(uni, Seq("k2", "k2b"))
+    types.join(cnt1, Seq("k1", "k1b")).join(uni, Seq("k2", "k2b"))
       .crossJoin(broadcast(tot))
       .select(col("kb"), col("kb2"), log(
         lit(BigramLambda) * col("c2").cast("double") / col("c1") +
           lit(1 - BigramLambda) * col("cu").cast("double") / col("tot"))
         .as("lp"))
-    bi.select(col("doc_id"), col("kb"), col("kb2"))
-      .join(scored, Seq("kb", "kb2"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        Num.roundEps(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
+  private def lmUnigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(xxhash64(col("token")).as("k2"),
+        xxhash64(lit(7), col("token")).as("k2b"))
+      .groupBy(col("k2"), col("k2b")).agg(count(lit(1)).as("cu"))
+
+  // ------------------------------------------------ frozen-LM fold --
+
+  /** The trained LM as PERSISTED lake artifacts — what lets a daily
+    * ingest SCORE its batch without re-running the corpus chain (the
+    * production CCNet shape: the LM trains once on the reference
+    * corpus and scores every later batch frozen, exactly like the PQ
+    * codebooks never retrain on a fold):
+    * [[lmTypeTable]] = (kb, kb2, lp) bucketed by the full type key
+    * (a fold's probe joins with zero exchange on the stored side);
+    * [[lmUniTable]] = (k2, k2b, cu, tot) — the unigram backoff for
+    * type misses. Both build lazily on the FIRST fold (the
+    * spanPostTable discipline: the snapshot path deliberately does
+    * not pay the write; re-running the codegen'd chain beat
+    * materializing it for one-shot scoring). */
+  private[graft] def lmTypeTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = "graft_lmtypes_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Dedup.corpusFingerprint(spark, dir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("kb", "kb2"), Dedup.IndexBuckets))
+        graft.sources.TableIO.writeBucketed(
+          lmTypeLp(spark, dir, bigramStream(Tables.documents(spark, dir))),
+          tbl, path, Seq("kb", "kb2"), Dedup.IndexBuckets)
+    }
+    spark.table(tbl)
+  }
+
+  private[graft] def lmUniTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tbl = "graft_lmuni_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Dedup.corpusFingerprint(spark, dir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("k2", "k2b"), Dedup.IndexBuckets)) {
+        val uni = lmUnigrams(spark, dir)
+        graft.sources.TableIO.writeBucketed(
+          uni.crossJoin(broadcast(uni.agg(sum(col("cu")).as("tot")))),
+          tbl, path, Seq("k2", "k2b"), Dedup.IndexBuckets)
+      }
+    }
+    spark.table(tbl)
+  }
+
+  /** Fold a batch of NEW documents into the stored score artifact,
+    * scored under the FROZEN corpus LM — the production ingest of the
+    * quality stack (appendToIndex's shape): the LM never retrains on a
+    * fold, so a batch pays only its own bigram stream joined against
+    * the stored type table (bucketed on the full type key — zero
+    * exchange on the LM side; the batch side shuffles).
+    *
+    * Backoff for content the frozen LM never saw (deterministic,
+    * mirrored nowhere — the fold has no oracle, its contract is the
+    * spec's copy-identity): an unseen bigram TYPE scores the unigram
+    * remainder ln((1−λ)·cu/tot); an unseen TOKEN floors cu at 1 (the
+    * Laplace-style OOV floor). A batch doc whose bigrams all exist in
+    * the LM scores IDENTICALLY to a corpus doc of the same text —
+    * LmFoldSpec pins that copy identity exactly.
+    *
+    * Idempotent at doc granularity (freshness keyed on the PHYSICAL
+    * scored table — the Tombstones replay contract); docs with <2
+    * tokens carry no bigrams and are excluded up front (the
+    * appendSpanToIndex spannable rule). Returns docs actually
+    * folded. */
+  private[graft] def appendScored(spark: SparkSession, dir: String,
+      batchDocs: DataFrame): Long = Maintenance.IndexLocks
+      .withLock("lmscore", dir) {
+    import spark.implicits._
+    val stored = bigramScoredTable(spark, dir, raw = true) // builds on first touch
+    val scorable = batchDocs.filter(size(split(col("text"), " ")) >= 2)
+    val batchIds = broadcast(scorable.select(col("doc_id")).distinct())
+    val known = stored.select(col("doc_id")).join(batchIds, "doc_id")
+      .distinct()
+    val freshSeq = scorable.select(col("doc_id")).distinct()
+      .join(broadcast(known), Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSeq
+    if (freshSeq.isEmpty) 0L
+    else {
+      val fresh = scorable.join(broadcast(freshSeq.toDF("doc_id")), "doc_id")
+      val bi = bigramStream(fresh)
+      val lm = lmTypeTable(spark, dir)
+      val uni = lmUniTable(spark, dir)
+      val tot = broadcast(uni.agg(max(col("tot")).as("tot")))
+      val scoredBatch = bi
+        .join(lm, Seq("kb", "kb2"), "left")
+        .join(uni.select(col("k2"), col("k2b"), col("cu").as("cu_bk")),
+          Seq("k2", "k2b"), "left")
+        .crossJoin(tot)
+        .select(col("doc_id"), coalesce(col("lp"),
+          log(lit(1 - BigramLambda) *
+            coalesce(col("cu_bk"), lit(1L)).cast("double") / col("tot")))
+          .as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          Num.roundEps(avg(col("lp")), 6).as("avg_logprob"))
+      graft.sources.TableIO.appendBucketed(scoredBatch,
+        lmScoreName(spark, dir), Seq("doc_id"), Dedup.IndexBuckets)
+      spark.catalog.refreshTable(lmScoreName(spark, dir))
+      freshSeq.length.toLong
+    }
   }
 
   // ---------------------------------------------- LM quality buckets --
