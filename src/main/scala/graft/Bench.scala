@@ -124,7 +124,8 @@ object Bench {
     // epoch-capped mixture + bigram LM score (round 15)
     "docs_mix_epochs" -> "cmep", "text_bigram_logprob" -> "tbl",
     "docs_lm_buckets" -> "clb", "text_quality_clf" -> "tqc",
-    "docs_quality_apply" -> "cqa", "docs_lm_sample" -> "cls"
+    "docs_quality_apply" -> "cqa", "docs_lm_sample" -> "cls",
+    "docs_dsir" -> "cds"
   )
 
   def main(args: Array[String]): Unit = {

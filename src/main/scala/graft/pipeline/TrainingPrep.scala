@@ -454,12 +454,16 @@ object TrainingPrep {
     * table needs its own (lighter) token pass. AQE broadcasts the
     * type side while it fits. */
   private def lmTypeLp(spark: SparkSession, dir: String,
-      bi: DataFrame): DataFrame = {
+      bi: DataFrame): DataFrame =
+    lmTypeLpOf(bi, lmUnigrams(Tables.documents(spark, dir)))
+
+  /** [[lmTypeLp]] against an arbitrary unigram table — the DSIR
+    * target-LM path trains the same chain on a document SLICE. */
+  private def lmTypeLpOf(bi: DataFrame, uni: DataFrame): DataFrame = {
     val types = bi.groupBy(col("kb"), col("kb2"), col("k1"), col("k1b"),
       col("k2"), col("k2b")).agg(count(lit(1)).as("c2"))
     val cnt1 = types.groupBy(col("k1"), col("k1b"))
       .agg(sum(col("c2")).as("c1"))
-    val uni = lmUnigrams(spark, dir)
     val tot = uni.agg(sum(col("cu")).as("tot"))
     types.join(cnt1, Seq("k1", "k1b")).join(uni, Seq("k2", "k2b"))
       .crossJoin(broadcast(tot))
@@ -469,12 +473,11 @@ object TrainingPrep {
         .as("lp"))
   }
 
-  private def lmUnigrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .select(xxhash64(col("token")).as("k2"),
-        xxhash64(lit(7), col("token")).as("k2b"))
-      .groupBy(col("k2"), col("k2b")).agg(count(lit(1)).as("cu"))
+  private def lmUnigrams(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("token"))
+    .select(xxhash64(col("token")).as("k2"),
+      xxhash64(lit(7), col("token")).as("k2b"))
+    .groupBy(col("k2"), col("k2b")).agg(count(lit(1)).as("cu"))
 
   // ------------------------------------------------ frozen-LM fold --
 
@@ -515,7 +518,7 @@ object TrainingPrep {
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("k2", "k2b"), Dedup.IndexBuckets)) {
-        val uni = lmUnigrams(spark, dir)
+        val uni = lmUnigrams(Tables.documents(spark, dir))
         graft.sources.TableIO.writeBucketed(
           uni.crossJoin(broadcast(uni.agg(sum(col("cu")).as("tot")))),
           tbl, path, Seq("k2", "k2b"), Dedup.IndexBuckets)
@@ -649,6 +652,55 @@ object TrainingPrep {
     scored.join(buckets, Seq("avg_logprob"))
       .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
         col("bucket"))
+  }
+
+  // ------------------------------------------ importance weighting --
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * under the CORPUS LM and under a TARGET-domain LM, and report the
+    * per-doc log importance ratio log p_target(x) − p_corpus(x) — the
+    * weight DSIR resamples the corpus by to match a target
+    * distribution. The target domain here is the engine's benchmark
+    * slice (md5 bucket ≥ [[BenchmarkPct]] — the contamination
+    * convention), so the operator is self-contained.
+    *
+    * The corpus side reuses the stored score artifact verbatim. The
+    * target LM is trained on the (bounded) slice and scores the WHOLE
+    * corpus, so it needs the frozen-LM backoff for content the slice
+    * never saw — the same deterministic formula [[appendScored]]
+    * folds with (unseen type → unigram remainder; unseen token →
+    * Laplace floor cu=1), which this query's exact oracle mirrors in
+    * SQL: the fold's backoff arithmetic is thereby oracle-pinned too.
+    *
+    * Scale shape: target LM tables are slice-vocabulary-sized (AQE
+    * broadcasts them); the corpus pays one bigram explode joined
+    * against them, plus the stored-artifact read. */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(bucketSpark))
+    val target = docs.filter(col("bucket") >= BenchmarkPct)
+    val uniT = lmUnigrams(target)
+    val lpT = lmTypeLpOf(bigramStream(target), uniT)
+    val totT = broadcast(uniT.agg(sum(col("cu")).as("tot")))
+    val bi = bigramStream(docs)
+    val scoredT = bi
+      .join(lpT, Seq("kb", "kb2"), "left")
+      .join(uniT.select(col("k2"), col("k2b"), col("cu").as("cu_bk")),
+        Seq("k2", "k2b"), "left")
+      .crossJoin(totT)
+      .select(col("doc_id"), coalesce(col("lp"),
+        log(lit(1 - BigramLambda) *
+          coalesce(col("cu_bk"), lit(1L)).cast("double") / col("tot")))
+        .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(Num.roundEps(avg(col("lp")), 6).as("lp_target"))
+    bigramLogprob(spark, dir)
+      .select(col("doc_id"), col("avg_logprob").as("lp_corpus"))
+      .join(scoredT, Seq("doc_id"))
+      .select(col("doc_id"), col("lp_corpus"), col("lp_target"),
+        Num.roundEps(col("lp_target") - col("lp_corpus"), 6)
+          .as("log_ratio"))
   }
 
   // --------------------------------------------- LM-stratified sample --
@@ -933,6 +985,47 @@ object TrainingPrep {
          |       ELSE 'tail' END AS bucket
          |FROM scored JOIN cum c ON scored.avg_logprob = c.s
          |CROSS JOIN nn""".stripMargin,
+    // the corpus chain's scored CTE + a target-slice LM trained the
+    // same way, with the frozen-LM backoff (coalesce → unigram
+    // remainder → Laplace floor) mirrored term for term — this oracle
+    // also pins appendScored's backoff arithmetic
+    "docs_dsir" ->
+      s"""WITH $lmChainSql,
+         |td AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |       WHERE $bucketSql >= $BenchmarkPct),
+         |tbg AS MATERIALIZED (
+         |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+         |    FROM td WHERE len(ws) >= 2)),
+         |tc2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+         |tc1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+         |tuni AS (SELECT token, count(*) AS cu FROM
+         |         (SELECT unnest(string_split(text, ' ')) AS token
+         |          FROM documents WHERE $bucketSql >= $BenchmarkPct)
+         |         GROUP BY token),
+         |ttot AS (SELECT sum(cu) AS tot FROM tuni),
+         |tlp AS MATERIALIZED (
+         |  SELECT tc2.w1, tc2.w2,
+         |    ln($BigramLambda * CAST(tc2.c2 AS DOUBLE) / tc1.c1
+         |      + (1.0 - $BigramLambda) * CAST(tuni.cu AS DOUBLE) / tot) AS lp
+         |  FROM tc2 JOIN tc1 USING (w1) JOIN tuni ON tuni.token = tc2.w2
+         |  CROSS JOIN ttot),
+         |ts AS MATERIALIZED (
+         |  SELECT bg.doc_id,
+         |    round(avg(coalesce(tlp.lp,
+         |      ln((1.0 - $BigramLambda)
+         |        * CAST(coalesce(u2.cu, 1) AS DOUBLE) / ttot.tot)))
+         |      + 1e-9, 6) AS lp_target
+         |  FROM bg LEFT JOIN tlp ON bg.w1 = tlp.w1 AND bg.w2 = tlp.w2
+         |  LEFT JOIN tuni u2 ON u2.token = bg.w2
+         |  CROSS JOIN ttot
+         |  GROUP BY bg.doc_id)
+         |SELECT scored.doc_id, scored.avg_logprob AS lp_corpus,
+         |  ts.lp_target,
+         |  round(ts.lp_target - scored.avg_logprob + 1e-9, 6) AS log_ratio
+         |FROM scored JOIN ts USING (doc_id)""".stripMargin,
     // the tercile chain, then the per-stratum hash gate — the same
     // portable md5 bucket as docs_sample_hash
     "docs_lm_sample" -> {
@@ -998,6 +1091,7 @@ object TrainingPrep {
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
     "docs_lm_buckets" -> (lmBuckets _),
-    "docs_lm_sample" -> (lmSample _)
+    "docs_lm_sample" -> (lmSample _),
+    "docs_dsir" -> (dsir _)
   )
 }
