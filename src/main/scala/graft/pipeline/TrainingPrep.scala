@@ -703,6 +703,21 @@ object TrainingPrep {
           .as("log_ratio"))
   }
 
+  /** DSIR's selection step: the [[DsirSampleK]] documents with the
+    * highest log importance ratio, deterministic ties by doc_id.
+    * Ranking runs through the bounded-heap TopKAgg (O(k) state,
+    * map-side combine — the sourceCap discipline): no global sort of
+    * the corpus-scale ratio frame at any size. */
+  val DsirSampleK = 100
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsir(spark, dir)
+      .groupBy()
+      .agg(graft.functions.TopK.top_k(
+        col("log_ratio"), col("doc_id"), DsirSampleK).as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "e")))
+      .select((col("r0") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("log_ratio"))
+
   // --------------------------------------------- LM-stratified sample --
 
   /** Per-stratum keep rates (percent) — CCNet's downstream move:
@@ -990,42 +1005,16 @@ object TrainingPrep {
     // remainder → Laplace floor) mirrored term for term — this oracle
     // also pins appendScored's backoff arithmetic
     "docs_dsir" ->
-      s"""WITH $lmChainSql,
-         |td AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |       WHERE $bucketSql >= $BenchmarkPct),
-         |tbg AS MATERIALIZED (
-         |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      generate_series(1, len(ws) - 1),
-         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
-         |    FROM td WHERE len(ws) >= 2)),
-         |tc2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
-         |tc1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
-         |tuni AS (SELECT token, count(*) AS cu FROM
-         |         (SELECT unnest(string_split(text, ' ')) AS token
-         |          FROM documents WHERE $bucketSql >= $BenchmarkPct)
-         |         GROUP BY token),
-         |ttot AS (SELECT sum(cu) AS tot FROM tuni),
-         |tlp AS MATERIALIZED (
-         |  SELECT tc2.w1, tc2.w2,
-         |    ln($BigramLambda * CAST(tc2.c2 AS DOUBLE) / tc1.c1
-         |      + (1.0 - $BigramLambda) * CAST(tuni.cu AS DOUBLE) / tot) AS lp
-         |  FROM tc2 JOIN tc1 USING (w1) JOIN tuni ON tuni.token = tc2.w2
-         |  CROSS JOIN ttot),
-         |ts AS MATERIALIZED (
-         |  SELECT bg.doc_id,
-         |    round(avg(coalesce(tlp.lp,
-         |      ln((1.0 - $BigramLambda)
-         |        * CAST(coalesce(u2.cu, 1) AS DOUBLE) / ttot.tot)))
-         |      + 1e-9, 6) AS lp_target
-         |  FROM bg LEFT JOIN tlp ON bg.w1 = tlp.w1 AND bg.w2 = tlp.w2
-         |  LEFT JOIN tuni u2 ON u2.token = bg.w2
-         |  CROSS JOIN ttot
-         |  GROUP BY bg.doc_id)
-         |SELECT scored.doc_id, scored.avg_logprob AS lp_corpus,
-         |  ts.lp_target,
-         |  round(ts.lp_target - scored.avg_logprob + 1e-9, 6) AS log_ratio
-         |FROM scored JOIN ts USING (doc_id)""".stripMargin,
+      s"""WITH $dsirChainSql
+         |SELECT doc_id, lp_corpus, lp_target, log_ratio FROM dsr""".stripMargin,
+    // DSIR's selection step: deterministic (ratio desc, doc_id) top-K
+    // — the heap order TopKAgg uses
+    "docs_dsir_sample" ->
+      s"""WITH $dsirChainSql,
+         |r AS (SELECT doc_id, log_ratio, row_number() OVER (
+         |    ORDER BY log_ratio DESC, doc_id) AS rank FROM dsr)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, log_ratio
+         |FROM r WHERE rank <= $DsirSampleK""".stripMargin,
     // the tercile chain, then the per-stratum hash gate — the same
     // portable md5 bucket as docs_sample_hash
     "docs_lm_sample" -> {
@@ -1045,6 +1034,48 @@ object TrainingPrep {
          |WHERE $bucketSql < ($rateCase)""".stripMargin
     }
   )
+
+  /** The DSIR CTE chain (corpus scored CTE + target-slice LM + the
+    * backoff-scored `ts` + the joined `dsr`) shared by the docs_dsir
+    * and docs_dsir_sample oracles. */
+  private def dsirChainSql: String =
+    s"""$lmChainSql,
+       |td AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |       WHERE $bucketSql >= $BenchmarkPct),
+       |tbg AS MATERIALIZED (
+       |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(ws) - 1),
+       |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+       |    FROM td WHERE len(ws) >= 2)),
+       |tc2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+       |tc1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+       |tuni AS (SELECT token, count(*) AS cu FROM
+       |         (SELECT unnest(string_split(text, ' ')) AS token
+       |          FROM documents WHERE $bucketSql >= $BenchmarkPct)
+       |         GROUP BY token),
+       |ttot AS (SELECT sum(cu) AS tot FROM tuni),
+       |tlp AS MATERIALIZED (
+       |  SELECT tc2.w1, tc2.w2,
+       |    ln($BigramLambda * CAST(tc2.c2 AS DOUBLE) / tc1.c1
+       |      + (1.0 - $BigramLambda) * CAST(tuni.cu AS DOUBLE) / tot) AS lp
+       |  FROM tc2 JOIN tc1 USING (w1) JOIN tuni ON tuni.token = tc2.w2
+       |  CROSS JOIN ttot),
+       |ts AS MATERIALIZED (
+       |  SELECT bg.doc_id,
+       |    round(avg(coalesce(tlp.lp,
+       |      ln((1.0 - $BigramLambda)
+       |        * CAST(coalesce(u2.cu, 1) AS DOUBLE) / ttot.tot)))
+       |      + 1e-9, 6) AS lp_target
+       |  FROM bg LEFT JOIN tlp ON bg.w1 = tlp.w1 AND bg.w2 = tlp.w2
+       |  LEFT JOIN tuni u2 ON u2.token = bg.w2
+       |  CROSS JOIN ttot
+       |  GROUP BY bg.doc_id),
+       |dsr AS MATERIALIZED (
+       |  SELECT scored.doc_id, scored.avg_logprob AS lp_corpus,
+       |    ts.lp_target,
+       |    round(ts.lp_target - scored.avg_logprob + 1e-9, 6) AS log_ratio
+       |  FROM scored JOIN ts USING (doc_id))""".stripMargin
 
   /** The scored-frame + tercile-cut CTE chain shared by the
     * docs_lm_buckets oracle and the quality-classifier oracles (which
@@ -1092,6 +1123,7 @@ object TrainingPrep {
     "text_bigram_logprob" -> (bigramLogprob _),
     "docs_lm_buckets" -> (lmBuckets _),
     "docs_lm_sample" -> (lmSample _),
-    "docs_dsir" -> (dsir _)
+    "docs_dsir" -> (dsir _),
+    "docs_dsir_sample" -> (dsirSample _)
   )
 }
