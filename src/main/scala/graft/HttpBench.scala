@@ -110,10 +110,14 @@ object HttpBench {
 
     val failSample =
       new java.util.concurrent.atomic.AtomicReference[String](null)
-    def pass(): (Double, Int) = {
+    def pass(): (Double, Int, Array[Double]) = {
       val next = new AtomicInteger(0)
       val ok = new AtomicInteger(0)
       val bytes = new AtomicLong(0L)
+      // per-request wall latency (ms) — the metric the cells×bands
+      // chunk budget targets: one heavy body must not ride (and
+      // stall) a chunk sized for light ones
+      val lat = new Array[Double](n)
       val pool = Executors.newFixedThreadPool(conc)
       val done = new CountDownLatch(conc)
       val t0 = System.nanoTime()
@@ -122,11 +126,13 @@ object HttpBench {
           try {
             var i = next.getAndIncrement()
             while (i < n) {
+              val r0 = System.nanoTime()
               val resp = client.send(
                 HttpRequest.newBuilder(uri)
                   .header("Content-Type", "application/json")
                   .POST(HttpRequest.BodyPublishers.ofString(body(i, mixed))).build(),
                 HttpResponse.BodyHandlers.ofString())
+              lat(i) = (System.nanoTime() - r0) / 1e6
               if (resp.statusCode() == 200) ok.incrementAndGet()
               else if (failSample.get() == null)
                 failSample.compareAndSet(null,
@@ -144,14 +150,19 @@ object HttpBench {
         s"request loop hung: ${ok.get()}/$n ok after 30 min; " +
           s"sample failure: ${failSample.get()}")
       pool.shutdown()
-      ((System.nanoTime() - t0) / 1e9, ok.get())
+      ((System.nanoTime() - t0) / 1e9, ok.get(), lat)
+    }
+
+    def pct(lat: Array[Double], p: Double): Double = {
+      val s = lat.sorted
+      s(math.min(s.length - 1, (p * s.length).toInt))
     }
 
     try {
       val bPre = graft.api.ServingCoalescer.batchesRun.get()
-      val (t1, ok1) = pass()
+      val (t1, ok1, lat1) = pass()
       val b0 = graft.api.ServingCoalescer.batchesRun.get()
-      val (t2, ok2) = pass()
+      val (t2, ok2, lat2) = pass()
       // per-pass micro-batch counts, so the reported "batches" always
       // describes the SAME pass as the reported time (judge-advice
       // r16: the old single capture mixed pass-2 batches with a
@@ -164,11 +175,12 @@ object HttpBench {
         s"non-200 responses: $ok1/$n, $ok2/$n; sample: ${failSample.get()}")
       val best = math.min(t1, t2)
       val batches = if (t1 <= t2) batches1 else batches2
+      val lat = if (t1 <= t2) lat1 else lat2
       val keyField =
         if (mixed == HttpMixedStd) ""","keys":8"""
         else if (mixed == HttpMixedDay) ""","keys":4"""
         else ""
-      println(f"""{"metric":"http_loop","value":$best%.2f,"unit":"sec","requests":$n,"concurrency":$conc,"rps":${n / best}%.1f,"batches":$batches$keyField}""")
+      println(f"""{"metric":"http_loop","value":$best%.2f,"unit":"sec","requests":$n,"concurrency":$conc,"rps":${n / best}%.1f,"batches":$batches,"p50_ms":${pct(lat, 0.50)}%.0f,"p95_ms":${pct(lat, 0.95)}%.0f$keyField}""")
     } finally {
       srv.stop()
       spark.stop()
