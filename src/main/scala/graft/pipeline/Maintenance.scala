@@ -65,8 +65,14 @@ object Maintenance {
     // rewritten without the tombstoned vecs — forget the sidecar. A
     // sidecar recorded before ANY ann table was built survives (the
     // future first-touch build re-derives from the corpus, which
-    // still contains the vec).
-    if (presentKinds.nonEmpty) Similarity.clearAnnTombstones(spark, dir)
+    // still contains the vec). Re-list AFTER the sweep: a kind table
+    // first-touch-built mid-sweep (query-path builds take no lock)
+    // was not rewritten, and clearing would resurrect its physical
+    // rows — skip the clear, the next compactAll sweeps it.
+    val presentAfter = Similarity.annCodeKindsPresent(spark, dir)
+    if (presentKinds.nonEmpty &&
+        presentAfter.toSet.subsetOf(sweepKinds.toSet))
+      Similarity.clearAnnTombstones(spark, dir)
     counts.filter(_._2 > 0).toMap
   }
 }
