@@ -564,11 +564,14 @@ object Dedup {
     * append's promotion). For each span hash the dropped docs carry,
     * the surviving occurrence count is probed bucket-pruned against
     * the (h,h2)-bucketed posting table; hashes left with exactly ONE
-    * surviving occurrence demote that survivor's (doc_id, i) into the
-    * pair sidecar [[spanIndexTable]] subtracts. Demotions land BEFORE
-    * the doc ids are recorded, so a crash between the writes replays
-    * the whole computation (duplicate demote rows anti-join away).
-    * Returns how many ids were newly recorded. */
+    * surviving occurrence demote that survivor's (h, h2, doc_id, i)
+    * into the sidecar [[validSpanDemotions]] re-validates at read
+    * time (carrying the hash is what lets a later re-duplicating
+    * append invalidate the demotion without rewriting the sidecar).
+    * Demotions land BEFORE the doc ids are recorded, so a crash
+    * between the writes replays the whole computation (duplicate
+    * demote rows distinct away). Returns how many ids were newly
+    * recorded. */
   private[graft] def removeSpanFromIndex(spark: SparkSession, dir: String,
       docIds: Seq[Long]): Long = Maintenance.IndexLocks
       .withLock("span", dir) {
@@ -599,7 +602,8 @@ object Dedup {
         .agg(sum(col("c")).as("stot"),
           any_value(struct(col("doc_id"), col("i"))).as("owner"))
         .filter(col("stot") === 1)
-        .select(col("owner.doc_id").as("doc_id"), col("owner.i").as("i"))
+        .select(col("h"), col("h2"),
+          col("owner.doc_id").as("doc_id"), col("owner.i").as("i"))
       Tombstones.addRows(spark, demoteTbl, demote)
       Tombstones.add(spark, tomb, fresh)
     }
@@ -665,8 +669,8 @@ object Dedup {
       ("graft_shingles_", Seq("doc_id"), "dedup", docMinus(dedupTomb)),
       ("graft_simhash_idx_", Seq("k"), "simhash", docMinus(simhashTomb)),
       ("graft_spanidx_", Seq("doc_id"), "span",
-        (df: DataFrame) => Tombstones.minusRows(spark,
-          docMinus(spanTomb)(df), spanDemote, Seq("doc_id", "i"))),
+        (df: DataFrame) => minusDemotions(docMinus(spanTomb)(df),
+          validSpanDemotions(spark, dir))),
       ("graft_spanpost_", Seq("h", "h2"), "span", docMinus(spanTomb)))
     val compacted = specs.map { case (prefix, cols, family, f) =>
       Maintenance.IndexLocks.withLock(family, dir) {
@@ -1303,15 +1307,59 @@ object Dedup {
           dupSpanStarts(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
     }
     // deletion view: the doc sidecar drops the deleted docs' own rows;
-    // the (doc_id, i) demotion sidecar drops SURVIVING docs' rows whose
-    // span stopped being duplicated when its only other occurrence was
+    // the demotion sidecar drops SURVIVING docs' rows whose span
+    // stopped being duplicated when its only other occurrence was
     // deleted ([[removeSpanFromIndex]]'s reverse of the append's
-    // singleton promotion)
+    // singleton promotion) — validity-filtered, see
+    // [[validSpanDemotions]]
     if (raw) spark.table(tbl)
-    else Tombstones.minusRows(spark,
+    else minusDemotions(
       Tombstones.minus(spark, spark.table(tbl),
         indexTableName(spark, dir, "graft_tomb_span_"), "doc_id"),
-      indexTableName(spark, dir, "graft_tombsp_span_"), Seq("doc_id", "i"))
+      validSpanDemotions(spark, dir))
+  }
+
+  /** The demote sidecar's CURRENTLY VALID (doc_id, i) pairs — None
+    * when no demotion is recorded. A recorded demotion (h, h2,
+    * doc_id, i) applies only while its span hash still has exactly
+    * ONE surviving posting occurrence and that survivor is the
+    * recorded doc. A later [[appendSpanToIndex]] that re-duplicates
+    * the hash (the fold's singleton promotion re-marks the survivor)
+    * invalidates the demotion by DERIVATION — the batch's posting
+    * rows landing flips the hash's total past 1 — instead of by a
+    * crash-fragile sidecar rewrite, so delete → re-duplicating
+    * append → compact keeps the legitimately re-promoted marker
+    * (r17 ADVICE high item; IndexDeleteSpec pins the sequence).
+    * Cost: one posting-view scan with the sidecar's hashes broadcast
+    * against it — paid only while a demotion sidecar exists (the
+    * takedown-to-compaction window); the common path stays a bare
+    * table read. */
+  private[graft] def validSpanDemotions(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val demoteTbl = indexTableName(spark, dir, "graft_tombsp_span_")
+    if (!spark.catalog.tableExists(demoteTbl)) None
+    else {
+      val side = spark.table(demoteTbl).distinct()
+      val singletons = spanPostTable(spark, dir)
+        .join(broadcast(side.select(col("h"), col("h2")).distinct()),
+          Seq("h", "h2"))
+        .groupBy(col("h"), col("h2"))
+        .agg(sum(col("c")).as("tot"), any_value(col("doc_id")).as("doc_id"))
+        .filter(col("tot") === 1)
+        .select(col("h"), col("h2"), col("doc_id"))
+      Some(side.join(singletons, Seq("h", "h2", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("i")))
+    }
+  }
+
+  /** `df` minus the valid demotion pairs on (doc_id, i) — identity
+    * when no demotion is recorded. */
+  private def minusDemotions(df: DataFrame,
+      demotions: Option[DataFrame]): DataFrame = demotions match {
+    case Some(p) =>
+      df.join(broadcast(p), Seq("doc_id", "i"), "left_anti")
+        .select(df.columns.map(col): _*)
+    case None => df
   }
 
   /** The span-hash POSTING table — the fold substrate the r13 verdict
@@ -1466,12 +1514,15 @@ object Dedup {
       dir: String): Unit = Maintenance.IndexLocks.withLock("span", dir) {
     val tomb = indexTableName(spark, dir, "graft_tomb_span_")
     val demoteTbl = indexTableName(spark, dir, "graft_tombsp_span_")
+    // validity-filtered demotions (a re-duplicated survivor's marker
+    // is KEPT physically — see [[validSpanDemotions]]); computed off
+    // the posting table, which compacts after spanidx
+    val demotions = validSpanDemotions(spark, dir)
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_spanidx_"),
       Seq("doc_id"), IndexBuckets,
-      transform = df => Tombstones.minusRows(spark,
-        Tombstones.minus(spark, df, tomb, "doc_id"),
-        demoteTbl, Seq("doc_id", "i")))
+      transform = df => minusDemotions(
+        Tombstones.minus(spark, df, tomb, "doc_id"), demotions))
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_spanpost_"),
       Seq("h", "h2"), IndexBuckets,

@@ -66,13 +66,19 @@ object Maintenance {
     // sidecar recorded before ANY ann table was built survives (the
     // future first-touch build re-derives from the corpus, which
     // still contains the vec). Re-list AFTER the sweep: a kind table
-    // first-touch-built mid-sweep (query-path builds take no lock)
-    // was not rewritten, and clearing would resurrect its physical
-    // rows — skip the clear, the next compactAll sweeps it.
-    val presentAfter = Similarity.annCodeKindsPresent(spark, dir)
-    if (presentKinds.nonEmpty &&
-        presentAfter.toSet.subsetOf(sweepKinds.toSet))
-      Similarity.clearAnnTombstones(spark, dir)
+    // first-touch-built mid-sweep was not rewritten — but since r17
+    // first-touch builds apply the sidecar at build time (codeTable),
+    // such a table carries no tombstoned rows and the clear cannot
+    // resurrect anything; the subset check stays as defense in depth,
+    // and re-list + clear run as ONE critical section under the ann
+    // lock (reentrant) so no build racing the gap invalidates the
+    // decision the gap was based on (r17 ADVICE TOCTOU item).
+    IndexLocks.withLock("ann", dir) {
+      val presentAfter = Similarity.annCodeKindsPresent(spark, dir)
+      if (presentKinds.nonEmpty &&
+          presentAfter.toSet.subsetOf(sweepKinds.toSet))
+        Similarity.clearAnnTombstones(spark, dir)
+    }
     counts.filter(_._2 > 0).toMap
   }
 }

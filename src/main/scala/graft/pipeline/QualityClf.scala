@@ -100,7 +100,11 @@ object QualityClf {
     * the GD rounds scan. */
   private def trainFrame(spark: SparkSession, dir: String): DataFrame =
     ArtifactCache.cached(spark, s"quality_train_$dir") {
-      val labels = TrainingPrep.lmBuckets(spark, dir)
+      // RAW terciles: the persisted weights are keyed on corpus
+      // content (fingerprint), so labels must be a pure function of
+      // that content — a takedown recorded before first training must
+      // not change what the same artifact name holds (r17 ADVICE)
+      val labels = TrainingPrep.lmBucketsRaw(spark, dir)
         .select(col("doc_id"),
           when(col("bucket") === "head", 1.0).otherwise(0.0).as("y"))
       featureFrame(spark, dir).join(labels, "doc_id")

@@ -1197,12 +1197,17 @@ object Similarity {
         sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
       // recover from a crashed compaction's staging first (the snapshot
       // holds corpus codes + folds); else build — one task per inverted
-      // list → one file per partition directory
+      // list → one file per partition directory. The build applies the
+      // deletion sidecar itself: a kind table first-touch-built while
+      // a tombstone is pending must not carry the removed vec
+      // PHYSICALLY, or compactAll's sidecar clear (which can race a
+      // lock-free query-path build) would resurrect it (r17 ADVICE).
       if (!graft.sources.TableIO.recoverPartitioned(spark, tbl, path,
           Seq("cent_id"), IvfCentroids))
         graft.sources.TableIO.writePartitionedTable(
-          buildCodeTable(spark, dir, kind), tbl, path,
-          Seq("cent_id"), IvfCentroids)
+          Tombstones.minus(spark, buildCodeTable(spark, dir, kind),
+            semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"),
+          tbl, path, Seq("cent_id"), IvfCentroids)
     }
     // default view subtracts the ann deletion sidecar (a removed vec
     // can never be short-listed); raw = the physical table, for the

@@ -100,15 +100,6 @@ private[graft] object Tombstones {
         .option("path", path).saveAsTable(tbl)
     }
 
-  /** `df` minus the row sidecar on `cols` (broadcast anti-join);
-    * identity when the sidecar does not exist. */
-  def minusRows(spark: SparkSession, df: DataFrame, tbl: String,
-      cols: Seq[String]): DataFrame =
-    if (spark.catalog.tableExists(tbl))
-      df.join(broadcast(spark.table(tbl)), cols, "left_anti")
-        .select(df.columns.map(col): _*) // original order, see minus
-    else df
-
   /** Forget the sidecar after a compaction materialized it. Dropping
     * the catalog entry first makes the window crash-safe: a table
     * without files reads empty, files without a table are dead. */

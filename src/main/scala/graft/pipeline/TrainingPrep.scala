@@ -620,10 +620,23 @@ object TrainingPrep {
     * the lattice side). Histogram and join-back both read ONE stored
     * frame, so the exact-double join cannot be split by a recompute
     * (r16 ADVICE item closed). */
-  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame =
+    lmBucketsOver(spark, bigramLogprob(spark, dir))
+
+  /** [[lmBuckets]] over an explicit scored frame — the `raw = true`
+    * seam the quality classifier trains through (its persisted weights
+    * are fingerprint-keyed on corpus CONTENT, so the labels must be a
+    * pure function of that content too; cutting terciles over the
+    * tombstone-filtered view would make the same artifact name hold
+    * different weights depending on takedown timing — r17 ADVICE). */
+  private[pipeline] def lmBucketsRaw(spark: SparkSession,
+      dir: String): DataFrame =
+    lmBucketsOver(spark, bigramScoredTable(spark, dir, raw = true))
+
+  private def lmBucketsOver(spark: SparkSession,
+      scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val scored = bigramLogprob(spark, dir)
     val hist = scored.groupBy(col("avg_logprob"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("band",

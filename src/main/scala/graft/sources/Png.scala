@@ -188,7 +188,9 @@ object Png {
       if (p + 8 > bytes.length) throw PngError("truncated chunk header")
       val len = getInt(bytes, p)
       val typ = new String(bytes, p + 4, 4, "US-ASCII")
-      if (len < 0 || p + 12 + len > bytes.length)
+      // Long arithmetic: a crafted len near Int.MaxValue would wrap
+      // the Int sum negative and sneak past the bound check
+      if (len < 0 || p.toLong + 12L + len > bytes.length)
         throw PngError(s"truncated $typ chunk (len=$len)")
       val crc = new CRC32(); crc.update(bytes, p + 4, 4 + len)
       if (crc.getValue.toInt != getInt(bytes, p + 8 + len))
@@ -274,7 +276,9 @@ object Png {
       if (p + 8 > bytes.length) throw PngError("truncated chunk header")
       val len = getInt(bytes, p)
       val typ = new String(bytes, p + 4, 4, "US-ASCII")
-      if (len < 0 || p + 12 + len > bytes.length)
+      // Long arithmetic: a crafted len near Int.MaxValue would wrap
+      // the Int sum negative and sneak past the bound check
+      if (len < 0 || p.toLong + 12L + len > bytes.length)
         throw PngError(s"truncated $typ chunk (len=$len)")
       done = typ == "IEND"
       p += 12 + len

@@ -145,6 +145,46 @@ class IndexDeleteSpec extends SparkSpec {
     assert(rowSet(Dedup.spanIndexTable(spark, cDir, raw = true)) === rebuilt)
   }
 
+  test("span delete then re-duplicating append then compact keeps the re-promoted marker") {
+    // own corpus: the sequence needs full control of the sidecar
+    // lifecycle (the shared cDir's span sidecars are compacted away by
+    // the demotion test above). Original docs + one copy each → every
+    // original's spans are duplicated; dropping the copies demotes
+    // them; a SECOND copy appended afterwards re-promotes them — the
+    // r17 ADVICE corruption sequence: the demotion must not survive
+    // the re-duplication, through compaction included.
+    val d = java.nio.file.Files.createTempDirectory("graft_del_redup")
+      .toString
+    val originals = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 1)
+      .filter(length(col("text")) >= Dedup.SpanLen)
+    val copies = originals.withColumn("doc_id", col("doc_id") + CopyOff)
+    originals.unionByName(copies).write.parquet(d + "/documents.parquet")
+    Dedup.spanIndexTable(spark, d).count() // first build
+    val drop = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") >= CopyOff).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(Dedup.removeSpanFromIndex(spark, d, drop) === drop.size.toLong)
+    // the batch: a fresh copy of every original, new ids
+    val batch = originals.withColumn("doc_id", col("doc_id") + 2 * CopyOff)
+    assert(Dedup.appendSpanToIndex(spark, d, batch) > 0L)
+    // rebuild oracle: survivors + batch as a fresh corpus
+    val d2 = java.nio.file.Files.createTempDirectory("graft_del_redup2")
+      .toString
+    originals.unionByName(batch).write.parquet(d2 + "/documents.parquet")
+    val rebuilt = rowSet(Dedup.spanIndexTable(spark, d2))
+    assert(rowSet(Dedup.spanIndexTable(spark, d)) === rebuilt)
+    // compaction must KEEP the re-promoted markers (the invalidated
+    // demotion), not materialize the stale demotion physically
+    Dedup.compactSpanIndex(spark, d)
+    assert(rowSet(Dedup.spanIndexTable(spark, d)) === rebuilt)
+    assert(rowSet(Dedup.spanIndexTable(spark, d, raw = true)) === rebuilt)
+    // and despan agrees with the rebuilt corpus doc-for-doc over the
+    // originals (the only docs present in both corpus parquets)
+    assert(rowSet(Dedup.despan(spark, d).filter(col("doc_id") < CopyOff))
+      === rowSet(Dedup.despan(spark, d2).filter(col("doc_id") < CopyOff)))
+  }
+
   test("semantic delete drops the vecs from postings and pairs; compaction clears") {
     val vecDrop = Similarity.semPostingTable(spark, cDir,
         Dedup.BroadcastVerifyBytes, raw = true)
