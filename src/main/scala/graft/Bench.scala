@@ -125,7 +125,8 @@ object Bench {
     "docs_mix_epochs" -> "cmep", "text_bigram_logprob" -> "tbl",
     "docs_lm_buckets" -> "clb", "text_quality_clf" -> "tqc",
     "docs_quality_apply" -> "cqa", "docs_lm_sample" -> "cls",
-    "docs_dsir" -> "cds", "docs_dsir_sample" -> "cdk"
+    "docs_dsir" -> "cds", "docs_dsir_sample" -> "cdk",
+    "docs_dsir_hashed" -> "cdh"
   )
 
   def main(args: Array[String]): Unit = {

@@ -64,6 +64,37 @@ object Bpe {
 
   private[pipeline] def clearCache(): Unit = trained.clear()
 
+  private def bpeGenSuffix(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Dedup.corpusFingerprint(spark, dir) +
+      Registry.basisSuffix(spark, dir, Registry.Doc)
+
+  /** This corpus's trained BPE artifacts that exist in the CURRENT
+    * generation (the uncapped oracle table plus any capped-k kernel
+    * tables), each paired with its deterministic rebuild — the
+    * [[Maintenance.refreshModels]] hook. */
+  private[pipeline] def genArtifacts(spark: org.apache.spark.sql
+      .SparkSession, dir: String): Seq[(String, () => Unit)] = {
+    val suffix = bpeGenSuffix(spark, dir)
+    val names = spark.catalog.listTables().collect().map(_.name)
+    val merges: Seq[(String, () => Unit)] = {
+      val t = "graft_bpe_" + suffix
+      if (names.contains(t))
+        Seq((t, () => { trainMerges(spark, dir); () })) else Nil
+    }
+    val capped: Seq[(String, () => Unit)] = names.toSeq.flatMap { n =>
+      if (!n.startsWith("graft_bpek")) None
+      else {
+        val k = n.stripPrefix("graft_bpek").takeWhile(_.isDigit)
+        if (k.nonEmpty && n == s"graft_bpek${k}_" + suffix)
+          Some((n, () => { trainMergesK(spark, dir, k.toInt); () }))
+        else None
+      }
+    }
+    merges ++ capped
+  }
+
   /** Left-to-right non-overlapping merge of (l, r) in a token array —
     * the array mirror of `replace(repr, "|l||r|", "|lr|")`: the `|`
     * delimiters make a partial-token match impossible, so the two
@@ -94,8 +125,7 @@ object Bpe {
       dir: String): Seq[(String, String)] = {
     val key = spark.sparkContext.applicationId + ":" + dir
     trained.computeIfAbsent(key, _ => {
-      val tbl = "graft_bpe_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-        Dedup.corpusFingerprint(spark, dir)
+      val tbl = "graft_bpe_" + bpeGenSuffix(spark, dir)
       if (spark.catalog.tableExists(tbl))
         spark.table(tbl).collect()
           .sortBy(_.getInt(0))
@@ -103,8 +133,7 @@ object Bpe {
       else {
         val merges = trainFresh(spark, dir)
         import spark.implicits._
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        val path = graft.sources.TableIO.indexPath(tbl)
         merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
           .toDF("rank", "l", "r").coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -125,7 +154,10 @@ object Bpe {
     * semantics of a vocab_size cap. */
   private def trainLoop(spark: SparkSession, dir: String, n: Int,
       failOnDry: Boolean): Seq[(String, String)] = {
-      val vocab = Tables.documents(spark, dir)
+      // training population: minus the model basis (Registry) — the
+      // generation contract for every trained artifact
+      val vocab = Registry.minusBasis(spark,
+          Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")
         .select(explode(
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -178,8 +210,7 @@ object Bpe {
       k: Int): Seq[(String, String)] = {
     val key = spark.sparkContext.applicationId + ":" + dir + ":k" + k
     trained.computeIfAbsent(key, _ => {
-      val tbl = s"graft_bpek${k}_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + Dedup.corpusFingerprint(spark, dir)
+      val tbl = s"graft_bpek${k}_" + bpeGenSuffix(spark, dir)
       if (spark.catalog.tableExists(tbl))
         spark.table(tbl).collect()
           .sortBy(_.getInt(0))
@@ -187,8 +218,7 @@ object Bpe {
       else {
         val merges = trainLoop(spark, dir, k, failOnDry = false)
         import spark.implicits._
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        val path = graft.sources.TableIO.indexPath(tbl)
         merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
           .toDF("rank", "l", "r").coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

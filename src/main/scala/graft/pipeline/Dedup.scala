@@ -396,22 +396,26 @@ object Dedup {
       dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_shingles_")
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       // recoverBucketed first: a compaction that crashed in its drop
       // window left a staging snapshot holding corpus + folds, which a
       // fresh corpus rebuild would silently lose
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("doc_id"), IndexBuckets))
         graft.sources.TableIO.writeBucketed(
-          shingleArrays(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
+          Registry.minus(spark, shingleArrays(spark, dir), dir,
+            Registry.Doc, "doc_id"),
+          tbl, path, Seq("doc_id"), IndexBuckets)
     }
     // raw = the PHYSICAL table (append-path freshness probes, so a
     // tombstoned doc stays "known" and replays stay no-ops); default
-    // view subtracts the family's deletion sidecar
+    // view subtracts the family's deletion sidecar AND the permanent
+    // registry (which outlives sidecar clears — Registry contract)
     if (raw) spark.table(tbl)
-    else Tombstones.minus(spark, spark.table(tbl),
-      indexTableName(spark, dir, "graft_tomb_dedup_"), "doc_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        indexTableName(spark, dir, "graft_tomb_dedup_"), "doc_id"),
+      dir, Registry.Doc, "doc_id")
   }
 
   /** The minhash posting index as a PERSISTED bucketed lake table —
@@ -426,16 +430,19 @@ object Dedup {
       dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_minhash_idx_")
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("k"), IndexBuckets))
         graft.sources.TableIO.writeBucketed(
-          minhashPostings(spark, dir), tbl, path, Seq("k"), IndexBuckets)
+          Registry.minus(spark, minhashPostings(spark, dir), dir,
+            Registry.Doc, "doc_id"),
+          tbl, path, Seq("k"), IndexBuckets)
     }
     if (raw) spark.table(tbl)
-    else Tombstones.minus(spark, spark.table(tbl),
-      indexTableName(spark, dir, "graft_tomb_dedup_"), "doc_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        indexTableName(spark, dir, "graft_tomb_dedup_"), "doc_id"),
+      dir, Registry.Doc, "doc_id")
   }
 
   /** Append a batch of documents into BOTH stored index tables — the
@@ -468,8 +475,13 @@ object Dedup {
     * computed — the streaming fold path reuses the side table's stored
     * arrays instead of re-shingling. Caller owns persistence. */
   private[graft] def appendShingles(spark: SparkSession, dir: String,
-      batchSh: DataFrame): Long = Maintenance.IndexLocks
+      batchShIn: DataFrame): Long = Maintenance.IndexLocks
       .withLock("dedup", dir) {
+    // never-reingest: a permanently removed doc in a replayed or
+    // malicious ingest batch must not re-enter (Registry contract;
+    // identity when nothing was ever permanently removed)
+    val batchSh = Registry.minus(spark, batchShIn, dir,
+      Registry.Doc, "doc_id")
     val shingleTbl = indexTableName(spark, dir, "graft_shingles_")
     val minhashTbl = indexTableName(spark, dir, "graft_minhash_idx_")
     // ensure both tables exist before appending (first ingest into a
@@ -522,7 +534,9 @@ object Dedup {
       Maintenance.IndexLocks.withLock("dedup", dir) {
     val tomb = indexTableName(spark, dir, "graft_tomb_dedup_")
     val f: DataFrame => DataFrame =
-      df => Tombstones.minus(spark, df, tomb, "doc_id")
+      df => Registry.minus(spark,
+        Tombstones.minus(spark, df, tomb, "doc_id"),
+        dir, Registry.Doc, "doc_id")
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_minhash_idx_"),
       Seq("k"), IndexBuckets, transform = f)
@@ -543,16 +557,18 @@ object Dedup {
     * materializes it physically. Idempotent; nothing corpus-scale
     * moves at delete time. Returns how many ids were newly recorded. */
   private[graft] def removeFromIndex(spark: SparkSession, dir: String,
-      docIds: Seq[Long]): Long = Maintenance.IndexLocks
-      .withLock("dedup", dir) {
+      docIds: Seq[Long], permanent: Boolean = false): Long =
+      Maintenance.IndexLocks.withLock("dedup", dir) {
+    if (permanent) Registry.addPermanent(spark, dir, Registry.Doc, docIds)
     Tombstones.add(spark,
       indexTableName(spark, dir, "graft_tomb_dedup_"), docIds)
   }
 
   /** [[removeFromIndex]] for the simhash family. */
   private[graft] def removeSimhashFromIndex(spark: SparkSession,
-      dir: String, docIds: Seq[Long]): Long = Maintenance.IndexLocks
-      .withLock("simhash", dir) {
+      dir: String, docIds: Seq[Long], permanent: Boolean = false): Long =
+      Maintenance.IndexLocks.withLock("simhash", dir) {
+    if (permanent) Registry.addPermanent(spark, dir, Registry.Doc, docIds)
     Tombstones.add(spark,
       indexTableName(spark, dir, "graft_tomb_simhash_"), docIds)
   }
@@ -573,9 +589,10 @@ object Dedup {
     * demote rows distinct away). Returns how many ids were newly
     * recorded. */
   private[graft] def removeSpanFromIndex(spark: SparkSession, dir: String,
-      docIds: Seq[Long]): Long = Maintenance.IndexLocks
-      .withLock("span", dir) {
+      docIds: Seq[Long], permanent: Boolean = false): Long =
+      Maintenance.IndexLocks.withLock("span", dir) {
     import spark.implicits._
+    if (permanent) Registry.addPermanent(spark, dir, Registry.Doc, docIds)
     val tomb = indexTableName(spark, dir, "graft_tomb_span_")
     val demoteTbl = indexTableName(spark, dir, "graft_tombsp_span_")
     val recorded: Set[Long] =
@@ -617,8 +634,11 @@ object Dedup {
     * the fold path reuses them instead of re-hashing text. Returns the
     * number of docs actually appended. */
   private[graft] def appendSimhashToIndex(spark: SparkSession, dir: String,
-      batchPost: DataFrame): Long = Maintenance.IndexLocks
+      batchPostIn: DataFrame): Long = Maintenance.IndexLocks
       .withLock("simhash", dir) {
+    // never-reingest filter (Registry contract; identity when empty)
+    val batchPost = Registry.minus(spark, batchPostIn, dir,
+      Registry.Doc, "doc_id")
     val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
     val storedIds = simhashIndexTable(spark, dir, raw = true)
       .select(col("doc_id"))
@@ -645,7 +665,9 @@ object Dedup {
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_simhash_idx_"),
       Seq("k"), IndexBuckets,
-      transform = df => Tombstones.minus(spark, df, tomb, "doc_id"))
+      transform = df => Registry.minus(spark,
+        Tombstones.minus(spark, df, tomb, "doc_id"),
+        dir, Registry.Doc, "doc_id"))
     Tombstones.clear(spark, tomb)
   }
 
@@ -663,7 +685,9 @@ object Dedup {
     val spanTomb = indexTableName(spark, dir, "graft_tomb_span_")
     val spanDemote = indexTableName(spark, dir, "graft_tombsp_span_")
     def docMinus(tomb: String): DataFrame => DataFrame =
-      df => Tombstones.minus(spark, df, tomb, "doc_id")
+      df => Registry.minus(spark,
+        Tombstones.minus(spark, df, tomb, "doc_id"),
+        dir, Registry.Doc, "doc_id")
     val specs = Seq(
       ("graft_minhash_idx_", Seq("k"), "dedup", docMinus(dedupTomb)),
       ("graft_shingles_", Seq("doc_id"), "dedup", docMinus(dedupTomb)),
@@ -858,17 +882,20 @@ object Dedup {
       dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_simhash_idx_")
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("k"), IndexBuckets))
         graft.sources.TableIO.writeBucketed(
-          simhashPostingsOfDocs(simhashSigs(spark, dir)), tbl, path,
-          Seq("k"), IndexBuckets)
+          Registry.minus(spark,
+            simhashPostingsOfDocs(simhashSigs(spark, dir)), dir,
+            Registry.Doc, "doc_id"),
+          tbl, path, Seq("k"), IndexBuckets)
     }
     if (raw) spark.table(tbl)
-    else Tombstones.minus(spark, spark.table(tbl),
-      indexTableName(spark, dir, "graft_tomb_simhash_"), "doc_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        indexTableName(spark, dir, "graft_tomb_simhash_"), "doc_id"),
+      dir, Registry.Doc, "doc_id")
   }
 
   /** Triple-key posting rows for an arbitrary (doc_id, sim) signature
@@ -1277,7 +1304,11 @@ object Dedup {
       col("s.h").as("h"), col("s.h2").as("h2"))
 
   private def dupSpanStarts(spark: SparkSession, dir: String): DataFrame = {
-    val spans = spansOf(Tables.documents(spark, dir))
+    // INPUT-filtered by the permanent registry (not output-filtered:
+    // the span family has cross-doc derived state — a span duplicated
+    // only against a permanently removed doc must not be marked)
+    val spans = spansOf(Registry.minus(spark,
+      Tables.documents(spark, dir), dir, Registry.Doc, "doc_id"))
     val dupHashes = spans.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("tot"))
       .filter(col("tot") >= 2).select(col("h"), col("h2"))
@@ -1299,8 +1330,7 @@ object Dedup {
       dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_spanidx_")
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("doc_id"), IndexBuckets))
         graft.sources.TableIO.writeBucketed(
@@ -1313,10 +1343,10 @@ object Dedup {
     // singleton promotion) — validity-filtered, see
     // [[validSpanDemotions]]
     if (raw) spark.table(tbl)
-    else minusDemotions(
+    else Registry.minus(spark, minusDemotions(
       Tombstones.minus(spark, spark.table(tbl),
         indexTableName(spark, dir, "graft_tomb_span_"), "doc_id"),
-      validSpanDemotions(spark, dir))
+      validSpanDemotions(spark, dir)), dir, Registry.Doc, "doc_id")
   }
 
   /** The demote sidecar's CURRENTLY VALID (doc_id, i) pairs — None
@@ -1377,19 +1407,21 @@ object Dedup {
       dir: String, raw: Boolean = false): DataFrame = {
     val tbl = indexTableName(spark, dir, "graft_spanpost_")
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("h", "h2"), IndexBuckets))
         graft.sources.TableIO.writeBucketed(
-          spansOf(Tables.documents(spark, dir))
+          spansOf(Registry.minus(spark, Tables.documents(spark, dir),
+              dir, Registry.Doc, "doc_id"))
             .groupBy(col("h"), col("h2"), col("doc_id"))
             .agg(min(col("i")).as("i"), count(lit(1)).as("c")),
           tbl, path, Seq("h", "h2"), IndexBuckets)
     }
     if (raw) spark.table(tbl)
-    else Tombstones.minus(spark, spark.table(tbl),
-      indexTableName(spark, dir, "graft_tomb_span_"), "doc_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        indexTableName(spark, dir, "graft_tomb_span_"), "doc_id"),
+      dir, Registry.Doc, "doc_id")
   }
 
   /** Fold a batch of documents into the stored span index — the
@@ -1417,9 +1449,12 @@ object Dedup {
     *    drop-set discipline).
     * Returns the number of docs actually folded. */
   private[graft] def appendSpanToIndex(spark: SparkSession, dir: String,
-      batchDocs: DataFrame): Long = Maintenance.IndexLocks
+      batchDocsIn: DataFrame): Long = Maintenance.IndexLocks
       .withLock("span", dir) {
     import spark.implicits._
+    // never-reingest filter (Registry contract; identity when empty)
+    val batchDocs = Registry.minus(spark, batchDocsIn, dir,
+      Registry.Doc, "doc_id")
     val idxTbl = indexTableName(spark, dir, "graft_spanidx_")
     val postTbl = indexTableName(spark, dir, "graft_spanpost_")
     spanIndexTable(spark, dir, raw = true) // ensure both exist
@@ -1521,12 +1556,15 @@ object Dedup {
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_spanidx_"),
       Seq("doc_id"), IndexBuckets,
-      transform = df => minusDemotions(
-        Tombstones.minus(spark, df, tomb, "doc_id"), demotions))
+      transform = df => Registry.minus(spark, minusDemotions(
+        Tombstones.minus(spark, df, tomb, "doc_id"), demotions),
+        dir, Registry.Doc, "doc_id"))
     graft.sources.TableIO.compactBucketed(spark,
       indexTableName(spark, dir, "graft_spanpost_"),
       Seq("h", "h2"), IndexBuckets,
-      transform = df => Tombstones.minus(spark, df, tomb, "doc_id"))
+      transform = df => Registry.minus(spark,
+        Tombstones.minus(spark, df, tomb, "doc_id"),
+        dir, Registry.Doc, "doc_id"))
     Tombstones.clear(spark, tomb)
     Tombstones.clear(spark, demoteTbl)
   }

@@ -49,18 +49,29 @@ object Maintenance {
   def compactAll(spark: SparkSession, dir: String,
       annKinds: Seq[String] = Seq("md5", "trained", "residual", "opq"))
       : Map[String, Int] = {
+    // a corpus dir may carry only one of the two id domains (a
+    // doc-only lake has no embeddings to fingerprint and vice versa)
+    // — sweep each domain's families only when its corpus exists
+    val hasDocs = corpusExists(spark, dir, "documents")
+    val hasVecs = corpusExists(spark, dir, "embeddings")
     // sweep every ann kind table that PHYSICALLY exists, not just the
     // caller's list — the deletion sidecar may only clear once every
     // kind materialized it (Similarity.removeFromAnnIndex's contract)
-    val presentKinds = Similarity.annCodeKindsPresent(spark, dir)
+    val presentKinds =
+      if (hasVecs) Similarity.annCodeKindsPresent(spark, dir) else Nil
     val sweepKinds = (annKinds ++ presentKinds).distinct
     val counts = Seq(
-      "dedup" -> Dedup.compactDedupIfPresent(spark, dir),
-      "semantic" -> Similarity.compactSemIfPresent(spark, dir),
-      "ann_codes" -> sweepKinds.map(k =>
-        Similarity.compactAnnIndexIfPresent(spark, dir, k) min 1).sum,
-      "ann_vecs" -> Similarity.compactAnnVecsIfPresent(spark, dir).min(1),
-      "lmscore" -> TrainingPrep.compactScoredIfPresent(spark, dir))
+      "dedup" -> (if (hasDocs) Dedup.compactDedupIfPresent(spark, dir)
+                  else 0),
+      "semantic" -> (if (hasVecs) Similarity.compactSemIfPresent(spark, dir)
+                     else 0),
+      "ann_codes" -> (if (hasVecs) sweepKinds.map(k =>
+        Similarity.compactAnnIndexIfPresent(spark, dir, k) min 1).sum
+        else 0),
+      "ann_vecs" -> (if (hasVecs)
+        Similarity.compactAnnVecsIfPresent(spark, dir).min(1) else 0),
+      "lmscore" -> (if (hasDocs)
+        TrainingPrep.compactScoredIfPresent(spark, dir) else 0))
     // every existing ann table (all kinds + the refine vecs) has now
     // rewritten without the tombstoned vecs — forget the sidecar. A
     // sidecar recorded before ANY ann table was built survives (the
@@ -73,12 +84,79 @@ object Maintenance {
     // and re-list + clear run as ONE critical section under the ann
     // lock (reentrant) so no build racing the gap invalidates the
     // decision the gap was based on (r17 ADVICE TOCTOU item).
-    IndexLocks.withLock("ann", dir) {
+    if (hasVecs) IndexLocks.withLock("ann", dir) {
       val presentAfter = Similarity.annCodeKindsPresent(spark, dir)
       if (presentKinds.nonEmpty &&
           presentAfter.toSet.subsetOf(sweepKinds.toSet))
         Similarity.clearAnnTombstones(spark, dir)
     }
-    counts.filter(_._2 > 0).toMap
+    (counts.filter(_._2 > 0) ++ refreshModels(spark, dir)).toMap
+  }
+
+  private def corpusExists(spark: SparkSession, dir: String,
+      table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Fraction of a trained artifact's training population that must
+    * be permanently removed before [[refreshModels]] retrains it —
+    * below this, deletions serve through sidecar/registry filtering
+    * of the OLD generation (the FAISS remove_ids stance: a delete
+    * never retrains); above it, the removed rows' INFLUENCE on the
+    * trained parameters (LM probabilities, classifier weights,
+    * codebook centroids) is deemed material and the artifact is
+    * deterministically re-fit without them. */
+  private[graft] val ModelRefreshThreshold = 0.01
+
+  /** Drop-fraction-triggered deterministic model refresh (r17 verdict
+    * item 1) — the influence-scrubbing layer ABOVE the row-level
+    * takedown path: when the permanently removed fraction of a
+    * domain's training population crosses
+    * [[ModelRefreshThreshold]], advance the model basis to the
+    * registry snapshot and re-fit every PRESENT trained artifact of
+    * that domain on the post-delete population with the same
+    * fixed-round trainers — so the refreshed artifacts are IDENTICAL
+    * to a fresh train on a corpus that never contained the removed
+    * rows (ModelRefreshSpec pins this per family). Old-generation
+    * tables are dropped; absent families stay absent (first touch
+    * under the new basis builds them on demand). Returns per-domain
+    * artifact counts actually retrained. */
+  private[graft] def refreshModels(spark: SparkSession,
+      dir: String): Map[String, Int] = {
+    def refresh(domain: String, population: () => Long,
+        artifacts: () => Seq[(String, () => Unit)]): Int = {
+      val reg = Registry.ids(spark, dir, domain)
+      if (reg.isEmpty) 0
+      else {
+        val basis = Registry.basisIds(spark, dir, domain).toSet
+        val newDrops = reg.count(!basis(_))
+        // corpus-scale count only when a NEW permanent drop exists —
+        // the every-night no-registry path pays one catalog lookup
+        if (newDrops == 0) 0
+        else {
+          val trainedOn = math.max(1L, population() - basis.size)
+          if (newDrops.toDouble / trainedOn < ModelRefreshThreshold) 0
+          else {
+            // capture the OLD generation's names before the advance;
+            // rebuild closures resolve the NEW names at call time
+            val old = artifacts()
+            Registry.advanceBasis(spark, dir, domain)
+            old.foreach { case (tbl, _) => Tombstones.clear(spark, tbl) }
+            old.foreach { case (_, rebuild) => rebuild() }
+            old.size
+          }
+        }
+      }
+    }
+    val doc = refresh(Registry.Doc,
+      () => graft.Tables.documents(spark, dir).count(),
+      () => TrainingPrep.docGenArtifacts(spark, dir) ++
+        QualityClf.genArtifacts(spark, dir) ++
+        Bpe.genArtifacts(spark, dir))
+    val vec = refresh(Registry.Vec,
+      () => graft.Tables.embeddings(spark, dir).count(),
+      () => Similarity.vecGenArtifacts(spark, dir))
+    Map("models_doc" -> doc, "models_vec" -> vec).filter(_._2 > 0)
   }
 }

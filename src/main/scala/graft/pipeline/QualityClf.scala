@@ -71,8 +71,16 @@ object QualityClf {
   /** Per-document feature frame over the labeled population (docs with
     * ≥2 tokens — exactly the lmBuckets domain). All features are exact
     * integer ratios: deterministic per doc, identical across engines. */
-  private def featureFrame(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private def featureFrame(spark: SparkSession, dir: String): DataFrame =
+    featuresOfDocs(Tables.documents(spark, dir))
+
+  /** The same feature build over an ARBITRARY (doc_id, text, n_chars)
+    * frame — the batch half of [[scoreDocs]] (the curateBatch
+    * discipline: the stored-artifact builds and the per-batch passes
+    * share one kernel, so a streamed doc scores exactly like a corpus
+    * doc of the same text). */
+  private def featuresOfDocs(input: DataFrame): DataFrame = {
+    val docs = input
       .select(col("doc_id"), col("text"), col("n_chars"),
         split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -94,6 +102,18 @@ object QualityClf {
       .groupBy(col("doc_id"))
       .agg(hbAggs.head, hbAggs.tail: _*)
     base.join(hashed, "doc_id")
+  }
+
+  /** Score an arbitrary document batch under the STORED weights — no
+    * retraining on the serving path (the appendScored frozen-LM rule
+    * applied to the classifier): a batch doc scores exactly what a
+    * corpus doc of the same text scores. Domain = docs with ≥2 tokens
+    * (the classifier's training population). */
+  private[graft] def scoreDocs(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val w = trainedWeights(spark, dir)
+    featuresOfDocs(docs).select(col("doc_id"),
+      Num.roundEps(pExpr(w), 6).as("clf_score"))
   }
 
   /** Features ⋈ labels, cached per (session, corpus): the one frame
@@ -152,8 +172,7 @@ object QualityClf {
       // session reloads them instead of re-paying the TrainRounds
       // aggregation passes, and doubles round-trip parquet
       // bit-exactly so the reloaded model IS the trained model
-      val tbl = "graft_qclf_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + Dedup.corpusFingerprint(spark, dir)
+      val tbl = qclfName(spark, dir)
       if (spark.catalog.tableExists(tbl)) {
         spark.table(tbl).collect()
           .map(r => (r.getInt(0), r.getDouble(1)))
@@ -161,8 +180,7 @@ object QualityClf {
       } else {
         val w = train(spark, dir)
         import spark.implicits._
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        val path = graft.sources.TableIO.indexPath(tbl)
         w.zipWithIndex.map { case (v, j) => (j, v) }.toSeq
           .toDF("j", "w").coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -170,6 +188,22 @@ object QualityClf {
         w
       }
     })
+  }
+
+  private def qclfName(spark: SparkSession, dir: String): String =
+    "graft_qclf_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Dedup.corpusFingerprint(spark, dir) +
+      Registry.basisSuffix(spark, dir, Registry.Doc)
+
+  /** The trained-weights artifact iff it exists in the CURRENT
+    * generation, paired with its deterministic rebuild — the
+    * [[Maintenance.refreshModels]] hook. */
+  private[pipeline] def genArtifacts(spark: SparkSession,
+      dir: String): Seq[(String, () => Unit)] = {
+    val t = qclfName(spark, dir)
+    if (spark.catalog.tableExists(t))
+      Seq((t, () => { trainedWeights(spark, dir); () }))
+    else Nil
   }
 
   /** The actual TrainRounds GD loop (runs once per corpus content, at

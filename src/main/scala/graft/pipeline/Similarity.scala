@@ -46,6 +46,15 @@ object Similarity {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     normedVecs(spark, dir).select(col("vec_id"), col("v"))
 
+  /** Trained-artifact population: the corpus minus the model basis
+    * (Registry) — every codebook/centroid/permutation trainer and
+    * every generation-named encode reads THIS, so an artifact name is
+    * a pure function of (corpus content, basis content). Identity
+    * before any model refresh ever ran. */
+  private def basisVecs(spark: SparkSession, dir: String): DataFrame =
+    Registry.minusBasis(spark, normedVecs(spark, dir), dir,
+      Registry.Vec, "vec_id")
+
   /** The normedVecs transform applied to an ARBITRARY (vec_id,
     * embedding) frame — the per-batch half of the streaming semantic
     * pass (Dedup.shinglesOfDocs pattern): identical cast + norm
@@ -661,7 +670,9 @@ object Similarity {
       (build: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
     cbMemo(spark, s"$kind:$dir") {
       val tbl = "graft_anncb_" + kind + "_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + embFingerprint(spark, dir)
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        embFingerprint(spark, dir) +
+        Registry.basisSuffix(spark, dir, Registry.Vec)
       if (spark.catalog.tableExists(tbl)) {
         val rows = spark.table(tbl).collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
@@ -672,8 +683,7 @@ object Similarity {
         import spark.implicits._
         val rows = for { m <- cb.indices; k <- cb(m).indices }
           yield (m, k, cb(m)(k).toSeq)
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        val path = graft.sources.TableIO.indexPath(tbl)
         rows.toDF("m", "k", "vals").coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet").option("path", path).saveAsTable(tbl)
@@ -700,7 +710,8 @@ object Similarity {
       dir: String): Array[Array[Array[Double]]] =
     persistedBook(spark, dir, "pqt") {
       import spark.implicits._
-      trainKmCodebook(spark, vecs(spark, dir).as[(Long, Array[Double])])
+      trainKmCodebook(spark, basisVecs(spark, dir)
+        .select(col("vec_id"), col("v")).as[(Long, Array[Double])])
     }
 
   /** PQ codebook trained on IVF RESIDUALS (v − its trained routing
@@ -730,7 +741,7 @@ object Similarity {
     import spark.implicits._
     val cc = trainedIvfCentroids(spark, dir)
     val cn = cc.map(a => math.sqrt(a.map(x => x * x).sum))
-    normedVecs(spark, dir)
+    basisVecs(spark, dir)
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
       .mapPartitions(_.map { case (id, v, nrm) =>
@@ -826,7 +837,7 @@ object Similarity {
       dir: String): Array[Array[Double]] =
     persistedBook(spark, dir, "ivfcc") {
       import spark.implicits._
-      val data = normedVecs(spark, dir)
+      val data = basisVecs(spark, dir)
         .select(col("vec_id"), col("v"), col("nrm"))
         .as[(Long, Array[Double], Double)]
       val seeds = data.filter(_._1 < IvfCentroids).collect().sortBy(_._1)
@@ -912,7 +923,9 @@ object Similarity {
       // order change exactly as it absorbs DuckDB's, so the training-
       // included SQL oracle is unchanged (r15 verdict item 5).
       val (sums, cnts) = treeCombinePartials(
-        Tables.embeddings(spark, dir).select(col("embedding")).rdd
+        Registry.minusBasis(spark, Tables.embeddings(spark, dir), dir,
+            Registry.Vec, "vec_id")
+          .select(col("embedding")).rdd
           .mapPartitionsWithIndex { (pid, it) =>
             val acc = new Array[Double](2 * Dim)
             var n = 0L
@@ -956,7 +969,8 @@ object Similarity {
     persistedBook(spark, dir, "pqopq") {
       import spark.implicits._
       val perm = opqPermutation(spark, dir)
-      trainKmCodebook(spark, vecs(spark, dir).as[(Long, Array[Double])]
+      trainKmCodebook(spark, basisVecs(spark, dir)
+        .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
         .map { case (id, v) => (id, permuteArr(v, perm)) })
     }
 
@@ -1126,7 +1140,7 @@ object Similarity {
         cc.zipWithIndex.map { case (c, i) =>
           (i.toLong, c, math.sqrt(c.map(x => x * x).sum))
         }.toSeq.toDF("cent_id", "cv", "cn")
-      case None => normedVecs(spark, dir).filter(col("vec_id") < IvfCentroids)
+      case None => basisVecs(spark, dir).filter(col("vec_id") < IvfCentroids)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     }
   }
@@ -1140,7 +1154,10 @@ object Similarity {
   private def buildCodeTable(spark: SparkSession, dir: String,
       kind: String): DataFrame = {
     val (cb, centsOpt, residual, permOpt) = pqKind(spark, dir, kind)
-    encodeCodes(spark, normedVecs(spark, dir),
+    // generation population (minus basis): post-basis permanent
+    // removals are hidden by codeTable's registry-filtered view until
+    // the next refresh materializes them
+    encodeCodes(spark, basisVecs(spark, dir),
       centsDf(spark, dir, centsOpt), cb, centsOpt, residual, permOpt)
   }
 
@@ -1193,8 +1210,7 @@ object Similarity {
       kind: String, raw: Boolean = false): DataFrame = {
     val tbl = annCodeName(spark, dir, kind)
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       // recover from a crashed compaction's staging first (the snapshot
       // holds corpus codes + folds); else build — one task per inverted
       // list → one file per partition directory. The build applies the
@@ -1215,14 +1231,20 @@ object Similarity {
     // TRAINED artifacts (codebooks, centroids) are never retrained by
     // a delete — only the vec's code rows go.
     if (raw) spark.table(tbl)
-    else Tombstones.minus(spark, spark.table(tbl),
-      semTableName(spark, dir, "graft_tomb_ann_"), "vec_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"),
+      dir, Registry.Vec, "vec_id")
   }
 
   private def annCodeName(spark: SparkSession, dir: String,
       kind: String): String =
+    // generation-named like the books it encodes under: a model
+    // refresh retrains the books, which invalidates every code
     "graft_anncodes_" + kind + "_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + embFingerprint(spark, dir)
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      embFingerprint(spark, dir) +
+      Registry.basisSuffix(spark, dir, Registry.Vec)
 
   /** Raw vectors folded into this corpus's ANN index — the refine /
     * exact-re-rank side of [[appendAnnToIndex]]: ADC searches serve an
@@ -1236,8 +1258,10 @@ object Similarity {
       dir: String): Option[DataFrame] = {
     val tbl = semTableName(spark, dir, "graft_annvecs_")
     if (spark.catalog.tableExists(tbl))
-      Some(Tombstones.minus(spark, spark.table(tbl),
-        semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"))
+      Some(Registry.minus(spark,
+        Tombstones.minus(spark, spark.table(tbl),
+          semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"),
+        dir, Registry.Vec, "vec_id"))
     else None
   }
 
@@ -1245,8 +1269,10 @@ object Similarity {
       dir: String, raw: Boolean = false): DataFrame = {
     val t = vecsExtensionTable(spark, dir, "graft_annvecs_")
     if (raw) t
-    else Tombstones.minus(spark, t,
-      semTableName(spark, dir, "graft_tomb_ann_"), "vec_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, t,
+        semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"),
+      dir, Registry.Vec, "vec_id")
   }
 
   /** Fold a batch of NEW vectors into the persisted ANN index for
@@ -1315,9 +1341,12 @@ object Similarity {
       .filter(col("cent_id").isin(touched: _*))
 
   private[graft] def appendAnnToIndex(spark: SparkSession, dir: String,
-      batchVecs: DataFrame, kind: String): Long = Maintenance.IndexLocks
+      batchVecsIn: DataFrame, kind: String): Long = Maintenance.IndexLocks
       .withLock("ann", dir) {
     import spark.implicits._
+    // never-reingest filter (Registry contract; identity when empty)
+    val batchVecs = Registry.minus(spark, batchVecsIn, dir,
+      Registry.Vec, "vec_id")
     codeTable(spark, dir, kind, raw = true) // first touch builds + trains
     val (batchEnc, touched) = encodeBatch(spark, dir, batchVecs, kind)
     // BOTH fresh lists are keyed on their own target table and pinned
@@ -1407,8 +1436,10 @@ object Similarity {
     if (spark.catalog.tableExists(tbl))
       graft.sources.TableIO.compactBucketed(spark, tbl,
         Seq("vec_id"), Dedup.IndexBuckets,
-        transform = df => Tombstones.minus(spark, df,
-          semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"))
+        transform = df => Registry.minus(spark,
+          Tombstones.minus(spark, df,
+            semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"),
+          dir, Registry.Vec, "vec_id"))
     else 0
   }
 
@@ -1424,8 +1455,9 @@ object Similarity {
     * never retrained by a delete, exactly like FAISS. Idempotent;
     * returns how many ids were newly recorded. */
   private[graft] def removeFromAnnIndex(spark: SparkSession, dir: String,
-      vecIds: Seq[Long]): Long = Maintenance.IndexLocks
-      .withLock("ann", dir) {
+      vecIds: Seq[Long], permanent: Boolean = false): Long =
+      Maintenance.IndexLocks.withLock("ann", dir) {
+    if (permanent) Registry.addPermanent(spark, dir, Registry.Vec, vecIds)
     Tombstones.add(spark,
       semTableName(spark, dir, "graft_tomb_ann_"), vecIds)
   }
@@ -1436,8 +1468,9 @@ object Similarity {
     * discipline applies unchanged; [[compactSemIfPresent]]
     * materializes and clears. */
   private[graft] def removeFromSemIndex(spark: SparkSession, dir: String,
-      vecIds: Seq[Long]): Long = Maintenance.IndexLocks
-      .withLock("sem", dir) {
+      vecIds: Seq[Long], permanent: Boolean = false): Long =
+      Maintenance.IndexLocks.withLock("sem", dir) {
+    if (permanent) Registry.addPermanent(spark, dir, Registry.Vec, vecIds)
     Tombstones.add(spark,
       semTableName(spark, dir, "graft_tomb_sem_"), vecIds)
   }
@@ -1448,11 +1481,71 @@ object Similarity {
   private[graft] def annCodeKindsPresent(spark: SparkSession,
       dir: String): Seq[String] = {
     val prefix = "graft_anncodes_"
+    // CURRENT generation only (basis-suffixed): stale generations are
+    // orphaned names a refresh drops, never sweep targets
     val suffix = "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      embFingerprint(spark, dir)
+      embFingerprint(spark, dir) +
+      Registry.basisSuffix(spark, dir, Registry.Vec)
     spark.catalog.listTables().collect().map(_.name)
       .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
       .map(n => n.stripPrefix(prefix).stripSuffix(suffix)).toSeq
+  }
+
+  /** This corpus's trained vector-side artifacts that exist in the
+    * CURRENT generation — PQ/IVF books, per-kind code tables, the
+    * semantic posting table — each paired with its deterministic
+    * rebuild, the [[Maintenance.refreshModels]] hook. Rebuilds of the
+    * DATA tables (codes, sempost) also re-fold the streamed extension
+    * vectors, whose raw rows the generation change does not touch:
+    * the new generation serves everything the old one did, minus the
+    * removed ids. */
+  private[pipeline] def vecGenArtifacts(spark: SparkSession,
+      dir: String): Seq[(String, () => Unit)] = {
+    import spark.implicits._
+    val slugFp = "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      embFingerprint(spark, dir) +
+      Registry.basisSuffix(spark, dir, Registry.Vec)
+    val names = spark.catalog.listTables().collect().map(_.name)
+    val bookSpecs: Seq[(String, () => Unit)] = names.toSeq
+      .filter(n => n.startsWith("graft_anncb_") && n.endsWith(slugFp))
+      .flatMap { n =>
+        val rebuild: Option[() => Unit] =
+          n.stripPrefix("graft_anncb_").stripSuffix(slugFp) match {
+            case "pqt" => Some(() => { trainedCodebook(spark, dir); () })
+            case "pqres" => Some(() => { residualCodebook(spark, dir); () })
+            case "ivfcc" =>
+              Some(() => { trainedIvfCentroids(spark, dir); () })
+            case "opqperm" => Some(() => { opqPermutation(spark, dir); () })
+            case "pqopq" => Some(() => { opqCodebook(spark, dir); () })
+            case _ => None
+          }
+        rebuild.map(r => (n, r))
+      }
+    val codeSpecs: Seq[(String, () => Unit)] =
+      annCodeKindsPresent(spark, dir).map { k =>
+        (annCodeName(spark, dir, k), () => {
+          codeTable(spark, dir, k, raw = true)
+          annStreamVecsIfAny(spark, dir).foreach(sv =>
+            appendAnnToIndex(spark, dir, sv, k))
+          ()
+        })
+      }
+    val semSpec: Seq[(String, () => Unit)] = {
+      val t = semPostName(spark, dir)
+      if (!spark.catalog.tableExists(t)) Nil
+      else Seq((t, () => {
+        semPostingTable(spark, dir, Dedup.BroadcastVerifyBytes, raw = true)
+        semStreamVecsIfAny(spark, dir).foreach { sv =>
+          val posts = semAssignOver(spark, dir,
+            sv.select(col("vec_id"), col("v"), col("nrm"))
+              .as[(Long, Array[Double], Double)],
+            Dedup.BroadcastVerifyBytes)
+          appendSemToIndex(spark, dir, posts, sv)
+        }
+        ()
+      }))
+    }
+    bookSpecs ++ codeSpecs ++ semSpec
   }
 
   /** Forget the ann deletion sidecar — called by compactAll AFTER the
@@ -1471,21 +1564,22 @@ object Similarity {
       dir: String): Int = Maintenance.IndexLocks.withLock("sem", dir) {
     val tomb = semTableName(spark, dir, "graft_tomb_sem_")
     val specs = Seq(
-      ("graft_sempost_", Seq("cent_id")),
-      ("graft_semvecs_", Seq("vec_id")))
-    val n = specs.count { case (prefix, cols) =>
-      val tbl = semTableName(spark, dir, prefix)
+      (semPostName(spark, dir), Seq("cent_id")),
+      (semTableName(spark, dir, "graft_semvecs_"), Seq("vec_id")))
+    val n = specs.count { case (tbl, cols) =>
       val present = spark.catalog.tableExists(tbl)
       if (present)
         graft.sources.TableIO.compactBucketed(spark, tbl, cols,
           Dedup.IndexBuckets,
-          transform = df => Tombstones.minus(spark, df, tomb, "vec_id"))
+          transform = df => Registry.minus(spark,
+            Tombstones.minus(spark, df, tomb, "vec_id"),
+            dir, Registry.Vec, "vec_id"))
       present
     }
     // the base posting table is the corpus-derived artifact: a sidecar
     // recorded before it was ever built must survive until a
     // build+compact materializes it (the compactDedupIfPresent rule)
-    if (spark.catalog.tableExists(semTableName(spark, dir, "graft_sempost_")))
+    if (spark.catalog.tableExists(semPostName(spark, dir)))
       Tombstones.clear(spark, tomb)
     n
   }
@@ -1505,8 +1599,10 @@ object Similarity {
     // (another kind's table may still carry the tombstoned vecs)
     graft.sources.TableIO.compactPartitioned(spark,
       annCodeName(spark, dir, kind), Seq("cent_id"), IvfCentroids,
-      transform = df => Tombstones.minus(spark, df,
-        semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"))
+      transform = df => Registry.minus(spark,
+        Tombstones.minus(spark, df,
+          semTableName(spark, dir, "graft_tomb_ann_"), "vec_id"),
+        dir, Registry.Vec, "vec_id"))
   }
 
   /** ADC-scored (probe_id, vec_id, adist) candidate stream — the shared
@@ -1751,11 +1847,9 @@ object Similarity {
     * SemanticDedupSpec). */
   private[graft] def semPostingTable(spark: SparkSession, dir: String,
       broadcastBound: Long, raw: Boolean = false): DataFrame = {
-    val tbl = "graft_sempost_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + embFingerprint(spark, dir)
+    val tbl = semPostName(spark, dir)
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       // recoverBucketed first: a compaction crash in the drop window
       // left a staging snapshot holding corpus assignments + folds
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
@@ -1765,8 +1859,10 @@ object Similarity {
           Seq("cent_id"), Dedup.IndexBuckets)
     }
     if (raw) spark.table(tbl)
-    else Tombstones.minus(spark, spark.table(tbl),
-      semTableName(spark, dir, "graft_tomb_sem_"), "vec_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        semTableName(spark, dir, "graft_tomb_sem_"), "vec_id"),
+      dir, Registry.Vec, "vec_id")
   }
 
   /** Lake extension table for STREAMED vectors — the semantic family's
@@ -1781,6 +1877,13 @@ object Similarity {
     prefix + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       embFingerprint(spark, dir)
 
+  /** The semantic posting table's name — GENERATION-named (its
+    * centroid hierarchy is a trained artifact), unlike the raw-vector
+    * extension and tombstone sidecars, which span generations. */
+  private def semPostName(spark: SparkSession, dir: String): String =
+    semTableName(spark, dir, "graft_sempost_") +
+      Registry.basisSuffix(spark, dir, Registry.Vec)
+
   /** The streamed-vector table IF any stream ever folded into this
     * corpus — None otherwise, so the common no-stream case adds
     * nothing to a batch query's plan (and no catalog write). */
@@ -1788,8 +1891,10 @@ object Similarity {
       dir: String): Option[DataFrame] = {
     val tbl = semTableName(spark, dir, "graft_semvecs_")
     if (spark.catalog.tableExists(tbl))
-      Some(Tombstones.minus(spark, spark.table(tbl),
-        semTableName(spark, dir, "graft_tomb_sem_"), "vec_id"))
+      Some(Registry.minus(spark,
+        Tombstones.minus(spark, spark.table(tbl),
+          semTableName(spark, dir, "graft_tomb_sem_"), "vec_id"),
+        dir, Registry.Vec, "vec_id"))
     else None
   }
 
@@ -1797,8 +1902,10 @@ object Similarity {
       dir: String, raw: Boolean = false): DataFrame = {
     val t = vecsExtensionTable(spark, dir, "graft_semvecs_")
     if (raw) t
-    else Tombstones.minus(spark, t,
-      semTableName(spark, dir, "graft_tomb_sem_"), "vec_id")
+    else Registry.minus(spark,
+      Tombstones.minus(spark, t,
+        semTableName(spark, dir, "graft_tomb_sem_"), "vec_id"),
+      dir, Registry.Vec, "vec_id")
   }
 
   /** Shared creator for the (vec_id, v, nrm) extension tables — the
@@ -1811,8 +1918,7 @@ object Similarity {
       prefix: String): DataFrame = {
     val tbl = semTableName(spark, dir, prefix)
     if (!spark.catalog.tableExists(tbl)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("vec_id"), Dedup.IndexBuckets)) {
         val empty = spark.createDataFrame(
@@ -1840,8 +1946,13 @@ object Similarity {
     * the lakehouse semantics of ingesting into the index. Returns the
     * number of vectors actually appended. */
   private[graft] def appendSemToIndex(spark: SparkSession, dir: String,
-      batchPost: DataFrame, batchVecs: DataFrame): Long = Maintenance
+      batchPostIn: DataFrame, batchVecsIn: DataFrame): Long = Maintenance
       .IndexLocks.withLock("sem", dir) {
+    // never-reingest filter (Registry contract; identity when empty)
+    val batchPost = Registry.minus(spark, batchPostIn, dir,
+      Registry.Vec, "vec_id")
+    val batchVecs = Registry.minus(spark, batchVecsIn, dir,
+      Registry.Vec, "vec_id")
     // PHYSICAL probes (raw): a tombstoned vec stays "known" so replays
     // of a batch containing it stay no-ops (the Tombstones contract)
     val storedPostIds = semPostingTable(spark, dir,
@@ -1878,7 +1989,7 @@ object Similarity {
       graft.sources.TableIO.appendBucketed(
         batchPost.join(broadcast(freshPost.toDF("vec_id")), "vec_id")
           .select(col("vec_id"), col("cent_id")),
-        semTableName(spark, dir, "graft_sempost_"),
+        semPostName(spark, dir),
         Seq("cent_id"), Dedup.IndexBuckets)
     if (freshVecs.nonEmpty)
       graft.sources.TableIO.appendBucketed(
@@ -1992,7 +2103,7 @@ object Similarity {
       broadcastBound: Long): DataFrame = {
     import spark.implicits._
     semAssignOver(spark, dir,
-      normedVecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      basisVecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
         .as[(Long, Array[Double], Double)],
       broadcastBound)
   }
@@ -2009,7 +2120,10 @@ object Similarity {
       assign: Dataset[(Long, Array[Double], Double)],
       broadcastBound: Long): DataFrame = {
     import spark.implicits._
-    val all = normedVecs(spark, dir)
+    // centroid hierarchy derives from the GENERATION population so
+    // stream-assigned vectors land in the same clusters the stored
+    // build used (the batch-parity invariant) across a model refresh
+    val all = basisVecs(spark, dir)
     val est = corpusCount(spark, dir)
     locally {
       val k = math.max(IvfCentroids.toLong,

@@ -58,8 +58,7 @@ private[graft] object Tombstones {
       if (spark.catalog.tableExists(tbl))
         df.write.mode(SaveMode.Append).format("parquet").saveAsTable(tbl)
       else {
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+        val path = graft.sources.TableIO.indexPath(tbl)
         df.write.mode(SaveMode.Overwrite).format("parquet")
           .option("path", path).saveAsTable(tbl)
       }
@@ -94,8 +93,7 @@ private[graft] object Tombstones {
     if (spark.catalog.tableExists(tbl))
       rows.write.mode(SaveMode.Append).format("parquet").saveAsTable(tbl)
     else {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+      val path = graft.sources.TableIO.indexPath(tbl)
       rows.write.mode(SaveMode.Overwrite).format("parquet")
         .option("path", path).saveAsTable(tbl)
     }

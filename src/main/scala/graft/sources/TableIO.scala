@@ -23,6 +23,22 @@ import org.apache.spark.sql.types.StructType
   */
 object TableIO {
 
+  /** Root directory of every persisted index/artifact table.
+    * Defaults to `$TMPDIR/graft_index`; override with the
+    * SPARK_GRAFT_INDEX_DIR environment variable — REQUIRED when two
+    * JVMs work different corpora concurrently (two sbt sessions, a
+    * test suite next to a bench run): the tables are fingerprint-
+    * named, so two JVMs sharing one root can clobber each other's
+    * files mid-scan (Overwrite on first touch). One lake, one owner
+    * process per root — the no-transaction-log discipline. */
+  def indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_index")
+      .getAbsolutePath)
+
+  /** Absolute on-disk path for a persisted table name. */
+  def indexPath(tbl: String): String =
+    new java.io.File(indexRoot, tbl).getAbsolutePath
+
   sealed abstract class Format(val name: String)
   case object Parquet extends Format("parquet")
   case object Orc extends Format("orc")

@@ -60,8 +60,7 @@ class AnnAppendSpec extends SparkSpec {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_index/${tbl.head}"))
+    walk(new java.io.File(graft.sources.TableIO.indexPath(tbl.head)))
   }
 
   test("trained ADC serves a folded batch off the stored code table, no retrain") {
@@ -275,5 +274,35 @@ class AnnAppendSpec extends SparkSpec {
       .groupBy(col("probe_id"), col("vec_id")).count()
       .filter(col("count") > 1).count()
     assert(dups === 0L, "duplicate (probe, candidate) rows in refine")
+  }
+
+  test("permanent removal: a removed vec never re-enters through compact + re-ingest") {
+    val b = batch
+    Similarity.appendAnnToIndex(spark, cDir, b, "trained") // ensure folded
+    val ids = Seq(Off, Off + 1)
+    assert(Similarity.removeFromAnnIndex(spark, cDir, ids,
+      permanent = true) === ids.size.toLong)
+    assert(Similarity.codeTable(spark, cDir, "trained")
+      .filter(col("vec_id").isin(ids: _*)).count() === 0L)
+    // the full-family sweep materializes and clears the ann sidecar
+    // (2 of 500 vecs = 0.4%: below the model-refresh threshold, so
+    // this also pins that a small takedown never retrains the books)
+    val counts = Maintenance.compactAll(spark, cDir)
+    assert(!counts.contains("models_vec"), s"no retrain expected: $counts")
+    assert(Similarity.codeTable(spark, cDir, "trained", raw = true)
+      .filter(col("vec_id").isin(ids: _*)).count() === 0L)
+    // replayed ingest of the removed vecs: appends nothing, and the
+    // raw vector extension stays clean too
+    val vecsBefore = Similarity.annStreamVecsTable(spark, cDir, raw = true)
+      .count()
+    assert(Similarity.appendAnnToIndex(spark, cDir,
+      b.filter(col("vec_id").isin(ids: _*)), "trained") === 0L)
+    assert(Similarity.codeTable(spark, cDir, "trained", raw = true)
+      .filter(col("vec_id").isin(ids: _*)).count() === 0L)
+    assert(Similarity.annStreamVecsTable(spark, cDir, raw = true).count()
+      === vecsBefore)
+    // and no ADC search can serve them
+    assert(Similarity.annIvfPqTrained(spark, cDir)
+      .filter(col("vec_id").isin(ids: _*)).count() === 0L)
   }
 }

@@ -57,8 +57,7 @@ class AnnIndexSpec extends SparkSpec {
       .filter(_.startsWith("graft_anncodes_trained_"))
       .filter(_.contains(sfDir.replaceAll("[^A-Za-z0-9]", "_")))
     assert(tbl.length === 1)
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_index/${tbl.head}")
+    val root = new java.io.File(graft.sources.TableIO.indexPath(tbl.head))
     val parts = root.listFiles().filter(_.getName.startsWith("cent_id="))
     assert(parts.nonEmpty, s"no cent_id= partition dirs under $root")
     parts.foreach { p =>

@@ -66,8 +66,7 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
     val tampered = rows.map { case (i, l, r) =>
       if (i == 0) (i, "zz", "qq") else (i, l, r) }
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_index/$tbl").getAbsolutePath
+    val path = new java.io.File(graft.sources.TableIO.indexPath(tbl)).getAbsolutePath
     tampered.toSeq.toDF("rank", "l", "r").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").option("path", path).saveAsTable(tbl)

@@ -50,7 +50,7 @@ class IndexAppendSpec extends SparkSpec {
       .filter(_.startsWith(prefix))
       .filter(_.contains(cDir.replaceAll("[^A-Za-z0-9]", "_")))
     assert(tbl.length === 1, s"expected one $prefix table for $cDir")
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft_index/${tbl.head}")
+    new java.io.File(graft.sources.TableIO.indexPath(tbl.head))
       .listFiles().filter(_.getName.endsWith(".parquet"))
   }
 
@@ -180,5 +180,38 @@ class IndexAppendSpec extends SparkSpec {
       assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
         s"compacted index side should not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("permanent removal survives fold → compact → re-ingest → fold") {
+    // unlike a plain sidecar delete (sticky only until compaction
+    // clears it), permanent = true records the ids in the
+    // never-reingest registry, which every append path subtracts —
+    // so the compact-then-replay sequence cannot resurrect them
+    val batch = dayBatch(3000000L)
+    assert(Dedup.appendToIndex(spark, cDir, batch) > 0L)
+    val ids = batch.select("doc_id").collect().map(_.getLong(0))
+      .sorted.take(3).toSeq
+    assert(Dedup.removeFromIndex(spark, cDir, ids, permanent = true)
+      === ids.size.toLong)
+    assert(Dedup.minhashIndexTable(spark, cDir)
+      .filter(col("doc_id").isin(ids: _*)).count() === 0L)
+    // compaction materializes the deletion and CLEARS the family
+    // sidecar — the window where a non-permanent delete becomes
+    // re-ingestable
+    Dedup.compactIndex(spark, cDir)
+    assert(Dedup.minhashIndexTable(spark, cDir, raw = true)
+      .filter(col("doc_id").isin(ids: _*)).count() === 0L)
+    // replayed ingest containing the removed docs: appends nothing
+    assert(Dedup.appendToIndex(spark, cDir,
+      batch.filter(col("doc_id").isin(ids: _*))) === 0L)
+    assert(Dedup.minhashIndexTable(spark, cDir, raw = true)
+      .filter(col("doc_id").isin(ids: _*)).count() === 0L)
+    // a second compact + full-batch fold cycle stays clean too
+    Dedup.compactIndex(spark, cDir)
+    assert(Dedup.appendToIndex(spark, cDir, batch) === 0L)
+    assert(Dedup.minhashIndexTable(spark, cDir)
+      .filter(col("doc_id").isin(ids: _*)).count() === 0L)
+    assert(Dedup.shingleIndexTable(spark, cDir, raw = true)
+      .filter(col("doc_id").isin(ids: _*)).count() === 0L)
   }
 }

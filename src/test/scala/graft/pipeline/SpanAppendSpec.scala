@@ -152,8 +152,7 @@ class SpanAppendSpec extends SparkSpec {
         n.contains(d.replaceAll("[^A-Za-z0-9]", "_")))
     assert(tbl.length === 1)
     val keep = spark.table(tbl.head).filter(col("doc_id") =!= 10L)
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_index/${tbl.head}").getAbsolutePath
+    val path = new java.io.File(graft.sources.TableIO.indexPath(tbl.head)).getAbsolutePath
     val snap = keep.collect()
     val schema = keep.schema
     spark.sql(s"DROP TABLE ${tbl.head}")

@@ -284,4 +284,39 @@ class TrainingPrepSpec extends SparkSpec {
       assert(g.map(_.getAs[String]("bucket")).toSet.size === 1)
     }
   }
+
+  test("dsirHashed: bucket-count estimator over every scorable doc, gram accounting exact") {
+    val out = TrainingPrep.dsirHashed(spark, sfDir)
+    val rows = out.collect()
+    // domain = the bigram-scorable population (≥ 2 whitespace tokens)
+    val scorable = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("nw"))
+      .filter(col("nw") >= 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(rows.length === scorable.size)
+    // n_grams is exactly len(ws) − 1 — the explode fabricates nothing
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_grams")
+        === scorable(r.getAs[Long]("doc_id")) - 1L)
+      assert(!r.getAs[Double]("log_ratio").isNaN)
+      assert(!r.getAs[Double]("log_ratio").isInfinite)
+    }
+    // the estimator separates the target slice it was fit on: docs in
+    // the benchmark bucket carry their own grams in the target model,
+    // so their MEAN importance ratio must exceed the off-target mean
+    val bucket = graft.Tables.documents(spark, sfDir)
+      .withColumn("b", expr(
+        graft.functions.Portable.hexToLongSpark(
+          "md5(CAST(doc_id AS STRING))", 1, 15) + " % 100"))
+      .select(col("doc_id"), (col("b") >= TrainingPrep.BenchmarkPct)
+        .as("t"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val (tgt, rest) = rows.partition(r => bucket(r.getAs[Long]("doc_id")))
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("log_ratio")).sum / rs.length
+    assert(mean(tgt) > mean(rest),
+      s"target mean ${mean(tgt)} should exceed off-target ${mean(rest)}")
+  }
 }

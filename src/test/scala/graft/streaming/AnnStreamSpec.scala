@@ -110,8 +110,7 @@ class AnnStreamSpec extends SparkSpec {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_index/${tbl.head}")).length
+      walk(new java.io.File(graft.sources.TableIO.indexPath(tbl.head))).length
     }
     val before = files()
     val s = spark

@@ -125,8 +125,7 @@ class SpanStreamSpec extends SparkSpec {
       val tbl = spark.catalog.listTables().collect().map(_.name)
         .filter(n => n.startsWith(prefix) &&
           n.contains(d.replaceAll("[^A-Za-z0-9]", "_"))).head
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_index/$tbl")
+      val root = new java.io.File(graft.sources.TableIO.indexPath(tbl))
       def walk(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(walk).sum
         else if (f.getName.endsWith(".parquet")) 1 else 0
