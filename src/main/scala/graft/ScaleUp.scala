@@ -90,6 +90,18 @@ object ScaleUp {
     val rep = broadcast(spark.range(factor)
       .select(col("id").cast("long").as("rep")))
 
+    // spread the EXPANSION stage: a small source is one scan partition,
+    // and the crossJoin's factor× blow-up used to run inside that one
+    // task — at factor 1000 that pushed 11 GB of lineitem through a
+    // single core (the sf100 point surfaced this). Fan the SOURCE out
+    // to the final layout first, so each task expands its own slice
+    // and the blown-up rows never shuffle at all (the write below is
+    // repartition-free for the fanned tables).
+    def fan(df: DataFrame, parts: Int): DataFrame =
+      df.repartition(parts)
+    def writeExpanded(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
     // key shift per replica: one step past the source's max key keeps
     // every replica's keyspace disjoint
     def step(df: DataFrame, key: String): Long = {
@@ -108,23 +120,23 @@ object ScaleUp {
     // of five residue classes — deterministic, uniform, reproducible
     def hot(keys: Column*): Column = pmod(hash(keys: _*), lit(5)) === 0
 
-    val ordersScaled = orders.crossJoin(rep)
+    val ordersScaled = fan(orders, 4 * factor).crossJoin(rep)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * orderStep)
       .drop("rep")
-    write(
+    writeExpanded(
       if (!skew) ordersScaled
       else {
         val hotCust = minKey(src("customer"), "c_custkey")
         ordersScaled.withColumn("o_custkey",
           when(hot(col("o_orderkey")), lit(hotCust))
             .otherwise(col("o_custkey")))
-      }, "orders", 4 * factor)
+      }, "orders")
 
     val lineitem = src("lineitem")
-    val lineitemScaled = lineitem.crossJoin(rep)
+    val lineitemScaled = fan(lineitem, 8 * factor).crossJoin(rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * orderStep)
       .drop("rep")
-    write(
+    writeExpanded(
       if (!skew) lineitemScaled
       else {
         val hotOrder = minKey(orders, "o_orderkey")
@@ -137,14 +149,14 @@ object ScaleUp {
             when(hot(col("l_suppkey"), col("l_orderkey"),
               col("l_linenumber")), lit(hotSupp))
               .otherwise(col("l_suppkey")))
-      }, "lineitem", 8 * factor)
+      }, "lineitem")
 
     val events = src("events")
     val eventStep = step(events, "event_id")
     // preserve the source's within-file time ordering (range partition +
     // sort on the raw ns column) so band-range row-group pruning keeps
     // working at the scaled volume
-    events.crossJoin(rep)
+    fan(events, 4 * factor).crossJoin(rep)
       .withColumn("event_id", col("event_id") + col("rep") * eventStep)
       .drop("rep")
       .repartitionByRange(4 * factor, col("ts"))
@@ -153,24 +165,24 @@ object ScaleUp {
 
     val documents = src("documents")
     val docStep = step(documents, "doc_id")
-    write(documents.crossJoin(rep)
+    writeExpanded(fan(documents, 2 * factor).crossJoin(rep)
       .withColumn("doc_id", col("doc_id") + col("rep") * docStep)
       .withColumn("text",
         when(col("rep") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
             w => concat(w, lit("~r"), col("rep"))), " ")))
       .withColumn("n_chars", length(col("text")))
-      .drop("rep"), "documents", 2 * factor)
+      .drop("rep"), "documents")
 
     val embeddings = src("embeddings")
     val vecStep = step(embeddings, "vec_id")
-    write(embeddings.crossJoin(rep)
+    writeExpanded(fan(embeddings, 2 * factor).crossJoin(rep)
       .withColumn("vec_id", col("vec_id") + col("rep") * vecStep)
       .withColumn("embedding",
         transform(col("embedding"),
           (x, i) => (x * when(col("rep") === 0, 1.0f)
             .otherwise((pmod(hash(col("rep"), i), lit(2)) * 2 - 1)
               .cast("float"))).cast("float")))
-      .drop("rep"), "embeddings", 2 * factor)
+      .drop("rep"), "embeddings")
   }
 }
