@@ -119,6 +119,17 @@ class ScalePlanSpec extends SparkSpec {
     assert(bhj >= 2, s"verify lookups lost their broadcast at sf10 (saw $bhj)")
   }
 
+  test("sf10: dsir_hashed keeps the two-level agg + broadcast ratio-join shape") {
+    whenCorpus()
+    // the hashed estimator's contract at scale: ONE corpus bigram
+    // explode into the doc×bucket aggregation; the ≤64-row log-ratio
+    // table joins back BROADCAST — never a corpus-side sort-merge
+    val plan = formatted(graft.pipeline.TrainingPrep.dsirHashed(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"ratio join degraded to sort-merge:\n${plan.take(2000)}")
+  }
+
   test("sf10: no lazily-planned query grows an unpartitioned window or Expand") {
     whenCorpus()
     import org.apache.spark.sql.execution.window.WindowExec
