@@ -57,10 +57,15 @@ private[graft] object Registry {
 
   /** Record `ids` as permanently removed (never re-ingestable).
     * Append-only + idempotent (the [[Tombstones.add]] machinery);
-    * returns how many were newly recorded. */
+    * returns how many were newly recorded. Owns its OWN lock: the
+    * registry is shared across families, so two families' permanent
+    * removes (each under a different family lock) must not race the
+    * table's first creation. */
   def addPermanent(spark: SparkSession, dir: String, domain: String,
       ids: Seq[Long]): Long =
-    Tombstones.add(spark, regName(dir, domain), ids)
+    Maintenance.IndexLocks.withLock(s"registry-$domain", dir) {
+      Tombstones.add(spark, regName(dir, domain), ids)
+    }
 
   /** `df` minus the registry on `idCol` — identity (zero plan change)
     * when nothing was ever permanently removed. */
