@@ -32,13 +32,21 @@ class ModelRefreshSpec extends SparkSpec {
       .toString
     graft.Tables.documents(spark, sfDir)
       .write.parquet(d + "/documents.parquet")
-    // train the old generation: the scored LM artifact + the
-    // classifier weights derive from the full corpus
+    // train the old generation of EVERY doc-domain trained family:
+    // the scored LM artifact + classifier weights, the BPE merges,
+    // and (via one tiny fold) the frozen-LM type/unigram tables
     TrainingPrep.bigramScoredTable(spark, d, raw = true).count()
     QualityClf.qualityClf(spark, d).count()
+    val oldMerges = Bpe.trainMerges(spark, d)
+    val foldBatch = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 === 3)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    assert(TrainingPrep.appendScored(spark, d, foldBatch) > 0L)
     val oldTables =
-      tablesFor(d, "graft_lmscore_") ++ tablesFor(d, "graft_qclf_")
-    assert(oldTables.size === 2)
+      tablesFor(d, "graft_lmscore_") ++ tablesFor(d, "graft_qclf_") ++
+        tablesFor(d, "graft_bpe_") ++ tablesFor(d, "graft_lmtypes_") ++
+        tablesFor(d, "graft_lmuni_")
+    assert(oldTables.size === 5)
 
     // 2% of the corpus permanently removed (ids above every seed
     // range) — crosses the 1% threshold
@@ -50,29 +58,44 @@ class ModelRefreshSpec extends SparkSpec {
       permanent = true) === removed.size.toLong)
 
     val counts = Maintenance.compactAll(spark, d)
-    assert(counts.getOrElse("models_doc", 0) >= 2,
-      s"expected an LM + classifier refresh, got $counts")
+    assert(counts.getOrElse("models_doc", 0) >= 5,
+      s"expected LM + classifier + BPE + fold-LM refreshes, got $counts")
     // old-generation tables dropped, new generation (basis-suffixed)
     // tables in their place
     val newTables =
-      tablesFor(d, "graft_lmscore_") ++ tablesFor(d, "graft_qclf_")
-    assert(newTables.size === 2)
+      tablesFor(d, "graft_lmscore_") ++ tablesFor(d, "graft_qclf_") ++
+        tablesFor(d, "graft_bpe_") ++ tablesFor(d, "graft_lmtypes_") ++
+        tablesFor(d, "graft_lmuni_")
+    assert(newTables.size === 5)
     assert(newTables.toSet.intersect(oldTables.toSet).isEmpty)
     assert(newTables.forall(_.contains("_g")))
 
     // the gold standard: identical to a fresh train over a corpus
-    // that never contained the removed docs
+    // that never contained the removed docs — for EVERY family
     val m = java.nio.file.Files.createTempDirectory("graft_refresh_minus")
       .toString
     graft.Tables.documents(spark, d)
       .filter(!col("doc_id").isin(removed: _*))
       .write.parquet(m + "/documents.parquet")
-    assert(rowSet(TrainingPrep.bigramLogprob(spark, d))
+    assert(rowSet(TrainingPrep.bigramLogprob(spark, d)
+        .filter(col("doc_id") < 7000000L))
       === rowSet(TrainingPrep.bigramLogprob(spark, m)))
-    assert(rowSet(TrainingPrep.lmBuckets(spark, d))
-      === rowSet(TrainingPrep.lmBuckets(spark, m)))
     assert(rowSet(QualityClf.qualityClf(spark, d))
       === rowSet(QualityClf.qualityClf(spark, m)))
+    Bpe.clearCache() // force the persisted-table read of the new gen
+    assert(Bpe.trainMerges(spark, d) === Bpe.trainMerges(spark, m))
+    assert(oldMerges.nonEmpty) // the old generation really trained
+    // the rebuilt frozen-LM tables (lmtypes/lmuni): folding the SAME
+    // novel batch into the refreshed corpus and the fresh-minus twin
+    // must score it identically (pins the backoff tables' content)
+    assert(TrainingPrep.appendScored(spark, d, foldBatch) > 0L)
+    assert(TrainingPrep.appendScored(spark, m, foldBatch) > 0L)
+    val batchIds = foldBatch.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rowSet(TrainingPrep.bigramLogprob(spark, d)
+        .filter(col("doc_id").isin(batchIds: _*)))
+      === rowSet(TrainingPrep.bigramLogprob(spark, m)
+        .filter(col("doc_id").isin(batchIds: _*))))
 
     // below-threshold no-op pin: ONE more permanent removal (0.2%)
     // must not advance the generation again
@@ -83,7 +106,9 @@ class ModelRefreshSpec extends SparkSpec {
     TrainingPrep.removeFromScoredTable(spark, d, one, permanent = true)
     val counts2 = Maintenance.compactAll(spark, d)
     assert(!counts2.contains("models_doc"), s"no-op expected, got $counts2")
-    assert((tablesFor(d, "graft_lmscore_") ++ tablesFor(d, "graft_qclf_"))
+    assert((tablesFor(d, "graft_lmscore_") ++ tablesFor(d, "graft_qclf_") ++
+        tablesFor(d, "graft_bpe_") ++ tablesFor(d, "graft_lmtypes_") ++
+        tablesFor(d, "graft_lmuni_"))
       === newTables)
     // ...but the removed doc's row still leaves every read immediately
     // (registry filtering, not retraining)
