@@ -44,6 +44,65 @@ object Maintenance {
         .synchronized(f)
   }
 
+  /** Unified takedown / right-to-be-forgotten orchestrator (r18
+    * verdict item 2): ONE entry point fanning a legal-removal batch to
+    * EVERY persisted family of the corpus plus the permanent registry,
+    * so compliance callers no longer need to know the six per-family
+    * `removeFrom*` hooks and the two id domains — a missed family
+    * silently keeps serving the doc otherwise. Doc-domain families:
+    * minhash+shingle, simhash, span (with its reverse-promotion
+    * demotions), LM score sidecar. Vec-domain families: ANN (all code
+    * kinds + refine vecs), semantic-dedup postings.
+    *
+    * Each family hook takes its own `IndexLocks` lock internally and
+    * the calls run SEQUENTIALLY — no nested cross-family locking, so
+    * the per-family/registry lock order is exactly the one the
+    * individual hooks already establish (family lock, then the
+    * registry's own lock inside `Registry.addPermanent`). Everything
+    * downstream is the hooks' existing contract: sidecar-filtered
+    * reads take effect immediately (streaming twins included — they
+    * read the same filtered views), replays of tombstoned ids append
+    * nothing, the nightly [[compactAll]] materializes physically, and
+    * `permanent = true` records the ids in the never-reingest registry
+    * once per domain. Cost note: every hook is sidecar-only (nothing
+    * corpus-scale moves at delete time) EXCEPT the span family's
+    * first-ever takedown on a corpus with no span index yet — its
+    * demotion probe first-touch-builds the posting table, which is
+    * corpus-linear; that build is load-bearing (a later build from a
+    * corpus still physically containing a non-permanently-removed doc
+    * would mark survivors' spans against it) and is the same build
+    * the family's first query pays. Idempotent; returns family → ids
+    * newly recorded
+    * (families with nothing new, including the empty-id-list domains,
+    * report 0). TakedownSpec pins post-takedown identity with a
+    * rebuild-minus-docs across all families in one call. */
+  def takedown(spark: SparkSession, dir: String,
+      docIds: Seq[Long] = Nil, vecIds: Seq[Long] = Nil,
+      permanent: Boolean = false): Map[String, Long] = {
+    // `permanent` is passed to every hook: Registry.addPermanent is
+    // idempotent (Tombstones.add), so the first hook of a domain
+    // records the ids and the rest see 0 new — one registry append
+    // per domain, exactly as if the caller had used a single hook
+    val doc =
+      if (docIds.isEmpty) Nil
+      else Seq(
+        "dedup" -> Dedup.removeFromIndex(spark, dir, docIds, permanent),
+        "simhash" -> Dedup.removeSimhashFromIndex(spark, dir, docIds,
+          permanent),
+        "span" -> Dedup.removeSpanFromIndex(spark, dir, docIds,
+          permanent),
+        "lmscore" -> TrainingPrep.removeFromScoredTable(spark, dir,
+          docIds, permanent))
+    val vec =
+      if (vecIds.isEmpty) Nil
+      else Seq(
+        "ann" -> Similarity.removeFromAnnIndex(spark, dir, vecIds,
+          permanent),
+        "sem" -> Similarity.removeFromSemIndex(spark, dir, vecIds,
+          permanent))
+    (doc ++ vec).toMap
+  }
+
   /** Compact every persisted index table for `dir`; returns
     * family → tables rewritten (families with nothing on disk absent). */
   def compactAll(spark: SparkSession, dir: String,

