@@ -129,6 +129,56 @@ object Bench {
     "docs_dsir_hashed" -> "cdh"
   )
 
+  /** The r1 baseline's per-query seconds (sf0.1, BENCH_r01.json) —
+    * embedded so the bench line itself carries the gate BASELINE.md
+    * defines ("within 2× of r1 ON THE SHARED QUERIES while adding
+    * coverage"), instead of requiring the reader to reconstruct the
+    * shared subset from two JSON files (r18 verdict item 1: the raw
+    * totals ratio crossed 2× on a noisy-box day purely because the
+    * inventory is 2.6× r1's, while the shared subtotal was 0.67×).
+    * The bench emits `sharedR1` (this run's subtotal over the shared
+    * keys that actually ran) and `r1x` (that subtotal over r1's
+    * subtotal for the SAME keys — denominators track skips/failures,
+    * so the ratio never compares mismatched sets). */
+  val r1Baseline: Map[String, Double] = Map(
+    "ann_ivf" -> 2.664, "ann_topk" -> 0.939, "dedup_embedding" -> 1.079,
+    "dedup_exact" -> 0.256, "dedup_minhash_lsh" -> 1.632,
+    "dedup_ngram_jaccard" -> 1.531,
+    "dedup_simhash" -> 1.791, "docs_curation_pipeline" -> 1.154,
+    "docs_sample_hash" -> 0.274,
+    "docs_source_cap" -> 0.286, "emb_centroids" -> 0.455,
+    "events_asof_click" -> 0.654,
+    "events_hourly_rollup" -> 2.264, "events_sessionize" -> 2.274,
+    "events_topk_users" -> 0.622,
+    "mm_binary_meta" -> 0.296, "mm_features" -> 0.303,
+    "q10_returns" -> 1.388,
+    "q14_promo" -> 0.422, "q16_parts_suppliers" -> 1.152,
+    "q18_large_cust" -> 1.654,
+    "q19_brand_disc" -> 0.43, "q1_pricing" -> 0.418,
+    "q22_idle_cust" -> 0.599,
+    "q3_shipping" -> 0.676, "q4_priority" -> 0.675,
+    "q5_region_rev" -> 0.974,
+    "q6_forecast" -> 0.206, "q7_volume" -> 0.781,
+    "skope_anomalies" -> 0.655,
+    "skope_band_index" -> 0.379, "skope_gap_fill" -> 0.534,
+    "skope_hourly_zonal" -> 0.332,
+    "skope_ma_centered" -> 0.461, "skope_ma_trailing" -> 0.265,
+    "skope_metadata" -> 0.258,
+    "skope_multi_area" -> 0.282, "skope_multi_series" -> 0.689,
+    "skope_ncells_area" -> 0.212,
+    "skope_quantiles" -> 0.24, "skope_select_point" -> 0.323,
+    "skope_summary_stats" -> 0.591,
+    "skope_v1_timeseries" -> 0.258, "skope_variable_props" -> 0.3,
+    "skope_zonal_mean" -> 0.24,
+    "skope_zonal_median" -> 0.253, "skope_zonal_median_approx" -> 0.224,
+    "skope_zonal_profile" -> 0.208,
+    "skope_zscore_fixed" -> 0.405, "skope_zscore_moving" -> 0.324,
+    "skope_zscore_selected" -> 0.31,
+    "text_fingerprint" -> 0.244, "text_langid" -> 0.17,
+    "text_pii_scrub" -> 0.12,
+    "text_quality" -> 0.148, "text_tokens" -> 0.133,
+    "text_vocab" -> 0.342)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -237,7 +287,20 @@ object Bench {
     // unmissable, so a broken build can never read as a speedup
     val failedField = if (nFailed > 0) s""","failed":$nFailed""" else ""
     val pfField = if (passFailures > 0) s""","pf":$passFailures""" else ""
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedField$pfField}""")
+    // the r1-shared gate, machine-readable from this line alone (r18
+    // verdict item 1): subtotal over the shared queries that actually
+    // ran this round, and its ratio to r1's subtotal over the SAME
+    // keys — both denominators shrink together under skips/failures
+    val shared = results.filter { case (n, v) =>
+      v >= 0 && r1Baseline.contains(n) }
+    val sharedField =
+      if (shared.isEmpty) ""
+      else {
+        val ours = shared.map(_._2).sum
+        val r1s = shared.map { case (n, _) => r1Baseline(n) }.sum
+        s""","sharedR1":${fmt(ours, 2)},"r1x":${fmt(ours / r1s, 2)}"""
+      }
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"$sharedField$failedField$pfField}""")
     System.out.flush()
     spark.stop()
   }

@@ -1022,22 +1022,78 @@ object Dedup {
     // apply step re-runs the whole LSH + propagation loop
     cached(spark, s"clusters:$dir")(clustersBuild(spark, dir))
 
+  /** Name of the PERSISTED cluster-label table: corpus content
+    * fingerprint (the index-table convention) PLUS a fingerprint of
+    * the family's current deletion state (tomb sidecar + permanent
+    * registry, both takedown-bounded driver reads) — cluster labels
+    * are cross-doc DERIVED state (cluster_id = component min), so a
+    * deletion can change surviving docs' labels and a stale table
+    * must MISS the catalog check and rebuild rather than be
+    * sidecar-filtered (the span-family lesson, applied as
+    * name-versioning instead of demotion sidecars). */
+  private def clustersTableName(spark: SparkSession, dir: String): String = {
+    val tombTbl = indexTableName(spark, dir, "graft_tomb_dedup_")
+    val tombIds: Seq[Long] =
+      if (spark.catalog.tableExists(tombTbl))
+        spark.table(tombTbl).collect().map(_.getLong(0)).toSeq
+      else Nil
+    val del = (tombIds ++ Registry.ids(spark, dir, Registry.Doc))
+      .distinct.sorted
+    val dfp = if (del.isEmpty) "" else {
+      var h = del.length.toLong
+      del.foreach(id => h = h * 1000003L + id)
+      "_d" + java.lang.Long.toHexString(h)
+    }
+    indexTableName(spark, dir, "graft_clusters_") + dfp
+  }
+
   private def clustersBuild(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2")).persist()
-    // min-label propagation needs ~diameter rounds — near-dup clusters
-    // are tiny-diameter cliques, so it normally converges at init+1. A
-    // pathological corpus (a CHAIN of near-dups, each similar only to
-    // its neighbors) exceeds the round cap; rather than fail or silently
-    // under-deduplicate (multiple "canonicals" per family), fall back to
-    // the O(log n)-round two-phase algorithm.
-    val labels = minLabelCC(spark, pairs)
-      .getOrElse(twoPhaseCC(spark, pairs))
-    // hand the result over as its own eagerly-materialized cache entry
-    // and drop every loop-scoped artifact — the iterative lineage must
-    // never be re-executed (and the per-round persists must not leak)
-    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // serve from the PERSISTED label artifact when one exists for the
+    // current (corpus content, deletion state) — the production shape
+    // (r18 verdict item 1): the LSH + CC build runs once per corpus
+    // content at write time; every later session (and the bench's
+    // cleared second pass) pays one small bucketless table read.
+    val tbl = clustersTableName(spark, dir)
+    if (!spark.catalog.tableExists(tbl))
+      Maintenance.IndexLocks.withLock("dedup", dir) {
+        if (!spark.catalog.tableExists(tbl)) {
+          // pair generation reads the persisted posting/shingle index
+          // (the dedup_incremental discipline) instead of re-shingling
+          // the corpus into session artifacts: bucketPairs' self-join
+          // runs over the k-bucketed stored postings, and the exact
+          // verification's array side is the doc_id-bucketed stored
+          // shingle table — both first-touch-built from the corpus if
+          // absent, both deletion-filtered views, so the label build
+          // is consistent with the deletion state its name carries.
+          val cand = bucketPairs(spark, minhashIndexTable(spark, dir))
+            .select(col("d1"), col("d2")).distinct()
+          val pairs = verifiedJaccard(spark, dir, cand,
+              shingleIndexTable(spark, dir))
+            .select(col("d1"), col("d2")).persist()
+          // min-label propagation needs ~diameter rounds — near-dup
+          // clusters are tiny-diameter cliques, so it normally
+          // converges at init+1. A pathological corpus (a CHAIN of
+          // near-dups, each similar only to its neighbors) exceeds the
+          // round cap; rather than fail or silently under-deduplicate
+          // (multiple "canonicals" per family), fall back to the
+          // O(log n)-round two-phase algorithm.
+          val labels = minLabelCC(spark, pairs)
+            .getOrElse(twoPhaseCC(spark, pairs))
+          labels.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet")
+            .option("path", graft.sources.TableIO.indexPath(tbl))
+            .saveAsTable(tbl)
+          // drop every loop-scoped artifact — the iterative lineage
+          // must never be re-executed (and the per-round persists must
+          // not leak); the write above materialized it durably
+          labels.unpersist()
+          pairs.unpersist()
+        }
+      }
+    val out = spark.table(tbl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    pairs.unpersist()
     out
   }
 

@@ -342,7 +342,31 @@ object Similarity {
       dir: String): (Array[Double], Array[Array[Double]]) = {
     val key = spark.sparkContext.applicationId + ":" + dir
     pcaCache.computeIfAbsent(key, _ => {
-      val data = vecs(spark, dir)
+      // PERSISTED trained artifact (r18 verdict item 1): the 8+8·k
+      // power-iteration passes run once per (corpus content, basis)
+      // and land as a tiny 5-row book table — every later session
+      // (and the bench's cleared second pass) reads the trained state
+      // back instead of re-paying the training scans, exactly like
+      // the PQ/IVF codebooks. Packed into the book shape: m=0 k=0 is
+      // μ, m=1 k=0..PcaK-1 are the components; doubles round-trip
+      // parquet bit-exactly so every PCA-family oracle stays exact.
+      val packed = persistedBook(spark, dir, "pca") {
+        val (mu, comps) = trainPcaK(spark, dir)
+        Array(Array(mu), comps)
+      }
+      (packed(0)(0), packed(1))
+    })
+  }
+
+  /** The PCA training pass proper — deterministic deflated power
+    * iteration over the TRAINED-ARTIFACT population ([[basisVecs]]:
+    * corpus minus the model basis, identity before any refresh), so
+    * the persisted book obeys the generation rule every other trained
+    * artifact follows and [[Maintenance.refreshModels]] can re-fit it
+    * to fresh-train-minus-docs identity. */
+  private def trainPcaK(spark: SparkSession,
+      dir: String): (Array[Double], Array[Array[Double]]) = {
+      val data = basisVecs(spark, dir).select(col("vec_id"), col("v"))
       val mu = data.select(posexplode(col("v")).as(Seq("d", "val")))
         .groupBy(col("d")).agg(avg(col("val")).as("m"))
         .collect().map(r => (r.getInt(0), Num.roundEpsJvm(r.getDouble(1), 6)))
@@ -429,7 +453,6 @@ object Similarity {
         comps += v
       }
       (mu, comps.toArray)
-    })
   }
 
   private[pipeline] def pcaState(spark: SparkSession,
@@ -1517,6 +1540,7 @@ object Similarity {
               Some(() => { trainedIvfCentroids(spark, dir); () })
             case "opqperm" => Some(() => { opqPermutation(spark, dir); () })
             case "pqopq" => Some(() => { opqCodebook(spark, dir); () })
+            case "pca" => Some(() => { pcaStateK(spark, dir); () })
             case _ => None
           }
         rebuild.map(r => (n, r))

@@ -24,6 +24,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"colliding aliases: $dupes")
   }
 
+  test("r1 baseline keys are live queries and total the adopted baseline") {
+    // the shared-gate fields are only meaningful if every r1 key still
+    // names a registered query (a rename would silently shrink the
+    // shared set) and the embedded numbers still sum to BASELINE.md's
+    // adopted 36.7 s / 57-query figure
+    val dead = Bench.r1Baseline.keySet -- SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"r1 baseline keys no longer registered: $dead")
+    assert(Bench.r1Baseline.size === 57)
+    assert(math.abs(Bench.r1Baseline.values.sum - 36.75) < 0.1)
+  }
+
   test("worst-case line stays under budget with >=15 queries of headroom") {
     // worst case per entry: "alias":123 — Bench.fmt prints at most 3
     // value chars below 1000 s (>=10 s drops decimals → "999"; <10 s
@@ -35,8 +46,9 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.alias(k).length + 2 /*quotes*/ + 1 /*colon*/ + 3 /*value*/
     }
     // preamble+sf suffix ~70, plus the failure fields at full width
-    // (,"failed":131,"pf":131 — 22 chars)
-    val line = 92 + entries.sum + entries.size /*commas*/
+    // (,"failed":131,"pf":131 — 22 chars) and the r1-shared gate
+    // fields (,"sharedR1":123.45,"r1x":12.34 — 31 chars, r19)
+    val line = 123 + entries.sum + entries.size /*commas*/
     // r12 verdict item 6: the NEXT rounds must be able to add queries
     // without re-litigating the alias map — reserve 15 entries at a
     // 7-char alias (worst entry style: "x_yyyyy":123, = 14 chars)
