@@ -183,19 +183,38 @@ object Maintenance {
     * artifact counts actually retrained. */
   private[graft] def refreshModels(spark: SparkSession,
       dir: String): Map[String, Int] = {
-    def refresh(domain: String, population: () => Long,
+    import org.apache.spark.sql.functions.{broadcast, col}
+    def refresh(domain: String, corpusIds: () => org.apache.spark.sql
+          .DataFrame, idCol: String,
         artifacts: () => Seq[(String, () => Unit)]): Int = {
       val reg = Registry.ids(spark, dir, domain)
       if (reg.isEmpty) 0
       else {
         val basis = Registry.basisIds(spark, dir, domain).toSet
-        val newDrops = reg.count(!basis(_))
-        // corpus-scale count only when a NEW permanent drop exists —
-        // the every-night no-registry path pays one catalog lookup
-        if (newDrops == 0) 0
+        val newReg = reg.filterNot(basis)
+        // corpus-scale counts only when a NEW permanent drop exists —
+        // the every-night no-registry path pays one catalog lookup.
+        // Both sides of the threshold are measured against the ACTUAL
+        // training population (r18 ADVICE): newDrops counts only
+        // registry ids the corpus really carries (a stream-only or
+        // unknown id never trained anything, so it must not push the
+        // ratio), and the denominator subtracts only basis ids the
+        // corpus really carries (a basis id absent from the corpus
+        // never shrank the training set).
+        if (newReg.isEmpty) 0
         else {
-          val trainedOn = math.max(1L, population() - basis.size)
-          if (newDrops.toDouble / trainedOn < ModelRefreshThreshold) 0
+          import spark.implicits._
+          val ids = corpusIds().select(col(idCol).as("id"))
+          val newDrops = ids
+            .join(broadcast(newReg.toDF("id")), Seq("id"), "left_semi")
+            .count()
+          val basisInCorpus =
+            if (basis.isEmpty) 0L
+            else ids.join(broadcast(basis.toSeq.toDF("id")),
+              Seq("id"), "left_semi").count()
+          val trainedOn = math.max(1L, ids.count() - basisInCorpus)
+          if (newDrops == 0 ||
+              newDrops.toDouble / trainedOn < ModelRefreshThreshold) 0
           else {
             // capture the OLD generation's names before the advance;
             // rebuild closures resolve the NEW names at call time
@@ -209,12 +228,12 @@ object Maintenance {
       }
     }
     val doc = refresh(Registry.Doc,
-      () => graft.Tables.documents(spark, dir).count(),
+      () => graft.Tables.documents(spark, dir), "doc_id",
       () => TrainingPrep.docGenArtifacts(spark, dir) ++
         QualityClf.genArtifacts(spark, dir) ++
         Bpe.genArtifacts(spark, dir))
     val vec = refresh(Registry.Vec,
-      () => graft.Tables.embeddings(spark, dir).count(),
+      () => graft.Tables.embeddings(spark, dir), "vec_id",
       () => Similarity.vecGenArtifacts(spark, dir))
     Map("models_doc" -> doc, "models_vec" -> vec).filter(_._2 > 0)
   }

@@ -384,7 +384,17 @@ object TrainingPrep {
       dir: String): Seq[(String, () => Unit)] =
     Seq[(String, () => Unit)](
       (lmScoreName(spark, dir),
-        () => { bigramScoredTable(spark, dir, raw = true); () }),
+        () => {
+          // corpus rebuild under the new basis, then re-fold the
+          // persisted raw rows of every STREAMED doc (scored under
+          // the new generation's LM) — symmetric with the vec
+          // domain's annvecs re-fold; without it a refresh silently
+          // dropped fold-only scores (r18 ADVICE medium item)
+          bigramScoredTable(spark, dir, raw = true)
+          lmStreamDocsIfAny(spark, dir).foreach(sd =>
+            appendScored(spark, dir, sd))
+          ()
+        }),
       (lmTypesName(spark, dir), () => { lmTypeTable(spark, dir); () }),
       (lmUniName(spark, dir), () => { lmUniTable(spark, dir); () }))
       .filter(s => spark.catalog.tableExists(s._1))
@@ -402,6 +412,55 @@ object TrainingPrep {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         Dedup.corpusFingerprint(spark, dir) +
         Registry.basisSuffix(spark, dir, Registry.Doc))
+
+  private def lmDocsName(spark: SparkSession, dir: String): String =
+    // corpus-fingerprint-named, NOT generation-named: raw rows must
+    // survive a model-refresh generation change (the graft_annvecs_
+    // rule) — it is exactly the table the refresh re-folds from
+    "graft_lmdocs_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Dedup.corpusFingerprint(spark, dir)
+
+  /** Raw (doc_id, text) rows of STREAMED docs folded into the scored
+    * artifact — the doc-domain twin of the vec side's graft_annvecs_
+    * extension table (r18 ADVICE medium item): a streamed doc's text
+    * lives in no corpus parquet, so without this table a model
+    * refresh that drops and rebuilds the generation-named scored
+    * artifact would silently lose every folded score until the
+    * source replays. Created empty on first touch so the fold path
+    * is uniform; bucketed by doc_id like the scored table itself. */
+  private def lmDocsTable(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = lmDocsName(spark, dir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = graft.sources.TableIO.indexPath(tbl)
+      if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
+          Seq("doc_id"), Dedup.IndexBuckets)) {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        graft.sources.TableIO.writeBucketed(
+          empty, tbl, path, Seq("doc_id"), Dedup.IndexBuckets)
+      }
+    }
+    spark.table(tbl)
+  }
+
+  /** The streamed-doc extension rows, deletion-filtered — what a
+    * model refresh re-folds on top of the corpus rebuild (None when
+    * no fold ever landed). The lmscore tomb sidecar applies too: a
+    * content-removed doc must not re-enter the rebuilt artifact. */
+  private[pipeline] def lmStreamDocsIfAny(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val tbl = lmDocsName(spark, dir)
+    if (!spark.catalog.tableExists(tbl)) None
+    else Some(Registry.minus(spark,
+      Tombstones.minus(spark, spark.table(tbl),
+        lmScoreName(spark, dir, tomb = true), "doc_id"),
+      dir, Registry.Doc, "doc_id"))
+  }
 
   /** Takedown for the scored artifact — CONTENT-removal semantics
     * (the BPE-merge rule applied to scores): the doc's row leaves the
@@ -431,6 +490,16 @@ object TrainingPrep {
         transform = df => Registry.minus(spark,
           Tombstones.minus(spark, df, tomb, "doc_id"),
           dir, Registry.Doc, "doc_id"))
+      // the raw-doc extension table (streamed text) materializes the
+      // same deletions BEFORE the sidecar clears — a content-removed
+      // doc's text must not survive physically (the annvecs rule)
+      val ext = lmDocsName(spark, dir)
+      if (spark.catalog.tableExists(ext))
+        graft.sources.TableIO.compactBucketed(spark, ext,
+          Seq("doc_id"), Dedup.IndexBuckets,
+          transform = df => Registry.minus(spark,
+            Tombstones.minus(spark, df, tomb, "doc_id"),
+            dir, Registry.Doc, "doc_id"))
       Tombstones.clear(spark, tomb)
       1
     }
@@ -605,6 +674,28 @@ object TrainingPrep {
     if (freshSeq.isEmpty) 0L
     else {
       val fresh = scorable.join(broadcast(freshSeq.toDF("doc_id")), "doc_id")
+      // land the RAW batch rows in the extension table FIRST (crash
+      // ordering: raw-but-unscored replays cleanly — the doc is still
+      // fresh by the scored table's ids — while scored-but-raw-lost
+      // would be invisible to the next refresh). Idempotency is keyed
+      // on the extension table's OWN ids (the appendSemToIndex rule:
+      // each table's fresh list against itself), so that replay
+      // appends no duplicate raw row. Corpus docs can never reach
+      // here: the stored scored table carries every ≥2-token corpus
+      // doc from its first-touch build, so `fresh` (not-in-stored) is
+      // stream-only by construction — no corpus-linear membership
+      // scan per fold (the flat-per-batch curation cost depends on
+      // that), and the extension table stays fold-bounded.
+      val ext = lmDocsTable(spark, dir)
+      val rawKnown = ext.select(col("doc_id")).join(batchIds, "doc_id")
+        .distinct()
+      val rawFreshIds = fresh.select(col("doc_id")).distinct()
+        .join(broadcast(rawKnown), Seq("doc_id"), "left_anti")
+      graft.sources.TableIO.appendBucketed(
+        fresh.join(broadcast(rawFreshIds), "doc_id")
+          .select(col("doc_id"), col("text")),
+        lmDocsName(spark, dir), Seq("doc_id"), Dedup.IndexBuckets)
+      spark.catalog.refreshTable(lmDocsName(spark, dir))
       val bi = bigramStream(fresh)
       val lm = lmTypeTable(spark, dir)
       val uni = lmUniTable(spark, dir)
@@ -921,6 +1012,12 @@ object TrainingPrep {
         .filter(!coalesce(col("in_batch"), lit(false)) ||
           col("partner") < col("doc_id"))
         .select(col("doc_id")).distinct()
+        // materialized (eager, batch-bounded) BEFORE the folds below
+        // mutate the stored index — the documented probe-before-fold
+        // ordering must be structural, not incidentally safe via
+        // self-pair exclusion on the lazily re-read grown index
+        // (r18 ADVICE item)
+        .localCheckpoint()
       // folds (idempotent; replay = no-op)
       appendScored(spark, dir, batch)
       Dedup.appendToIndex(spark, dir, batch)

@@ -85,10 +85,17 @@ class ModelRefreshSpec extends SparkSpec {
     Bpe.clearCache() // force the persisted-table read of the new gen
     assert(Bpe.trainMerges(spark, d) === Bpe.trainMerges(spark, m))
     assert(oldMerges.nonEmpty) // the old generation really trained
+    // the FOLDED (stream-only) docs' scores SURVIVE the refresh —
+    // re-scored under the new generation's LM from the persisted
+    // raw-doc extension table (r18 ADVICE medium item: previously the
+    // rebuild silently dropped them until the source replayed), so a
+    // replay of the same batch is now a no-op on the refreshed table
+    assert(TrainingPrep.bigramLogprob(spark, d)
+      .filter(col("doc_id") >= 7000000L).count() > 0L)
+    assert(TrainingPrep.appendScored(spark, d, foldBatch) === 0L)
     // the rebuilt frozen-LM tables (lmtypes/lmuni): folding the SAME
-    // novel batch into the refreshed corpus and the fresh-minus twin
-    // must score it identically (pins the backoff tables' content)
-    assert(TrainingPrep.appendScored(spark, d, foldBatch) > 0L)
+    // novel batch into the fresh-minus twin must score it identically
+    // to the refresh's own re-fold (pins the backoff tables' content)
     assert(TrainingPrep.appendScored(spark, m, foldBatch) > 0L)
     val batchIds = foldBatch.select("doc_id").collect()
       .map(_.getLong(0)).toSeq
