@@ -126,7 +126,9 @@ object Bench {
     "docs_lm_buckets" -> "clb", "text_quality_clf" -> "tqc",
     "docs_quality_apply" -> "cqa", "docs_lm_sample" -> "cls",
     "docs_dsir" -> "cds", "docs_dsir_sample" -> "cdk",
-    "docs_dsir_hashed" -> "cdh"
+    "docs_dsir_hashed" -> "cdh",
+    // trained language id (round 19)
+    "text_langid_clf" -> "tlc"
   )
 
   /** The r1 baseline's per-query seconds (sf0.1, BENCH_r01.json) —

@@ -51,7 +51,7 @@ object SparkEntry {
   ) ++ SkopeQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
     Similarity.queries ++ Multimodal.queries ++ EventOps.queries ++
     Curation.queries ++ TrainingPrep.queries ++ graft.pipeline.Bpe.queries ++
-    graft.pipeline.QualityClf.queries
+    graft.pipeline.QualityClf.queries ++ graft.pipeline.LangIdClf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +59,5 @@ object SparkEntry {
     TpchQueries.oracles ++ SkopeQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       EventOps.oracles ++ Curation.oracles ++ TrainingPrep.oracles ++
-      graft.pipeline.Bpe.oracles ++ graft.pipeline.QualityClf.oracles
+      graft.pipeline.Bpe.oracles ++ graft.pipeline.QualityClf.oracles ++ graft.pipeline.LangIdClf.oracles
 }

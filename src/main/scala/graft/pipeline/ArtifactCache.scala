@@ -33,6 +33,7 @@ private[graft] object ArtifactCache {
     Dedup.clearDriverCaches()
     Bpe.clearCache()
     QualityClf.clearCache()
+    LangIdClf.clearCache()
   }
 
   /** Unpersist and forget one artifact (e.g. a superseded serving

@@ -1,0 +1,409 @@
+package graft.pipeline
+
+import graft.{Num, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained language identification — the fastText supervised shape
+  * (Joulin et al., "Bag of Tricks for Efficient Text Classification",
+  * 2016; the lid.176 model behind CCNet §3.1's language split) built
+  * with this engine's deterministic-trainer discipline (r18 verdict
+  * item 4): a multiclass linear softmax over HASHED CHAR-N-GRAM
+  * buckets, supervised by the engine's own stopword heuristic
+  * ([[TextAnalysis.langid]]) on its CONFIDENT subset — the same
+  * signal-supervises-cheaper-signal move as text_quality_clf, with no
+  * hand labels anywhere.
+  *
+  * Unlike QualityClf's [[QualityClf.HashBuckets]]-wide feature vector
+  * (whose per-feature gradient is a CTE COLUMN), the fastText bucket
+  * space is [[Buckets]] = 4096, so the model lives as a sparse
+  * (class, bucket, weight) TABLE and each GD round is one grouped
+  * aggregation instead of a wide projection — the shape that scales
+  * the bucket count without growing the SQL mirror. Driver state per
+  * round is the weight table itself: ≤ [[NumClasses]]·(Buckets+1)
+  * rows ≈ 20k doubles — bounded by the MODEL, never the corpus (the
+  * PCA/k-means rule).
+  *
+  * Determinism (the QualityClf fixed-round discipline):
+  *  - LABELS: the heuristic's scores with a strict unique winner of
+  *    ≥ 2 stopword hits label their language; zero hits in EVERY
+  *    language labels `unknown` confidently; the ambiguous middle
+  *    (single hits, ties) is EXCLUDED from training.
+  *  - FEATURES: per-document PRESENCE (x = 1) of each distinct hashed
+  *    char-[[NGram]]-gram bucket (md5-keyed — engine-portable), plus a
+  *    bias bucket b = −1 on every document. Presence, not fraction:
+  *    the gradient signal per discriminative bucket is then O(class
+  *    frequency), not O(1/doc-length), which is what lets
+  *    [[TrainRounds]] fixed rounds separate the classes.
+  *  - TRAINING: [[TrainRounds]] full-batch softmax-regression rounds
+  *    at lr [[Lr]], zero init, CLASS-BALANCED gradient averaging
+  *    (each label class contributes equally — the fastText `-loss
+  *    softmax` objective reweighted so head-class dominance cannot
+  *    freeze minority classes at a fixed round budget); each round's
+  *    per-(class, bucket) gradient and weight are 6-dp eps-rounded in
+  *    both engines, so the weight-table trajectory is engine-exact.
+  *
+  * Scale shape: feature build is one map-side explode + distinct
+  * (doc-linear); each round is feats ⋈ (broadcast 20k-row weight
+  * table) → one two-level agg for z, a map-only softmax, and one
+  * grouped gradient agg with ≤ NumClasses·(Buckets+1) output groups
+  * (map-side partials collapse the per-doc rows). TrainRounds
+  * corpus-linear passes total — the PCA cost class — run ONCE per
+  * (corpus content, basis) and persisted like the PQ codebooks;
+  * scoring is one join + agg under the stored weights.
+  */
+object LangIdClf {
+
+  /** Char n-gram width (fastText lid uses 2-4; 3 carries whole short
+    * stopwords like "the"/"la " inside single grams). */
+  val NGram = 3
+  /** Hashed bucket space — fastText-style capacity; the sparse table
+    * formulation makes this free in the SQL mirror. */
+  val Buckets = 4096
+  /** Fixed GD rounds (the CTE-mirror knob). 12 at lr 2 is the
+    * measured knee: 8 rounds cannot lift the minority class against
+    * a ~10:1 head class, 16 buys +0.9pt agreement for +33% train
+    * cost. */
+  val TrainRounds = 12
+  val Lr = 2.0
+  val NumClasses = 5
+
+  /** Class order: the heuristic's argmax precedence, then unknown. */
+  val ClassNames = Seq("en", "de", "es", "fr", "unknown")
+
+  // ------------------------------------------------------ features --
+
+  private def pop(spark: SparkSession, dir: String): DataFrame =
+    // basis-filtered like every trained-artifact population: after a
+    // model refresh the scored output must equal a fresh train over
+    // the never-contained-the-drops corpus (identity before any
+    // refresh ever ran)
+    Registry.minusBasis(spark, Tables.documents(spark, dir), dir,
+        Registry.Doc, "doc_id")
+      .filter(length(col("text")) >= NGram)
+      .select(col("doc_id"), col("text"))
+
+  /** (doc_id, b): the distinct hashed gram buckets of each document
+    * plus its bias row (b = −1). Presence features — no x column, the
+    * weight join carries x = 1 implicitly. */
+  private def feats(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.cached(spark, s"liclf_feats:$dir") {
+      val p = pop(spark, dir)
+      val grams = p.select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, length(text) - ${NGram - 1}), " +
+            s"i -> substring(text, i, $NGram))")).as("cg"))
+        .select(col("doc_id"),
+          (expr(Portable.hexToLongSpark("md5(cg)", 1, 15)) % Buckets).as("b"))
+        .distinct()
+      grams.unionByName(p.select(col("doc_id"), lit(-1L).as("b")))
+    }
+
+  // -------------------------------------------------------- labels --
+
+  private def heuristicScores(p: DataFrame): DataFrame = {
+    def score(xs: Seq[String]) = expr(
+      s"size(filter(split(text, ' '), x -> x IN ${TextAnalysis.inList(xs)}))")
+    p.withColumn("s_en", score(TextAnalysis.StopEn))
+      .withColumn("s_de", score(TextAnalysis.StopDe))
+      .withColumn("s_es", score(TextAnalysis.StopEs))
+      .withColumn("s_fr", score(TextAnalysis.StopFr))
+      .withColumn("s1",
+        greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+  }
+
+  /** (doc_id, y, wgt): the heuristic's confident subset with the
+    * class-balanced sample weight 1/(n_y · #classes-present). */
+  private def labelFrame(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = heuristicScores(pop(spark, dir))
+      .filter((col("s1") >= 2 &&
+        ((col("s_en") === col("s1")).cast("int") +
+          (col("s_de") === col("s1")).cast("int") +
+          (col("s_es") === col("s1")).cast("int") +
+          (col("s_fr") === col("s1")).cast("int")) === 1) ||
+        col("s1") === 0)
+      .select(col("doc_id"),
+        when(col("s1") === 0, 4)
+          .when(col("s_en") === col("s1"), 0)
+          .when(col("s_de") === col("s1"), 1)
+          .when(col("s_es") === col("s1"), 2)
+          .when(col("s_fr") === col("s1"), 3)
+          .otherwise(4).as("y"))
+    val nc = lbl.groupBy(col("y")).agg(count(lit(1)).as("n"))
+    val k = nc.agg(count(lit(1)).as("k"))
+    lbl.join(broadcast(nc), "y").crossJoin(broadcast(k))
+      .select(col("doc_id"), col("y"),
+        (lit(1.0) / (col("n") * col("k"))).as("wgt"))
+  }
+
+  /** Features ⋈ labels — the one frame the GD rounds scan, persisted
+    * once per (session, corpus). */
+  private def trainFrame(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.cached(spark, s"liclf_train:$dir") {
+      feats(spark, dir)
+        .join(labelFrame(spark, dir), "doc_id")
+    }
+
+  // ------------------------------------------------------ training --
+
+  // per-(session, corpus) memo of the trained sparse weight rows
+  private val wCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[(Int, Long, Double)]]]()
+
+  private[pipeline] def clearCache(): Unit =
+    wCache.synchronized(wCache.clear())
+
+  private def liclfName(spark: SparkSession, dir: String): String =
+    "graft_liclf_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Dedup.corpusFingerprint(spark, dir) +
+      Registry.basisSuffix(spark, dir, Registry.Doc)
+
+  /** The trained-weights artifact iff it exists in the CURRENT
+    * generation, paired with its deterministic rebuild — the
+    * [[Maintenance.refreshModels]] hook. */
+  private[pipeline] def genArtifacts(spark: SparkSession,
+      dir: String): Seq[(String, () => Unit)] = {
+    val t = liclfName(spark, dir)
+    if (spark.catalog.tableExists(t))
+      Seq((t, () => { trainedWeights(spark, dir); () }))
+    else Nil
+  }
+
+  /** Trained sparse weights (c, b, w), persisted like the PQ
+    * codebooks: TrainRounds passes run once per (corpus content,
+    * basis), land in a ≤ 20k-row parquet table, and every later
+    * session reads them back. Doubles round-trip parquet bit-exactly. */
+  private[pipeline] def trainedWeights(spark: SparkSession,
+      dir: String): Seq[(Int, Long, Double)] = {
+    val perSession = wCache.synchronized {
+      Option(wCache.get(spark)).getOrElse {
+        val m = scala.collection.concurrent
+          .TrieMap.empty[String, Seq[(Int, Long, Double)]]
+        wCache.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(dir, {
+      val tbl = liclfName(spark, dir)
+      import spark.implicits._
+      if (spark.catalog.tableExists(tbl)) {
+        spark.table(tbl).as[(Int, Long, Double)].collect().toSeq
+          .sortBy(r => (r._1, r._2))
+      } else {
+        val w = train(spark, dir)
+        val path = graft.sources.TableIO.indexPath(tbl)
+        w.toDF("c", "b", "w").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").option("path", path).saveAsTable(tbl)
+        w
+      }
+    })
+  }
+
+  /** z₀..z₄ pivot columns from a (doc_id, b[, …]) frame joined against
+    * a weight frame — 6-dp rounded per class (the roundEps discipline
+    * absorbing partial-agg order), docs with no trained bucket keep
+    * their bias-only sum. */
+  private def zPivot(featsDf: DataFrame, wDf: DataFrame): DataFrame = {
+    val zCols = (0 until NumClasses).map(c =>
+      Num.roundEps(coalesce(
+        sum(when(col("c") === c, col("w"))), lit(0.0)), 6).as(s"z$c"))
+    featsDf.join(broadcast(wDf), "b")
+      .groupBy(col("doc_id"))
+      .agg(zCols.head, zCols.tail: _*)
+  }
+
+  /** p₀..p₄ softmax columns — one fixed left-associated denominator in
+    * both engines, so the division is the identical IEEE double. */
+  private def pCols(rounded: Boolean): Seq[Column] = {
+    val den = (1 until NumClasses)
+      .foldLeft(exp(col("z0")): Column)((e, c) => e + exp(col(s"z$c")))
+    (0 until NumClasses).map { c =>
+      val p = exp(col(s"z$c")) / den
+      (if (rounded) Num.roundEps(p, 6) else p).as(s"p$c")
+    }
+  }
+
+  /** The actual fixed-round GD loop (runs once per corpus content at
+    * artifact-build time). */
+  private def train(spark: SparkSession, dir: String): Seq[(Int, Long, Double)] = {
+    import spark.implicits._
+    val tf = trainFrame(spark, dir)
+    val classes = (0 until NumClasses).toDF("cls")
+    var w = Seq.empty[(Int, Long, Double)] // (c, b, w) — zero init
+    for (_ <- 1 to TrainRounds) {
+      val wDf =
+        if (w.isEmpty)
+          // empty weight table: z = 0 for every (doc, class) — seed
+          // with explicit zero bias rows so the join shape is uniform
+          (0 until NumClasses).map(c => (c, -1L, 0.0)).toDF("c", "b", "w")
+        else w.toDF("c", "b", "w")
+      val p = zPivot(tf.select(col("doc_id"), col("b")).distinct(), wDf)
+        .select(col("doc_id") +: pCols(rounded = false): _*)
+      // gradient per (class, bucket): class-balanced average of
+      // (p_c − [y = c]) over the docs carrying the bucket
+      val pc = (0 until NumClasses).foldLeft(lit(null).cast("double")) {
+        (e, c) => when(col("cls") === c, col(s"p$c")).otherwise(e)
+      }
+      val g = tf.join(p, "doc_id").crossJoin(broadcast(classes))
+        .groupBy(col("cls"), col("b"))
+        .agg(Num.roundEps(lit(Lr) *
+          sum((pc - when(col("y") === col("cls"), 1.0).otherwise(0.0)) *
+            col("wgt")), 6).as("g"))
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      val wm = w.map(r => ((r._1, r._2), r._3)).toMap
+      w = g.keysIterator.map { k =>
+        (k._1, k._2, Num.roundEpsJvm(wm.getOrElse(k, 0.0) - g(k), 6))
+      }.toSeq.sortBy(k => (k._1, k._2))
+    }
+    w
+  }
+
+  // -------------------------------------------------------- queries --
+
+  /** Per-document trained language prediction: argmax class over the
+    * 6-dp-rounded softmax (ties broken in [[ClassNames]] order — the
+    * heuristic's own precedence) and its probability. */
+  def langidClf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDf = trainedWeights(spark, dir).toDF("c", "b", "w")
+    val scored = zPivot(feats(spark, dir), wDf)
+      .select(col("doc_id") +: pCols(rounded = true): _*)
+    val pred = (0 until NumClasses - 1).foldRight(
+        lit(ClassNames.last): Column) { (c, e) =>
+      val geRest = (c + 1 until NumClasses)
+        .map(c2 => col(s"p$c") >= col(s"p$c2"))
+        .reduce(_ && _)
+      when(geRest, ClassNames(c)).otherwise(e)
+    }
+    scored.select(col("doc_id"), pred.as("clf_lang"),
+      greatest((0 until NumClasses).map(c => col(s"p$c")): _*).as("clf_p"))
+  }
+
+  // -------------------------------------------------------- oracles --
+
+  private def hbSql: String =
+    Portable.hexToLongSql("md5(cg)", 1, 15) + s" % $Buckets"
+
+  private def roundsSql: String = (1 to TrainRounds).map { r =>
+    val zpCols = (0 until NumClasses).map(c =>
+      s"    round(coalesce(max(CASE WHEN z.c = $c THEN z.z END), 0.0)" +
+        s" + 1e-9, 6) AS z$c").mkString(",\n")
+    val den = (0 until NumClasses).map(c => s"exp(z$c)").mkString(" + ")
+    val ppCols = (0 until NumClasses).map(c =>
+      s"    exp(z$c) / ($den) AS p$c").mkString(",\n")
+    val pcCase = (0 until NumClasses)
+      .map(c => s"WHEN $c THEN p.p$c").mkString(" ")
+    s"""zs$r AS (
+       |  SELECT f.doc_id, w.c, round(sum(w.w) + 1e-9, 6) AS z
+       |  FROM tf f JOIN w${r - 1} w ON f.b = w.b
+       |  GROUP BY f.doc_id, w.c),
+       |zp$r AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |$zpCols
+       |  FROM tpop t LEFT JOIN zs$r z USING (doc_id) GROUP BY t.doc_id),
+       |pp$r AS (
+       |  SELECT doc_id,
+       |$ppCols
+       |  FROM zp$r),
+       |g$r AS MATERIALIZED (
+       |  SELECT cls.c, f.b,
+       |    round($Lr * sum((CASE cls.c $pcCase END
+       |      - CASE WHEN l.y = cls.c THEN 1.0 ELSE 0.0 END) * l.wgt)
+       |      + 1e-9, 6) AS g
+       |  FROM tf f JOIN pp$r p USING (doc_id) JOIN lblw l USING (doc_id)
+       |  CROSS JOIN cls
+       |  GROUP BY cls.c, f.b),
+       |w$r AS MATERIALIZED (
+       |  SELECT g.c, g.b, round(coalesce(w.w, 0.0) - g.g + 1e-9, 6) AS w
+       |  FROM g$r g LEFT JOIN w${r - 1} w ON g.c = w.c AND g.b = w.b)"""
+      .stripMargin
+  }.mkString(",\n")
+
+  /** The full training-included chain: features, heuristic labels,
+    * class weights, TrainRounds (z, p, gradient, weights) CTE blocks
+    * over the SPARSE weight table, final pivot + rounded softmax. */
+  private def liChainSql: String = {
+    val zfCols = (0 until NumClasses).map(c =>
+      s"    round(coalesce(max(CASE WHEN z.c = $c THEN z.z END), 0.0)" +
+        s" + 1e-9, 6) AS z$c").mkString(",\n")
+    val den = (0 until NumClasses).map(c => s"exp(z$c)").mkString(" + ")
+    val pfCols = (0 until NumClasses).map(c =>
+      s"    round(exp(z$c) / ($den) + 1e-9, 6) AS p$c").mkString(",\n")
+    s"""pop AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) >= $NGram),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, $hbSql AS b
+       |  FROM (SELECT doc_id, substr(text, CAST(i AS INT), $NGram) AS cg
+       |        FROM (SELECT doc_id, text,
+       |                unnest(generate_series(1, length(text) - ${NGram - 1}))
+       |                  AS i
+       |              FROM pop))),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, b FROM grams
+       |  UNION ALL SELECT doc_id, -1 AS b FROM pop),
+       |hscore AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '),
+       |      x -> x IN ${TextAnalysis.inList(TextAnalysis.StopEn)})) AS s_en,
+       |    len(list_filter(string_split(text, ' '),
+       |      x -> x IN ${TextAnalysis.inList(TextAnalysis.StopDe)})) AS s_de,
+       |    len(list_filter(string_split(text, ' '),
+       |      x -> x IN ${TextAnalysis.inList(TextAnalysis.StopEs)})) AS s_es,
+       |    len(list_filter(string_split(text, ' '),
+       |      x -> x IN ${TextAnalysis.inList(TextAnalysis.StopFr)})) AS s_fr
+       |  FROM pop),
+       |lbl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN s1 = 0 THEN 4
+       |         WHEN s_en = s1 THEN 0 WHEN s_de = s1 THEN 1
+       |         WHEN s_es = s1 THEN 2 ELSE 3 END AS y
+       |  FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS s1 FROM hscore)
+       |  WHERE (s1 >= 2 AND (CAST(s_en = s1 AS INT) + CAST(s_de = s1 AS INT)
+       |          + CAST(s_es = s1 AS INT) + CAST(s_fr = s1 AS INT)) = 1)
+       |     OR s1 = 0),
+       |nc AS (SELECT y, count(*) AS n FROM lbl GROUP BY y),
+       |kc AS (SELECT count(*) AS k FROM nc),
+       |lblw AS MATERIALIZED (
+       |  SELECT l.doc_id, l.y, 1.0 / (nc.n * kc.k) AS wgt
+       |  FROM lbl l JOIN nc USING (y) CROSS JOIN kc),
+       |tpop AS MATERIALIZED (SELECT doc_id FROM lblw),
+       |tf AS MATERIALIZED (
+       |  SELECT f.doc_id, f.b FROM feats f JOIN lblw USING (doc_id)),
+       |cls AS MATERIALIZED (SELECT unnest(generate_series(0, ${NumClasses - 1})) AS c),
+       |w0 AS (SELECT CAST(NULL AS INT) AS c, CAST(NULL AS BIGINT) AS b,
+       |              CAST(NULL AS DOUBLE) AS w WHERE 1 = 0),
+       |$roundsSql,
+       |zfs AS (
+       |  SELECT f.doc_id, w.c, round(sum(w.w) + 1e-9, 6) AS z
+       |  FROM feats f JOIN w$TrainRounds w ON f.b = w.b
+       |  GROUP BY f.doc_id, w.c),
+       |zfp AS (
+       |  SELECT p.doc_id,
+       |$zfCols
+       |  FROM pop p LEFT JOIN zfs z USING (doc_id) GROUP BY p.doc_id),
+       |pf AS (
+       |  SELECT doc_id,
+       |$pfCols
+       |  FROM zfp)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_langid_clf" ->
+      s"""WITH $liChainSql
+         |SELECT doc_id,
+         |  CASE WHEN p0 >= p1 AND p0 >= p2 AND p0 >= p3 AND p0 >= p4
+         |         THEN 'en'
+         |       WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 THEN 'de'
+         |       WHEN p2 >= p3 AND p2 >= p4 THEN 'es'
+         |       WHEN p3 >= p4 THEN 'fr' ELSE 'unknown' END AS clf_lang,
+         |  greatest(p0, p1, p2, p3, p4) AS clf_p
+         |FROM pf""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_clf" -> (langidClf _)
+  )
+}

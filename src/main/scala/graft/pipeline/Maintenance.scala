@@ -231,6 +231,7 @@ object Maintenance {
       () => graft.Tables.documents(spark, dir), "doc_id",
       () => TrainingPrep.docGenArtifacts(spark, dir) ++
         QualityClf.genArtifacts(spark, dir) ++
+        LangIdClf.genArtifacts(spark, dir) ++
         Bpe.genArtifacts(spark, dir))
     val vec = refresh(Registry.Vec,
       () => graft.Tables.embeddings(spark, dir), "vec_id",

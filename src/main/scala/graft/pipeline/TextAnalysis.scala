@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val StopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
-  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
-  private val StopEs = Seq("el", "la", "los", "y", "es", "un", "una", "por")
-  private val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "pour")
+  private[pipeline] val StopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+  private[pipeline] val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+  private[pipeline] val StopEs = Seq("el", "la", "los", "y", "es", "un", "una", "por")
+  private[pipeline] val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "pour")
 
-  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+  private[pipeline] def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** Whitespace + regex token counts. */
   def tokens(spark: SparkSession, dir: String): DataFrame =
