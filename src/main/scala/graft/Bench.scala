@@ -128,7 +128,9 @@ object Bench {
     "docs_dsir" -> "cds", "docs_dsir_sample" -> "cdk",
     "docs_dsir_hashed" -> "cdh",
     // trained language id (round 19)
-    "text_langid_clf" -> "tlc"
+    "text_langid_clf" -> "tlc",
+    // dHash image near-dup pairs (round 19)
+    "mm_dhash" -> "mdh"
   )
 
   /** The r1 baseline's per-query seconds (sf0.1, BENCH_r01.json) —

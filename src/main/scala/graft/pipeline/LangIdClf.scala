@@ -90,12 +90,18 @@ object LangIdClf {
   private def feats(spark: SparkSession, dir: String): DataFrame =
     ArtifactCache.cached(spark, s"liclf_feats:$dir") {
       val p = pop(spark, dir)
+      // the whole gram → bucket → per-doc dedup chain runs INSIDE one
+      // codegen'd row expression (transform → array_distinct), so the
+      // exploded output is already unique per (doc, b) and the feature
+      // build is map-only — the global `.distinct()` this replaces was
+      // a corpus-scale shuffle of every gram occurrence (measured
+      // 9.6 s of the 15 s build at sf0.1)
+      val bucketExpr = Portable.hexToLongSpark(
+        s"md5(substring(text, i, $NGram))", 1, 15) + s" % $Buckets"
       val grams = p.select(col("doc_id"),
-          explode(expr(s"transform(sequence(1, length(text) - ${NGram - 1}), " +
-            s"i -> substring(text, i, $NGram))")).as("cg"))
-        .select(col("doc_id"),
-          (expr(Portable.hexToLongSpark("md5(cg)", 1, 15)) % Buckets).as("b"))
-        .distinct()
+        explode(expr(
+          s"array_distinct(transform(sequence(1, length(text) - ${NGram - 1}), " +
+            s"i -> $bucketExpr))")).as("b"))
       grams.unionByName(p.select(col("doc_id"), lit(-1L).as("b")))
     }
 
@@ -137,11 +143,17 @@ object LangIdClf {
   }
 
   /** Features ⋈ labels — the one frame the GD rounds scan, persisted
-    * once per (session, corpus). */
+    * once per (session, corpus) and HASH-PARTITIONED by doc_id: every
+    * round's z aggregation (groupBy doc_id) and softmax join-back
+    * (on doc_id) then reuse the cached partitioning, so a round pays
+    * no corpus-scale exchange — only the bounded (class, bucket)
+    * gradient shuffle. One partitioning shared across TrainRounds
+    * stages, the SURVEY scale rule. */
   private def trainFrame(spark: SparkSession, dir: String): DataFrame =
     ArtifactCache.cached(spark, s"liclf_train:$dir") {
       feats(spark, dir)
         .join(labelFrame(spark, dir), "doc_id")
+        .repartition(col("doc_id"))
     }
 
   // ------------------------------------------------------ training --
@@ -239,7 +251,9 @@ object LangIdClf {
           // with explicit zero bias rows so the join shape is uniform
           (0 until NumClasses).map(c => (c, -1L, 0.0)).toDF("c", "b", "w")
         else w.toDF("c", "b", "w")
-      val p = zPivot(tf.select(col("doc_id"), col("b")).distinct(), wDf)
+      // tf is already unique per (doc_id, b) — feats is a distinct
+      // gram set plus one bias row, and the label join is 1:1
+      val p = zPivot(tf.select(col("doc_id"), col("b")), wDf)
         .select(col("doc_id") +: pCols(rounded = false): _*)
       // gradient per (class, bucket): class-balanced average of
       // (p_c − [y = c]) over the docs carrying the bucket

@@ -143,6 +143,129 @@ object Multimodal {
       .select(col("doc_id"), col("ahash"), col("n_dups"))
   }
 
+  // ------------------------------------------------- dHash near-dup --
+
+  /** dHash geometry: 8×8 grayscale → 64 horizontal-gradient bits in 4
+    * bands of 16 (two rows per band). */
+  val DhW = 8
+  val DhH = 8
+  val DhBands = 4
+  /** Near-dup hamming radius. Must stay < [[DhBands]]: ≤ 3 flipped
+    * bits touch ≤ 3 bands, so ≥ 1 band survives intact and every
+    * qualifying pair matches EXACTLY on some band key (pigeonhole) —
+    * the banded join is lossless, like dedup_simhash's chunk
+    * triples. */
+  val DhashMaxDist = 3
+
+  /** The dHash asset table: 8×8 grayscale PNGs with TOKEN-LOCAL pixel
+    * content — pixel j is the first md5 byte of the document's j-th
+    * token (0 past the end), so the synthetic image inherits the
+    * text's edit structure: a few token substitutions move a few
+    * pixels (a near-dup IMAGE within the hamming radius), unrelated
+    * docs give independent pixels (expected hamming ≈ 32). A whole-
+    * text md5 stream would avalanche every pixel on any edit and the
+    * operator would only ever see exact copies; per-token hashing is
+    * what gives the corpus genuine near-dup image pairs at every SF
+    * while keeping the pair count corpus-linear (~0.02% of pairs at
+    * sf0.1), and the oracle still re-derives every pixel in closed
+    * form. Real encode → real decode, like every asset family. */
+  def dhashAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val mdt = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          // -1: keep trailing empty tokens — the oracle's
+          // string_split does
+          val ws = text.split(" ", -1)
+          val px = Array.tabulate(DhW * DhH) { j =>
+            if (j < ws.length) {
+              mdt.reset()
+              (mdt.digest(ws(j).getBytes("UTF-8"))(0) & 0xff).toByte
+            } else 0.toByte
+          }
+          Asset(id, Png.encodeGray(DhW, DhH, px, stored = true))
+        }
+      }
+  }
+
+  /** Gradient-hash band values of a decoded 8×8 pixel grid: bit
+    * (r, c) = px(r, c) > px(r, (c+1) mod 8) — the difference hash
+    * (dHash), the standard ROBUST image near-dup signal: aHash's
+    * global-mean bits all flip together under brightness shifts,
+    * while a gradient bit only flips when its own local ordering
+    * flips, so re-encoded AND mildly perturbed copies stay within a
+    * small hamming radius (r18 verdict item 5). Band i packs rows
+    * 2i and 2i+1, MSB first — integer-exact, no mean, no floats. */
+  private[pipeline] def dhashBands(px: Array[Int]): Array[Int] =
+    Array.tabulate(DhBands) { bi =>
+      var v = 0
+      var j = 0
+      while (j < 16) {
+        val r = bi * 2 + j / DhW
+        val c = j % DhW
+        val bit = if (px(r * DhW + c) > px(r * DhW + (c + 1) % DhW)) 1 else 0
+        v = (v << 1) | bit
+        j += 1
+      }
+      v
+    }
+
+  /** (doc_id, b0..b3) signatures through the REAL decode path. */
+  private[pipeline] def dhashSigs(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    dhashAssets(spark, dir).mapPartitions(_.map { a =>
+      val bands = dhashBands(Png.decode(a.payload).pixels.map(_ & 0xff))
+      (a.doc_id, bands(0), bands(1), bands(2), bands(3))
+    }).toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Banded hamming join over an arbitrary signature frame — the
+    * test seam (the shinglesOfDocs rule: perturbed-fixture specs
+    * drive the SAME join the query runs). Candidates via
+    * [[Dedup.bucketPairs]] on (band id, band value) keys — 4·2^16
+    * key space, hot-bucket hardening reused as-is for degenerate
+    * corpora (millions of identical images share all four keys).
+    * Each qualifying pair is emitted exactly once via the
+    * first-intact-band canonicalization (the simhash
+    * canonical-triple move, but 4 arithmetic conditions instead of a
+    * kernel), then exact-verified by per-band popcounts — no 64-bit
+    * packing anywhere, so no sign-bit hazards in either engine. */
+  private[pipeline] def dhashPairsOf(spark: SparkSession,
+      sigs: DataFrame): DataFrame = {
+    val postings = sigs.select(
+      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until DhBands).map(i =>
+        struct(lit(i.toLong).as("bi"),
+          (lit((i + 1).toLong * 65536L) + col(s"b$i")).as("bv"))): _*))
+        .as("band"))
+      .select(col("band.bv").as("k"), col("doc_id"), col("band.bi").as("bi"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+    val pairs = Dedup.bucketPairs(spark, postings)
+    val ham = (0 until DhBands)
+      .map(i => expr(s"bit_count(b${i}_1 ^ b${i}_2)").cast("long"))
+      .reduce(_ + _)
+    // first intact band of the pair; the emitting bucket's own band
+    // id rides through as payload, identical on both sides of the join
+    val firstIntact = when(col("b0_1") === col("b0_2"), 0L)
+      .when(col("b1_1") === col("b1_2"), 1L)
+      .when(col("b2_1") === col("b2_2"), 2L)
+      .otherwise(3L)
+    pairs
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= DhashMaxDist &&
+        col("bi_1") === firstIntact)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
+  }
+
+  /** Image near-dup pairs (d1 < d2, hamming ≤ [[DhashMaxDist]]) over
+    * the corpus's dHash signatures. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsOf(spark, dhashSigs(spark, dir))
+
   private val resizeSql = {
     // the same 2×2 block means, re-derived from the md5 hex: source
     // pixel (r, c) is byte r*4+c of the pixel content the PNG encodes
@@ -591,6 +714,53 @@ object Multimodal {
          |SELECT h.doc_id, h.ahash, s.n_dups FROM h JOIN s USING (ahash)""".stripMargin
     },
     "mm_resize" -> resizeSql,
+    "mm_dhash" -> {
+      // every pixel (first md5 byte of token j, 0 past the end) and
+      // every gradient bit re-derived arithmetically; the pair join
+      // mirrors the banded scheme itself (lossless at hamming ≤ 3 by
+      // pigeonhole, so it EQUALS brute force) — a literal n² cross
+      // join would not survive the scale points. Integer-exact end
+      // to end: no floats anywhere.
+      val pxList = (0 until DhW * DhH).map { j =>
+        val b = Portable.hexToLongSql(s"md5(ws[${j + 1}])", 1, 2)
+        s"CASE WHEN len(ws) >= ${j + 1} THEN $b ELSE 0 END"
+      }.mkString("[", ",\n    ", "]")
+      def bandSql(bi: Int): String = (0 until 16).map { j =>
+        val r = bi * 2 + j / DhW
+        val c = j % DhW
+        val lhs = s"p[${r * DhW + c + 1}]"
+        val rhs = s"p[${r * DhW + (c + 1) % DhW + 1}]"
+        s"(CASE WHEN $lhs > $rhs THEN ${1 << (15 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandCols = (0 until DhBands)
+        .map(bi => s"    CAST(${bandSql(bi)} AS BIGINT) AS b$bi")
+        .mkString(",\n")
+      val hamSql = (0 until DhBands)
+        .map(i => s"bit_count(xor(a$i, c$i))").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |px AS MATERIALIZED (
+         |  SELECT doc_id, $pxList AS p FROM tok),
+         |h AS MATERIALIZED (
+         |  SELECT doc_id,
+         |$bandCols
+         |  FROM px),
+         |bb AS MATERIALIZED (
+         |  SELECT doc_id, b0, b1, b2, b3, i AS bi,
+         |    CASE i WHEN 0 THEN b0 WHEN 1 THEN b1
+         |           WHEN 2 THEN b2 ELSE b3 END AS bv
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${DhBands - 1})) AS i) t)
+         |SELECT DISTINCT d1, d2, CAST(hamming AS BIGINT) AS hamming FROM (
+         |  SELECT a.doc_id AS d1, c.doc_id AS d2, a.bi,
+         |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         |    c.b0 AS c0, c.b1 AS c1, c.b2 AS c2, c.b3 AS c3,
+         |    $hamSql AS hamming
+         |  FROM bb a JOIN bb c
+         |    ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |WHERE hamming <= $DhashMaxDist
+         |  AND bi = CASE WHEN a0 = c0 THEN 0 WHEN a1 = c1 THEN 1
+         |                WHEN a2 = c2 THEN 2 ELSE 3 END""".stripMargin
+    },
     "mm_audio_meta" -> audioMetaSql,
     "mm_audio_features" -> audioFeaturesSql,
     "mm_audio_resample" -> audioResampleSql,
@@ -626,6 +796,7 @@ object Multimodal {
     "mm_features" -> (features _),
     "mm_frame_sample" -> (frameSample _),
     "mm_ahash" -> (imageHash _),
+    "mm_dhash" -> (imageDhash _),
     "mm_resize" -> (resize _),
     "mm_audio_meta" -> (audioMeta _),
     "mm_audio_features" -> (audioFeatures _),
