@@ -1359,16 +1359,45 @@ object Dedup {
     .select(col("doc_id"), col("s.i").as("i"),
       col("s.h").as("h"), col("s.h2").as("h2"))
 
-  private def dupSpanStarts(spark: SparkSession, dir: String): DataFrame = {
+  /** Estimated broadcast bytes of one (h, h2) dup-hash row. */
+  private val DupHashRowBytes = 48L
+
+  /** Returns the duplicated-start frame plus the cleanup hook that
+    * releases the persisted dup-hash probe set once the caller has
+    * materialized the result (the frame is consumed exactly once, by
+    * the index write). */
+  private def dupSpanStarts(spark: SparkSession,
+      dir: String): (DataFrame, () => Unit) = {
     // INPUT-filtered by the permanent registry (not output-filtered:
     // the span family has cross-doc derived state — a span duplicated
     // only against a permanently removed doc must not be marked)
     val spans = spansOf(Registry.minus(spark,
       Tables.documents(spark, dir), dir, Registry.Doc, "doc_id"))
+    // The discovery pass was the family's measured scale ceiling (r18
+    // verdict item 3): TWO corpus-scale shuffles of ~40 B per corpus
+    // CHARACTER of incompressible hashed rows — the (h,h2) count agg
+    // AND the marking join's span side under sort-merge. The second
+    // shuffle is removed for real corpora by a runtime size gate (the
+    // verifiedJaccard discipline): the duplicated-hash set is bounded
+    // by the corpus's DUPLICATED content, which in a deduplication
+    // pipeline's input is a few percent — persist it, measure it, and
+    // broadcast it into the marking join, so the span stream is
+    // probed map-side and never shuffles. Past the bound (copy-heavy
+    // corpus), fall back to shuffle_hash with the dup-hash set as the
+    // build side: both sides still exchange, but the corpus-scale
+    // span stream is probed straight through without the sort that
+    // dominated the sort-merge shape (the ngramJaccard lesson).
     val dupHashes = spans.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("tot"))
       .filter(col("tot") >= 2).select(col("h"), col("h2"))
-    spans.join(dupHashes, Seq("h", "h2")).select(col("doc_id"), col("i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDup = dupHashes.count()
+    val dupSide =
+      if (nDup * DupHashRowBytes <= BroadcastVerifyBytes) broadcast(dupHashes)
+      else dupHashes.hint("shuffle_hash")
+    val out = spans.join(dupSide, Seq("h", "h2"))
+      .select(col("doc_id"), col("i"))
+    (out, () => { dupHashes.unpersist(); () })
   }
 
   /** Duplicated span starts as a PERSISTED bucketed lake table — the
@@ -1388,9 +1417,12 @@ object Dedup {
     if (!spark.catalog.tableExists(tbl)) {
       val path = graft.sources.TableIO.indexPath(tbl)
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
-          Seq("doc_id"), IndexBuckets))
-        graft.sources.TableIO.writeBucketed(
-          dupSpanStarts(spark, dir), tbl, path, Seq("doc_id"), IndexBuckets)
+          Seq("doc_id"), IndexBuckets)) {
+        val (starts, release) = dupSpanStarts(spark, dir)
+        try graft.sources.TableIO.writeBucketed(
+          starts, tbl, path, Seq("doc_id"), IndexBuckets)
+        finally release()
+      }
     }
     // deletion view: the doc sidecar drops the deleted docs' own rows;
     // the demotion sidecar drops SURVIVING docs' rows whose span

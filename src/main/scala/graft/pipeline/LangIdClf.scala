@@ -275,6 +275,15 @@ object LangIdClf {
     w
   }
 
+  /** Plan-audit seam: the scoring shape (feature build ⋈ weight
+    * table → z pivot) against an arbitrary weight frame, WITHOUT
+    * touching the trained artifact — what lets ScalePlan-style specs
+    * pin the sf10 plan lazily while the real trainer stays an
+    * artifact build. */
+  private[pipeline] def auditScoringPlan(spark: SparkSession,
+      dir: String, wDf: DataFrame): DataFrame =
+    zPivot(feats(spark, dir), wDf)
+
   // -------------------------------------------------------- queries --
 
   /** Per-document trained language prediction: argmax class over the

@@ -49,6 +49,26 @@ class LangIdClfSpec extends SparkSpec {
       f"unknown recall $unkRecall%.3f below the 0.9 floor")
   }
 
+  test("sf10 plan: feature build is map-only, weight join broadcasts") {
+    assume(new java.io.File("/tmp/sf10/documents.parquet").exists(),
+      "scale corpus /tmp/sf10 not generated on this box")
+    import spark.implicits._
+    val wDf = (0 until LangIdClf.NumClasses).map(c => (c, -1L, 0.0))
+      .toDF("c", "b", "w")
+    // plan-only (no execution): the sf10 scoring shape must keep the
+    // 20k-row weight table as the ONLY broadcast (never the corpus
+    // side), the gram explode map-only, and no sort-merge anywhere —
+    // Catalyst re-picks strategies from size stats at 100×, which is
+    // exactly what this pins (the docs_dsir_hashed discipline)
+    val plan = LangIdClf.auditScoringPlan(spark, "/tmp/sf10", wDf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("weights persist and the reloaded model serves identically") {
     val before = LangIdClf.langidClf(spark, sfDir).collect()
       .map(_.toString).toSet

@@ -143,7 +143,14 @@ class ScalePlanSpec extends SparkSpec {
       "dedup_embedding", "dedup_substring", "dedup_exact",
       "dedup_incremental", "dedup_semantic",
       "ann_ivf", "ann_lsh", "ann_topk", "ann_recall",
-      "skope_geotiff_ingest", "skope_settings")
+      "skope_geotiff_ingest", "skope_settings",
+      // r19: trained-langid plans through its trainer (weights are an
+      // artifact build — 12 corpus-scale rounds, not a lazy plan);
+      // its sf10 feature/scoring shape is pinned plan-only in
+      // LangIdClfSpec. mm_dhash's bucketPairs runs its hot-gate probe
+      // (one corpus action) at plan time — its join shape is pinned
+      // by DhashSpec + the shared SkewSpec hardening.
+      "text_langid_clf", "mm_dhash")
     val expandAllowed = Set("events_hourly_rollup")
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => excluded(q._1))
