@@ -1362,6 +1362,17 @@ object Dedup {
   /** Estimated broadcast bytes of one (h, h2) dup-hash row. */
   private val DupHashRowBytes = 48L
 
+  /** Broadcast bound for the dup-hash probe set — deliberately ABOVE
+    * the generic [[BroadcastVerifyBytes]]: the alternative to this
+    * broadcast is re-shuffling the ~40 B/char span stream (80 GB at
+    * the sf100 point), so a multi-GB hash-set broadcast is the right
+    * trade up to Spark's own 8 GB broadcast ceiling — each executor
+    * holds ONE copy against a corpus-scale shuffle saved. Measured
+    * gate: factor 200 broadcasts ~240 MB (peak scratch 13 GB, one
+    * shuffle); factor 1000's ~1.2 GB set must keep the same shape or
+    * the build exceeds this box's scratch disk. */
+  private val DupHashBroadcastBytes = 4L << 30
+
   /** Returns the duplicated-start frame plus the cleanup hook that
     * releases the persisted dup-hash probe set once the caller has
     * materialized the result (the frame is consumed exactly once, by
@@ -1393,7 +1404,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDup = dupHashes.count()
     val dupSide =
-      if (nDup * DupHashRowBytes <= BroadcastVerifyBytes) broadcast(dupHashes)
+      if (nDup * DupHashRowBytes <= DupHashBroadcastBytes) broadcast(dupHashes)
       else dupHashes.hint("shuffle_hash")
     val out = spans.join(dupSide, Seq("h", "h2"))
       .select(col("doc_id"), col("i"))

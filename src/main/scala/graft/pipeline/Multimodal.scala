@@ -212,15 +212,22 @@ object Multimodal {
       v
     }
 
-  /** (doc_id, b0..b3) signatures through the REAL decode path. */
+  /** (doc_id, b0..b3) signatures through the REAL decode path —
+    * session-cached like simhashSigs: the encode+decode over every
+    * asset is by far the dominant cost of the query, and bucketPairs
+    * consults the postings several times (hot-bucket check, cold and
+    * hot join sides), so the uncached plan would re-run the full
+    * corpus codec pass per consumption (measured the difference
+    * between minutes and >25 min at the 5M-image sf100 point). */
   private[pipeline] def dhashSigs(spark: SparkSession,
-      dir: String): DataFrame = {
-    import spark.implicits._
-    dhashAssets(spark, dir).mapPartitions(_.map { a =>
-      val bands = dhashBands(Png.decode(a.payload).pixels.map(_ & 0xff))
-      (a.doc_id, bands(0), bands(1), bands(2), bands(3))
-    }).toDF("doc_id", "b0", "b1", "b2", "b3")
-  }
+      dir: String): DataFrame =
+    ArtifactCache.cached(spark, s"dhash-sigs:$dir") {
+      import spark.implicits._
+      dhashAssets(spark, dir).mapPartitions(_.map { a =>
+        val bands = dhashBands(Png.decode(a.payload).pixels.map(_ & 0xff))
+        (a.doc_id, bands(0), bands(1), bands(2), bands(3))
+      }).toDF("doc_id", "b0", "b1", "b2", "b3")
+    }
 
   /** Banded hamming join over an arbitrary signature frame — the
     * test seam (the shinglesOfDocs rule: perturbed-fixture specs
