@@ -95,4 +95,31 @@ object Tables {
       math.floorDiv(us, 1000000L), math.floorMod(us, 1000000L) * 1000L)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Scale-adaptive scan fan-out for CPU-heavy per-row pipelines (gram
+    * hashing, shingle/signature builds, LM scoring, classifier feature
+    * builds — the paths that do thousands of hash/string operations per
+    * input row before their first aggregation).
+    *
+    * A local test corpus arrives as ONE parquet file with ONE row group,
+    * so its scan is a single task no matter how many cores the session
+    * has (`openCostInBytes` floors the split size at 4 MB, and a single
+    * row group cannot split below that anyway) — measured at sf0.1 this
+    * serialized the whole md5-per-trigram feature build of
+    * text_langid_clf onto one core (10.0 s of a 32-core box). When the
+    * scan's planned parallelism is below the session default, ONE
+    * round-robin exchange of the narrow input rows redistributes them
+    * before the heavy map; the exchanged bytes are the raw text/vector
+    * rows (tiny precisely when this branch fires). At production scale
+    * the file count exceeds the core count and this is the identity —
+    * no code path here ever shuffles a large input, because a large
+    * input always arrives already split. Never applied to map-only
+    * payload operators (mm_*, docs_chunk, emb_pq — PlanAuditSpec pins
+    * those to zero exchanges; shuffling payload bytes is the exact
+    * anti-pattern the optimization guide's worked example removes). */
+  def fanOutScan(df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_NO_FANOUT")) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

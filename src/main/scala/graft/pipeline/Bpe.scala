@@ -156,8 +156,9 @@ object Bpe {
       failOnDry: Boolean): Seq[(String, String)] = {
       // training population: minus the model basis (Registry) — the
       // generation contract for every trained artifact
-      val vocab = Registry.minusBasis(spark,
-          Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")
+      val vocab = Tables.fanOutScan(Registry.minusBasis(spark,
+            Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")
+          .select(col("text")))
         .select(explode(
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))

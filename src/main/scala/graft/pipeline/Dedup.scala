@@ -111,7 +111,11 @@ object Dedup {
 
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     cached(spark, s"shingles:$dir")(
-      shinglesOfDocs(Tables.documents(spark, dir)))
+      // corpus-wide build only (the streaming delta side feeds
+      // shinglesOfDocs directly with already-small batches): fan the
+      // one-row-group local scan out before the per-token hash kernel
+      shinglesOfDocs(Tables.fanOutScan(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))))
 
   /** Per-document SimHash signatures, persisted per (session, corpus):
     * the signature build is an MD5 per token, by far the dominant cost
@@ -122,7 +126,8 @@ object Dedup {
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     cached(spark, s"simsigs:$dir") {
       import graft.functions.HashFunctions.simhash60
-      Tables.documents(spark, dir)
+      Tables.fanOutScan(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
     }
 
@@ -1270,8 +1275,9 @@ object Dedup {
     * kernels). */
   val SpanLen = 40
   def substringDup(spark: SparkSession, dir: String): DataFrame = {
-    val perDocSpan = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= SpanLen)
+    val perDocSpan = Tables.fanOutScan(Tables.documents(spark, dir)
+        .filter(length(col("text")) >= SpanLen)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
@@ -1382,8 +1388,8 @@ object Dedup {
     // INPUT-filtered by the permanent registry (not output-filtered:
     // the span family has cross-doc derived state — a span duplicated
     // only against a permanently removed doc must not be marked)
-    val spans = spansOf(Registry.minus(spark,
-      Tables.documents(spark, dir), dir, Registry.Doc, "doc_id"))
+    val spans = spansOf(Tables.fanOutScan(Registry.minus(spark,
+      Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")))
     // The discovery pass was the family's measured scale ceiling (r18
     // verdict item 3): TWO corpus-scale shuffles of ~40 B per corpus
     // CHARACTER of incompressible hashed rows — the (h,h2) count agg
@@ -1510,8 +1516,8 @@ object Dedup {
       if (!graft.sources.TableIO.recoverBucketed(spark, tbl, path,
           Seq("h", "h2"), IndexBuckets))
         graft.sources.TableIO.writeBucketed(
-          spansOf(Registry.minus(spark, Tables.documents(spark, dir),
-              dir, Registry.Doc, "doc_id"))
+          spansOf(Tables.fanOutScan(Registry.minus(spark,
+              Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")))
             .groupBy(col("h"), col("h2"), col("doc_id"))
             .agg(min(col("i")).as("i"), count(lit(1)).as("c")),
           tbl, path, Seq("h", "h2"), IndexBuckets)

@@ -78,11 +78,15 @@ object LangIdClf {
     // basis-filtered like every trained-artifact population: after a
     // model refresh the scored output must equal a fresh train over
     // the never-contained-the-drops corpus (identity before any
-    // refresh ever ran)
-    Registry.minusBasis(spark, Tables.documents(spark, dir), dir,
-        Registry.Doc, "doc_id")
-      .filter(length(col("text")) >= NGram)
-      .select(col("doc_id"), col("text"))
+    // refresh ever ran). fanOutScan: the trigram feature build does an
+    // md5 per character of the corpus — the heaviest per-row map in
+    // the inventory — and must not run on a one-row-group scan's
+    // single task (Tables.fanOutScan).
+    Tables.fanOutScan(
+      Registry.minusBasis(spark, Tables.documents(spark, dir), dir,
+          Registry.Doc, "doc_id")
+        .filter(length(col("text")) >= NGram)
+        .select(col("doc_id"), col("text")))
 
   /** (doc_id, b): the distinct hashed gram buckets of each document
     * plus its bias row (b = −1). Presence features — no x column, the

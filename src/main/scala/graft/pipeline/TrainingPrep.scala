@@ -125,7 +125,10 @@ object TrainingPrep {
     * seed; a TRAILING literal would be a pure function of the first
     * hash and add nothing). Two-sided collision ≈ 2⁻¹²⁸. */
   private def gramHashes(docs: DataFrame, n: Int = GramN): DataFrame =
-    docs
+    // fanOutScan BEFORE the tokenize/hash chain: the exchange (when it
+    // fires at all — see Tables.fanOutScan) carries raw (doc_id, text),
+    // and the per-position slice+hash work runs at session parallelism
+    Tables.fanOutScan(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -901,7 +904,8 @@ object TrainingPrep {
     * (broadcast). No corpus-scale join anywhere; the target slice
     * needs no separate pass (an is-target flag rides the stream). */
   def dsirHashed(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.fanOutScan(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         (expr(bucketSpark) >= BenchmarkPct).as("is_t"),
         split(col("text"), " ").as("ws"))
