@@ -13,22 +13,19 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <query>...")
+      sys.exit(2)
+    }
     val dir = args(0)
     val out = new java.io.File(args(1))
     val suffix = args(2)
     val names = args.drop(3).toSeq
     out.mkdirs()
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.maxFields", "200")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the ONE bench session builder (Bench.session) — not a copied
+    // config block that could drift from what the bench runs
+    val spark = Bench.session()
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       val txt = df.queryExecution.explainString(

@@ -117,9 +117,42 @@ object Tables {
     * payload operators (mm_*, docs_chunk, emb_pq — PlanAuditSpec pins
     * those to zero exchanges; shuffling payload bytes is the exact
     * anti-pattern the optimization guide's worked example removes). */
-  def fanOutScan(df: DataFrame): DataFrame = {
-    if (sys.env.contains("SPARK_GRAFT_NO_FANOUT")) return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  def fanOutScan(df: DataFrame, spark: SparkSession, dir: String): DataFrame =
+    fanOutScan(df, spark, dir, sys.env.contains("SPARK_GRAFT_NO_FANOUT"))
+
+  /** The env kill switch resolved at the call boundary so the A/B
+    * escape hatch is spec-able (FanOutScanSpec) without forking a JVM
+    * with a modified environment. */
+  private[graft] def fanOutScan(df: DataFrame, spark: SparkSession,
+      dir: String, disabled: Boolean): DataFrame = {
+    if (disabled) return df
+    val p = spark.sparkContext.defaultParallelism
+    if (scanParallelism(spark, dir) < p) df.repartition(p) else df
+  }
+
+  // per-(session, corpus dir) memo of the documents scan's planned
+  // split count — the probe behind fanOutScan. r19 probed the CALLER'S
+  // derived frame via Dataset.rdd, which under AQE forces
+  // getFinalPhysicalPlan() and eagerly RUNS any upstream query stages
+  // (tombstone distincts, broadcast builds) as real Spark jobs just to
+  // read a partition count — paid once for the discarded probe RDD and
+  // again at execution — plus a full analyze/optimize pass per call.
+  // The split count is a pure function of (file layout, session read
+  // confs), so probe the RAW documents scan — a leaf plan, no stages
+  // to materialize — once per (session, dir) and reuse the decision.
+  private val scanPartsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Int]]()
+
+  private def scanParallelism(spark: SparkSession, dir: String): Int = {
+    val memo = scanPartsCache.synchronized {
+      Option(scanPartsCache.get(spark)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[String, Int]
+        scanPartsCache.put(spark, m)
+        m
+      }
+    }
+    memo.getOrElseUpdate(dir,
+      documents(spark, dir).rdd.getNumPartitions)
   }
 }

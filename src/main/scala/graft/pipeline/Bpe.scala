@@ -158,7 +158,7 @@ object Bpe {
       // generation contract for every trained artifact
       val vocab = Tables.fanOutScan(Registry.minusBasis(spark,
             Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")
-          .select(col("text")))
+          .select(col("text")), spark, dir)
         .select(explode(
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))

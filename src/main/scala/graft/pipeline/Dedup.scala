@@ -115,7 +115,8 @@ object Dedup {
       // shinglesOfDocs directly with already-small batches): fan the
       // one-row-group local scan out before the per-token hash kernel
       shinglesOfDocs(Tables.fanOutScan(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))))
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        spark, dir)))
 
   /** Per-document SimHash signatures, persisted per (session, corpus):
     * the signature build is an MD5 per token, by far the dominant cost
@@ -127,7 +128,8 @@ object Dedup {
     cached(spark, s"simsigs:$dir") {
       import graft.functions.HashFunctions.simhash60
       Tables.fanOutScan(
-          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          spark, dir)
         .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sim"))
     }
 
@@ -1277,7 +1279,7 @@ object Dedup {
   def substringDup(spark: SparkSession, dir: String): DataFrame = {
     val perDocSpan = Tables.fanOutScan(Tables.documents(spark, dir)
         .filter(length(col("text")) >= SpanLen)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text")), spark, dir)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(1, length(text) - ${SpanLen - 1})," +
@@ -1371,13 +1373,22 @@ object Dedup {
   /** Broadcast bound for the dup-hash probe set — deliberately ABOVE
     * the generic [[BroadcastVerifyBytes]]: the alternative to this
     * broadcast is re-shuffling the ~40 B/char span stream (80 GB at
-    * the sf100 point), so a multi-GB hash-set broadcast is the right
-    * trade up to Spark's own 8 GB broadcast ceiling — each executor
-    * holds ONE copy against a corpus-scale shuffle saved. Measured
-    * gate: factor 200 broadcasts ~240 MB (peak scratch 13 GB, one
-    * shuffle); factor 1000's ~1.2 GB set must keep the same shape or
-    * the build exceeds this box's scratch disk. */
-  private val DupHashBroadcastBytes = 4L << 30
+    * the sf100 point), so a fat hash-set broadcast is the right trade —
+    * each executor holds ONE copy against a corpus-scale shuffle saved.
+    * But a DataFrame broadcast() is COLLECTED to the driver first, so
+    * the bound must be a number the driver heap demonstrably holds
+    * twice over (collected rows + built relation); the r19 flat 4 GB
+    * constant guaranteed nothing of the sort on a default-heap driver
+    * (r19 verdict item 9). Derive it: an eighth of the driver's max
+    * heap, capped at 1 GB (far under Spark's own 8 GB broadcast
+    * ceiling). Past the bound, shuffle_hash with the dup set as build
+    * side stays the fallback — both sides exchange, but the span
+    * stream is probed straight through without the sort-merge sort.
+    * Measured gate: factor 200 broadcasts ~240 MB (peak scratch 13 GB,
+    * one shuffle), which still clears this bound on any driver with
+    * ≥ 2 GB heap — the same shape as r19. */
+  private[pipeline] def dupHashBroadcastBytes: Long =
+    math.min(1L << 30, Runtime.getRuntime.maxMemory() / 8)
 
   /** Returns the duplicated-start frame plus the cleanup hook that
     * releases the persisted dup-hash probe set once the caller has
@@ -1388,8 +1399,12 @@ object Dedup {
     // INPUT-filtered by the permanent registry (not output-filtered:
     // the span family has cross-doc derived state — a span duplicated
     // only against a permanently removed doc must not be marked)
+    // narrowed to (doc_id, text) BEFORE the fan-out, like every other
+    // call site — the exchange must never carry payload columns on the
+    // strength of a pruning rule alone (r19 ADVICE)
     val spans = spansOf(Tables.fanOutScan(Registry.minus(spark,
-      Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")))
+        Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")
+      .select(col("doc_id"), col("text")), spark, dir))
     // The discovery pass was the family's measured scale ceiling (r18
     // verdict item 3): TWO corpus-scale shuffles of ~40 B per corpus
     // CHARACTER of incompressible hashed rows — the (h,h2) count agg
@@ -1410,7 +1425,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDup = dupHashes.count()
     val dupSide =
-      if (nDup * DupHashRowBytes <= DupHashBroadcastBytes) broadcast(dupHashes)
+      if (nDup * DupHashRowBytes <= dupHashBroadcastBytes) broadcast(dupHashes)
       else dupHashes.hint("shuffle_hash")
     val out = spans.join(dupSide, Seq("h", "h2"))
       .select(col("doc_id"), col("i"))
@@ -1517,7 +1532,8 @@ object Dedup {
           Seq("h", "h2"), IndexBuckets))
         graft.sources.TableIO.writeBucketed(
           spansOf(Tables.fanOutScan(Registry.minus(spark,
-              Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")))
+              Tables.documents(spark, dir), dir, Registry.Doc, "doc_id")
+            .select(col("doc_id"), col("text")), spark, dir))
             .groupBy(col("h"), col("h2"), col("doc_id"))
             .agg(min(col("i")).as("i"), count(lit(1)).as("c")),
           tbl, path, Seq("h", "h2"), IndexBuckets)

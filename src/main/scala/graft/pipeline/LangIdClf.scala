@@ -86,7 +86,7 @@ object LangIdClf {
       Registry.minusBasis(spark, Tables.documents(spark, dir), dir,
           Registry.Doc, "doc_id")
         .filter(length(col("text")) >= NGram)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text")), spark, dir)
 
   /** (doc_id, b): the distinct hashed gram buckets of each document
     * plus its bias row (b = −1). Presence features — no x column, the

@@ -51,8 +51,9 @@ object Maintenance {
     * `removeFrom*` hooks and the two id domains — a missed family
     * silently keeps serving the doc otherwise. Doc-domain families:
     * minhash+shingle, simhash, span (with its reverse-promotion
-    * demotions), LM score sidecar. Vec-domain families: ANN (all code
-    * kinds + refine vecs), semantic-dedup postings.
+    * demotions), LM score sidecar, image dHash signatures. Vec-domain
+    * families: ANN (all code kinds + refine vecs), semantic-dedup
+    * postings.
     *
     * Each family hook takes its own `IndexLocks` lock internally and
     * the calls run SEQUENTIALLY — no nested cross-family locking, so
@@ -92,7 +93,9 @@ object Maintenance {
         "span" -> Dedup.removeSpanFromIndex(spark, dir, docIds,
           permanent),
         "lmscore" -> TrainingPrep.removeFromScoredTable(spark, dir,
-          docIds, permanent))
+          docIds, permanent),
+        "mm" -> Multimodal.removeFromMmIndex(spark, dir, docIds,
+          permanent))
     val vec =
       if (vecIds.isEmpty) Nil
       else Seq(
@@ -130,7 +133,9 @@ object Maintenance {
       "ann_vecs" -> (if (hasVecs)
         Similarity.compactAnnVecsIfPresent(spark, dir).min(1) else 0),
       "lmscore" -> (if (hasDocs)
-        TrainingPrep.compactScoredIfPresent(spark, dir) else 0))
+        TrainingPrep.compactScoredIfPresent(spark, dir) else 0),
+      "mm" -> (if (hasDocs) Multimodal.compactMmIfPresent(spark, dir)
+               else 0))
     // every existing ann table (all kinds + the refine vecs) has now
     // rewritten without the tombstoned vecs — forget the sidecar. A
     // sidecar recorded before ANY ann table was built survives (the

@@ -84,24 +84,32 @@ object QualityClf {
       .select(col("doc_id"), col("text"), col("n_chars"),
         split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
-    val base = docs.select(
-      col("doc_id"),
-      (size(expr(s"filter(ws, x -> x IN $inListSql)")).cast("double") /
-        size(col("ws"))).as("x1"),
-      (lit(1.0) - length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-        .cast("double") / col("n_chars")).as("x2"),
-      (least(col("n_chars"), lit(500)).cast("double") / 500.0).as("x3"))
-    val hbAggs = (0 until HashBuckets).map(j =>
-      (sum(when(col("hb") === j, 1).otherwise(0)).cast("double") /
-        count(lit(1))).as(s"h$j"))
-    val hashed = docs
-      .select(col("doc_id"), explode(col("ws")).as("token"))
-      .select(col("doc_id"),
-        (expr(Portable.hexToLongSpark("md5(token)", 1, 15)) %
-          HashBuckets).as("hb"))
-      .groupBy(col("doc_id"))
-      .agg(hbAggs.head, hbAggs.tail: _*)
-    base.join(hashed, "doc_id")
+    // Hashed-bucket fractions computed INLINE per row: one md5 pass
+    // over the token array (`hbs`, its own projection step so the
+    // optimizer cannot inline the expensive transform into each
+    // consumer) + one filter-count per bucket — all codegen'd
+    // higher-order expressions. The r19 shape exploded every token
+    // into a corpus-scale (doc_id, hb) stream, shuffled it through a
+    // per-doc groupBy, and JOINED the result back onto the base
+    // features — a full exchange + join for ratios that are a pure
+    // function of the row (guide §2.4 "remove shuffles outright").
+    // Arithmetic is identical: exact integer counts cast to double,
+    // same division, so every feature is the same IEEE double.
+    val hbExpr = Portable.hexToLongSpark("md5(x)", 1, 15)
+    val hbCols = (0 until HashBuckets).map(j =>
+      (expr(s"size(filter(hbs, b -> b = $j))").cast("double") /
+        size(col("ws"))).as(s"h$j"))
+    docs
+      .withColumn("hbs",
+        expr(s"transform(ws, x -> $hbExpr % $HashBuckets)"))
+      .select(Seq(
+        col("doc_id"),
+        (size(expr(s"filter(ws, x -> x IN $inListSql)")).cast("double") /
+          size(col("ws"))).as("x1"),
+        (lit(1.0) - length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+          .cast("double") / col("n_chars")).as("x2"),
+        (least(col("n_chars"), lit(500)).cast("double") / 500.0).as("x3")) ++
+        hbCols: _*)
   }
 
   /** Score an arbitrary document batch under the STORED weights — no

@@ -124,18 +124,30 @@ object TrainingPrep {
     * independent second hash (Spark chains the running hash as the next
     * seed; a TRAILING literal would be a pure function of the first
     * hash and add nothing). Two-sided collision ≈ 2⁻¹²⁸. */
-  private def gramHashes(docs: DataFrame, n: Int = GramN): DataFrame =
+  /** One row per document: (doc_id, gs) with gs = the DISTINCT gram
+    * structs, still un-exploded — so a consumer reads the per-doc
+    * distinct-gram TOTAL inline (`size(gs)`) instead of re-deriving it
+    * with a corpus-scale count shuffle after the explode (r19 verdict
+    * item 3: the decontaminate groupBy(doc_id) shuffled every distinct
+    * gram of every train document just to count them). */
+  private def gramArrays(spark: SparkSession, dir: String,
+      docs: DataFrame, n: Int = GramN): DataFrame =
     // fanOutScan BEFORE the tokenize/hash chain: the exchange (when it
     // fires at all — see Tables.fanOutScan) carries raw (doc_id, text),
     // and the per-position slice+hash work runs at session parallelism
-    Tables.fanOutScan(docs.select(col("doc_id"), col("text")))
+    Tables.fanOutScan(docs.select(col("doc_id"), col("text")), spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         s"transform(sequence(1, size(ws) - ${n - 1})," +
           s" i -> struct(xxhash64(concat_ws(' ', slice(ws, i, $n))) AS g," +
-          s" xxhash64(7, concat_ws(' ', slice(ws, i, $n))) AS g2))")))
-        .as("s"))
+          s" xxhash64(7, concat_ws(' ', slice(ws, i, $n))) AS g2))"))
+        .as("gs"))
+
+  private def gramHashes(spark: SparkSession, dir: String,
+      docs: DataFrame, n: Int = GramN): DataFrame =
+    gramArrays(spark, dir, docs, n)
+      .select(col("doc_id"), explode(col("gs")).as("s"))
       .select(col("doc_id"), col("s.g").as("g"), col("s.g2").as("g2"))
 
   /** Benchmark-contamination check: for each benchmark document, the
@@ -147,11 +159,24 @@ object TrainingPrep {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("bucket", expr(bucketSpark))
-    val bench = gramHashes(docs.filter(col("bucket") >= BenchmarkPct))
-    val train = gramHashes(docs.filter(col("bucket") < BenchmarkPct))
-      .select(col("g"), col("g2")).distinct()
-    bench
-      .join(train.withColumn("hit", lit(1)), Seq("g", "g2"), "left")
+    val bench = gramArrays(spark, dir, docs.filter(col("bucket") >= BenchmarkPct))
+    // distinct gram keys of the BENCHMARK side — bounded by the 2%
+    // slice, never the corpus
+    val benchKeys = bench.select(explode(col("gs")).as("s"))
+      .select(col("s.g").as("g"), col("s.g2").as("g2")).distinct()
+    // Prune the corpus-side gram stream to keys that CAN hit before
+    // any aggregation (r19 verdict item 3 / guide §3.2): a bench-side
+    // semi filter replaces the corpus-scale `.distinct()` of every
+    // train gram — only train grams matching a benchmark gram survive
+    // to the (slice-bounded) distinct, and AQE broadcasts the bench
+    // key set into the semi join while it fits
+    val hitKeys = gramHashes(spark, dir, docs.filter(col("bucket") < BenchmarkPct))
+      .select(col("g"), col("g2"))
+      .join(benchKeys, Seq("g", "g2"), "left_semi")
+      .distinct()
+    bench.select(col("doc_id"), explode(col("gs")).as("s"))
+      .select(col("doc_id"), col("s.g").as("g"), col("s.g2").as("g2"))
+      .join(hitKeys.withColumn("hit", lit(1)), Seq("g", "g2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
@@ -185,13 +210,26 @@ object TrainingPrep {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("bucket", expr(bucketSpark))
-    val bench = gramHashes(docs.filter(col("bucket") >= BenchmarkPct),
+    val bench = gramHashes(spark, dir, docs.filter(col("bucket") >= BenchmarkPct),
       DecontamGramN).select(col("g"), col("g2")).distinct()
     val train = docs.filter(col("bucket") < BenchmarkPct)
-    val contaminated = gramHashes(train, DecontamGramN)
-      .join(bench.withColumn("hit", lit(1)), Seq("g", "g2"), "left")
+    // ONE filtered explode of the corpus side (r19 verdict item 3 —
+    // this operator's 240 s at sf100 was the engine's heaviest): the
+    // per-doc distinct-gram total rides INLINE as size(gs), so the
+    // corpus-scale groupBy(doc_id) count shuffle of every train gram
+    // is gone; the exploded stream is pruned by the bench key set
+    // (left_semi — AQE broadcasts the bounded slice while it fits)
+    // BEFORE any exchange, so only grams that actually hit the
+    // benchmark ever shuffle, and the per-doc hit aggregation runs
+    // over a contamination-bounded stream, not a corpus-bounded one.
+    val contaminated = gramArrays(spark, dir, train, DecontamGramN)
+      .select(col("doc_id"), size(col("gs")).as("n"),
+        explode(col("gs")).as("s"))
+      .select(col("doc_id"), col("n"),
+        col("s.g").as("g"), col("s.g2").as("g2"))
+      .join(bench, Seq("g", "g2"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), count(col("hit")).as("h"))
+      .agg(any_value(col("n")).as("n"), count(lit(1)).as("h"))
       .filter(col("h").cast("double") / col("n") >= DecontamThreshold)
       .select(col("doc_id"))
     train.join(contaminated, Seq("doc_id"), "left_anti")
@@ -758,7 +796,8 @@ object TrainingPrep {
     * frame, so the exact-double join cannot be split by a recompute
     * (r16 ADVICE item closed). */
   def lmBuckets(spark: SparkSession, dir: String): DataFrame =
-    lmBucketsOver(spark, bigramLogprob(spark, dir))
+    lmBucketsOver(spark, bigramLogprob(spark, dir),
+      s"lmbucket_map:$dir")
 
   /** [[lmBuckets]] over the CORPUS-RESIDENT slice of the raw scored
     * artifact — the seam the quality classifier trains through: its
@@ -774,37 +813,50 @@ object TrainingPrep {
       dir: String): DataFrame =
     lmBucketsOver(spark, bigramScoredTable(spark, dir, raw = true)
       .join(Tables.documents(spark, dir).select(col("doc_id")),
-        Seq("doc_id"), "left_semi"))
+        Seq("doc_id"), "left_semi"),
+      s"lmbucket_map_raw:$dir")
 
   private def lmBucketsOver(spark: SparkSession,
-      scored: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val hist = scored.groupBy(col("avg_logprob"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("band",
-        floor(col("avg_logprob") * LmBandScale).cast("long"))
-      .localCheckpoint()
-    // per-band totals, score-descending: bounded driver state
-    val bands = hist.groupBy(col("band")).agg(sum(col("cnt")).as("bc"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-    val n = bands.map(_._2).sum
-    val n1 = (n + 2) / 3
-    val n2 = (2 * n + 2) / 3
-    var acc = 0L
-    val offs = bands.map { case (b, bc) =>
-      val o = acc; acc += bc; (b, o)
-    }.toSeq.toDF("band", "off")
-    val w = Window.partitionBy(col("band"))
-      .orderBy(col("avg_logprob").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = hist
-      .withColumn("wb", coalesce(sum(col("cnt")).over(w), lit(0L)))
-      .join(broadcast(offs), Seq("band"))
-      .select(col("avg_logprob"),
-        when(col("wb") + col("off") < n1, lit("head"))
-          .when(col("wb") + col("off") < n2, lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+      scored: DataFrame, cacheKey: String): DataFrame = {
+    // The score→bucket MAP is LATTICE-bounded (distinct 6-dp scores),
+    // never corpus-bounded, and its build pays a localCheckpoint job +
+    // a driver histogram collect — so it is session-cached per flavor
+    // (r19 verdict item 6: docs_lm_buckets / docs_lm_sample and the
+    // quality classifier's raw-flavor labels each re-paid the build
+    // per consumption). The doc-level join-back below stays uncached:
+    // it is one stored-table read + a broadcast join of the map.
+    val buckets = ArtifactCache.cached(spark, cacheKey) {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val hist = scored.groupBy(col("avg_logprob"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("band",
+          floor(col("avg_logprob") * LmBandScale).cast("long"))
+        .localCheckpoint()
+      // per-band totals, score-descending: bounded driver state
+      val bands = hist.groupBy(col("band")).agg(sum(col("cnt")).as("bc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      val n = bands.map(_._2).sum
+      val n1 = (n + 2) / 3
+      val n2 = (2 * n + 2) / 3
+      var acc = 0L
+      val offs = bands.map { case (b, bc) =>
+        val o = acc; acc += bc; (b, o)
+      }.toSeq.toDF("band", "off")
+      val w = Window.partitionBy(col("band"))
+        .orderBy(col("avg_logprob").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("wb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .join(broadcast(offs), Seq("band"))
+        .select(col("avg_logprob"),
+          when(col("wb") + col("off") < n1, lit("head"))
+            .when(col("wb") + col("off") < n2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }
+    // plain join: AQE broadcasts the lattice side while it fits (its
+    // runtime size is known from the persisted cache) — no forced
+    // broadcast, the lattice can reach 10⁷ rows on a wide score range
     scored.join(buckets, Seq("avg_logprob"))
       .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
         col("bucket"))
@@ -905,7 +957,7 @@ object TrainingPrep {
     * needs no separate pass (an is-target flag rides the stream). */
   def dsirHashed(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.fanOutScan(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text")), spark, dir)
       .select(col("doc_id"),
         (expr(bucketSpark) >= BenchmarkPct).as("is_t"),
         split(col("text"), " ").as("ws"))

@@ -35,6 +35,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(Bench.r1Baseline.values.sum - 36.75) < 0.1)
   }
 
+  test("per-query print floor: a query that ran never prints as 0") {
+    // r19 verdict item 2: emb_quantize timed 0.04 s, printed "0", and
+    // the driver's differ scored it dropped_from_bench. A query that
+    // RAN floors at 0.1 s; the failed-both-passes marker -1 is intact.
+    assert(Bench.shownSec(0.0) === 0.1)
+    assert(Bench.shownSec(0.04) === 0.1)
+    assert(Bench.shownSec(0.1) === 0.1)
+    assert(Bench.shownSec(0.3) === 0.3)
+    assert(Bench.shownSec(12.0) === 12.0)
+    assert(Bench.shownSec(-1.0) === -1.0)
+  }
+
   test("worst-case line stays under budget with >=15 queries of headroom") {
     // worst case per entry: "alias":123 — Bench.fmt prints at most 3
     // value chars below 1000 s (>=10 s drops decimals → "999"; <10 s

@@ -66,9 +66,13 @@ class TakedownSpec extends SparkSpec {
     Dedup.simhashIndexTable(spark, cDir).count()
     Dedup.spanIndexTable(spark, cDir).count()
     TrainingPrep.bigramScoredTable(spark, cDir).count()
+    Multimodal.dhashSigs(spark, cDir, raw = true).count()
     Similarity.codeTable(spark, cDir, "md5", raw = true).count()
     Similarity.semPostingTable(spark, cDir,
       Dedup.BroadcastVerifyBytes, raw = true).count()
+
+    val mmRawMinus = rowSet(Multimodal.dhashSigs(spark, cDir, raw = true)
+      .filter(!col("doc_id").isin(dropDocs: _*)))
 
     val annRawMinus = rowSet(Similarity.codeTable(spark, cDir, "md5",
       raw = true).filter(!col("vec_id").isin(dropVecs: _*)))
@@ -79,7 +83,7 @@ class TakedownSpec extends SparkSpec {
     // THE call under test: both domains, every family, one entry point
     val recorded = Maintenance.takedown(spark, cDir, dropDocs, dropVecs)
     assert(recorded.keySet ===
-      Set("dedup", "simhash", "span", "lmscore", "ann", "sem"))
+      Set("dedup", "simhash", "span", "lmscore", "mm", "ann", "sem"))
     assert(recorded.values.forall(_ === dropDocs.size.toLong))
     // idempotent: a second identical call records nothing anywhere
     assert(Maintenance.takedown(spark, cDir, dropDocs, dropVecs)
@@ -102,6 +106,13 @@ class TakedownSpec extends SparkSpec {
       === rowSet(Dedup.despan(spark, cDirMinus)))
     assert(TrainingPrep.bigramLogprob(spark, cDir)
       .filter(col("doc_id").isin(dropDocs: _*)).count() === 0L)
+    // image family (r19 verdict item 8 — the persisted dHash signature
+    // table): filtered view == raw-minus, and the pair surface stops
+    // serving the dropped docs
+    assert(rowSet(Multimodal.dhashSigs(spark, cDir)) === mmRawMinus)
+    assert(Multimodal.imageDhash(spark, cDir)
+      .filter(col("d1").isin(dropDocs: _*) ||
+        col("d2").isin(dropDocs: _*)).count() === 0L)
 
     // vec families: filtered view == raw-minus (FAISS remove_ids
     // stance — a delete never retrains), and no search surface can
@@ -137,10 +148,13 @@ class TakedownSpec extends SparkSpec {
       === annRawMinus)
     assert(rowSet(Similarity.semPostingTable(spark, cDir,
       Dedup.BroadcastVerifyBytes, raw = true)) === semRawMinus)
+    assert(rowSet(Multimodal.dhashSigs(spark, cDir, raw = true))
+      === mmRawMinus)
     val cSlug = cDir.replaceAll("[^A-Za-z0-9]", "_")
     assert(spark.catalog.listTables().collect().map(_.name)
       .count(n => (n.startsWith("graft_tomb_dedup_") ||
-        n.startsWith("graft_tomb_ann_")) && n.contains(cSlug)) === 0)
+        n.startsWith("graft_tomb_ann_") ||
+        n.startsWith("graft_tomb_mm_")) && n.contains(cSlug)) === 0)
   }
 
   test("permanent takedown records both id domains in the registry once") {
