@@ -204,8 +204,12 @@ object Dedup {
     // build cost per scan at the sf10 (100×) point
     val prefixLen = (size(col("hs")) -
       ceil(lit(JaccardThreshold) * size(col("hs"))) + 1).cast("int")
+    // sz rides as bucketPairs payload so the size-ratio filter can
+    // prune candidate pairs BEFORE the shingle arrays attach (r19
+    // verdict item 4 — the verify stream's scratch footprint)
     shingleArrays(spark, dir)
-      .select(explode(slice(col("hs"), lit(1), prefixLen)).as("k"), col("doc_id"))
+      .select(explode(slice(col("hs"), lit(1), prefixLen)).as("k"),
+        col("doc_id"), size(col("hs")).as("sz"))
   }
 
   /** Test seam: SkewSpec drives the hot-bucket arm with a low threshold
@@ -220,7 +224,21 @@ object Dedup {
     // otherwise emit its quadratic candidate set through ONE sort-merge
     // partition. Candidate set is identical (pairs sharing a prefix
     // hash, d1 < d2, distinct), so output equality is unconditional.
+    // Size-ratio prune (the AllPairs length filter), applied to the
+    // candidate stream BEFORE the distinct and before verification
+    // attaches ~420 B shingle arrays per pair: J(x,y) = |x∩y|/|x∪y| ≤
+    // min(|x|,|y|)/max(|x|,|y|) (the intersection fits in the smaller
+    // set, the union covers the larger), so any pair with
+    // min < t·max cannot reach the threshold and its removal is
+    // unconditionally lossless — the survivors are exact-verified as
+    // before. At the sf100 point the verification stream was the
+    // family's ENOSPC ceiling (~60 GB scratch, r19 verdict item 4);
+    // this drops every size-mismatched candidate while it is still a
+    // 32-byte row.
     val cand = bucketPairs(spark, prefixPostings(spark, dir), hotThreshold)
+      .filter(least(col("sz_1"), col("sz_2")).cast("double") >=
+        lit(JaccardThreshold) *
+          greatest(col("sz_1"), col("sz_2")).cast("double"))
       .select(col("d1"), col("d2")).distinct()
     verifiedJaccard(spark, dir, cand)
   }
@@ -1416,20 +1434,43 @@ object Dedup {
     // broadcast it into the marking join, so the span stream is
     // probed map-side and never shuffles. Past the bound (copy-heavy
     // corpus), fall back to shuffle_hash with the dup-hash set as the
-    // build side: both sides still exchange, but the corpus-scale
-    // span stream is probed straight through without the sort that
-    // dominated the sort-merge shape (the ngramJaccard lesson).
-    val dupHashes = spans.groupBy(col("h"), col("h2"))
+    // build side.
+    //
+    // Phase 1 (r19 verdict item 5 — the REMAINING corpus-scale
+    // shuffle): duplicate DISCOVERY counts on the single 8-byte h
+    // only. Every corpus position crosses this exchange, and dropping
+    // h2 from the aggregation key cuts the exchanged UnsafeRow from
+    // three to two 8-byte slots (~25% of the map output, ~50-60 GB at
+    // the sf100 point). Single-key collisions over-admit positions —
+    // they are removed exactly in phase 2, so the 128-bit
+    // no-false-excision rule is unweakened.
+    val dupH = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("tot"))
+      .filter(col("tot") >= 2).select(col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDup = dupH.count()
+    val dupSide =
+      if (nDup * DupHashRowBytes <= dupHashBroadcastBytes) broadcast(dupH)
+      else dupH.hint("shuffle_hash")
+    // candidate positions: duplicated-or-colliding h — the corpus's
+    // duplicated content plus ~n²/2⁶⁵ birthday collisions. Persisted:
+    // it is consumed twice below and is dup-bounded, unlike the full
+    // span stream (whose materialization measured 40% slower than
+    // recomputing at sf10 — that lesson applies to the corpus-scale
+    // stream, not this slice).
+    val cand = spans.join(dupSide, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase 2 — exact confirm on the candidate-bounded stream: a
+    // position is duplicated iff its (h, h2) PAIR occurs ≥ 2 times
+    // (the destructive-excision key-width rule, unchanged). The agg
+    // and the semi join share one exchange of the persisted slice
+    // (ReusedExchange), so phase 2 never touches the corpus again.
+    val dup2 = cand.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("tot"))
       .filter(col("tot") >= 2).select(col("h"), col("h2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDup = dupHashes.count()
-    val dupSide =
-      if (nDup * DupHashRowBytes <= dupHashBroadcastBytes) broadcast(dupHashes)
-      else dupHashes.hint("shuffle_hash")
-    val out = spans.join(dupSide, Seq("h", "h2"))
+    val out = cand.join(dup2, Seq("h", "h2"), "left_semi")
       .select(col("doc_id"), col("i"))
-    (out, () => { dupHashes.unpersist(); () })
+    (out, () => { dupH.unpersist(); cand.unpersist(); () })
   }
 
   /** Duplicated span starts as a PERSISTED bucketed lake table — the
