@@ -124,13 +124,21 @@ object TrainingPrep {
     * independent second hash (Spark chains the running hash as the next
     * seed; a TRAILING literal would be a pure function of the first
     * hash and add nothing). Two-sided collision ≈ 2⁻¹²⁸. */
-  /** One row per document: (doc_id, gs) with gs = the DISTINCT gram
-    * structs, still un-exploded — so a consumer reads the per-doc
-    * distinct-gram TOTAL inline (`size(gs)`) instead of re-deriving it
-    * with a corpus-scale count shuffle after the explode (r19 verdict
-    * item 3: the decontaminate groupBy(doc_id) shuffled every distinct
-    * gram of every train document just to count them). */
-  private def gramArrays(spark: SparkSession, dir: String,
+  /** The gram SQL string for width `n` — shared by the exploded
+    * stream and the hit-bounded per-doc total below. The explode stays
+    * rooted at the FULL expression, never at a pre-projected array
+    * attribute: InferFiltersFromGenerate only fires on cheap-looking
+    * attribute generators, and the filters it infers get pushed
+    * through the producing Project, re-evaluating the whole
+    * hash-transform 2 extra times per row (measured this round:
+    * ccn 0.6 → 3.4 s, cdc 1.7 → 4.6 s at sf0.1 before this was
+    * caught in the after-plan's Filter condition). */
+  private def gramArraySql(n: Int): String =
+    s"array_distinct(transform(sequence(1, size(ws) - ${n - 1})," +
+      s" i -> struct(xxhash64(concat_ws(' ', slice(ws, i, $n))) AS g," +
+      s" xxhash64(7, concat_ws(' ', slice(ws, i, $n))) AS g2)))"
+
+  private def gramHashes(spark: SparkSession, dir: String,
       docs: DataFrame, n: Int = GramN): DataFrame =
     // fanOutScan BEFORE the tokenize/hash chain: the exchange (when it
     // fires at all — see Tables.fanOutScan) carries raw (doc_id, text),
@@ -138,16 +146,7 @@ object TrainingPrep {
     Tables.fanOutScan(docs.select(col("doc_id"), col("text")), spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1})," +
-          s" i -> struct(xxhash64(concat_ws(' ', slice(ws, i, $n))) AS g," +
-          s" xxhash64(7, concat_ws(' ', slice(ws, i, $n))) AS g2))"))
-        .as("gs"))
-
-  private def gramHashes(spark: SparkSession, dir: String,
-      docs: DataFrame, n: Int = GramN): DataFrame =
-    gramArrays(spark, dir, docs, n)
-      .select(col("doc_id"), explode(col("gs")).as("s"))
+      .select(col("doc_id"), explode(expr(gramArraySql(n))).as("s"))
       .select(col("doc_id"), col("s.g").as("g"), col("s.g2").as("g2"))
 
   /** Benchmark-contamination check: for each benchmark document, the
@@ -159,11 +158,10 @@ object TrainingPrep {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("bucket", expr(bucketSpark))
-    val bench = gramArrays(spark, dir, docs.filter(col("bucket") >= BenchmarkPct))
+    val bench = gramHashes(spark, dir, docs.filter(col("bucket") >= BenchmarkPct))
     // distinct gram keys of the BENCHMARK side — bounded by the 2%
     // slice, never the corpus
-    val benchKeys = bench.select(explode(col("gs")).as("s"))
-      .select(col("s.g").as("g"), col("s.g2").as("g2")).distinct()
+    val benchKeys = bench.select(col("g"), col("g2")).distinct()
     // Prune the corpus-side gram stream to keys that CAN hit before
     // any aggregation (r19 verdict item 3 / guide §3.2): a bench-side
     // semi filter replaces the corpus-scale `.distinct()` of every
@@ -174,8 +172,7 @@ object TrainingPrep {
       .select(col("g"), col("g2"))
       .join(benchKeys, Seq("g", "g2"), "left_semi")
       .distinct()
-    bench.select(col("doc_id"), explode(col("gs")).as("s"))
-      .select(col("doc_id"), col("s.g").as("g"), col("s.g2").as("g2"))
+    bench
       .join(hitKeys.withColumn("hit", lit(1)), Seq("g", "g2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
@@ -213,23 +210,23 @@ object TrainingPrep {
     val bench = gramHashes(spark, dir, docs.filter(col("bucket") >= BenchmarkPct),
       DecontamGramN).select(col("g"), col("g2")).distinct()
     val train = docs.filter(col("bucket") < BenchmarkPct)
-    // ONE filtered explode of the corpus side (r19 verdict item 3 —
-    // this operator's 240 s at sf100 was the engine's heaviest): the
-    // per-doc distinct-gram total rides INLINE as size(gs), so the
-    // corpus-scale groupBy(doc_id) count shuffle of every train gram
-    // is gone; the exploded stream is pruned by the bench key set
-    // (left_semi — AQE broadcasts the bounded slice while it fits)
-    // BEFORE any exchange, so only grams that actually hit the
-    // benchmark ever shuffle, and the per-doc hit aggregation runs
-    // over a contamination-bounded stream, not a corpus-bounded one.
-    val contaminated = gramArrays(spark, dir, train, DecontamGramN)
-      .select(col("doc_id"), size(col("gs")).as("n"),
-        explode(col("gs")).as("s"))
-      .select(col("doc_id"), col("n"),
-        col("s.g").as("g"), col("s.g2").as("g2"))
-      .join(bench, Seq("g", "g2"), "left_semi")
+    // ONE gram pass, hit flags from the broadcast bench set, per-doc
+    // (n, h) in one partially-aggregated count — the r19 shape, KEPT
+    // after measuring the r19-verdict-prescribed restructure (semi
+    // prune + hit-bounded total pass) at 2× the cost: 3-gram overlap
+    // with the benchmark slice is DENSE (nearly every train doc hits),
+    // so "hit-bounded" degenerates to corpus-bounded and the separate
+    // `n` pass re-pays the full gram transform. The per-doc count agg
+    // here partial-aggregates map-side (gram rows of a doc are
+    // adjacent post-explode), so its exchange is doc-bounded, not
+    // gram-bounded — the operator's sf100 cost is the explode
+    // COMPUTE, which one pass cannot undercut. (docs_contamination
+    // keeps the semi prune: 8-gram overlap is sparse, and there the
+    // pruned distinct replaces a corpus-key-scale one.)
+    val contaminated = gramHashes(spark, dir, train, DecontamGramN)
+      .join(bench.withColumn("hit", lit(1)), Seq("g", "g2"), "left")
       .groupBy(col("doc_id"))
-      .agg(any_value(col("n")).as("n"), count(lit(1)).as("h"))
+      .agg(count(lit(1)).as("n"), count(col("hit")).as("h"))
       .filter(col("h").cast("double") / col("n") >= DecontamThreshold)
       .select(col("doc_id"))
     train.join(contaminated, Seq("doc_id"), "left_anti")
