@@ -81,6 +81,12 @@ object IndexBuildBench {
           TrainingPrep.bigramScoredTable(spark, sfDir).count()
           ()
         }),
+        // the image-signature codec pass alone (r19 verdict item 8):
+        // the PAIR query is output-quadratic on short-doc corpora (the
+        // all-zero trailing bands put ~44% of docs in one band bucket),
+        // so the scale point that matters is the per-generation build —
+        // run it twice (fresh JVM) for the cold/warm pair
+        "mm" -> (() => { Multimodal.dhashSigs(spark, sfDir).count(); () }),
         "ann_trained" -> (() => {
           Similarity.codeTable(spark, sfDir, "trained").count()
           ()

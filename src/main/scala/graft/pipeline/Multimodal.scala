@@ -256,10 +256,17 @@ object Multimodal {
           tbl, path, Seq("doc_id"), Dedup.IndexBuckets)
     }
     if (raw) spark.table(tbl)
-    else Registry.minus(spark,
-      Tombstones.minus(spark, spark.table(tbl),
-        mmTombName(spark, dir), "doc_id"),
-      dir, Registry.Doc, "doc_id")
+    // session-cache the FILTERED view: one pair query consults it three
+    // times (bucketPairs' hot probe + both join sides), and uncached each
+    // consumption re-pays the bucketed scan + both anti-joins (measured
+    // +0.8 s warm vs the r19 session cache). The takedown and compaction
+    // hooks drop the entry, so a deletion is visible immediately —
+    // TakedownSpec's filtered-view identity stays exact.
+    else ArtifactCache.cached(spark, s"dhsigs:$dir")(
+      Registry.minus(spark,
+        Tombstones.minus(spark, spark.table(tbl),
+          mmTombName(spark, dir), "doc_id"),
+        dir, Registry.Doc, "doc_id"))
   }
 
   /** Takedown hook for the image family (the [[Maintenance.takedown]]
@@ -270,7 +277,9 @@ object Multimodal {
       docIds: Seq[Long], permanent: Boolean = false): Long =
     Maintenance.IndexLocks.withLock("mm", dir) {
       if (permanent) Registry.addPermanent(spark, dir, Registry.Doc, docIds)
-      Tombstones.add(spark, mmTombName(spark, dir), docIds)
+      val n = Tombstones.add(spark, mmTombName(spark, dir), docIds)
+      ArtifactCache.drop(spark, s"dhsigs:$dir")
+      n
     }
 
   /** Nightly compaction of the signature table: rewrite minus the
@@ -289,6 +298,7 @@ object Multimodal {
             Tombstones.minus(spark, df, tomb, "doc_id"),
             dir, Registry.Doc, "doc_id"))
       Tombstones.clear(spark, tomb)
+      ArtifactCache.drop(spark, s"dhsigs:$dir")
       1
     }
   }
